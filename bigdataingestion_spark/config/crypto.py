@@ -1,0 +1,53 @@
+"""Symmetric config-value encryption and the SQL ``decrypt`` function.
+
+The reference calls a SQL-registered ``decrypt(secret, value)`` provided by an
+external "cryptology" notebook that is not in the repo
+(``PostgresToDataLake_Ingestion_Notebook.py:43, :128``), so the algorithm is
+invisible; only the *signature* and usage (decrypt a config_value with a Key
+Vault secret, then base64-decode the result downstream, ING:140) are part of
+the contract. We define our own scheme behind the same signature:
+
+    ciphertext = base64( keystream_xor(plaintext) )
+    keystream  = SHA-256(secret || counter) blocks (a simple CTR construction)
+
+This is driver-side metadata crypto for a handful of config rows — not a data
+path — so a dependency-free construction beats pulling in a crypto library
+the container doesn't have.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StringType
+
+
+def _keystream(secret: str, n: int) -> bytes:
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out.extend(hashlib.sha256(f"{secret}:{counter}".encode()).digest())
+        counter += 1
+    return bytes(out[:n])
+
+
+def encrypt_value(secret: str, plaintext: str) -> str:
+    data = plaintext.encode("utf-8")
+    ks = _keystream(secret, len(data))
+    ct = bytes(a ^ b for a, b in zip(data, ks))
+    return base64.b64encode(ct).decode("ascii")
+
+
+def decrypt_value(secret: str, ciphertext: str) -> str:
+    ct = base64.b64decode(ciphertext.encode("ascii"))
+    ks = _keystream(secret, len(ct))
+    return bytes(a ^ b for a, b in zip(ct, ks)).decode("utf-8")
+
+
+def register_crypto_udfs(spark: SparkSession) -> None:
+    """Register SQL ``decrypt``/``encrypt`` with the reference's signature
+    (usable as ``SELECT decrypt('{secret}', config_value) ...``, ING:128)."""
+    spark.udf.register("decrypt", decrypt_value, StringType())
+    spark.udf.register("encrypt", encrypt_value, StringType())

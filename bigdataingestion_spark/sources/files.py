@@ -1,0 +1,61 @@
+"""File-backed source (parquet/csv/json directory standing in for a database).
+
+Used by tests and by any lake-to-lake ingestion. The watermark increment is a
+plain DataFrame filter — Catalyst pushes ``>=`` comparisons on the individual
+columns into the parquet scan where possible, and the COALESCE itself is
+evaluated in whole-stage codegen (JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataingestion_spark.sources.querygen import TableAddress
+
+
+@dataclass
+class FileSource:
+    spark: SparkSession
+    base_path: str  # {base_path}/{database}/{table}.{fmt} or {base_path}/{table}.{fmt}
+    fmt: str = "parquet"
+
+    def _path(self, database: str, table: str) -> str:
+        candidates = [
+            os.path.join(self.base_path, database, f"{table}.{self.fmt}"),
+            os.path.join(self.base_path, f"{table}.{self.fmt}"),
+            os.path.join(self.base_path, database, table),
+            os.path.join(self.base_path, table),
+        ]
+        for c in candidates:
+            if os.path.exists(c):
+                return c
+        return candidates[0]
+
+    def read_table(self, database: str, addr: TableAddress) -> DataFrame:
+        path = self._path(database, addr.table)
+        df = self.spark.read.format(self.fmt).load(path)
+        if self.fmt == "parquet":
+            from bigdataingestion_spark.functions.io import ns_timestamp_columns
+
+            for c in ns_timestamp_columns(path, df.dtypes):
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                )
+        return df
+
+    def read_increment(
+        self,
+        database: str,
+        addr: TableAddress,
+        watermark_cols: list[str],
+        last_load_date: str,
+    ) -> DataFrame:
+        df = self.read_table(database, addr)
+        if not watermark_cols:
+            return df
+        wm = F.coalesce(*[F.col(c) for c in watermark_cols])
+        return df.filter(wm >= F.lit(str(last_load_date)).cast("timestamp"))

@@ -1,0 +1,101 @@
+"""JDBC source with source-side query pushdown.
+
+Reference behavior (``PostgresToDataLake_Ingestion_Notebook.py:287-297``):
+reads a full SQL *query* (not a table) through the Databricks ``postgresql``
+connector. OSS Spark equivalent is the ``jdbc`` format with the ``query``
+option, which has identical pushdown semantics: the whole query string runs
+inside the source database and only its result crosses the wire.
+
+Scale notes:
+  - The watermark predicate (COALESCE over several columns) is NOT pushed by
+    Spark's JDBC pushdown rules, which is why the query string is generated
+    by us (see ``querygen.watermark_filtered_query``) — same design decision
+    as the reference (README.md:31).
+  - For large tables, ``partition_column/num_partitions`` enable parallel
+    fetch (N concurrent source cursors); the reference reads single-threaded
+    (its README calls this "sequential data write"). Single-stream JDBC is
+    the 100 TB bottleneck, so parallel fetch is on by default when a numeric
+    key is configured.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdataingestion_spark.sources.querygen import (
+    TableAddress,
+    select_all_query,
+    watermark_filtered_query,
+)
+
+
+@dataclass
+class JdbcSource:
+    spark: SparkSession
+    host: str
+    user: str
+    password: str
+    port: int = 5432  # fixed in the reference (ING:291)
+    driver: str = "org.postgresql.Driver"
+    fetchsize: int = 10_000
+    # optional parallel-fetch spec per table name (lowercased):
+    # {"events": ("event_id", 16)} -> partitionColumn + numPartitions
+    partition_spec: dict[str, tuple[str, int]] = field(default_factory=dict)
+
+    def _url(self, database: str) -> str:
+        return f"jdbc:postgresql://{self.host}:{self.port}/{database}"
+
+    def _read_query(self, database: str, query: str, table_key: str) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self._url(database))
+            .option("query", query)
+            .option("user", self.user)
+            .option("password", self.password)
+            .option("driver", self.driver)
+            .option("fetchsize", str(self.fetchsize))
+        )
+        spec = self.partition_spec.get(table_key)
+        if spec:
+            col, n = spec
+            # Spark requires dbtable (not query) for partitioned reads; wrap.
+            reader = (
+                self.spark.read.format("jdbc")
+                .option("url", self._url(database))
+                .option("dbtable", f"({query}) AS src")
+                .option("user", self.user)
+                .option("password", self.password)
+                .option("driver", self.driver)
+                .option("fetchsize", str(self.fetchsize))
+                .option("partitionColumn", col)
+                .option("numPartitions", str(n))
+            )
+            # bounds are resolved lazily by a min/max probe query
+            bounds = (
+                self._read_query(
+                    database,
+                    f"SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM ({query}) b",
+                    table_key="",
+                )
+                .collect()[0]
+            )
+            if bounds.lo is not None:
+                reader = reader.option("lowerBound", str(bounds.lo)).option(
+                    "upperBound", str(bounds.hi)
+                )
+        return reader.load()
+
+    def read_table(self, database: str, addr: TableAddress) -> DataFrame:
+        return self._read_query(database, select_all_query(addr), addr.state_key)
+
+    def read_increment(
+        self,
+        database: str,
+        addr: TableAddress,
+        watermark_cols: list[str],
+        last_load_date: str,
+    ) -> DataFrame:
+        q = watermark_filtered_query(addr, watermark_cols, last_load_date)
+        return self._read_query(database, q, addr.state_key)
