@@ -1,0 +1,764 @@
+"""Query catalog: every declared operator as (Spark impl, DuckDB oracle) pair.
+
+This backs ``__spark_entry__.py``'s driver contract: ``queries()`` exposes the
+Spark callables, ``oracle_sql()`` the equivalent ANSI SQL. Column names and
+value rounding are aligned on both sides because the correctness gate hashes
+values under sorted column names.
+
+Sections mirror SURVEY.md §2:
+  ingest_*      — the reference's own operator semantics (chunk planning,
+                  watermark math, config union) expressed as queries
+  q*/top_*/...  — general relational coverage (joins, aggs, windows, json)
+                  on the TPC-H-ish star schema; these are the bench headliners
+  text_*/dedup_*/minhash_*/simhash_*  — [EXT] text analysis & dedup
+  embedding_*/multimodal_*            — [EXT] similarity search & media
+
+Float policy: every float aggregate is ``round(x, N)`` on BOTH sides so
+engine-order summation noise can't break the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdataingestion_spark.functions.io import load_table
+from bigdataingestion_spark.operators import dedup, multimodal, similarity, text
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver runs a rows-only check
+    headline: bool = False  # include in bench.py
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# ingest_* — reference parity semantics (SURVEY §2.3/2.5/2.7/2.9)
+# ===========================================================================
+
+CHUNK_LIMIT_YEARS = 2000  # orders rows/year at sf0.01 ≈ 2100 -> mixed above/below
+CHUNK_LIMIT_MONTHS = 200
+
+
+@register(
+    "ingest_chunk_profile",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           count(*) AS cnt
+    FROM orders GROUP BY 1, 2, 3, 4
+    """,
+    headline=True,
+)
+def ingest_chunk_profile(spark, sf_dir):
+    """Single-pass chunk profile (replaces reference ING:205-247 repeated
+    scans) over orders with o_orderdate as the watermark."""
+    o = _t(spark, sf_dir, "orders")
+    wm = F.col("o_orderdate")
+    return o.groupBy(
+        F.year(wm).cast("int").alias("y"),
+        F.quarter(wm).cast("int").alias("q"),
+        F.month(wm).cast("int").alias("m"),
+        F.dayofmonth(wm).cast("int").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "ingest_years_above_limit",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS cnt
+    FROM orders GROUP BY 1 HAVING count(*) > {CHUNK_LIMIT_YEARS}
+    """,
+)
+def ingest_years_above_limit(spark, sf_dir):
+    """GROUP BY year + HAVING above-limit (reference ING:319)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > CHUNK_LIMIT_YEARS)
+    )
+
+
+@register(
+    "ingest_months_below_limit",
+    f"""
+    SELECT CAST(month(o_orderdate) AS INT) AS m, count(*) AS cnt
+    FROM orders WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 2
+    GROUP BY 1 HAVING count(*) < {CHUNK_LIMIT_MONTHS}
+    """,
+)
+def ingest_months_below_limit(spark, sf_dir):
+    """GROUP BY month + HAVING below-limit within a year/quarter
+    (reference ING:233-234)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.year("o_orderdate") == 1995) & (F.quarter("o_orderdate") == 2))
+        .groupBy(F.month("o_orderdate").cast("int").alias("m"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") < CHUNK_LIMIT_MONTHS)
+    )
+
+
+@register(
+    "ingest_distinct_years",
+    "SELECT DISTINCT CAST(year(l_shipdate) AS INT) AS y FROM lineitem",
+)
+def ingest_distinct_years(spark, sf_dir):
+    """DISTINCT over a date-part expression (reference ING:209-211)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(F.year("l_shipdate").cast("int").alias("y")).distinct()
+
+
+@register(
+    "ingest_watermark_next",
+    "SELECT max(ts) - INTERVAL 80 HOUR AS next_watermark FROM events",
+)
+def ingest_watermark_next(spark, sf_dir):
+    """MAX(COALESCE(wm)) − 80h — the watermark update rule (ING:350-355)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        (F.max(F.coalesce("ts")) - F.expr("INTERVAL 80 HOURS")).alias("next_watermark")
+    )
+
+
+@register(
+    "ingest_watermark_filter_count",
+    """
+    SELECT count(*) AS cnt FROM events
+    WHERE coalesce(ts) >= CAST('2024-01-25 00:00:00' AS TIMESTAMP)
+    """,
+)
+def ingest_watermark_filter_count(spark, sf_dir):
+    """The incremental-load predicate (reference S3/P8, ING:280)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.coalesce("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "ingest_config_union",
+    """
+    SELECT * FROM (
+      SELECT 'events min_ts' AS config_name, CAST(min(ts) AS VARCHAR) AS config_value FROM events
+    ) UNION
+    SELECT 'events max_ts' AS config_name, CAST(max(ts) AS VARCHAR) AS config_value FROM events
+    """,
+)
+def ingest_config_union(spark, sf_dir):
+    """UNION (distinct) of derived config rows — reference U1/U2 shape
+    (ING:119-131)."""
+    ev = _t(spark, sf_dir, "events")
+    lo = ev.agg(
+        F.lit("events min_ts").alias("config_name"),
+        F.min("ts").cast("string").alias("config_value"),
+    )
+    hi = ev.agg(
+        F.lit("events max_ts").alias("config_name"),
+        F.max("ts").cast("string").alias("config_value"),
+    )
+    return lo.union(hi).distinct()
+
+
+# ===========================================================================
+# general relational coverage (joins / aggs / windows / json) — bench headliners
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= CAST('2000-12-01' AS TIMESTAMP)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: the wide-agg benchmark staple."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < CAST('1998-03-15' AS TIMESTAMP)
+      AND l_shipdate > CAST('1998-03-15' AS TIMESTAMP)
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: selective dim filter + fact join + top-k.
+
+    customer is tiny relative to lineitem -> broadcast; the orderBy+limit
+    executes as TakeOrderedAndProject (no full sort shuffle)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style multi-join: all dimensions broadcast, single shuffle
+    for the final low-cardinality aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_customers_by_spend",
+    """
+    SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS total_spend,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def top_customers_by_spend(spark, sf_dir):
+    """Fact-side aggregate THEN broadcast-join the dim — aggregate first so
+    the join input is |customers|, not |orders|."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "customer_top_order",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def customer_top_order(spark, sf_dir):
+    """Window ranking: each customer's single largest order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    SELECT user_id, sum(new_session) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+    headline=True,
+)
+def user_sessions(spark, sf_dir):
+    """Sessionization via lag(): a 30-minute inactivity gap starts a new
+    session. One shuffle (window by user) + one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+
+
+@register(
+    "event_type_daily",
+    """
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(*) AS cnt, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_type_daily(spark, sf_dir):
+    """Multi-key aggregate over a derived date — the daily-rollup shape."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "events_json_avg",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_avg(spark, sf_dir):
+    """JSON property extraction (semi-structured props column)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("long")), 6
+        ).alias("avg_k")
+    )
+
+
+# ===========================================================================
+# [EXT] text analysis
+# ===========================================================================
+
+_WC_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+@register(
+    "text_quality_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS char_count,
+           CAST({_WC_SQL} AS BIGINT) AS word_count,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT) AS tok_count,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) END, 6) AS punct_ratio,
+           round(CASE WHEN {_WC_SQL} = 0 THEN 0.0
+                 ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / ({_WC_SQL}) END, 6) AS avg_word_len
+    FROM documents
+    """,
+    headline=True,
+)
+def text_quality_stats(spark, sf_dir):
+    return text.quality_stats(_t(spark, sf_dir, "documents"))
+
+
+_MARKER_SQL = {
+    lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(m)})\\b'))"
+    for lang, m in text.LANG_MARKERS.items()
+}
+
+
+@register(
+    "lang_histogram",
+    f"""
+    SELECT lang_guess, count(*) AS n_docs FROM (
+      SELECT CASE
+        WHEN greatest({_MARKER_SQL['en']}, {_MARKER_SQL['de']}, {_MARKER_SQL['es']}, {_MARKER_SQL['fr']}) = 0 THEN 'und'
+        WHEN {_MARKER_SQL['en']} >= greatest({_MARKER_SQL['de']}, {_MARKER_SQL['es']}, {_MARKER_SQL['fr']}) THEN 'en'
+        WHEN {_MARKER_SQL['de']} >= greatest({_MARKER_SQL['es']}, {_MARKER_SQL['fr']}) THEN 'de'
+        WHEN {_MARKER_SQL['es']} >= {_MARKER_SQL['fr']} THEN 'es'
+        ELSE 'fr' END AS lang_guess
+      FROM documents
+    ) GROUP BY 1
+    """,
+)
+def lang_histogram(spark, sf_dir):
+    return text.language_histogram(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    return text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# [EXT] dedup
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_survivors",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """Exact dedup keeping the lowest id per identical text."""
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(props) AS text_hash, count(*) AS n_dups, min(event_id) AS keep_doc_id
+    FROM events GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Duplicate-value groups over the events props column (documents has no
+    exact dups in the fixtures; props values repeat heavily)."""
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("event_id", "doc_id")
+    return dedup.exact_dup_groups(ev, text_col="props")
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_SHINGLE_CTE = f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             )) AS shingle
+      FROM words WHERE len(w) >= 3
+    )
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _SHINGLE_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.3
+    """,
+    headline=True,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup join at threshold 0.3."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3, n=3
+    )
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(('0x' || substr(md5('{seed}:' || shingle), 1, 15))::BIGINT) AS sig_{seed}"
+        for seed in range(num_hashes)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    SELECT doc_id, {sig_cols}
+    FROM sh GROUP BY doc_id
+    """
+    )
+
+
+@register("minhash_signatures", _minhash_sig_sql(16))
+def minhash_signatures(spark, sf_dir):
+    """Portable 16-hash MinHash signatures (md5-derived, engine-exact)."""
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=16)
+
+
+@register("minhash_lsh_pairs", None, headline=True)  # banding join: rows-only check
+def minhash_lsh_pairs(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs (4 bands x 4 rows). The banding
+    bucket join is validated by tests against exact Jaccard; the driver
+    check is rows-only."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4
+    )
+
+
+def _simhash_sql() -> str:
+    hi_bits = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << (j - 32)} ELSE 0 END" for j in range(32, 64)
+    )
+    lo_bits = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32)
+    )
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (({'hi' if j >= 32 else 'lo'} >> {j % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    return f"""
+    WITH wordsets AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array({_NORM_SQL}, ' '))) AS word
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 16))::UBIGINT // 4294967296 AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(word), 1, 16))::UBIGINT % 4294967296 AS BIGINT) AS lo
+      FROM wordsets WHERE word <> ''
+    ),
+    sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashes GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({hi_bits} AS BIGINT) AS simhash_hi, CAST({lo_bits} AS BIGINT) AS simhash_lo
+    FROM sums
+    """
+
+
+@register("simhash64", _simhash_sql())
+def simhash64(spark, sf_dir):
+    """64-bit SimHash per document (portable md5-derived word hashes)."""
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# [EXT] embedding similarity
+# ===========================================================================
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+    SELECT a.vec_id, round({_COS_SQL}, 6) AS cosine_sim
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+    ORDER BY {_COS_SQL} DESC, a.vec_id
+    LIMIT 10
+    """,
+    headline=True,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 against vec_id 0's embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        similarity.cosine(F.col("embedding"), F.col("qv")).alias("raw_sim"),
+    )
+    return (
+        sims.orderBy(F.desc("raw_sim"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("raw_sim", 6).alias("cosine_sim"))
+    )
+
+
+@register(
+    "embedding_label_stats",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(similarity.norm(F.col("embedding"))), 6).alias("avg_norm"),
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.3
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Blocked (same-label) embedding near-dup join at cosine >= 0.3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pairwise_cosine_blocked(emb, block_col="label", threshold=0.3)
+
+
+# ===========================================================================
+# [EXT] multimodal
+# ===========================================================================
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           base64(encode(substr(text, 1, 8))) AS magic_b64
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Opaque-payload metadata projection (byte length + magic prefix)."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.media_metadata(media).select("media_id", "byte_len", "magic_b64")
+
+
+@register("multimodal_features", None)  # mapInPandas: rows-only check
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched decode/featurize plumbing over mapInPandas (decode
+    stubbed with a deterministic featurizer; see operators.multimodal)."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, fake=True)
+
+
+# ===========================================================================
+# entry points for __spark_entry__.py
+# ===========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None
+    }
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in CATALOG.items() if spec.headline}

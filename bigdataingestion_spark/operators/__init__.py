@@ -1,0 +1,3 @@
+from bigdataingestion_spark.operators import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

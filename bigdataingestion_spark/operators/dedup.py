@@ -1,0 +1,280 @@
+"""[EXT] Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Designed for the 100 TB case:
+
+  * Exact dedup is a hash-groupBy on a fingerprint — one shuffle keyed by a
+    16-byte digest, with map-side combine. Never shuffle full document text.
+  * N-gram Jaccard is the *exact* near-dup measure: explode distinct shingles,
+    self-join on shingle, count co-occurrences. The shingle join explodes
+    quadratically on hot shingles, so it's the verification path, not the
+    scale path.
+  * MinHash-LSH is the scale path: fixed-size signatures (k hashes) replace
+    the document, banding buckets candidates, and only bucket-mates are
+    compared. Hashes are derived from md5 so signatures are engine-portable
+    (the DuckDB oracle can recompute them bit-for-bit).
+  * SimHash gives a 64-bit near-dup key (Hamming-ball lookups at serve time).
+
+References: Broder (1997) resemblance/minhash; Charikar (2002) simhash;
+Leskovec-Rajaraman-Ullman MMDS ch.3 for the banding analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdataingestion_spark.operators.text import normalize_text
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough input partitions for CPU-bound per-row work.
+
+    Small-file inputs (one parquet file -> one split) would otherwise run an
+    expensive explode/hash pipeline on a single core. At 100 TB inputs have
+    thousands of splits and this is a no-op; locally it unlocks all cores.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+# -- exact dedup ---------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5-fingerprint groups with more than one member (the duplicate sets)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text. Implemented as a
+    min-aggregate + semi-join back (not dropDuplicates, whose survivor pick is
+    nondeterministic under parallelism — determinism matters for the oracle).
+    """
+    keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# -- shingling ----------------------------------------------------------------
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* word-array column.
+
+    ``words`` MUST be a bound column (not an inline split expression):
+    expressions referenced inside ``transform`` lambdas are NOT
+    common-subexpression-eliminated, so an inline ``split(normalize(text))``
+    would be re-evaluated per array element — O(len^2) per document.
+    Shingle i = words[i..i+n-1] joined by single spaces.
+    """
+    n_sh = F.size(words) - F.lit(n - 1)
+    # guard: sequence(1, 0) DESCENDS in Spark, producing slice(start=0) errors
+    return F.when(n_sh < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded pairs — the join key space for exact Jaccard."""
+    words = spread(df).select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    return words.select(
+        F.col(id_col), F.explode(word_shingles(F.col("_w"), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all (a, b) id pairs with
+    ``|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold``.
+
+    Plan shape: one explode, one self-join on the shingle key (shuffle hash
+    join on a short string), one pair-count aggregate, plus a broadcast-sized
+    per-doc shingle-count map joined twice. At scale, cap hot shingles first
+    (a shingle occurring in k docs contributes k^2 pairs).
+    """
+    # the shingle table feeds three consumers (sizes + both join sides):
+    # cache it so the explode/normalize pass runs once
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- MinHash-LSH ----------------------------------------------------------------
+
+
+def _shingle_hash(shingle: Column, seed: int) -> Column:
+    """Portable 64-bit-ish hash: first 15 hex digits of md5(seed:shingle) as a
+    bigint. md5 is identical across engines, so the oracle can reproduce
+    signatures exactly (unlike Spark's murmur3 ``hash()``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), shingle)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) — minimum portable hash per seed over the
+    document's shingle set. One explode + one groupBy(id) aggregate; the
+    signature (k longs) replaces the document text from here on."""
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(_shingle_hash(F.col("shingle"), seed)).alias(f"sig_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Signatures are cut into ``bands`` bands of ``num_hashes/bands`` rows; docs
+    colliding on any full band become a candidate pair. Probability a pair
+    with Jaccard s collides: 1 - (1 - s^r)^b. Returns distinct (id_a, id_b)
+    candidates with their estimated similarity (fraction of matching
+    signature positions).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, n).cache()
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+
+    band_exprs = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("key"),
+            )
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cand = (
+        a.join(b_, on=["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in sig_cols])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in sig_cols])
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in sig_cols
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# -- SimHash --------------------------------------------------------------------
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over the normalized word set.
+
+    Each word hashes to 64 bits (md5-derived, portable); bit j of the
+    document hash is 1 iff more member words have bit j set than unset.
+    Entirely built-in expressions: explode words -> per-bit +/-1 sums ->
+    bit-pack. One shuffle keyed by doc id.
+    """
+    words = spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    # 64-bit word hash from md5 (first 16 hex chars)
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 16), 16, 10).cast("decimal(20,0)")
+    # decimal -> two 32-bit halves so bit ops stay in long range; subtract the
+    # remainder before dividing (decimal division ROUNDS, it doesn't floor)
+    lo = (h % F.lit(4294967296)).cast("long")
+    hi = ((h - (h % F.lit(4294967296))) / F.lit(4294967296)).cast("long")
+    words = words.select(id_col, hi.alias("hi"), lo.alias("lo"))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hi" if j >= 32 else "lo"), j % 32).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = words.groupBy(id_col).agg(*bit_sums)
+    packed_hi = sum(
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << (j - 32))).otherwise(0) for j in range(32, 64)
+    )
+    packed_lo = sum(
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(32)
+    )
+    return agg.select(
+        F.col(id_col),
+        packed_hi.cast("long").alias("simhash_hi"),
+        packed_lo.cast("long").alias("simhash_lo"),
+    )

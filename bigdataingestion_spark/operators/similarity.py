@@ -1,0 +1,135 @@
+"""[EXT] Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+  * ``cosine_topk`` — brute-force exact top-k against a query vector. All
+    math is built-in array expressions (zip_with/aggregate) evaluated
+    JVM-side in double precision; one narrow pass + a k-row ordered take.
+    At 100 TB this is a full scan but a *cheap* one (no shuffle; per-row
+    O(dim) work); it is the correctness baseline.
+  * ``lsh_bucket_candidates`` — random-hyperplane (signed projection) LSH:
+    each vector gets a ``num_planes``-bit sign key; vectors sharing the key
+    are candidates. The hyperplanes are derived deterministically from md5
+    of (plane, dim) so runs are reproducible without a random state. This
+    is the scale path: the bucket join touches only colliding pairs.
+
+Embedding-cosine near-dup detection composes these: candidates from LSH (or
+same-label blocking), exact cosine on the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition tiny (single-split) inputs so vector math uses all cores;
+    no-op on real multi-split inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays (JVM built-ins)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    The query vector is embedded as an array literal (broadcast by value in
+    the plan); ties broken by id for determinism. ``orderBy().limit(k)`` is
+    executed by Spark as TakeOrderedAndProject — a per-partition top-k then a
+    k*partitions merge on the driver, NOT a full sort/shuffle.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sims = _spread(df).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return sims.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def pairwise_cosine_blocked(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs within a blocking key with cosine >= threshold — the
+    embedding near-dup join. The self-join shuffles on the block key, so
+    pair cost is sum over blocks of |block|^2, not N^2."""
+    df = _spread(df)
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("blk", "id_a", "id_b", "cosine_sim")
+    )
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    from md5(plane:dim), portable across engines and runs."""
+    h = F.conv(F.substring(F.md5(F.lit(f"{plane}:{dim}")), 1, 12), 16, 10).cast("double")
+    return h / F.lit(float(1 << 48)) * 2.0 - 1.0
+
+
+def lsh_sign_key(vec: Column, num_planes: int, dim: int) -> Column:
+    """num_planes-bit signed-projection key as a string like '1011...'."""
+    bits = []
+    for p in range(num_planes):
+        plane = F.array(*[_plane_component(p, d) for d in range(dim)])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bucket histogram + candidate pairs via random-hyperplane LSH; returns
+    (bucket, id_a, id_b, cosine_sim) for bucket-mates."""
+    keyed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_sign_key(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    return pairwise_cosine_blocked(
+        keyed, block_col="bucket", threshold=-1.0, vec_col=vec_col, id_col=id_col
+    )

@@ -1,0 +1,117 @@
+"""[EXT] Text-analysis operators for LLM-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator has a matching ANSI-SQL
+oracle in ``bigdataingestion_spark.catalog`` so the DuckDB correctness gate
+covers it.
+
+Scale notes: every operator here is a narrow projection (no shuffle), so it
+scales linearly with input splits; 100 TB of documents is embarrassingly
+parallel. The only wide operator is ``language_histogram``'s final groupBy,
+which is a low-cardinality hash aggregate with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokens: word runs or single non-space punctuation — a BPE-ish pre-tokenizer.
+TOKEN_PATTERN = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword language heuristic.
+# Deterministic and SQL-expressible (the oracle mirrors it with the same lists).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def word_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    )
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count: word runs + standalone punctuation."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are non-alphanumeric, non-space."""
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, "[a-zA-Z0-9\\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def marker_hits(col: Column, markers: tuple[str, ...]) -> Column:
+    """How many marker words occur (word-boundary matches) in the text."""
+    pattern = "\\b(" + "|".join(markers) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 0))
+
+
+def language_guess(col: Column) -> Column:
+    """Pick the language whose marker lexicon hits most; ties broken by the
+    fixed key order of LANG_MARKERS; 'und' (undetermined) when no hits."""
+    # fold a CASE chain: strictly-greater wins, so earlier keys win ties
+    expr = F.lit("und")
+    score = F.lit(0)
+    for lang, markers in LANG_MARKERS.items():
+        h = marker_hits(col, markers)
+        gt = h > score
+        expr = F.when(gt, F.lit(lang)).otherwise(expr)
+        score = F.when(gt, h).otherwise(score)
+    return expr
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alphanumerics
+    to spaces, collapse whitespace, trim."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9]+", " ")
+    return F.trim(stripped)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: length, words, tokens, punctuation
+    ratio, avg word length — the filters a pretraining pipeline gates on."""
+    t = F.col(text_col)
+    wc = word_count(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("char_count"),
+        wc.cast("long").alias("word_count"),
+        token_count(t).cast("long").alias("tok_count"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(
+            F.when(wc == 0, F.lit(0.0)).otherwise(
+                F.length(F.regexp_replace(t, "\\s+", "")) / wc
+            ),
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+def language_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Guessed-language distribution over a corpus."""
+    return (
+        df.select(language_guess(F.col(text_col)).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )

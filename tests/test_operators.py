@@ -1,0 +1,148 @@
+"""[EXT] operator correctness on small constructed inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataingestion_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, ""),  # empty edge case
+        (6, "der hund und die katze und das haus ist gross"),  # German markers
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    out = dedup.dedup_exact(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 in ids and 2 not in ids
+    assert ids == {1, 3, 4, 5, 6}
+
+
+def test_exact_dup_groups(docs):
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 2
+    assert groups[0].keep_doc_id == 1
+
+
+def test_ngram_jaccard_identical_is_one(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs always collide
+    assert (1, 4) not in pairs  # unrelated docs shouldn't
+
+
+def test_simhash_identical_docs_equal_hash(docs):
+    h = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in dedup.simhash64(docs).collect()}
+    assert h[1] == h[2]
+    # near-dup should be close in hamming distance, far doc should not
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert hamming(h[1], h[3]) < hamming(h[1], h[4])
+
+
+def test_simhash_bits_fit_32(docs):
+    for r in dedup.simhash64(docs).collect():
+        assert 0 <= r.simhash_hi < 2**32
+        assert 0 <= r.simhash_lo < 2**32
+
+
+def test_language_guess(docs, spark):
+    out = {
+        r.doc_id: r.lang
+        for r in docs.select(
+            "doc_id", text.language_guess(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[6] == "de"
+    assert out[5] == "und"
+
+
+def test_quality_stats_empty_text(docs):
+    stats = {r.doc_id: r for r in text.quality_stats(docs).collect()}
+    assert stats[5].char_count == 0
+    assert stats[5].word_count == 0
+    assert stats[5].punct_ratio == 0.0
+    assert stats[1].word_count == 9
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [0, 1, 2]
+    assert out[0].cosine_sim == 1.0
+
+
+def test_pairwise_cosine_blocked(spark):
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "a", [1.0, 0.01]),
+        (2, "a", [0.0, 1.0]),
+        (3, "b", [1.0, 0.0]),  # other block: never paired with 0/1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.pairwise_cosine_blocked(
+            df, "label", threshold=0.95
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(p[0] != 3 and p[1] != 3 for p in pairs)
+
+
+def test_multimodal_features_deterministic(docs):
+    media = multimodal.documents_as_media(
+        docs.filter(F.col("doc_id").isin(1, 4)).select("doc_id", "text")
+    )
+    out1 = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    out2 = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert out1.keys() == out2.keys()
+    for k in out1:
+        assert out1[k].feature == out2[k].feature
+        assert out1[k].byte_len == len("the quick brown fox jumps over the lazy dog") if k == 1 else True
+        assert len(out1[k].feature) == 8
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image")
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signatures(docs, num_hashes=8)
+    row = sig.filter(F.col("doc_id") == 1).collect()[0]
+    assert len([c for c in sig.columns if c.startswith("sig_")]) == 8
+    # identical docs -> identical signatures
+    row2 = sig.filter(F.col("doc_id") == 2).collect()[0]
+    assert [row[f"sig_{i}"] for i in range(8)] == [row2[f"sig_{i}"] for i in range(8)]
