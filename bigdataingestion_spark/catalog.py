@@ -448,6 +448,154 @@ def events_json_avg(spark, sf_dir):
     )
 
 
+@register(
+    "orders_with_late_lineitems",
+    """
+    SELECT count(*) AS cnt FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    """,
+)
+def orders_with_late_lineitems(spark, sf_dir):
+    """LEFT SEMI join (EXISTS): orders having a lineitem shipped >90 days
+    after the order date."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return matched.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT count(*) AS cnt FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "lineitem_rollup_by_year_month",
+    """
+    SELECT CAST(year(l_shipdate) AS INT) AS y, CAST(month(l_shipdate) AS INT) AS m,
+           count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (1, 2)
+    """,
+)
+def lineitem_rollup_by_year_month(spark, sf_dir):
+    """ROLLUP hierarchy totals (year, month, grand total in one pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup(
+        F.year("l_shipdate").cast("int").alias("y"),
+        F.month("l_shipdate").cast("int").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles + count distinct per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "orders_status_pivot",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS total_f
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_status_pivot(spark, sf_dir):
+    """Pivot-style conditional aggregation (wide status columns per year)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def cnt(status):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+
+    return o.groupBy(F.year("o_orderdate").cast("int").alias("y")).agg(
+        cnt("F").alias("n_f"),
+        cnt("O").alias("n_o"),
+        cnt("P").alias("n_p"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 4
+        ).alias("total_f"),
+    )
+
+
+@register(
+    "top_parts_by_revenue",
+    """
+    SELECT p_partkey, p_name, p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name, p_brand
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def top_parts_by_revenue(spark, sf_dir):
+    """Fact-dim broadcast join + top-k over the part dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "ingest_next_surrogate_key",
+    "SELECT coalesce(max(o_orderkey), 0) + 1 AS next_id FROM orders",
+)
+def ingest_next_surrogate_key(spark, sf_dir):
+    """MAX(id)+1 surrogate key generation (reference ING:368-372)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        (F.coalesce(F.max("o_orderkey"), F.lit(0)) + 1).alias("next_id")
+    )
+
+
 # ===========================================================================
 # [EXT] text analysis
 # ===========================================================================
@@ -649,6 +797,34 @@ def simhash64(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "corpus_token_frequency",
+    f"""
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word
+      FROM documents WHERE length({_NORM_SQL}) > 0
+    ) WHERE word <> ''
+    GROUP BY word ORDER BY freq DESC, word LIMIT 25
+    """,
+)
+def corpus_token_frequency(spark, sf_dir):
+    """Corpus-wide token frequency top-25 — the vocabulary-building pass of
+    a tokenizer pipeline (explode + count + top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    from bigdataingestion_spark.operators.text import normalize_text
+
+    norm = normalize_text(F.col("text"))
+    return (
+        docs.filter(F.length(norm) > 0)
+        .select(F.explode(F.split(norm, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("word"))
+        .limit(25)
+    )
+
+
 # ===========================================================================
 # [EXT] embedding similarity
 # ===========================================================================
@@ -715,6 +891,48 @@ def embedding_near_dup_pairs(spark, sf_dir):
     """Blocked (same-label) embedding near-dup join at cosine >= 0.3."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pairwise_cosine_blocked(emb, block_col="label", threshold=0.3)
+
+
+@register(
+    "embedding_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < 4
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cell_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) AS s
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qcell AS (SELECT cell_id FROM assigned WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round(list_dot_product(a.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cosine_sim
+    FROM embeddings a
+    JOIN assigned s ON a.vec_id = s.vec_id
+    JOIN qcell ON s.cell_id = qcell.cell_id, q
+    ORDER BY list_dot_product(a.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) DESC, a.vec_id
+    LIMIT 5
+    """,
+)
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse centroid cells, search the query's cell only —
+    the scale path next to brute-force ``embedding_cosine_topk``."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, n_cells=4, k=5)
 
 
 # ===========================================================================

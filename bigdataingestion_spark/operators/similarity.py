@@ -100,6 +100,65 @@ def pairwise_cosine_blocked(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell (IVF coarse quantizer).
+
+    ``centroids`` is (cell_id, cv) — small, broadcast. Winner chosen by
+    row_number over (sim DESC, cell_id) for engine-portable determinism.
+    Returns (id, cell_id). At 100 TB: narrow pass + per-row O(cells*dim)
+    math, no shuffle until the consumer.
+    """
+    from pyspark.sql.window import Window
+
+    sims = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cell_id"),
+        cosine(F.col(vec_col), F.col("cv")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cell_id"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    n_cells: int = 4,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into cells (centroids = the first
+    ``n_cells`` vectors — a deterministic seeding; real deployments train
+    k-means), then search only the query's cell. The scale path: a cell scan
+    touches ~1/n_cells of the corpus vs. brute force."""
+    centroids = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    q_cell = assigned.filter(F.col(id_col) == query_id).select("cell_id")
+    cell_members = df.join(assigned, id_col).join(
+        F.broadcast(q_cell), "cell_id", "left_semi"
+    )
+    sims = cell_members.crossJoin(F.broadcast(q)).select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("qv")).alias("raw_sim")
+    )
+    return (
+        sims.orderBy(F.desc("raw_sim"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("raw_sim", 6).alias("cosine_sim"))
+    )
+
+
 def _plane_component(plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1): derived
     from md5(plane:dim), portable across engines and runs."""
