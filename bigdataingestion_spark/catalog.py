@@ -249,8 +249,10 @@ def q1_pricing_summary(spark, sf_dir):
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3-style: selective dim filter + fact join + top-k.
 
-    customer is tiny relative to lineitem -> broadcast; the orderBy+limit
-    executes as TakeOrderedAndProject (no full sort shuffle)."""
+    customer is a true dimension -> broadcast hint; orders is a fact table
+    (NOT broadcastable at 100 TB) -> no hint, AQE picks broadcast locally and
+    shuffle-hash at scale. orderBy+limit executes as TakeOrderedAndProject
+    (no full sort shuffle)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -259,8 +261,8 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -293,8 +295,9 @@ def q3_shipping_priority(spark, sf_dir):
     headline=True,
 )
 def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5-style multi-join: all dimensions broadcast, single shuffle
-    for the final low-cardinality aggregate."""
+    """TPC-H Q5-style multi-join: true dimensions broadcast; orders is a
+    fact table (no hint — AQE decides: broadcast locally, shuffle at scale);
+    lineitem never shuffles until the final low-cardinality aggregate."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
     li = _t(spark, sf_dir, "lineitem")
@@ -302,10 +305,10 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -332,8 +335,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     headline=True,
 )
 def top_customers_by_spend(spark, sf_dir):
-    """Fact-side aggregate THEN broadcast-join the dim — aggregate first so
-    the join input is |customers|, not |orders|."""
+    """Fact-side aggregate THEN join the dim — aggregate first so the join
+    input is |customers|, not |orders| (AQE picks the join strategy)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     spend = o.groupBy("o_custkey").agg(
@@ -341,7 +344,7 @@ def top_customers_by_spend(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
-        spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+        spend.join(c, spend.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "total_spend", "n_orders")
         .orderBy(F.desc("total_spend"), F.col("c_custkey"))
         .limit(10)
@@ -568,11 +571,11 @@ def orders_status_pivot(spark, sf_dir):
     """,
 )
 def top_parts_by_revenue(spark, sf_dir):
-    """Fact-dim broadcast join + top-k over the part dimension."""
+    """Fact-dim join + top-k over the part dimension (AQE join strategy)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_partkey", "p_name", "p_brand")
         .agg(
             F.round(
@@ -730,15 +733,20 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 def _minhash_sig_sql(num_hashes: int) -> str:
+    M = dedup.MINHASH_PRIME
     sig_cols = ",\n           ".join(
-        f"min(('0x' || substr(md5('{seed}:' || shingle), 1, 15))::BIGINT) AS sig_{seed}"
-        for seed in range(num_hashes)
+        f"min(({a} * h + {b}) % {M}) AS sig_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
     )
     return (
         _SHINGLE_CTE
         + f"""
+    , hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {M} AS h
+      FROM sh
+    )
     SELECT doc_id, {sig_cols}
-    FROM sh GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
     """
     )
 

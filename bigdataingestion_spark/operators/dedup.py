@@ -129,11 +129,12 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes scales with |docs| — no broadcast hint; AQE decides per run
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -148,13 +149,29 @@ def ngram_jaccard_pairs(
 # -- MinHash-LSH ----------------------------------------------------------------
 
 
-def _shingle_hash(shingle: Column, seed: int) -> Column:
-    """Portable 64-bit-ish hash: first 15 hex digits of md5(seed:shingle) as a
-    bigint. md5 is identical across engines, so the oracle can reproduce
-    signatures exactly (unlike Spark's murmur3 ``hash()``)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), shingle)), 1, 15), 16, 10
-    ).cast("long")
+# Universal-hash family over M = 2^31 - 1 (Mersenne prime). One md5 per
+# shingle, k cheap (a*h + b) % M derivations — 16x less hashing than
+# md5-per-seed, still engine-portable (md5 + integer arithmetic only).
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a fixed LCG — identical constants on
+    the Spark and oracle sides."""
+    params = []
+    state = 0x5DEECE66D
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MINHASH_PRIME - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def _base_hash(shingle: Column) -> Column:
+    """Portable 60-bit base hash: first 15 hex digits of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
 
 
 def minhash_signatures(
@@ -164,15 +181,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}) — minimum portable hash per seed over the
+    """(id, sig_0..sig_{k-1}) — minimum universal hash per seed over the
     document's shingle set. One explode + one groupBy(id) aggregate; the
     signature (k longs) replaces the document text from here on."""
     sh = shingle_table(df, text_col, id_col, n)
+    h = (_base_hash(F.col("shingle")) % MINHASH_PRIME).alias("_h")
+    hashed = sh.select(F.col(id_col), h)
     aggs = [
-        F.min(_shingle_hash(F.col("shingle"), seed)).alias(f"sig_{seed}")
-        for seed in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
