@@ -155,13 +155,17 @@ class Orchestrator:
         chunks = plan_chunks(profile, self.single_batch_limit)
         if self.write_strategy == "partitioned":
             # ONE write job: derive the date-part columns once and let the
-            # committer lay out directories; identical row content.
+            # committer lay out directories; identical row content. Dynamic
+            # partition overwrite (session factory) replaces only the
+            # partitions present in this batch -> chunk re-runs are
+            # idempotent, an upgrade over the reference's at-least-once
+            # appends (documented deviation, SURVEY §2.9).
             wm = watermark_expr(watermark_cols)
             (
                 staged.withColumn("_ingest_year", F.year(wm))
                 .withColumn("_ingest_month", F.month(wm))
                 .write.format("parquet")
-                .mode("append")
+                .mode("overwrite")
                 .partitionBy("_ingest_year", "_ingest_month")
                 .option("maxRecordsPerFile", str(self.writer.policy.max_records_per_file))
                 .save(path)

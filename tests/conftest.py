@@ -10,10 +10,16 @@ SF_CORRECT = os.path.join(TESTDATA, "sf0.01")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from bigdataingestion_spark.session import get_spark
 
-    spark = get_spark(app_name="bdi-tests", master="local[4]", shuffle_partitions=8)
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark = get_spark(
+        app_name="bdi-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield spark
     spark.stop()
 
