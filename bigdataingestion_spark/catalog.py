@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdataingestion_spark.functions.io import load_table
-from bigdataingestion_spark.operators import dedup, multimodal, similarity, text
+from bigdataingestion_spark.operators import dedup, multimodal, similarity, temporal, text
 
 # ---------------------------------------------------------------------------
 
@@ -757,11 +757,39 @@ def minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=16)
 
 
-@register("minhash_lsh_pairs", None, headline=True)  # banding join: rows-only check
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+    band_rows = ", ".join(
+        f"({b}, md5(concat_ws(',', {', '.join(sig_cols[b * r:(b + 1) * r])})))"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.{c} = sb.{c} THEN 1 ELSE 0 END" for c in sig_cols
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql(num_hashes)}),
+    buckets AS (
+      SELECT doc_id, b.band, b.key
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, key)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(({matches}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON cand.id_a = sa.doc_id
+    JOIN sig sb ON cand.id_b = sb.doc_id
+    """
+
+
+@register("minhash_lsh_pairs", _minhash_lsh_sql(), headline=True)
 def minhash_lsh_pairs(spark, sf_dir):
-    """Banded MinHash-LSH candidate pairs (4 bands x 4 rows). The banding
-    bucket join is validated by tests against exact Jaccard; the driver
-    check is rows-only."""
+    """Banded MinHash-LSH candidate pairs (4 bands x 4 rows), oracle-exact:
+    the DuckDB twin recomputes signatures, banding keys, and estimated
+    similarity bit-for-bit."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4
     )
@@ -803,6 +831,84 @@ def _simhash_sql() -> str:
 def simhash64(spark, sf_dir):
     """64-bit SimHash per document (portable md5-derived word hashes)."""
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "asof_last_purchase",
+    """
+    WITH p AS (
+      SELECT user_id, ts, max(event_id) AS pe_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, p.pe_id AS pe_id_asof
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    headline=True,
+)
+def asof_last_purchase(spark, sf_dir):
+    """As-of join: each event matched to its user's latest prior purchase
+    (union + carry-forward window — one sort-shuffle, no nested loop)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pe_id"))
+    )
+    joined = temporal.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["pe_id"],
+    )
+    return joined.select("event_id", "user_id", F.col("pe_id_asof"))
+
+
+@register(
+    "events_range_pairs",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           date_diff('microsecond', a.ts, b.ts) AS delta_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND date_diff('microsecond', a.ts, b.ts) <= 60000000
+    """,
+)
+def events_range_pairs(spark, sf_dir):
+    """Bounded range join: same-user event pairs within 60 seconds, via
+    time-bucket equi-join + exact filter (no nested-loop join)."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.range_join_bucketed(
+        ev, key="user_id", ts_col="ts", id_col="event_id", window_seconds=60
+    )
+
+
+@register(
+    "events_multires_rollup",
+    """
+    SELECT CASE WHEN bucket_hour IS NOT NULL THEN 'hour'
+                WHEN bucket_day IS NOT NULL THEN 'day'
+                ELSE 'total' END AS grain,
+           coalesce(bucket_hour, bucket_day) AS bucket,
+           cnt, total
+    FROM (
+      SELECT date_trunc('hour', ts) AS bucket_hour,
+             date_trunc('day', ts) AS bucket_day,
+             count(*) AS cnt, round(sum(value), 4) AS total
+      FROM events
+      GROUP BY GROUPING SETS ((date_trunc('hour', ts), date_trunc('day', ts)),
+                              (date_trunc('day', ts)), ())
+    )
+    """,
+)
+def events_multires_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate ladder: hour + day + total in
+    one GROUPING SETS pass."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.multires_rollup(ev, ts_col="ts", value_col="value")
 
 
 @register(
@@ -867,6 +973,24 @@ def embedding_cosine_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.round("raw_sim", 6).alias("cosine_sim"))
     )
+
+
+@register(
+    "embedding_cosine_topk_arrow",
+    f"""
+    SELECT a.vec_id, round({_COS_SQL}, 6) AS cosine_sim
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+    ORDER BY {_COS_SQL} DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def embedding_cosine_topk_arrow(spark, sf_dir):
+    """Same top-10 as ``embedding_cosine_topk`` via the Arrow/numpy
+    vectorized path (mapInPandas + BLAS matvec, per-partition top-k) —
+    the pandas-UDF fast lane of the UDF policy, oracle-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.cosine_topk_arrow(emb, list(q), k=10)
 
 
 @register(

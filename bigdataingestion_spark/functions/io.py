@@ -49,5 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         path = os.path.join(sf_dir, name)
     df = spark.read.parquet(path)
     for c in ns_timestamp_columns(path, df.dtypes):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer `div`, NOT `/`: epoch-nanos exceed 2^53, so double division
+        # rounds the microsecond value up by 1 for some rows
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df

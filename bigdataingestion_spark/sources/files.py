@@ -42,9 +42,7 @@ class FileSource:
             from bigdataingestion_spark.functions.io import ns_timestamp_columns
 
             for c in ns_timestamp_columns(path, df.dtypes):
-                df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-                )
+                df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
         return df
 
     def read_increment(
