@@ -110,32 +110,35 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity join: all (a, b) id pairs with
     ``|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold``.
 
-    Plan shape: one explode, one self-join on the shingle key (shuffle hash
-    join on a short string), one pair-count aggregate, plus a broadcast-sized
-    per-doc shingle-count map joined twice. At scale, cap hot shingles first
-    (a shingle occurring in k docs contributes k^2 pairs).
+    Plan shape: one explode, a window count to attach each doc's shingle
+    count (reuses the pair-join's shuffle-by-doc is avoided — the window
+    shuffles by id once, then the self-join shuffles by shingle), one
+    pair-count aggregate keyed on (id_a, n_a, id_b, n_b) so NO post-join is
+    needed to fetch sizes. At scale, cap hot shingles first (a shingle
+    occurring in k docs contributes k^2 pairs).
     """
-    # the shingle table feeds three consumers (sizes + both join sides):
-    # cache it so the explode/normalize pass runs once
-    sh = shingle_table(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    from pyspark.sql.window import Window
+
+    # shingle table with each doc's shingle count attached (one window pass),
+    # cached once for both sides of the self-join
+    sh = shingle_table(df, text_col, id_col, n)
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    ).cache()
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
     inter = (
         a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "n_a", "id_b", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # sizes scales with |docs| — no broadcast hint; AQE decides per run
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
