@@ -664,6 +664,49 @@ def doc_fingerprints(spark, sf_dir):
     return text.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "training_data_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST({_WC_SQL} AS BIGINT) AS word_count,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) END AS punct_ratio,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored WHERE word_count >= 20 AND punct_ratio < 0.2
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY fingerprint
+    )
+    SELECT g.doc_id, g.lang, g.word_count
+    FROM gated g JOIN deduped d ON g.doc_id = d.doc_id
+    """,
+    headline=True,
+)
+def training_data_pipeline(spark, sf_dir):
+    """The composed LLM-data pipeline: quality gate -> fingerprint dedup ->
+    surviving docs. One narrow scoring pass, one dedup shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.word_count(t).cast("long").alias("word_count"),
+        text.punct_ratio(t).alias("punct_ratio"),
+        text.fingerprint(t).alias("fingerprint"),
+    )
+    gated = scored.filter(
+        (F.col("word_count") >= 20) & (F.col("punct_ratio") < 0.2)
+    )
+    keep = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(keep.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang", "word_count"
+    )
+
+
 # ===========================================================================
 # [EXT] dedup
 # ===========================================================================

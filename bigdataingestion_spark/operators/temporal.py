@@ -139,14 +139,13 @@ def multires_rollup(
         F.date_trunc("day", F.col(ts_col)).alias("bucket_day"),
         F.col(value_col).alias("_v"),
     )
-    df.createOrReplaceTempView("_rollup_in")
-    out = df.sparkSession.sql(
-        """
-        SELECT bucket_hour, bucket_day,
-               count(*) AS cnt, round(sum(_v), 4) AS total
-        FROM _rollup_in
-        GROUP BY GROUPING SETS ((bucket_hour, bucket_day), (bucket_day), ())
-        """
+    out = df.groupingSets(
+        [["bucket_hour", "bucket_day"], ["bucket_day"], []],
+        "bucket_hour",
+        "bucket_day",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("_v"), 4).alias("total"),
     )
     grain = (
         F.when(F.col("bucket_hour").isNotNull(), F.lit("hour"))

@@ -22,6 +22,7 @@ class FileSource:
     spark: SparkSession
     base_path: str  # {base_path}/{database}/{table}.{fmt} or {base_path}/{table}.{fmt}
     fmt: str = "parquet"
+    options: dict | None = None  # e.g. {"header": "true", "inferSchema": "true"} for csv
 
     def _path(self, database: str, table: str) -> str:
         candidates = [
@@ -37,7 +38,13 @@ class FileSource:
 
     def read_table(self, database: str, addr: TableAddress) -> DataFrame:
         path = self._path(database, addr.table)
-        df = self.spark.read.format(self.fmt).load(path)
+        reader = self.spark.read.format(self.fmt)
+        defaults = (
+            {"header": "true", "inferSchema": "true"} if self.fmt == "csv" else {}
+        )
+        for k, v in {**defaults, **(self.options or {})}.items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
         if self.fmt == "parquet":
             from bigdataingestion_spark.functions.io import ns_timestamp_columns
 
