@@ -215,7 +215,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text_col, id_col, n).cache()
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
     sig_cols = [f"sig_{i}" for i in range(num_hashes)]
 
     band_exprs = []
@@ -227,31 +227,41 @@ def minhash_lsh_pairs(
                 F.md5(F.concat_ws(",", *cols)).alias("key"),
             )
         )
+    # each bucket row carries the full signature array so no post-join is
+    # needed to score candidates (16 longs per row — cheap in the shuffle)
     buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col),
+        F.array(*[F.col(c) for c in sig_cols]).alias("sig"),
+        F.explode(F.array(*band_exprs)).alias("bk"),
+    ).select(
+        id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
-    cand = (
-        a.join(b_, on=["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    b_ = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
         )
-        .distinct()
     )
-
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in sig_cols])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in sig_cols])
-    matches = sum(
-        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in sig_cols
+    pairs = (
+        a.join(b_, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
     )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
-        .select("id_a", "id_b", "est_jaccard")
+    # a pair colliding in several bands appears once per band with the same
+    # score; one aggregate dedupes (replaces distinct + two signature joins)
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.first("est_jaccard").alias("est_jaccard")
     )
 
 
