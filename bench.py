@@ -22,6 +22,50 @@ from bigdataingestion_spark import catalog
 from bigdataingestion_spark.session import get_spark
 
 
+def _bench_pipeline(spark, sf_dir: str) -> float:
+    """End-to-end ingestion throughput: stage events as a watermarked source,
+    run the orchestrator's chunked load (partitioned strategy), return
+    seconds. This is the reference's core capability measured directly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdataingestion_spark.config.repository import ConfigRepository
+    from bigdataingestion_spark.config.state import TableLoadDetails
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.pipeline.orchestrator import Orchestrator
+    from bigdataingestion_spark.sinks.writer import DatalakeWriter
+    from bigdataingestion_spark.sources.files import FileSource
+
+    work = tempfile.mkdtemp(prefix="bdi_bench_")
+    try:
+        src = f"{work}/src/db"
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "createddate", F.col("ts")
+        )
+        ev.write.parquet(f"{src}/events.parquet")
+        config = ConfigRepository(f"{work}/c.parquet")
+        config.insert("dcx_postgresql_db_settings", "db_db_name", "db")
+        config.insert("dcx_postgresql_table_settings", "db_tables", "events")
+        orch = Orchestrator(
+            spark=spark,
+            source=FileSource(spark, f"{work}/src"),
+            writer=DatalakeWriter(f"{work}/lake"),
+            config=config,
+            state=TableLoadDetails(f"{work}/s.parquet"),
+            single_batch_limit=5000,
+            write_strategy="partitioned",
+        )
+        t0 = time.perf_counter()
+        results = orch.run(run_date="2026-01-01")
+        dt = time.perf_counter() - t0
+        assert all(r.strategy != "failed" for r in results)
+        return dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -39,6 +83,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["pipeline_ingest_events"] = round(_bench_pipeline(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(

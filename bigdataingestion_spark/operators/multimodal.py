@@ -129,6 +129,44 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def frame_sample(
+    df: DataFrame, every_n_bytes: int = 4096, max_frames: int = 16
+) -> DataFrame:
+    """Video-style frame sampling plumbing: slice each payload into up to
+    ``max_frames`` fixed-stride byte windows ('frames'), one output row per
+    frame. A real deployment replaces the byte slicing with a container
+    demuxer (pyav) inside the same mapInPandas seam; the explode shape,
+    schema, and ordering contract are what downstream featurizers rely on.
+    """
+    out_schema = (
+        "media_id long, media_type string, frame_idx long, frame binary"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, idxs, frames = [], [], [], []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = payload or b""
+                n = min(max_frames, max(1, -(-len(data) // every_n_bytes)))
+                for i in range(n):
+                    ids.append(mid)
+                    types.append(mtype)
+                    idxs.append(i)
+                    frames.append(data[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": types,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/queries: treat document text bytes as an opaque
     payload so the media path is exercised on the provided fixtures."""

@@ -134,6 +134,20 @@ def test_multimodal_features_deterministic(docs):
         assert len(out1[k].feature) == 8
 
 
+def test_frame_sample_slices_payloads(docs):
+    media = multimodal.documents_as_media(
+        docs.filter(F.col("doc_id") == 1).select("doc_id", "text")
+    )
+    frames = multimodal.frame_sample(media, every_n_bytes=10, max_frames=3).collect()
+    text = "the quick brown fox jumps over the lazy dog"
+    assert len(frames) == 3  # 43 bytes / 10 -> capped at max_frames
+    assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2]
+    joined = b"".join(
+        f.frame for f in sorted(frames, key=lambda r: r.frame_idx)
+    )
+    assert joined == text.encode()[:30]
+
+
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image")
