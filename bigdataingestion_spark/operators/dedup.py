@@ -89,12 +89,33 @@ def word_shingles(words: Column, n: int = 3) -> Column:
 
 
 def shingle_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    with_count: bool = False,
 ) -> DataFrame:
-    """(id, shingle) exploded pairs — the join key space for exact Jaccard."""
+    """(id[, n_sh], shingle) exploded pairs — the join key space for exact
+    Jaccard. ``with_count`` attaches each doc's distinct-shingle count
+    BEFORE the explode (array size — free), so consumers needing sizes skip
+    a whole window/groupBy shuffle."""
     words = spread(df).select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
     )
+    if with_count:
+        # size + explode both reference the shingle array; only a cache
+        # barrier stops Catalyst from inlining (and re-evaluating) the HOF
+        # expression into each consumer — measured 3x slower without it
+        arrays = words.select(
+            F.col(id_col), word_shingles(F.col("_w"), n).alias("_sh")
+        ).cache()
+        return arrays.select(
+            F.col(id_col),
+            F.size("_sh").alias("n_sh"),
+            F.explode("_sh").alias("shingle"),
+        )
+    # single consumer: keep explode in the SAME projection — an intermediate
+    # alias layer breaks whole-stage fusion around Generate (measured 3x)
     return words.select(
         F.col(id_col), F.explode(word_shingles(F.col("_w"), n)).alias("shingle")
     )
@@ -110,21 +131,15 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity join: all (a, b) id pairs with
     ``|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold``.
 
-    Plan shape: one explode, a window count to attach each doc's shingle
-    count (reuses the pair-join's shuffle-by-doc is avoided — the window
-    shuffles by id once, then the self-join shuffles by shingle), one
-    pair-count aggregate keyed on (id_a, n_a, id_b, n_b) so NO post-join is
-    needed to fetch sizes. At scale, cap hot shingles first (a shingle
-    occurring in k docs contributes k^2 pairs).
+    Plan shape: one explode carrying each doc's shingle count (taken from
+    the array size BEFORE exploding — no extra shuffle), one self-join on
+    the shingle key, one pair-count aggregate keyed on (id_a, n_a, id_b,
+    n_b) so NO post-join is needed to fetch sizes. At scale, cap hot
+    shingles first (a shingle occurring in k docs contributes k^2 pairs).
     """
-    from pyspark.sql.window import Window
-
-    # shingle table with each doc's shingle count attached (one window pass),
-    # cached once for both sides of the self-join
-    sh = shingle_table(df, text_col, id_col, n)
-    sh = sh.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    ).cache()
+    # the array-level cache inside shingle_table(with_count=True) makes the
+    # two self-join reads cheap re-explodes of materialized arrays
+    sh = shingle_table(df, text_col, id_col, n, with_count=True)
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
