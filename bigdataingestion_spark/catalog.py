@@ -379,6 +379,94 @@ def customer_top_order(spark, sf_dir):
 
 
 @register(
+    "customer_order_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_avg
+    FROM orders
+    """,
+)
+def customer_order_moving_avg(spark, sf_dir):
+    """Window FRAME: trailing 3-order moving average per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+    )
+
+
+@register(
+    "customer_spend_quartiles",
+    """
+    SELECT quartile, count(*) AS n_customers,
+           round(min(total_spend), 4) AS min_spend,
+           round(max(total_spend), 4) AS max_spend
+    FROM (
+      SELECT o_custkey, sum(o_totalprice) AS total_spend,
+             ntile(4) OVER (ORDER BY sum(o_totalprice), o_custkey) AS quartile
+      FROM orders GROUP BY o_custkey
+    ) GROUP BY quartile
+    """,
+)
+def customer_spend_quartiles(spark, sf_dir):
+    """ntile ranking over an aggregate (spend quartiles)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total_spend"))
+    w = Window.orderBy("total_spend", "o_custkey")
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("total_spend"), 4).alias("min_spend"),
+            F.round(F.max("total_spend"), 4).alias("max_spend"),
+        )
+    )
+
+
+@register(
+    "similar_part_names",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def similar_part_names(spark, sf_dir):
+    """Edit-distance similarity join, blocked by brand (fuzzy entity
+    matching — the record-linkage shape)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+@register(
     "user_sessions",
     """
     SELECT user_id, sum(new_session) AS n_sessions FROM (
