@@ -62,5 +62,33 @@ class FileSource:
         df = self.read_table(database, addr)
         if not watermark_cols:
             return df
+        # push a raw-nanos pre-filter for converted ns-timestamp columns:
+        # a predicate on timestamp_micros(raw div 1000) cannot reach the
+        # parquet scan, but raw >= watermark_ns can (row-group stats prune)
+        if self.fmt == "parquet":
+            from bigdataingestion_spark.functions.io import ns_timestamp_columns
+
+            path = self._path(database, addr.table)
+            raw = self.spark.read.format(self.fmt).load(path)
+            ns_cols = set(ns_timestamp_columns(path, raw.dtypes))
+            if ns_cols.issuperset(watermark_cols):
+                # exact integer bound: micros*1000 (double math would round
+                # at epoch-nanos scale and could exclude boundary rows)
+                ts_ns = (
+                    F.unix_micros(F.lit(str(last_load_date)).cast("timestamp"))
+                    * F.lit(1000)
+                )
+                raw_wm = F.coalesce(*[F.col(c) for c in watermark_cols])
+                pre = raw.filter(raw_wm >= ts_ns)
+                for c in ns_cols & set(pre.columns):
+                    pre = pre.withColumn(
+                        c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+                    )
+                # exact boundary re-check in timestamp space (ns pre-filter
+                # is conservative only through the double cast of the bound)
+                wm = F.coalesce(*[F.col(c) for c in watermark_cols])
+                return pre.filter(
+                    wm >= F.lit(str(last_load_date)).cast("timestamp")
+                )
         wm = F.coalesce(*[F.col(c) for c in watermark_cols])
         return df.filter(wm >= F.lit(str(last_load_date)).cast("timestamp"))
