@@ -19,6 +19,7 @@ engine-order summation noise can't break the value hash.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -40,6 +41,8 @@ class QuerySpec:
 
 
 CATALOG: dict[str, QuerySpec] = {}
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
 
 def register(name: str, oracle: str | None, headline: bool = False):
@@ -522,6 +525,41 @@ def event_type_daily(spark, sf_dir):
 
 
 @register(
+    "streaming_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark, sf_dir):
+    """A REAL Structured Streaming execution inside the correctness gate:
+    watermarked tumbling-hour counts over the events table, run as an
+    availableNow micro-batch stream to an in-memory sink, compared against
+    the batch-SQL oracle. Exercises readStream -> withWatermark -> windowed
+    agg -> writeStream end to end."""
+    import tempfile
+    import uuid
+
+    from bigdataingestion_spark.streaming.ingest import stream_windowed_counts
+
+    name = f"stream_gate_{uuid.uuid4().hex[:8]}"
+    src = os.path.join(sf_dir, "events.parquet")
+    q = stream_windowed_counts(
+        spark,
+        src,
+        checkpoint_dir=tempfile.mkdtemp(prefix="bdi_ck_"),
+        ts_col="ts",
+        key_col="event_type",
+        window="1 hour",
+        queryName=name,
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start"), F.col("event_type"), F.col("cnt")
+    )
+
+
+@register(
     "events_json_avg",
     """
     SELECT event_type,
@@ -795,6 +833,37 @@ def training_data_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "docs_bigram_quality",
+    f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE len(regexp_split_to_array({_NORM_SQL}, ' ')) >= 2
+    ),
+    uni AS (SELECT unnest(w) AS word FROM words),
+    c1 AS (SELECT word, count(*) AS c1 FROM uni GROUP BY word),
+    v AS (SELECT count(DISTINCT word) AS vocab FROM uni),
+    bg AS (
+      SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS bigram
+      FROM words
+    ),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram)
+    SELECT bg.doc_id,
+           round(avg(ln((c2.c2 + 1) * 1.0 / (c1.c1 + v.vocab))), 4) AS lm_score,
+           count(*) AS n_bigrams
+    FROM bg
+    JOIN c2 USING (bigram)
+    JOIN c1 ON split_part(bigram, ' ', 1) = c1.word
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def docs_bigram_quality(spark, sf_dir):
+    """Add-one-smoothed corpus bigram-LM score per document (statistical
+    gibberish filter)."""
+    return text.bigram_quality_scores(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # [EXT] dedup
 # ===========================================================================
@@ -823,7 +892,6 @@ def dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dup_groups(ev, text_col="props")
 
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _SHINGLE_CTE = f"""
     WITH words AS (
       SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS w FROM documents

@@ -115,3 +115,49 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
     )
+
+
+def bigram_quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram-LM quality score per document — the statistical
+    gibberish filter of a training-data pipeline.
+
+    score(doc) = mean over its bigrams of ln((C2(w1,w2) + 1) / (C1(w1) + V))
+    (add-one-smoothed conditional bigram log-probability; C2/C1 are corpus
+    counts, V the corpus vocabulary size). Two aggregate passes over the
+    exploded words/bigrams plus one join of doc-bigrams against the corpus
+    counts — all shuffles keyed on short strings. Low scores = improbable
+    word sequences.
+    """
+    words_arr = (
+        df.select(
+            F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+        )
+        .filter(F.size("_w") >= 2)
+        .cache()  # two consumers (unigrams + bigrams): barrier, see dedup.py
+    )
+    unigrams = words_arr.select(F.explode("_w").alias("word"))
+    c1 = unigrams.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = unigrams.select("word").distinct().count()
+
+    n_b = F.size("_w") - 1
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), n_b),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+    )
+    bg = words_arr.select(F.col(id_col), F.explode(bigram_arr).alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+
+    scored = (
+        bg.join(c2, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(c1.withColumnRenamed("word", "w1"), "w1")
+        .withColumn(
+            "logp", F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab)))
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("logp"), 4).alias("lm_score"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

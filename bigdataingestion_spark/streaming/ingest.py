@@ -76,12 +76,23 @@ def stream_windowed_counts(
     """Watermarked tumbling-window counts to an in-memory sink (tests) —
     late rows beyond the 80h watermark horizon are dropped, matching the
     reference's 80h late-data allowance."""
-    schema = spark.read.format(fmt).load(source_dir).schema
+    import os
+
+    probe = spark.read.format(fmt).load(source_dir)
+    reader = spark.readStream.format(fmt).schema(probe.schema)
+    if os.path.isfile(source_dir):
+        # the streaming file source only accepts directories
+        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
+        stream = reader.load(os.path.dirname(source_dir))
+    else:
+        stream = reader.load(source_dir)
+    if dict(probe.dtypes).get(ts_col) == "bigint":
+        # ns-timestamp parquet read as raw longs (see functions.io) — convert
+        stream = stream.withColumn(
+            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
+        )
     stream = (
-        spark.readStream.format(fmt)
-        .schema(schema)
-        .load(source_dir)
-        .withWatermark(ts_col, WATERMARK_LAG)
+        stream.withWatermark(ts_col, WATERMARK_LAG)
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
