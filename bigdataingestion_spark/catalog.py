@@ -559,6 +559,21 @@ def streaming_hourly_counts(spark, sf_dir):
     )
 
 
+@register("events_approx_stats", None)  # approximations are engine-specific
+def events_approx_stats(spark, sf_dir):
+    """Approximate aggregates — the sketch path at 100 TB where exact
+    count-distinct/quantiles don't fit: HLL++ distinct users and
+    approximate quantiles per event type. Rows-only check by design
+    (sketch results are engine-specific); the unit test asserts tolerance
+    against exact values."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
+    )
+
+
 @register(
     "events_json_avg",
     """
