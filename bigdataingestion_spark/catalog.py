@@ -506,6 +506,41 @@ def user_sessions(spark, sf_dir):
 
 
 @register(
+    "user_sessions_native",
+    """
+    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS total_events FROM (
+      SELECT user_id, session_id, count(*) AS n_events FROM (
+        SELECT user_id,
+               sum(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        )
+      ) GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+)
+def user_sessions_native(spark, sf_dir):
+    """Spark's built-in ``session_window`` (gap-based session assignment in
+    one aggregate) validated against a first-principles lag+cumsum oracle —
+    per user: session count and total events."""
+    ev = _t(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+@register(
     "event_type_daily",
     """
     SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
