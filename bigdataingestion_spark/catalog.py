@@ -736,6 +736,36 @@ def orders_status_pivot(spark, sf_dir):
 
 
 @register(
+    "orders_status_unpivot",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           o_orderstatus AS status,
+           count(*) AS n
+    FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    GROUP BY 1, 2
+    """,
+)
+def orders_status_unpivot(spark, sf_dir):
+    """Unpivot: melt the wide status columns back to (year, status, n) rows
+    — pivot's inverse via ``DataFrame.unpivot``. Oracle is the direct
+    long-form aggregate, proving pivot->unpivot round-trips."""
+    wide = orders_status_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["y"],
+            values=["n_f", "n_o", "n_p"],
+            variableColumnName="status_col",
+            valueColumnName="n",
+        )
+        .withColumn(
+            "status", F.upper(F.substring_index("status_col", "_", -1))
+        )
+        .filter(F.col("n") > 0)
+        .select("y", "status", "n")
+    )
+
+
+@register(
     "top_parts_by_revenue",
     """
     SELECT p_partkey, p_name, p_brand,

@@ -148,6 +148,20 @@ def test_frame_sample_slices_payloads(docs):
     assert joined == text.encode()[:30]
 
 
+def test_pandas_udf_token_count_matches_expression(docs):
+    expr_counts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", text.token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    udf = text.token_count_pandas_udf()
+    udf_counts = {
+        r.doc_id: r.n for r in docs.select("doc_id", udf("text").alias("n")).collect()
+    }
+    assert udf_counts == expr_counts
+
+
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image")

@@ -44,6 +44,31 @@ def test_asof_join_backward_with_ties(spark):
     assert out[4] == 300  # tie (==) matches
 
 
+def test_asof_join_grouped_matches_window_impl(spark, sf_smoke_dir):
+    """The applyInPandas (pd.merge_asof) implementation must agree with the
+    window implementation on real data."""
+    from pyspark.sql import functions as F
+
+    from bigdataingestion_spark.functions.io import load_table
+
+    ev = load_table(spark, sf_smoke_dir, "events").select("event_id", "user_id", "ts")
+    purchases = (
+        load_table(spark, sf_smoke_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pe_id"))
+    )
+    a = temporal.asof_join(
+        ev, purchases, key="user_id", left_ts="ts", right_ts="ts", value_cols=["pe_id"]
+    )
+    b = temporal.asof_join_grouped(
+        ev, purchases, key="user_id", left_ts="ts", right_ts="ts", value_cols=["pe_id"]
+    )
+    ra = {(r.event_id, r.pe_id_asof) for r in a.collect()}
+    rb = {(r.event_id, r.pe_id_asof) for r in b.collect()}
+    assert ra == rb
+
+
 def test_range_join_bucketed_exact_window(spark):
     rows = [
         (1, "u1", ts("2024-01-01 10:00:00")),
