@@ -794,6 +794,36 @@ def top_parts_by_revenue(spark, sf_dir):
 
 
 @register(
+    "small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-style correlated scalar subquery (small-quantity-order
+    revenue). The DataFrame form decorrelates explicitly: per-part avg as an
+    aggregate joined back — exactly the plan a correlated subquery should
+    lower to; the oracle keeps the correlated form."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(part_avg, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
     "ingest_next_surrogate_key",
     "SELECT coalesce(max(o_orderkey), 0) + 1 AS next_id FROM orders",
 )
