@@ -1,0 +1,82 @@
+"""Data-quality expectations — the validation gate of an ingestion pipeline.
+
+Declarative checks evaluated in ONE aggregation pass over the staged data
+(every expectation becomes a conditional-count column — no per-check scans),
+producing a report DataFrame-friendly structure and an optional hard fail.
+The shape mirrors what managed pipelines (e.g. declarative ETL expectations)
+provide: expect / expect-or-fail on row predicates, plus dataset-level
+uniqueness and completeness checks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    predicate: Column  # True = row passes
+    fail_on_violation: bool = False
+    max_violation_ratio: float = 0.0  # tolerated fraction of failing rows
+
+
+@dataclass
+class QualityReport:
+    total_rows: int
+    results: list[dict] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return all(r["passed"] for r in self.results if r["hard"])
+
+    def violations(self) -> list[dict]:
+        return [r for r in self.results if not r["passed"]]
+
+
+class QualityError(RuntimeError):
+    pass
+
+
+def check(df: DataFrame, expectations: list[Expectation]) -> QualityReport:
+    """Evaluate all expectations in one aggregate; raise QualityError if a
+    hard expectation exceeds its tolerated violation ratio."""
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, e in enumerate(expectations):
+        aggs.append(
+            F.count(F.when(~e.predicate, 1)).alias(f"_viol_{i}")
+        )
+    row = df.agg(*aggs).first()
+    total = row["_total"]
+    report = QualityReport(total_rows=total)
+    for i, e in enumerate(expectations):
+        viol = row[f"_viol_{i}"]
+        ratio = (viol / total) if total else 0.0
+        report.results.append(
+            {
+                "name": e.name,
+                "violations": viol,
+                "ratio": round(ratio, 6),
+                "passed": ratio <= e.max_violation_ratio,
+                "hard": e.fail_on_violation,
+            }
+        )
+    if not report.ok:
+        bad = [r["name"] for r in report.violations() if r["hard"]]
+        raise QualityError(f"hard expectations failed: {bad}")
+    return report
+
+
+def expect_unique(df: DataFrame, cols: list[str]) -> dict:
+    """Dataset-level uniqueness check (needs its own aggregate — a shuffle
+    keyed on the candidate key, run only when declared)."""
+    total = df.count()
+    distinct = df.select(cols).distinct().count()
+    return {
+        "name": f"unique({','.join(cols)})",
+        "violations": total - distinct,
+        "passed": total == distinct,
+    }
