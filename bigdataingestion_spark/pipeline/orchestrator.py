@@ -89,6 +89,10 @@ class Orchestrator:
     write_strategy: str = "chunked"  # 'chunked' (parity) | 'partitioned' (scale)
     reread_written: bool = False  # parity: recompute watermark from written files
     state_database: str = "sharestory"  # the reference hardcodes this (ING:381)
+    # optional per-table data-quality gates (lowercased table name ->
+    # expectations), evaluated on the staged increment before any write;
+    # a failed hard expectation aborts THIS table only (error isolation)
+    quality_checks: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.alerts is None:
@@ -204,6 +208,18 @@ class Orchestrator:
             if count == 0:
                 self.audit.add(f"No Records to load for {addr.table}")
                 return IngestionResult(addr.table, None, 0, "empty")
+
+            expectations = self.quality_checks.get(addr.state_key)
+            if expectations:
+                from bigdataingestion_spark.pipeline.quality import check
+
+                report = check(staged, expectations)  # raises QualityError on hard fail
+                for r in report.results:
+                    self.audit.add(
+                        f"Quality[{addr.table}] {r['name']}: "
+                        f"{r['violations']} violations ({r['ratio']})",
+                        r["violations"],
+                    )
 
             path = self.writer.run_path(addr.lake_dir, run_date)
             if count < self.single_batch_limit:

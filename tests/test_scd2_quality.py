@@ -57,6 +57,48 @@ def test_scd2_lifecycle(spark, tmp_path):
     assert spark.read.parquet(path).count() == before
 
 
+def test_orchestrator_quality_gate_isolates_failing_table(spark, tmp_path, sf_smoke_dir):
+    """A failing hard expectation aborts only its table; the run continues."""
+    import os
+
+    from bigdataingestion_spark.config.repository import ConfigRepository
+    from bigdataingestion_spark.config.state import TableLoadDetails
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.pipeline.orchestrator import Orchestrator
+    from bigdataingestion_spark.sinks.writer import DatalakeWriter
+    from bigdataingestion_spark.sources.files import FileSource
+
+    src = tmp_path / "src" / "db"
+    os.makedirs(src)
+    load_table(spark, sf_smoke_dir, "events").write.parquet(str(src / "events.parquet"))
+    load_table(spark, sf_smoke_dir, "part").write.parquet(str(src / "part.parquet"))
+    config = ConfigRepository(str(tmp_path / "c.parquet"))
+    config.insert("dcx_postgresql_db_settings", "db_db_name", "db")
+    config.insert("dcx_postgresql_table_settings", "db_tables", "events,part")
+    orch = Orchestrator(
+        spark=spark,
+        source=FileSource(spark, str(tmp_path / "src")),
+        writer=DatalakeWriter(str(tmp_path / "lake")),
+        config=config,
+        state=TableLoadDetails(str(tmp_path / "s.parquet")),
+        single_batch_limit=100_000,
+        quality_checks={
+            "events": [
+                Expectation(
+                    "value_below_50",  # ~half of events violate this
+                    F.col("value") < 50,
+                    fail_on_violation=True,
+                )
+            ]
+        },
+    )
+    results = {r.table: r for r in orch.run(run_date="2026-08-13")}
+    assert results["events"].strategy == "failed"
+    assert "hard expectations failed" in results["events"].error
+    assert results["part"].strategy == "small-overwrite"  # unaffected
+    assert not os.path.exists(str(tmp_path / "lake" / "events"))
+
+
 def test_quality_expectations(spark):
     df = spark.createDataFrame(
         [(1, "a", 10.0), (2, None, 5.0), (3, "c", -1.0), (4, "d", 7.0)],
