@@ -610,6 +610,29 @@ def events_approx_stats(spark, sf_dir):
 
 
 @register(
+    "events_props_map",
+    """
+    SELECT key, round(avg(CAST(json_extract_string(props, '$.' || key) AS BIGINT)), 6) AS avg_val,
+           count(*) AS cnt
+    FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+    GROUP BY key
+    """,
+)
+def events_props_map(spark, sf_dir):
+    """Semi-structured -> MapType: from_json the props column to
+    map<string,bigint>, explode entries, aggregate per key (schema-free
+    JSON property profiling)."""
+    ev = _t(spark, sf_dir, "events")
+    entries = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val")
+    )
+    return entries.groupBy("key").agg(
+        F.round(F.avg("val"), 6).alias("avg_val"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "events_json_avg",
     """
     SELECT event_type,
