@@ -35,28 +35,39 @@ from bigdataingestion_spark.sources.querygen import (
 class JdbcSource:
     spark: SparkSession
     host: str
-    user: str
-    password: str
+    user: str = ""
+    password: str = ""
     port: int = 5432  # fixed in the reference (ING:291)
     driver: str = "org.postgresql.Driver"
     fetchsize: int = 10_000
     # optional parallel-fetch spec per table name (lowercased):
     # {"events": ("event_id", 16)} -> partitionColumn + numPartitions
     partition_spec: dict[str, tuple[str, int]] = field(default_factory=dict)
+    # full JDBC url override (e.g. 'jdbc:derby:/path;create=true' in tests);
+    # when set, host/port/database are ignored
+    jdbc_url: str | None = None
 
     def _url(self, database: str) -> str:
+        if self.jdbc_url:
+            return self.jdbc_url
         return f"jdbc:postgresql://{self.host}:{self.port}/{database}"
+
+    def _auth(self, reader):
+        if self.user:
+            reader = reader.option("user", self.user)
+        if self.password:
+            reader = reader.option("password", self.password)
+        return reader
 
     def _read_query(self, database: str, query: str, table_key: str) -> DataFrame:
         reader = (
             self.spark.read.format("jdbc")
             .option("url", self._url(database))
             .option("query", query)
-            .option("user", self.user)
-            .option("password", self.password)
             .option("driver", self.driver)
             .option("fetchsize", str(self.fetchsize))
         )
+        reader = self._auth(reader)
         spec = self.partition_spec.get(table_key)
         if spec:
             col, n = spec
@@ -65,13 +76,12 @@ class JdbcSource:
                 self.spark.read.format("jdbc")
                 .option("url", self._url(database))
                 .option("dbtable", f"({query}) AS src")
-                .option("user", self.user)
-                .option("password", self.password)
                 .option("driver", self.driver)
                 .option("fetchsize", str(self.fetchsize))
                 .option("partitionColumn", col)
                 .option("numPartitions", str(n))
             )
+            reader = self._auth(reader)
             # bounds are resolved lazily by a min/max probe query
             bounds = (
                 self._read_query(
