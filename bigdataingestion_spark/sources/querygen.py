@@ -98,9 +98,14 @@ def watermark_filtered_query(
     """
     if not watermark_cols:
         return select_all_query(addr)
-    quoted = ",".join(f'"{c}"' for c in watermark_cols)
     ts = str(last_load_date).replace("'", "''")
+    if len(watermark_cols) == 1:
+        # 1-arg COALESCE is a Postgres leniency other engines reject
+        # (Derby: 42000); the bare column is identical semantics
+        expr = f'"{watermark_cols[0]}"'
+    else:
+        expr = "COALESCE(" + ",".join(f'"{c}"' for c in watermark_cols) + ")"
     return (
         f"SELECT * FROM {addr.qualified} "
-        f"WHERE COALESCE({quoted}) >= CAST('{ts}' AS TIMESTAMP)"
+        f"WHERE {expr} >= CAST('{ts}' AS TIMESTAMP)"
     )

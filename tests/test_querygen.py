@@ -60,6 +60,16 @@ def test_watermark_query_coalesce_pushdown():
     )
 
 
+def test_watermark_query_single_column_no_coalesce():
+    # 1-arg COALESCE is Postgres-only leniency; bare column is portable
+    a = resolve_table("events", task="analytics")
+    q = watermark_filtered_query(a, ["CreatedDate"], "2024-01-05 00:00:00")
+    assert q == (
+        'SELECT * FROM "events" WHERE "CreatedDate" >= '
+        "CAST('2024-01-05 00:00:00' AS TIMESTAMP)"
+    )
+
+
 def test_watermark_query_without_columns_is_full_scan():
     a = resolve_table("Hospital", task="reliefvet")
     assert watermark_filtered_query(a, [], "2024-01-01") == 'SELECT * FROM "Hospital"'
