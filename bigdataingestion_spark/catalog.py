@@ -589,8 +589,12 @@ def streaming_hourly_counts(spark, sf_dir):
         queryName=name,
     )
     q.awaitTermination(300)
-    return spark.table(name).select(
-        F.col("window_start"), F.col("event_type"), F.col("cnt")
+    # update-mode sink: a window re-emits on change; counts are monotonic so
+    # max = latest state per (window, key)
+    return (
+        spark.table(name)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("cnt").alias("cnt"))
     )
 
 

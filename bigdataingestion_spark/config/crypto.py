@@ -7,42 +7,53 @@ invisible; only the *signature* and usage (decrypt a config_value with a Key
 Vault secret, then base64-decode the result downstream, ING:140) are part of
 the contract. We define our own scheme behind the same signature:
 
-    ciphertext = base64( keystream_xor(plaintext) )
-    keystream  = SHA-256(secret || counter) blocks (a simple CTR construction)
+    ciphertext = base64( nonce || keystream_xor(plaintext) )
+    keystream  = SHA-256(secret || nonce || counter) blocks (CTR construction)
 
-This is driver-side metadata crypto for a handful of config rows — not a data
-path — so a dependency-free construction beats pulling in a crypto library
-the container doesn't have.
+A fresh random 16-byte nonce per value keys the keystream, so two values
+encrypted under the same secret never share a keystream (no two-time pad).
+This is driver-side metadata crypto for a handful of config rows — not a
+data path — so a dependency-free construction beats pulling in a crypto
+library the container doesn't have.
 """
 
 from __future__ import annotations
 
 import base64
 import hashlib
+import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StringType
 
+_NONCE_LEN = 16
 
-def _keystream(secret: str, n: int) -> bytes:
+
+def _keystream(secret: str, nonce: bytes, n: int) -> bytes:
     out = bytearray()
     counter = 0
     while len(out) < n:
-        out.extend(hashlib.sha256(f"{secret}:{counter}".encode()).digest())
+        out.extend(
+            hashlib.sha256(
+                secret.encode() + b":" + nonce + b":" + str(counter).encode()
+            ).digest()
+        )
         counter += 1
     return bytes(out[:n])
 
 
 def encrypt_value(secret: str, plaintext: str) -> str:
     data = plaintext.encode("utf-8")
-    ks = _keystream(secret, len(data))
+    nonce = os.urandom(_NONCE_LEN)
+    ks = _keystream(secret, nonce, len(data))
     ct = bytes(a ^ b for a, b in zip(data, ks))
-    return base64.b64encode(ct).decode("ascii")
+    return base64.b64encode(nonce + ct).decode("ascii")
 
 
 def decrypt_value(secret: str, ciphertext: str) -> str:
-    ct = base64.b64decode(ciphertext.encode("ascii"))
-    ks = _keystream(secret, len(ct))
+    blob = base64.b64decode(ciphertext.encode("ascii"))
+    nonce, ct = blob[:_NONCE_LEN], blob[_NONCE_LEN:]
+    ks = _keystream(secret, nonce, len(ct))
     return bytes(a ^ b for a, b in zip(ct, ks)).decode("utf-8")
 
 

@@ -41,6 +41,18 @@ def ns_timestamp_columns(path: str, loaded_dtypes: list[tuple[str, str]]) -> lis
     return cols
 
 
+def convert_ns_long_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Convert raw-nanos long columns to TimestampType.
+
+    THE single conversion rule (all call sites route here): integer ``div``,
+    NOT ``/`` — epoch-nanos exceed 2^53, so double division rounds the
+    microsecond value up by 1 for some rows; truncation matches DuckDB.
+    """
+    for c in cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load ``{sf_dir}/{name}.parquet`` (or a bare directory) with ns->us
     timestamp normalization."""
@@ -48,8 +60,4 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not os.path.exists(path):
         path = os.path.join(sf_dir, name)
     df = spark.read.parquet(path)
-    for c in ns_timestamp_columns(path, df.dtypes):
-        # integer `div`, NOT `/`: epoch-nanos exceed 2^53, so double division
-        # rounds the microsecond value up by 1 for some rows
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return df
+    return convert_ns_long_columns(df, ns_timestamp_columns(path, df.dtypes))

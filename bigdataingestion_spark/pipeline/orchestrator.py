@@ -127,7 +127,9 @@ class Orchestrator:
     ) -> str | None:
         """New watermark = MAX(COALESCE(wm)) − 80h (ING:345-361) then MERGE."""
         src = (
-            self.writer.read_back(self.spark, task, path)
+            self.writer.read_back(self.spark, task, path).drop(
+                "_ingest_year", "_ingest_month"  # partitioned-write layout cols
+            )
             if self.reread_written
             else staged
         )
@@ -154,27 +156,29 @@ class Orchestrator:
     def _write_chunked(
         self, staged: DataFrame, watermark_cols: list[str], task: str, path: str
     ) -> int:
-        """Big-volume chunked load. Returns number of chunks written."""
-        profile = profile_chunks(staged, watermark_cols)
-        chunks = plan_chunks(profile, self.single_batch_limit)
+        """Big-volume chunked load. Returns number of chunks/partitions
+        written."""
+        wm = watermark_expr(watermark_cols)
         if self.write_strategy == "partitioned":
             # ONE write job: derive the date-part columns once and let the
             # committer lay out directories; identical row content. Dynamic
             # partition overwrite (session factory) replaces only the
             # partitions present in this batch -> chunk re-runs are
             # idempotent, an upgrade over the reference's at-least-once
-            # appends (documented deviation, SURVEY §2.9).
-            wm = watermark_expr(watermark_cols)
-            (
-                staged.withColumn("_ingest_year", F.year(wm))
-                .withColumn("_ingest_month", F.month(wm))
-                .write.format("parquet")
-                .mode("overwrite")
-                .partitionBy("_ingest_year", "_ingest_month")
-                .option("maxRecordsPerFile", str(self.writer.policy.max_records_per_file))
-                .save(path)
+            # appends (documented deviation, SURVEY §2.9). The full chunk
+            # profile is NOT computed here (the write does its own
+            # partitioning); the reported count is a cheap distinct over the
+            # month partitions.
+            out = staged.withColumn("_ingest_year", F.year(wm)).withColumn(
+                "_ingest_month", F.month(wm)
             )
-            return len(chunks)
+            self.writer.write_partitioned(
+                out, task, path, ["_ingest_year", "_ingest_month"]
+            )
+            n = out.select("_ingest_year", "_ingest_month").distinct().count()
+            return n
+        profile = profile_chunks(staged, watermark_cols)
+        chunks = plan_chunks(profile, self.single_batch_limit)
         for chunk in chunks:
             part = staged.filter(chunk_predicate(chunk, watermark_cols))
             self.writer.write(part, task, path, mode="append")
@@ -193,13 +197,16 @@ class Orchestrator:
         )
         self.audit.add(f"Processing started for table {addr.table}")
 
-        # one source read: probe schema from the full-table frame (lazy, no
-        # action), then swap in the watermark-filtered read if state exists
-        staged = self.source.read_table(db_name, addr)
+        # schema probe only (no partition-bounds side effects), then ONE
+        # real read: the watermark-filtered increment if state exists
         override = self._watermark_override(task, addr)
-        watermark_cols = resolve_watermark_columns(staged, override)
+        watermark_cols = resolve_watermark_columns(
+            self.source.probe_table(db_name, addr), override
+        )
         if last is not None and str(last) != "None":
             staged = self.source.read_increment(db_name, addr, watermark_cols, last)
+        else:
+            staged = self.source.read_table(db_name, addr)
 
         staged = staged.cache()
         try:

@@ -46,7 +46,12 @@ def merge_upsert(
 
     target = spark.read.parquet(target_path)
     if partition_filter is not None:
-        keep_outside = target.filter(~partition_filter)
+        # rows outside the filter are retained — but still anti-joined on
+        # the source keys: a key whose partition value CHANGED in the source
+        # would otherwise survive in its old partition and duplicate
+        keep_outside = target.filter(~partition_filter).join(
+            source.select(keys), on=keys, how="left_anti"
+        )
         target_in = target.filter(partition_filter)
     else:
         keep_outside = None

@@ -30,7 +30,13 @@ def _open_marker():
 
 
 def _with_hash(df: DataFrame, tracked: list[str]) -> DataFrame:
-    return df.withColumn("_row_hash", F.md5(F.concat_ws("\x1f", *tracked)))
+    # per-column NULL sentinels: concat_ws silently SKIPS nulls, so ('x',
+    # NULL) and (NULL, 'x') would otherwise collide to the same hash and a
+    # NULL-shift change would be classified 'unchanged'
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00")) for c in tracked
+    ]
+    return df.withColumn("_row_hash", F.md5(F.concat_ws("\x1f", *parts)))
 
 
 def apply_scd2(

@@ -71,6 +71,24 @@ class DatalakeWriter:
         writer.save(path)
         return fmt
 
+    def write_partitioned(
+        self, df: DataFrame, task: str, path: str, partition_cols: list[str]
+    ) -> str:
+        """One-job partitioned write honoring the same format/schema policy
+        as chunk writes (mode=overwrite + dynamic partition overwrite ->
+        idempotent re-runs)."""
+        fmt = self.policy.format_for(task)
+        physical = "parquet" if fmt == "delta" else fmt
+        (
+            df.write.format(physical)
+            .mode("overwrite")
+            .partitionBy(*partition_cols)
+            .option("mergeSchema", str(self.policy.merge_schema).lower())
+            .option("maxRecordsPerFile", str(self.policy.max_records_per_file))
+            .save(path)
+        )
+        return fmt
+
     def read_back(self, spark, task: str, path: str) -> DataFrame:
         """Re-read a written path (reference ING:346-349) for the watermark
         max computation."""

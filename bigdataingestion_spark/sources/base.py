@@ -24,6 +24,11 @@ class Source(Protocol):
         """Full scan of one table (reference's selectAllQuery path)."""
         ...
 
+    def probe_table(self, database: str, addr: TableAddress) -> DataFrame:
+        """Cheap schema-resolution read (no side effects, no probes); used
+        for watermark-column discovery. Defaults to read_table semantics."""
+        ...
+
     def read_increment(
         self,
         database: str,

@@ -46,11 +46,16 @@ class FileSource:
             reader = reader.option(k, v)
         df = reader.load(path)
         if self.fmt == "parquet":
-            from bigdataingestion_spark.functions.io import ns_timestamp_columns
+            from bigdataingestion_spark.functions.io import (
+                convert_ns_long_columns,
+                ns_timestamp_columns,
+            )
 
-            for c in ns_timestamp_columns(path, df.dtypes):
-                df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+            df = convert_ns_long_columns(df, ns_timestamp_columns(path, df.dtypes))
         return df
+
+    def probe_table(self, database: str, addr: TableAddress) -> DataFrame:
+        return self.read_table(database, addr)
 
     def read_increment(
         self,
@@ -72,6 +77,10 @@ class FileSource:
             raw = self.spark.read.format(self.fmt).load(path)
             ns_cols = set(ns_timestamp_columns(path, raw.dtypes))
             if ns_cols.issuperset(watermark_cols):
+                from bigdataingestion_spark.functions.io import (
+                    convert_ns_long_columns,
+                )
+
                 # exact integer bound: micros*1000 (double math would round
                 # at epoch-nanos scale and could exclude boundary rows)
                 ts_ns = (
@@ -80,10 +89,9 @@ class FileSource:
                 )
                 raw_wm = F.coalesce(*[F.col(c) for c in watermark_cols])
                 pre = raw.filter(raw_wm >= ts_ns)
-                for c in ns_cols & set(pre.columns):
-                    pre = pre.withColumn(
-                        c, F.expr(f"timestamp_micros(`{c}` div 1000)")
-                    )
+                pre = convert_ns_long_columns(
+                    pre, sorted(ns_cols & set(pre.columns))
+                )
                 # exact boundary re-check in timestamp space (ns pre-filter
                 # is conservative only through the double cast of the bound)
                 wm = F.coalesce(*[F.col(c) for c in watermark_cols])

@@ -71,31 +71,42 @@ class JdbcSource:
         spec = self.partition_spec.get(table_key)
         if spec:
             col, n = spec
-            # Spark requires dbtable (not query) for partitioned reads; wrap.
-            reader = (
-                self.spark.read.format("jdbc")
-                .option("url", self._url(database))
-                .option("dbtable", f"({query}) AS src")
-                .option("driver", self.driver)
-                .option("fetchsize", str(self.fetchsize))
-                .option("partitionColumn", col)
-                .option("numPartitions", str(n))
-            )
-            reader = self._auth(reader)
-            # bounds are resolved lazily by a min/max probe query
+            # bounds come from a min/max probe query (one cheap source-side
+            # aggregate, amortized against the parallel fetch it enables)
             bounds = (
                 self._read_query(
                     database,
-                    f"SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM ({query}) b",
+                    f'SELECT MIN("{col}") AS lo, MAX("{col}") AS hi FROM ({query}) b',
                     table_key="",
                 )
                 .collect()[0]
             )
-            if bounds.lo is not None:
-                reader = reader.option("lowerBound", str(bounds.lo)).option(
-                    "upperBound", str(bounds.hi)
+            lo, hi = bounds[0], bounds[1]  # positional: engines case-fold aliases
+            if lo is not None:
+                # Spark requires dbtable (not query) for partitioned reads,
+                # and rejects partitionColumn without BOTH bounds — so the
+                # partitioned reader is only built when bounds exist (an
+                # empty table/increment falls through to the plain reader)
+                reader = (
+                    self.spark.read.format("jdbc")
+                    .option("url", self._url(database))
+                    .option("dbtable", f"({query}) AS src")
+                    .option("driver", self.driver)
+                    .option("fetchsize", str(self.fetchsize))
+                    .option("partitionColumn", f'"{col}"')
+                    .option("numPartitions", str(n))
+                    .option("lowerBound", str(lo))
+                    .option("upperBound", str(hi))
                 )
+                reader = self._auth(reader)
         return reader.load()
+
+    def probe_table(self, database: str, addr: TableAddress) -> DataFrame:
+        """Schema-resolution read: never partitioned, so no min/max probe
+        fires. The orchestrator uses this for watermark-column discovery —
+        building the partitioned reader there would run a full-table
+        MIN/MAX aggregate on the source just to throw the frame away."""
+        return self._read_query(database, select_all_query(addr), table_key="")
 
     def read_table(self, database: str, addr: TableAddress) -> DataFrame:
         return self._read_query(database, select_all_query(addr), addr.state_key)

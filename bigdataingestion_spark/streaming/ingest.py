@@ -43,14 +43,19 @@ def stream_file_ingest(
     via the manifest log, giving exactly-once per micro-batch — strictly
     stronger than the reference's at-least-once chunk appends.
     """
-    schema = spark.read.format(fmt).load(source_dir).schema
+    probe = spark.read.format(fmt).load(source_dir)
     stream = (
         spark.readStream.format(fmt)
-        .schema(schema)
+        .schema(probe.schema)
         .option("maxFilesPerTrigger", 64)
         .load(source_dir)
-        .withColumn("_ingest_date", F.to_date(F.col(ts_col)))
     )
+    if dict(probe.dtypes).get(ts_col) == "bigint":
+        # ns-timestamp parquet read as raw longs (see functions.io)
+        stream = stream.withColumn(
+            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
+        )
+    stream = stream.withColumn("_ingest_date", F.to_date(F.col(ts_col)))
     writer = (
         stream.writeStream.format(fmt)
         .option("path", target_dir)
@@ -73,9 +78,14 @@ def stream_windowed_counts(
     fmt: str = "parquet",
     queryName: str = "windowed_counts",
 ) -> StreamingQuery:
-    """Watermarked tumbling-window counts to an in-memory sink (tests) —
-    late rows beyond the 80h watermark horizon are dropped, matching the
-    reference's 80h late-data allowance."""
+    """Watermarked tumbling-window counts to an in-memory sink.
+
+    ``update`` output mode, NOT ``complete``: only under update/append does
+    the watermark actually drop late rows and evict window state (complete
+    mode ignores watermarks entirely and retains all state forever). The
+    80h horizon matches the reference's late-data allowance. Because update
+    mode re-emits a window each time it changes, consumers take the LAST
+    (= max, counts are monotonic) row per (window, key)."""
     import os
 
     probe = spark.read.format(fmt).load(source_dir)
@@ -104,7 +114,7 @@ def stream_windowed_counts(
     return (
         stream.writeStream.format("memory")
         .queryName(queryName)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

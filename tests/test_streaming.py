@@ -44,7 +44,12 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path, landing):
         spark, src, str(tmp_path / "ckpt2"), queryName="wc_test"
     )
     q.awaitTermination(120)
-    streamed = spark.sql("SELECT * FROM wc_test")
+    # update-mode sink: reduce re-emissions to the latest state per key
+    streamed = (
+        spark.sql("SELECT * FROM wc_test")
+        .groupBy("window_start", "event_type")
+        .agg(F.max("cnt").alias("cnt"))
+    )
     batch = ev.groupBy(
         F.window("ts", "1 hour").alias("win"), "event_type"
     ).agg(F.count(F.lit(1)).alias("cnt"))
