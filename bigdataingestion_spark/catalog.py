@@ -506,6 +506,45 @@ def user_sessions(spark, sf_dir):
 
 
 @register(
+    "user_funnel_set_ops",
+    """
+    SELECT 'click_and_purchase' AS cohort, count(*) AS n_users FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'view_never_purchase' AS cohort, count(*) AS n_users FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def user_funnel_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set operations: funnel cohorts (clicked AND
+    purchased; viewed but never purchased)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(et):
+        return ev.filter(F.col("event_type") == et).select("user_id")
+
+    both = users("click").intersect(users("purchase"))
+    # subtract = EXCEPT DISTINCT; exceptAll would keep multiplicity (a user
+    # with more views than purchases would wrongly survive)
+    lost = users("view").subtract(users("purchase"))
+    a = both.agg(
+        F.lit("click_and_purchase").alias("cohort"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    b = lost.agg(
+        F.lit("view_never_purchase").alias("cohort"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return a.unionByName(b)
+
+
+@register(
     "user_sessions_native",
     """
     SELECT user_id, count(*) AS n_sessions, sum(n_events) AS total_events FROM (
