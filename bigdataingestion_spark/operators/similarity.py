@@ -93,6 +93,10 @@ def cosine_topk_arrow(
     out_schema = f"{id_col} long, raw_sim double"
 
     def topk_batch(batches):
+        def prune(sims: list, ids: list, n: int):
+            pairs = sorted(zip(sims, ids), key=lambda t: (-t[0], t[1]))[:n]
+            return [p[0] for p in pairs], [p[1] for p in pairs]
+
         best_ids: list = []
         best_sims: list = []
         for pdf in batches:
@@ -103,15 +107,9 @@ def cosine_topk_arrow(
             best_ids.extend(pdf[id_col].tolist())
             best_sims.extend(sims.tolist())
             if len(best_ids) > 4 * k:  # keep the running set small
-                order = np.argsort(
-                    list(zip([-s for s in best_sims], best_ids)), axis=0
-                )[:, 0][:k]
-                best_ids = [best_ids[i] for i in order]
-                best_sims = [best_sims[i] for i in order]
-        pairs = sorted(zip(best_sims, best_ids), key=lambda t: (-t[0], t[1]))[:k]
-        yield pd.DataFrame(
-            {id_col: [p[1] for p in pairs], "raw_sim": [p[0] for p in pairs]}
-        )
+                best_sims, best_ids = prune(best_sims, best_ids, k)
+        best_sims, best_ids = prune(best_sims, best_ids, k)
+        yield pd.DataFrame({id_col: best_ids, "raw_sim": best_sims})
 
     local = _spread(df).select(id_col, vec_col).mapInPandas(topk_batch, out_schema)
     return (
