@@ -1010,6 +1010,33 @@ def training_data_pipeline(spark, sf_dir):
 
 
 @register(
+    "docs_chunked",
+    f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL AND len(regexp_split_to_array({_NORM_SQL}, ' ')) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, w,
+             unnest(range(0, CAST(floor((greatest(len(w) - 64, 0) + 47) / 48) AS INT) + 1)) AS chunk_idx
+      FROM words
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+           least(len(w) - chunk_idx * 48, 64) AS chunk_words
+    FROM chunks
+    """,
+)
+def docs_chunked(spark, sf_dir):
+    """Context-window chunking: 64-word windows with stride 48 (16-word
+    overlap) — the training-data preprocessing pass."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_words=64, stride=48
+    )
+
+
+@register(
     "docs_bigram_quality",
     f"""
     WITH words AS (

@@ -117,6 +117,44 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping word windows — the context-window
+    chunking pass of a training-data pipeline (stride < chunk_words gives
+    overlap so no boundary context is lost).
+
+    Chunk i covers words [i*stride, i*stride + chunk_words); emission stops
+    once a window START reaches beyond the word count. Pure built-in array
+    expressions (split -> sequence -> slice -> explode); one narrow pass.
+    """
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    ).filter((F.size("_w") > 0) & (F.col(text_col).isNotNull()))
+    n = F.size("_w")
+    # number of chunks: ceil(max(n - chunk_words, 0) / stride) + 1
+    n_chunks = (
+        F.floor((F.greatest(n - F.lit(chunk_words), F.lit(0)) + F.lit(stride - 1)) / F.lit(stride))
+        + F.lit(1)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    chunks = words.select(F.col(id_col), F.col("_w"), idx)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, chunk_words), " "
+        ).alias("chunk_text"),
+        F.least(
+            n - F.col("chunk_idx") * stride, F.lit(chunk_words)
+        ).cast("long").alias("chunk_words"),
+    )
+
+
 def token_count_pandas_udf():
     """Scalar pandas UDF token counter — the vectorized-UDF lane of the UDF
     policy, equivalent to the JVM expression :func:`token_count` (tested).

@@ -148,6 +148,26 @@ def test_frame_sample_slices_payloads(docs):
     assert joined == text.encode()[:30]
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    words_120 = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, words_120), (2, "short doc"), (3, "")], ["doc_id", "text"]
+    )
+    out = text.chunk_documents(df, chunk_words=64, stride=48)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: 120 words -> chunks at word 0 (64), 48 (64), 96 (24)
+    assert {(k[0]) for k in rows} == {1, 2}  # empty doc filtered out
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2]
+    assert rows[(1, 0)].chunk_words == 64
+    assert rows[(1, 2)].chunk_words == 120 - 96
+    # overlap: chunk 1 starts at word 48
+    assert rows[(1, 1)].chunk_text.startswith("w48 ")
+    # short doc: single whole-doc chunk
+    assert rows[(2, 0)].chunk_text == "short doc"
+    assert rows[(2, 0)].chunk_words == 2
+
+
 def test_pandas_udf_token_count_matches_expression(docs):
     expr_counts = {
         r.doc_id: r.n
