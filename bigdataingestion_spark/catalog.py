@@ -1015,7 +1015,7 @@ def training_data_pipeline(spark, sf_dir):
     WITH words AS (
       SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS w
       FROM documents
-      WHERE text IS NOT NULL AND len(regexp_split_to_array({_NORM_SQL}, ' ')) > 0
+      WHERE length({_NORM_SQL}) > 0
     ),
     chunks AS (
       SELECT doc_id, w,

@@ -132,9 +132,11 @@ def chunk_documents(
     once a window START reaches beyond the word count. Pure built-in array
     expressions (split -> sequence -> slice -> explode); one narrow pass.
     """
-    words = df.select(
+    words = df.filter(
+        F.length(normalize_text(F.col(text_col))) > 0  # split('') yields ['']
+    ).select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
-    ).filter((F.size("_w") > 0) & (F.col(text_col).isNotNull()))
+    )
     n = F.size("_w")
     # number of chunks: ceil(max(n - chunk_words, 0) / stride) + 1
     n_chunks = (
