@@ -1498,6 +1498,457 @@ def multimodal_features(spark, sf_dir):
 
 
 # ===========================================================================
+# TPC-H-adapted relational coverage, batch 2 (joins / subqueries / cube)
+# Fixture schema has no partsupp/shipmode/phone columns; predicates are
+# adapted to the columns that exist (see TESTDATA.md) while preserving each
+# query's plan shape (the thing that matters at 100 TB).
+# ===========================================================================
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN CAST('1996-01-01' AS TIMESTAMP)
+                           AND CAST('1997-12-31' AS TIMESTAMP)
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7-style nation-pair trade volume.
+
+    The disjunctive nation-pair predicate is applied AFTER joining both
+    nation dims (both broadcast: 25 rows each); lineitem->orders->customer
+    are fact joins left to AQE. The shipdate range predicate is pushed to
+    the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8-style market share: one nation's fraction of regional volume
+    per year. part/nation/region broadcast; conditional aggregation keeps it
+    a single pass (no self-join of the volume stream)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 4) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9-style product-line profit by supplier nation and year.
+    (Fixture has no partsupp; supply cost modeled as 0.6*retailprice.)
+    The LIKE filter prunes part before the broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= CAST('1996-10-01' AS TIMESTAMP)
+      AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10-style: customers who returned the most revenue in a
+    quarter. Quarter + returnflag predicates push to the scans; top-k runs
+    as TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= CAST('1996-09-01' AS TIMESTAMP)
+      AND l_shipdate < CAST('1996-10-01' AS TIMESTAMP)
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo-revenue percentage: month predicate pushed to
+    the lineitem scan, part broadcast, single conditional aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q16_part_supplier_counts",
+    """
+    SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16-style supplier-count-per-part-class (fixture has no
+    partsupp; the part->supplier relation is derived from lineitem).
+    COUNT(DISTINCT) expands to a two-phase aggregate; the IN-list and <>
+    predicates prune part before the broadcast join."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 210
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-style large-volume orders: the IN subquery becomes a
+    left-semi join against a pre-aggregated lineitem (map-side partial agg
+    shrinks the shuffle before the HAVING filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 210)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-style OR-of-ANDs join predicate. Catalyst factors the
+    common join key into an equi-join and keeps the disjunction as a
+    post-join filter; the brand/size disjunction is also pushed to the part
+    scan (each disjunct constrains part columns only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    d1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.filter(d1 | d2 | d3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= CAST('1999-01-01' AS TIMESTAMP))
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22-style: well-funded customers with no recent orders. The
+    scalar avg subquery is broadcast as a 1-row cross join (stays plan-side,
+    no driver collect); NOT EXISTS is a left-anti join on the order keys
+    with the date predicate pushed into the anti side's scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "lineitem_cube_stats",
+    """
+    SELECT COALESCE(CAST(CAST(year(l_shipdate) AS INT) AS VARCHAR), 'ALL') AS y,
+           COALESCE(l_returnflag, 'ALL') AS returnflag,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (CAST(year(l_shipdate) AS INT), l_returnflag)
+    """,
+)
+def lineitem_cube_stats(spark, sf_dir):
+    """CUBE aggregation (all grouping sets of year x returnflag) in one
+    shuffle; NULL grouping slots mapped to the 'ALL' sentinel so both
+    engines hash identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube(F.year("l_shipdate").cast("int").alias("yy"), "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("yy").cast("string"), F.lit("ALL")).alias("y"),
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+# ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
 
