@@ -1948,6 +1948,188 @@ def lineitem_cube_stats(spark, sf_dir):
     )
 
 
+@register(
+    "q21_sole_late_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21-style: suppliers who were the SOLE late shipper in a
+    multi-supplier order. The correlated EXISTS/NOT-EXISTS pair is
+    decorrelated into one per-order aggregate (distinct suppliers, distinct
+    late suppliers) — one extra shuffle instead of two correlated re-scans
+    of lineitem, which is the shape that survives 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "nlate_supp"
+        ),
+    )
+    sole = per_order.filter((F.col("nsupp") > 1) & (F.col("nlate_supp") == 1)).select(
+        F.col("l_orderkey").alias("ok")
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(sole, F.col("l_orderkey") == F.col("ok"), "left_semi")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "part_best_supplier",
+    """
+    SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS acctbal
+    FROM (
+      SELECT p_partkey, p_name, s_name, s_acctbal,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_size IN (5, 10)
+    ) ranked
+    WHERE rn = 1
+    """,
+)
+def part_best_supplier(spark, sf_dir):
+    """TPC-H Q2-style best-supplier-per-part (fixture has no partsupp; the
+    relation is derived from lineitem shipments). Rank-in-group via
+    row_number with a deterministic suppkey tiebreak; the size IN-list
+    prunes part before the broadcast join."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"), F.col("s_suppkey"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "s_suppkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_name", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
+@register(
+    "customer_order_timeline",
+    """
+    SELECT o_orderkey, c_custkey,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+             AS gap_days,
+           CAST(date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS BIGINT)
+             AS next_gap_days,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice), 6) AS price_pr
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 20 = 0
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_timeline(spark, sf_dir):
+    """Analytic-window coverage: lag/lead inter-order gaps per customer plus
+    percent_rank of order value within the customer's market segment. Two
+    window specs -> two sort-within-partition passes, no extra shuffle
+    beyond the two partitionings."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    w = Window.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("c_mktsegment").orderBy("o_totalprice")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast(
+                "bigint"
+            ).alias("gap_days"),
+            F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).cast(
+                "bigint"
+            ).alias("next_gap_days"),
+            F.round(F.percent_rank().over(wp), 6).alias("price_pr"),
+        )
+    )
+
+
+@register(
+    "docs_train_test_split",
+    """
+    SELECT split, lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 9
+                  THEN 'valid'
+                  ELSE 'test' END AS split,
+             lang, n_chars
+      FROM documents
+    ) assigned
+    GROUP BY split, lang
+    """,
+)
+def docs_train_test_split(spark, sf_dir):
+    """[EXT] Deterministic 80/10/10 train/valid/test assignment from a hash
+    of doc_id (operators.text.deterministic_split): stable across reruns,
+    partitionings, and engines — no seed, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        text.deterministic_split(docs)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    """
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+          CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 60 ELSE 90 END
+    GROUP BY lang
+    """,
+)
+def docs_stratified_sample(spark, sf_dir):
+    """[EXT] Deterministic per-language downsampling (cap dominant
+    languages): hash-gate filter at the scan, no seed, no shuffle
+    (operators.text.stratified_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = text.stratified_sample(
+        docs, rates={"en": 25, "zh": 60}, strata_col="lang", default_pct=90
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================

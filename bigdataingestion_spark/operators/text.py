@@ -221,3 +221,51 @@ def bigram_quality_scores(
         F.round(F.avg("logp"), 4).alias("lm_score"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (8, 1, 1),
+) -> DataFrame:
+    """Assign each row a stable train/valid/test split from a hash of its id.
+
+    Engine-portable and reshuffle-proof: the split depends only on the id
+    (md5 hex -> first 8 hex digits -> bucket 0..9), never on partitioning,
+    row order, or a seed, so reruns and scale-ups assign identically — the
+    property a 100 TB training-data pipeline needs for split stability.
+    """
+    train, valid, _ = weights
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket < train, "train")
+        .when(bucket < train + valid, "valid")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_pct: int = 10,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row when
+    hash(id) % 100 < rates[stratum] (percent). Used to rebalance a corpus
+    (e.g. cap dominant languages) without a shuffle or a seed; the hash
+    gate is a narrow filter evaluated at the scan."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.lit(default_pct)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(bucket < rate)

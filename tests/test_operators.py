@@ -194,3 +194,41 @@ def test_minhash_signature_shape(docs):
     # identical docs -> identical signatures
     row2 = sig.filter(F.col("doc_id") == 2).collect()[0]
     assert [row[f"sig_{i}"] for i in range(8)] == [row2[f"sig_{i}"] for i in range(8)]
+
+
+def test_deterministic_split_stable_and_complete(docs):
+    out = text.deterministic_split(docs, id_col="doc_id")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows.values()) <= {"train", "valid", "test"}
+    # stable: recomputing (different partitioning) assigns identically
+    again = text.deterministic_split(docs.repartition(7), id_col="doc_id")
+    assert {r["doc_id"]: r["split"] for r in again.collect()} == rows
+    # every row assigned exactly once
+    assert out.count() == docs.count()
+
+
+def test_deterministic_split_weights(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    frac = {
+        r["split"]: r["n"]
+        for r in text.deterministic_split(df).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    total = sum(frac.values())
+    assert total == 2000
+    assert 0.7 < frac["train"] / total < 0.9  # 80% nominal
+    assert frac.get("valid", 0) > 0 and frac.get("test", 0) > 0
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    out = text.stratified_sample(df, rates={"en": 10}, default_pct=100)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["fr"] == 2500  # default 100% keeps everything
+    assert 150 < counts["en"] < 350  # ~10% of 2500, hash noise tolerated
+    # deterministic: same filter twice -> same rows
+    assert out.count() == text.stratified_sample(df, rates={"en": 10}, default_pct=100).count()
