@@ -2130,6 +2130,30 @@ def docs_stratified_sample(spark, sf_dir):
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+@register(
+    "docs_repetition_stats",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS gram
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+           round(1.0 - count(DISTINCT gram) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_frac
+    FROM grams GROUP BY doc_id
+    """,
+)
+def docs_repetition_stats(spark, sf_dir):
+    """[EXT] Gopher-style repetition signal: duplicate-3-gram fraction per
+    document (operators.text.repetition_stats)."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================

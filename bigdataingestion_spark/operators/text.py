@@ -269,3 +269,36 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Duplicate-n-gram fraction per document (Gopher-style repetition
+    signal): 1 - distinct/total n-grams. High values flag boilerplate and
+    degenerate repetition.
+
+    The word array is materialized as a real column BEFORE the n-gram HOF
+    (Spark does no CSE inside higher-order-function lambdas), and the
+    explode consumes the HOF output directly so the generate+explode fuse
+    into one codegen stage. Docs with < n words have no n-grams and are
+    excluded (matches an empty generate_series in the SQL formulation).
+    """
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    ).filter(F.size("_w") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, n), " "),
+    )
+    exploded = words.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("gram") / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )

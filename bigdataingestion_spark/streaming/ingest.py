@@ -128,3 +128,41 @@ def incremental_batch_stream(
     """Helper exposing the 80h watermark on an arbitrary streaming frame —
     used by custom stateful pipelines built on top of this module."""
     return df.withWatermark(ts_col, WATERMARK_LAG)
+
+
+def stream_dedup_to_lake(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Streaming exact deduplication: at-least-once file source ->
+    effectively-once lake append.
+
+    ``dropDuplicatesWithinWatermark`` keys state on ``id_cols`` and evicts
+    each key once the watermark passes its event time — bounded state, unlike
+    plain ``dropDuplicates`` whose key set grows forever (fatal on an
+    unbounded 100 TB stream). Duplicates arriving within the 80h horizon
+    (the reference's late-data allowance, ING:350) are suppressed; the
+    checkpoint makes redelivered micro-batches idempotent across restarts.
+    """
+    probe = spark.read.format(fmt).load(source_dir)
+    stream = spark.readStream.format(fmt).schema(probe.schema).load(source_dir)
+    if dict(probe.dtypes).get(ts_col) == "bigint":
+        stream = stream.withColumn(
+            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
+        )
+    deduped = stream.withWatermark(ts_col, WATERMARK_LAG).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+    return (
+        deduped.writeStream.format(fmt)
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

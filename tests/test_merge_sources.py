@@ -61,3 +61,17 @@ def test_csv_and_json_file_sources(spark, tmp_path):
     out = json_src.read_table("db", addr)
     assert out.count() == 2
     assert set(out.columns) == {"id", "name", "v"}
+
+
+def test_orc_file_source_roundtrip(spark, tmp_path):
+    """ORC is a first-class Spark format; FileSource passes fmt through."""
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", 2.5), (3, "z", 3.5)], ["id", "name", "v"]
+    )
+    orc_dir = tmp_path / "orcdb" / "db"
+    df.write.orc(str(orc_dir / "t.orc"))
+    addr = resolve_table("t", task="x")
+    got = FileSource(spark, str(tmp_path / "orcdb"), fmt="orc").read_table("db", addr)
+    assert got.count() == 3
+    assert set(got.columns) == {"id", "name", "v"}
+    assert {r["name"] for r in got.collect()} == {"x", "y", "z"}

@@ -55,3 +55,32 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path, landing):
     ).agg(F.count(F.lit(1)).alias("cnt"))
     assert streamed.count() == batch.count()
     assert streamed.agg(F.sum("cnt")).first()[0] == ev.count()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batch files collapse to one row."""
+    import pyspark.sql.functions as F
+
+    from bigdataingestion_spark.streaming.ingest import stream_dedup_to_lake
+
+    src = tmp_path / "dup_src"
+    base = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.expr("timestamp_micros(cast(1700000000000000 + id * 1000000 as long))").alias("ts"),
+        (F.col("id") % 3).alias("kind"),
+    )
+    base.write.parquet(str(src))  # original batch
+    base.filter(F.col("event_id") < 40).write.mode("append").parquet(
+        str(src)
+    )  # redelivered duplicates, same ids/timestamps
+    q = stream_dedup_to_lake(
+        spark,
+        str(src),
+        str(tmp_path / "dup_lake"),
+        str(tmp_path / "dup_ckpt"),
+        id_cols=["event_id"],
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "dup_lake"))
+    assert out.count() == 100
+    assert out.select("event_id").distinct().count() == 100
