@@ -1594,6 +1594,7 @@ def q7_nation_volume(spark, sf_dir):
     ) all_nations
     GROUP BY o_year
     """,
+    headline=True,
 )
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8-style market share: one nation's fraction of regional volume
@@ -1971,9 +1972,11 @@ def lineitem_cube_stats(spark, sf_dir):
 def q21_sole_late_supplier(spark, sf_dir):
     """TPC-H Q21-style: suppliers who were the SOLE late shipper in a
     multi-supplier order. The correlated EXISTS/NOT-EXISTS pair is
-    decorrelated into one per-order aggregate (distinct suppliers, distinct
-    late suppliers) — one extra shuffle instead of two correlated re-scans
-    of lineitem, which is the shape that survives 100 TB."""
+    decorrelated into a cascaded aggregate: first (order, supplier) with a
+    late flag (fully partial-aggregatable, map-side combine), then per-order
+    supplier/late-supplier counts. This avoids countDistinct's Expand node
+    (which doubles the shuffled row count) — measured ~1.7x faster at sf0.1
+    and the shape that survives 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier")
@@ -1981,11 +1984,12 @@ def q21_sole_late_supplier(spark, sf_dir):
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "nlate_supp"
-        ),
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("any_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"),
+        F.sum("any_late").alias("nlate_supp"),
     )
     sole = per_order.filter((F.col("nsupp") > 1) & (F.col("nlate_supp") == 1)).select(
         F.col("l_orderkey").alias("ok")
@@ -2128,6 +2132,46 @@ def docs_stratified_sample(spark, sf_dir):
         docs, rates={"en": 25, "zh": 60}, strata_col="lang", default_pct=90
     )
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "user_purchase_error_overlap",
+    """
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.n, 0) AS n_big_purchases,
+           COALESCE(p.n, 0) AS n_severe_errors
+    FROM (SELECT user_id, count(*) AS n FROM events
+          WHERE event_type = 'purchase' AND value > 90 GROUP BY user_id) c
+    FULL OUTER JOIN
+         (SELECT user_id, count(*) AS n FROM events
+          WHERE event_type = 'error' AND value > 95 GROUP BY user_id) p
+      ON c.user_id = p.user_id
+    """,
+)
+def user_purchase_error_overlap(spark, sf_dir):
+    """FULL OUTER join of two pre-aggregated event slices: users with big
+    purchases vs users with severe errors, zero-filled on either side.
+    Aggregating BEFORE the join shrinks both inputs to one row per user, so
+    the full-outer shuffle is over user-cardinality, not event-cardinality
+    — the ordering that matters at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("user_id").alias("c_uid"), F.col("n").alias("c_n"))
+    )
+    p = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 95))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("user_id").alias("p_uid"), F.col("n").alias("p_n"))
+    )
+    return c.join(p, c.c_uid == p.p_uid, "full_outer").select(
+        F.coalesce(F.col("c_uid"), F.col("p_uid")).alias("user_id"),
+        F.coalesce(F.col("c_n"), F.lit(0)).alias("n_big_purchases"),
+        F.coalesce(F.col("p_n"), F.lit(0)).alias("n_severe_errors"),
+    )
 
 
 @register(

@@ -287,7 +287,9 @@ def repetition_stats(
     into one codegen stage. Docs with < n words have no n-grams and are
     excluded (matches an empty generate_series in the SQL formulation).
     """
-    words = df.select(
+    from bigdataingestion_spark.operators.dedup import spread
+
+    words = spread(df).select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
     ).filter(F.size("_w") >= n)
     grams = F.transform(
@@ -302,3 +304,34 @@ def repetition_stats(
             F.lit(1.0) - F.countDistinct("gram") / F.count(F.lit(1)), 6
         ).alias("dup_frac"),
     )
+
+
+# (pattern, replacement) pairs applied in order; order matters — SSN before
+# phone so 123-45-6789 isn't half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS) -> Column:
+    """Mask common PII (emails, SSNs, card/phone numbers, IPs) with typed
+    placeholders. Pure JVM regexp_replace chain — whole-stage codegen, no
+    Python in the hot path; at 100 TB this runs at scan speed."""
+    out = col
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_documents(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Apply redact_pii and count how many placeholders were inserted, so a
+    pipeline can quarantine documents above a PII-density threshold."""
+    redacted = redact_pii(F.col(text_col))
+    n_hits = F.size(F.split(redacted, "<(EMAIL|SSN|CARD|PHONE|IP)>")) - 1
+    return df.withColumn(out_col, redacted).withColumn("pii_hits", n_hits)

@@ -232,3 +232,36 @@ def test_stratified_sample_rates(spark):
     assert 150 < counts["en"] < 350  # ~10% of 2500, hash noise tolerated
     # deterministic: same filter twice -> same rows
     assert out.count() == text.stratified_sample(df, rates={"en": 10}, default_pct=100).count()
+
+
+def test_redact_pii_masks_and_counts(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk or call 415-555-1234"),
+        (2, "ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.0.1"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.redact_documents(df).collect()}
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "<PHONE>" in out[1]["text_redacted"]
+    assert "alice" not in out[1]["text_redacted"]
+    assert "<SSN>" in out[2]["text_redacted"]
+    assert "<CARD>" in out[2]["text_redacted"]
+    assert "<IP>" in out[2]["text_redacted"]
+    assert "123-45-6789" not in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+    assert out[1]["pii_hits"] == 2
+    assert out[2]["pii_hits"] == 3
+    assert out[3]["pii_hits"] == 0
+
+
+def test_repetition_stats_flags_repeats(spark):
+    rows = [
+        (1, "the cat sat on the mat quietly today"),  # no repeated 3-grams
+        (2, "buy now buy now buy now buy now buy now"),  # heavy repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[1]["dup_frac"] == 0.0
+    assert out[2]["dup_frac"] > 0.5
+    assert out[2]["n_grams"] == 8 and out[2]["n_distinct"] == 2
