@@ -2175,6 +2175,45 @@ def user_purchase_error_overlap(spark, sf_dir):
 
 
 @register(
+    "dedup_near_clusters",
+    _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS src, a AS dst FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_near_clusters(spark, sf_dir):
+    """[EXT] Near-dup cluster resolution: 3-gram Jaccard pairs (>= 0.3)
+    -> connected components -> (doc_id, cluster_id) for every clustered doc.
+    Oracle computes the same fixpoint via a recursive transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3, n=3)
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
     "docs_repetition_stats",
     f"""
     WITH words AS (

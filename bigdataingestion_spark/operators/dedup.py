@@ -325,3 +325,81 @@ def simhash64(
         packed_hi.cast("long").alias("simhash_hi"),
         packed_lo.cast("long").alias("simhash_lo"),
     )
+
+
+# -- Near-dup cluster resolution ------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve a duplicate-pair graph into clusters: (node, cluster_id) with
+    cluster_id = min node id reachable from the node.
+
+    Iterative min-label propagation (the same fixpoint GraphFrames/GraphX CC
+    computes): each round every node takes the min of its own label and its
+    neighbors' labels. Rounds needed = graph diameter — near-dup clusters
+    are small and dense, so this converges in a handful of rounds; progress
+    is checked with a cheap sum(label) aggregate (monotonically decreasing,
+    stable iff converged). Each round is localCheckpoint-ed to truncate
+    lineage (without it the plan doubles per round and the driver, not the
+    cluster, becomes the bottleneck). At 100 TB the same loop holds — the
+    per-round shuffle is |edges|, and the alternating large-star/small-star
+    variant is a drop-in if diameters blow up.
+    """
+    sym = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    edges = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("node", F.col("comp").alias("cluster_id"))
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "id_a",
+    right: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical document (min id) per near-dup cluster, plus every
+    document not in any cluster — the complete near-dedup pipeline:
+    pair generation (LSH / Jaccard) -> cluster resolution -> survivor
+    selection, all as DataFrame ops."""
+    cc = connected_components(pairs, left, right)
+    losers = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("_drop_id")
+    )
+    return df.join(losers, df[id_col] == F.col("_drop_id"), "left_anti")

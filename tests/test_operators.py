@@ -265,3 +265,26 @@ def test_repetition_stats_flags_repeats(spark):
     assert out[1]["dup_frac"] == 0.0
     assert out[2]["dup_frac"] > 0.5
     assert out[2]["n_grams"] == 8 and out[2]["n_distinct"] == 2
+
+
+def test_connected_components_path_graph(spark):
+    # path 1-2-3-4-5 plus isolated pair (10, 11): diameter forces >1 round
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    cc = {r["node"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_near_dedup_survivors_keeps_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 4, 5, 7, 10, 11)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.near_dedup_survivors(docs, pairs).collect()
+    )
+    # min of each cluster survives; untouched docs (4, 5, 7) pass through
+    assert kept == [1, 4, 5, 7, 10]
