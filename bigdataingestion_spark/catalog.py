@@ -2175,6 +2175,31 @@ def user_purchase_error_overlap(spark, sf_dir):
 
 
 @register(
+    "embedding_label_centroids",
+    """
+    SELECT label, pos, round(avg(embedding[pos]), 6) AS centroid_val
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) dims
+    GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """[EXT] Per-label centroid of the embedding vectors, computed as a
+    position-wise aggregate: posexplode keeps the work JVM-side and fully
+    partial-aggregatable (map-side combine over (label, pos)) — no Python,
+    no vector UDF, scales linearly in rows x dims. First 8 dims projected
+    to keep the oracle output compact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .withColumn("pos", F.col("pos0") + 1)  # ordinality is 1-based
+        .filter(F.col("pos") <= 8)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+@register(
     "dedup_near_clusters",
     _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
     + """
