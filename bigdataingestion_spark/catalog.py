@@ -2175,6 +2175,76 @@ def user_purchase_error_overlap(spark, sf_dir):
 
 
 @register(
+    "embedding_knn_vote",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    sims AS (
+      SELECT q.qid, e.vec_id, e.label,
+             list_dot_product(qv, embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    topk AS (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM sims
+      ) r WHERE rn <= 5
+    ),
+    votes AS (SELECT qid, label, count(*) AS votes FROM topk GROUP BY qid, label)
+    SELECT qid, label AS knn_label, votes FROM (
+      SELECT qid, label, votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, label) AS rv
+      FROM votes
+    ) v WHERE rv = 1
+    """,
+)
+def embedding_knn_vote(spark, sf_dir):
+    """[EXT] kNN majority-vote labels for sampled query vectors
+    (operators.similarity.knn_classify, k=5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.knn_classify(emb, queries, k=5)
+
+
+@register(
+    "docs_contamination",
+    f"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)]
+             )) AS shingle
+      FROM words WHERE len(w) >= 4
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT c.doc_id, count(*) AS n_hits
+    FROM sh c JOIN bench b ON c.shingle = b.shingle
+    WHERE c.doc_id % 50 <> 0
+    GROUP BY c.doc_id
+    """,
+)
+def docs_contamination(spark, sf_dir):
+    """[EXT] Eval-set decontamination: corpus docs sharing a 4-gram with the
+    held-out 'benchmark' slice (doc_id % 50 = 0), with overlap counts
+    (operators.dedup.contamination_hits)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.contamination_hits(corpus, bench, n=4)
+
+
+@register(
     "embedding_label_centroids",
     """
     SELECT label, pos, round(avg(embedding[pos]), 6) AS centroid_val

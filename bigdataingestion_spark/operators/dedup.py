@@ -403,3 +403,29 @@ def near_dedup_survivors(
         F.col("node").alias("_drop_id")
     )
     return df.join(losers, df[id_col] == F.col("_drop_id"), "left_anti")
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing at least one
+    word n-gram with any benchmark document, with the count of distinct
+    overlapping n-grams. The standard pre-training hygiene step (decontaminate
+    the corpus against eval sets).
+
+    Both sides reduce to distinct n-gram keys before the join, so the
+    shuffle carries (shingle, id) pairs — never text. At 100 TB the
+    benchmark side is tiny relative to the corpus: Spark/AQE broadcasts it,
+    making this a map-side semi-join per corpus split; a bloom filter on
+    benchmark grams is the next lever if the benchmark itself grows.
+    """
+    c = shingle_table(corpus, text_col, id_col, n)
+    b = shingle_table(benchmark, text_col, id_col, n).select("shingle").distinct()
+    # per-doc shingles are already distinct (word_shingles -> array_distinct)
+    return c.join(b, "shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )

@@ -241,3 +241,48 @@ def lsh_bucket_candidates(
     return pairwise_cosine_blocked(
         keyed, block_col="bucket", threshold=-1.0, vec_col=vec_col, id_col=id_col
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote classification: for each query vector, the modal
+    label of its k nearest neighbors by cosine (self excluded, ties broken
+    by neighbor id then smaller label — fully deterministic).
+
+    ``queries`` (id + vector) is broadcast — the standard shape is few
+    queries against a huge corpus, so the corpus never shuffles: one narrow
+    scan computes all similarities, and only (qid, id, label, cos) rows
+    enter the per-query top-k window. Ranking runs on the UNROUNDED cosine
+    so both engines order identically down to the last bit.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    sims = (
+        _spread(df)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.col(label_col),
+            cosine(F.col(vec_col), F.col("_qv")).alias("_cos"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.col(id_col))
+    topk = sims.withColumn("_rn", F.row_number().over(wk)).filter(F.col("_rn") <= k)
+    votes = topk.groupBy("qid", label_col).agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.col(label_col))
+    return (
+        votes.withColumn("_rv", F.row_number().over(wv))
+        .filter(F.col("_rv") == 1)
+        .select("qid", F.col(label_col).alias("knn_label"), "votes")
+    )

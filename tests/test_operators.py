@@ -288,3 +288,39 @@ def test_near_dedup_survivors_keeps_canonical(spark):
     )
     # min of each cluster survives; untouched docs (4, 5, 7) pass through
     assert kept == [1, 4, 5, 7, 10]
+
+
+def test_contamination_hits_finds_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a quick brown fox jumps far away"),  # shares 4-grams
+            (2, "completely unrelated text about spark"),
+            (3, "the quick brown fox jumps over fences"),  # shares more
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in dedup.contamination_hits(corpus, bench).collect()}
+    assert 3 in hits and hits[3] >= 2
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+
+
+def test_knn_classify_majority(spark):
+    # two tight clusters along different axes; query 99 sits in cluster A
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0, 0.1]),
+        (2, 0, [0.9, 0.1, 0.0, 0.0]),
+        (3, 0, [1.0, 0.1, 0.1, 0.0]),
+        (4, 1, [0.0, 1.0, 0.1, 0.0]),
+        (5, 1, [0.1, 0.9, 0.0, 0.0]),
+        (99, 1, [0.95, 0.05, 0.0, 0.05]),  # mislabeled on purpose
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = similarity.knn_classify(df, df.filter(F.col("vec_id") == 99), k=3).collect()
+    assert len(out) == 1
+    assert out[0]["qid"] == 99
+    assert out[0]["knn_label"] == 0  # neighbors outvote the stored label
+    assert out[0]["votes"] == 3
