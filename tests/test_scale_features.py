@@ -105,3 +105,46 @@ def test_partitioned_write_rerun_is_idempotent(spark, tmp_path, sf_smoke_dir):
     os.unlink(state_path)
     orch.run(run_date="2026-08-13")
     assert spark.read.parquet(lake).count() == 1000
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_correct_dir):
+    """Catalyst must factor the OR-of-ANDs predicate so each scan gets the
+    part of the disjunction it can evaluate (brand/size -> part scan,
+    quantity ranges -> lineitem scan) — the pushdown this query exists to pin."""
+    from bigdataingestion_spark import catalog
+
+    plan = _executed_plan(
+        catalog.CATALOG["q19_disjunctive_revenue"].fn(spark, sf_correct_dir)
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    part_scan = next(s for s in scans if "p_brand" in s)
+    li_scan = next(s for s in scans if "l_quantity" in s)
+    # brand disjunction reached the part scan's pushed filters (plan
+    # strings truncate literals, so match the predicate structure)
+    assert "Or(Or(And(EqualTo(p_brand" in part_scan
+    assert "l_quantity" in li_scan.split("DataFilters")[-1]
+
+
+def test_topk_queries_avoid_global_sort(spark, sf_correct_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort shuffle."""
+    from bigdataingestion_spark import catalog
+
+    for q in ("q10_returned_items", "q18_large_orders", "q21_sole_late_supplier"):
+        plan = _executed_plan(catalog.CATALOG[q].fn(spark, sf_correct_dir))
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_q21_has_no_expand(spark, sf_correct_dir):
+    """The cascaded aggregate formulation must not reintroduce
+    countDistinct's Expand node (it doubles shuffled rows)."""
+    from bigdataingestion_spark import catalog
+
+    plan = _executed_plan(
+        catalog.CATALOG["q21_sole_late_supplier"].fn(spark, sf_correct_dir)
+    )
+    assert "Expand" not in plan
