@@ -2175,6 +2175,46 @@ def user_purchase_error_overlap(spark, sf_dir):
 
 
 @register(
+    "docs_source_mix_weights",
+    """
+    SELECT source,
+           n_docs,
+           round(actual_share, 6) AS actual_share,
+           round(1.0 / (n_sources * actual_share), 6) AS uniform_weight
+    FROM (
+      SELECT source,
+             count(*) AS n_docs,
+             count(*) * 1.0 / sum(count(*)) OVER () AS actual_share,
+             count(*) OVER () AS n_sources
+      FROM documents GROUP BY source
+    ) shares
+    """,
+)
+def docs_source_mix_weights(spark, sf_dir):
+    """[EXT] Domain-mixing weights: per-source sampling weight that would
+    rebalance the corpus to a uniform source mix (weight = target_share /
+    actual_share). One aggregate plus an unpartitioned window over the
+    per-source rows — the window input is #sources rows, not #docs, so the
+    single-partition window is free at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    shares = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("actual_share", F.col("n_docs") / F.sum("n_docs").over(w))
+        .withColumn("n_sources", F.count(F.lit(1)).over(w))
+    )
+    return shares.select(
+        "source",
+        "n_docs",
+        F.round("actual_share", 6).alias("actual_share"),
+        F.round(F.lit(1.0) / (F.col("n_sources") * F.col("actual_share")), 6).alias(
+            "uniform_weight"
+        ),
+    )
+
+
+@register(
     "embedding_knn_vote",
     """
     WITH q AS (
