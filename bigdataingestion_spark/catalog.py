@@ -2175,6 +2175,37 @@ def user_purchase_error_overlap(spark, sf_dir):
 
 
 @register(
+    "q13_customer_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_custs
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) dist
+    GROUP BY n_orders
+    """,
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13-style customer order-count histogram. The priority filter
+    lives in the JOIN condition (not WHERE) so customers with only urgent
+    orders still appear with count 0 — left-outer semantics the optimizer
+    cannot convert to inner. Double aggregation: the second groupBy's input
+    is one row per customer, and the histogram shuffle is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+@register(
     "docs_source_mix_weights",
     """
     SELECT source,
