@@ -1614,7 +1614,7 @@ def q8_market_share(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1654,7 +1654,8 @@ def q8_market_share(spark, sf_dir):
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9-style product-line profit by supplier nation and year.
     (Fixture has no partsupp; supply cost modeled as 0.6*retailprice.)
-    The LIKE filter prunes part before the broadcast join."""
+    The LIKE filter prunes part before the join (no broadcast hint —
+    part scales with data; AQE broadcasts locally, shuffles at scale)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -1664,7 +1665,7 @@ def q9_product_profit(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1735,7 +1736,8 @@ def q10_returned_items(spark, sf_dir):
 )
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14-style promo-revenue percentage: month predicate pushed to
-    the lineitem scan, part broadcast, single conditional aggregate."""
+    the lineitem scan, single conditional aggregate; part carries no
+    broadcast hint (it scales with data — AQE decides)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
@@ -1743,7 +1745,7 @@ def q14_promo_revenue(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -1772,14 +1774,14 @@ def q16_part_supplier_counts(spark, sf_dir):
     """TPC-H Q16-style supplier-count-per-part-class (fixture has no
     partsupp; the part->supplier relation is derived from lineitem).
     COUNT(DISTINCT) expands to a two-phase aggregate; the IN-list and <>
-    predicates prune part before the broadcast join."""
+    predicates prune part before the join (no hint; AQE decides)."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1858,7 +1860,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     scan (each disjunct constrains part columns only)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     d1 = (
         (F.col("p_brand") == "Brand#2")
         & F.col("p_size").between(1, 5)
@@ -2031,7 +2033,7 @@ def part_best_supplier(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     w = Window.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"), F.col("s_suppkey"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "s_suppkey")
         .withColumn("rn", F.row_number().over(w))
