@@ -2177,6 +2177,40 @@ def user_purchase_error_overlap(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+      AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    headline=True,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the scan-throughput microbenchmark. No join, no shuffle
+    beyond the 1-row final aggregate — everything rides on predicate
+    pushdown (all four range predicates reach the parquet scan as
+    PushedFilters) and whole-stage-codegen'd partial aggregation. If this
+    query is slow, the scan layer is wrong."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
     "q13_customer_order_distribution",
     """
     SELECT n_orders, count(*) AS n_custs
