@@ -2177,6 +2177,38 @@ def user_purchase_error_overlap(spark, sf_dir):
 
 
 @register(
+    "q11_major_part_types",
+    """
+    SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY p_type
+    HAVING sum(l_extendedprice * (1 - l_discount)) > (
+      SELECT 0.05 * sum(l_extendedprice * (1 - l_discount)) FROM lineitem
+    )
+    """,
+)
+def q11_major_part_types(spark, sf_dir):
+    """TPC-H Q11-style: part types whose revenue exceeds 5% of global
+    revenue. The HAVING threshold is a global scalar subquery — computed as
+    a 1-row aggregate broadcast into the post-aggregation filter, so both
+    aggregations scan lineitem once each and nothing is collected to the
+    driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    total = li.agg((F.lit(0.05) * F.sum(rev)).alias("threshold"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(rev).alias("raw_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("p_type", F.round("raw_value", 4).alias("value"))
+    )
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
