@@ -474,12 +474,12 @@ def similar_part_names(spark, sf_dir):
     """
     SELECT user_id, sum(new_session) AS n_sessions FROM (
       SELECT user_id,
-             CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
       FROM (
-        SELECT user_id, ts,
-               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        FROM events
+        SELECT user_id, ts_us,
+               lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+        FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events)
       )
     ) GROUP BY user_id
     """,
@@ -487,16 +487,25 @@ def similar_part_names(spark, sf_dir):
 )
 def user_sessions(spark, sf_dir):
     """Sessionization via lag(): a 30-minute inactivity gap starts a new
-    session. One shuffle (window by user) + one aggregate."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    session. One shuffle (window by user) + one aggregate.
+
+    Precision contract: the 30-min boundary is compared as INTEGER epoch
+    MICROSECONDS on both sides. The source parquet carries TIMESTAMP(NANOS);
+    depending on engine version the oracle may see ns or us precision, and
+    "truncate each timestamp, then diff" != "diff, then truncate" at the
+    boundary. ``epoch_ns(ts)//1000`` in the oracle truncates each value to us
+    exactly as our loader does (functions/io.py), so both engines agree
+    regardless of what precision survives the read.
+    """
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return (
-        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
         .withColumn(
             "new_session",
             F.when(
-                F.col("prev_ts").isNull()
-                | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")),
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > F.lit(1800000000)),
                 1,
             ).otherwise(0),
         )
@@ -551,15 +560,15 @@ def user_funnel_set_ops(spark, sf_dir):
       SELECT user_id, session_id, count(*) AS n_events FROM (
         SELECT user_id,
                sum(new_session) OVER (
-                 PARTITION BY user_id ORDER BY ts, event_id
+                 PARTITION BY user_id ORDER BY ts_us, event_id
                ) AS session_id
         FROM (
-          SELECT user_id, ts, event_id,
-                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                              > INTERVAL 30 MINUTE
+          SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                              > 1800000000
                       THEN 1 ELSE 0 END AS new_session
-          FROM events
+          FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events)
         )
       ) GROUP BY user_id, session_id
     ) GROUP BY user_id
@@ -568,7 +577,15 @@ def user_funnel_set_ops(spark, sf_dir):
 def user_sessions_native(spark, sf_dir):
     """Spark's built-in ``session_window`` (gap-based session assignment in
     one aggregate) validated against a first-principles lag+cumsum oracle —
-    per user: session count and total events."""
+    per user: session count and total events.
+
+    Boundary semantics (empirically verified on Spark 4.1): session_window
+    merges an event at EXACTLY start+gap into the session, so "new session"
+    is strictly ``gap > 30min`` — same rule as the lag() oracle. The oracle
+    compares integer epoch-MICROSECOND values (``epoch_ns(ts)//1000``, the
+    same per-value truncation our loader applies) so ns-precision oracle
+    environments agree with Spark's us timestamps; see user_sessions.
+    """
     ev = _t(spark, sf_dir, "events")
     per_session = ev.groupBy(
         F.session_window("ts", "30 minutes"), F.col("user_id")
