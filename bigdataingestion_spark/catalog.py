@@ -654,18 +654,54 @@ def streaming_hourly_counts(spark, sf_dir):
     )
 
 
-@register("events_approx_stats", None)  # approximations are engine-specific
+@register(
+    "events_approx_stats",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def events_approx_stats(spark, sf_dir):
     """Approximate aggregates — the sketch path at 100 TB where exact
     count-distinct/quantiles don't fit: HLL++ distinct users and
-    approximate quantiles per event type. Rows-only check by design
-    (sketch results are engine-specific); the unit test asserts tolerance
-    against exact values."""
+    approximate quantiles per event type.
+
+    Sketch outputs are engine-specific, so raw approx values can never
+    hash-match a SQL oracle. Deterministic-bounds contract instead: the
+    query returns the EXACT distinct count (oracle-reproducible) plus
+    booleans asserting each sketch landed within tolerance of its exact
+    counterpart (HLL++ rsd=0.02 within 5%; approx percentiles within
+    5% rel + 0.01 abs of exact interpolated percentiles). The oracle pins
+    the exact values and expects every bound to hold (TRUE literals) — a
+    hard gate row instead of the previous permanent rows-only 'no_oracle'.
+    The exact aggregates here are the verification harness; at 100 TB you
+    would ship only the sketch column."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.percentile_approx("value", 0.5, 10_000).alias("_ap50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("_ap99"),
+        F.expr("percentile(value, 0.5)").alias("_ep50"),
+        F.expr("percentile(value, 0.99)").alias("_ep99"),
+    )
+
+    def within(approx, exact):
+        return F.abs(F.col(approx) - F.col(exact)) <= (
+            F.lit(0.05) * F.abs(F.col(exact)) + F.lit(0.01)
+        )
+
+    return agg.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("_hll") - F.col("n_users"))
+            <= F.lit(0.05) * F.col("n_users")
+        ).alias("hll_ok"),
+        within("_ap50", "_ep50").alias("p50_ok"),
+        within("_ap99", "_ep99").alias("p99_ok"),
     )
 
 
