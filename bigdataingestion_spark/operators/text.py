@@ -199,7 +199,11 @@ def bigram_quality_scores(
     )
     unigrams = words_arr.select(F.explode("_w").alias("word"))
     c1 = unigrams.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = unigrams.select("word").distinct().count()
+    # vocab size V stays LAZY: a 1-row aggregate over c1 (word counts are
+    # already distinct words, so no second distinct pass over the exploded
+    # unigrams) broadcast-crossJoined into the scoring plan — no eager
+    # driver action at plan-construction time, one fewer corpus scan
+    vocab = c1.agg(F.count(F.lit(1)).alias("_vocab"))
 
     n_b = F.size("_w") - 1
     bigram_arr = F.transform(
@@ -213,8 +217,9 @@ def bigram_quality_scores(
         bg.join(c2, "bigram")
         .withColumn("w1", F.substring_index("bigram", " ", 1))
         .join(c1.withColumnRenamed("word", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
-            "logp", F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab)))
+            "logp", F.log((F.col("c2") + 1) / (F.col("c1") + F.col("_vocab")))
         )
     )
     return scored.groupBy(id_col).agg(
