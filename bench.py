@@ -5,13 +5,18 @@ Prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute + collect) on a shared
 session; a tiny warm-up query runs first so JVM/codegen startup isn't
-attributed to the first headliner.
+attributed to the first headliner. Queries run $SPARK_GRAFT_BENCH_REPS
+round-robin passes (default 5) and report the per-query MEDIAN — r2 showed
+single-shot timings carry up to 2x warm-up/load noise on the first queries
+in the run order; the median over round-robin passes is order-independent.
+The reported total is the sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -19,6 +24,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from bigdataingestion_spark import catalog
+from bigdataingestion_spark.caching import release_caches
 from bigdataingestion_spark.session import get_spark
 
 
@@ -78,11 +84,19 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     catalog.q1_pricing_summary(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name, fn in catalog.headline_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    samples: dict[str, list[float]] = {n: [] for n in catalog.headline_queries()}
+    for _ in range(reps):
+        for name, fn in catalog.headline_queries().items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+            release_caches()  # free tracked shingle/word caches between queries
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: round(max(s) - min(s), 3) for n, s in samples.items()
+    }  # max-min over reps: cheap dispersion signal for regression triage
 
     timings["pipeline_ingest_events"] = round(_bench_pipeline(spark, sf_dir), 3)
 
@@ -95,6 +109,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )

@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# shingle tables are the largest intermediate in this pipeline: cache them
+# tracked so bench/test harnesses can release them between queries
+from bigdataingestion_spark.caching import cache_tracked as _cache
+from bigdataingestion_spark.caching import release_caches  # noqa: F401  (re-export)
 from bigdataingestion_spark.operators.text import normalize_text
 
 
@@ -106,9 +110,9 @@ def shingle_table(
         # size + explode both reference the shingle array; only a cache
         # barrier stops Catalyst from inlining (and re-evaluating) the HOF
         # expression into each consumer — measured 3x slower without it
-        arrays = words.select(
-            F.col(id_col), word_shingles(F.col("_w"), n).alias("_sh")
-        ).cache()
+        arrays = _cache(
+            words.select(F.col(id_col), word_shingles(F.col("_w"), n).alias("_sh"))
+        )
         return arrays.select(
             F.col(id_col),
             F.size("_sh").alias("n_sh"),
@@ -159,8 +163,9 @@ def ngram_jaccard_pairs(
             .drop("_df")
         )
     # consumed three times (sizes + both self-join sides): materialize once
-    # instead of re-running the explode (+ df window) per consumer
-    sh = sh.cache()
+    # instead of re-running the explode (+ df window) per consumer;
+    # release_caches() frees it once the caller has materialized the result
+    sh = _cache(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdataingestion_spark.caching import cache_tracked
+
 # Tokens: word runs or single non-space punctuation — a BPE-ish pre-tokenizer.
 TOKEN_PATTERN = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"
 
@@ -190,12 +192,12 @@ def bigram_quality_scores(
     counts — all shuffles keyed on short strings. Low scores = improbable
     word sequences.
     """
-    words_arr = (
+    # two consumers (unigrams + bigrams): cache barrier, see dedup.py;
+    # tracked so harnesses can release it between queries
+    words_arr = cache_tracked(
         df.select(
             F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
-        )
-        .filter(F.size("_w") >= 2)
-        .cache()  # two consumers (unigrams + bigrams): barrier, see dedup.py
+        ).filter(F.size("_w") >= 2)
     )
     unigrams = words_arr.select(F.explode("_w").alias("word"))
     c1 = unigrams.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
