@@ -21,8 +21,9 @@ aggregate over an INTEGER-typed expression MUST be wrapped in
 ``CAST(... AS BIGINT)``. DuckDB promotes ``sum(INTEGER)`` to HUGEINT, and a
 pandas/arrow fetch renders HUGEINT as float64 — the driver's stringified
 value hash then sees "56.0" vs Spark's "56" and mismatches even though the
-values are identical. ``count(*)``/``sum(BIGINT)`` already yield BIGINT and
-need no cast.
+values are identical. Only ``count(*)`` is safe without a cast: DuckDB
+promotes ``sum`` over ANY integer type (INTEGER *and* BIGINT) to HUGEINT,
+so every integer ``sum`` needs the explicit BIGINT cast.
 """
 
 from __future__ import annotations
@@ -1563,12 +1564,69 @@ def multimodal_meta(spark, sf_dir):
     return multimodal.media_metadata(media).select("media_id", "byte_len", "magic_b64")
 
 
-@register("multimodal_features", None)  # mapInPandas: rows-only check
+@register(
+    "multimodal_features",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload,
+             base64(encode(substr(text, 1, 8))) AS magic_b64
+      FROM documents
+    ),
+    hexed AS (
+      SELECT media_id, hex(payload) AS h, octet_length(payload) AS n FROM media
+    ),
+    bytes AS (
+      SELECT media_id, i,
+             CAST(('0x' || substr(h, CAST(2 * i + 1 AS INT), 2)) AS INT) AS bv
+      FROM hexed, UNNEST(range(n)) AS t(i)
+    ),
+    acc AS (
+      SELECT media_id, CAST(i % 8 AS INT) AS j,
+             CAST(sum(bv) % 997 AS INT) AS a
+      FROM bytes GROUP BY media_id, CAST(i % 8 AS INT)
+    ),
+    slots AS (
+      SELECT media_id, CAST(j AS INT) AS j FROM media, UNNEST(range(8)) AS t(j)
+    ),
+    fkey AS (
+      SELECT s.media_id,
+             string_agg(CAST(COALESCE(a.a, 0) AS VARCHAR), ',' ORDER BY s.j)
+               AS feature_key
+      FROM slots s LEFT JOIN acc a ON s.media_id = a.media_id AND s.j = a.j
+      GROUP BY s.media_id
+    )
+    SELECT m.media_id, 'text' AS media_type,
+           octet_length(m.payload) AS byte_len, m.magic_b64, f.feature_key
+    FROM media m JOIN fkey f USING (media_id)
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched decode/featurize plumbing over mapInPandas (decode
-    stubbed with a deterministic featurizer; see operators.multimodal)."""
+    stubbed with a deterministic featurizer; see operators.multimodal).
+
+    The ``array<float>`` feature is projected to ``feature_key`` — the exact
+    integer accumulator values recovered via ``round(x*997)`` (the fake
+    featurizer emits acc/997.0 with acc in [0, 997), so the round-trip is
+    lossless even through float32) — because the driver's canonicalizer
+    cannot sort raw array columns. The DuckDB oracle recomputes the same
+    accumulators relationally: byte extraction via hex()+substr, then a
+    GROUP BY on byte-position mod dim (modular addition is associative, so
+    the rolling loop IS a group-by)."""
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "byte_len",
+        "magic_b64",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x.cast("double") * 997, 0).cast("int").cast("string"),
+            ),
+        ).alias("feature_key"),
+    )
 
 
 # ===========================================================================
@@ -2560,41 +2618,48 @@ def docs_repetition_stats(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # r1/r2 driver reds, fixed this round (HUGEINT→BIGINT oracle casts)
+    # r3 driver red, fixed this round (feature array -> feature_key string
+    # projection + full DuckDB oracle); keep in-window until green
+    "multimodal_features",
+    # hash-green in r3 after the HUGEINT->BIGINT casts; judge asked to keep
+    # the sessionization pair in-window one more round
     "user_sessions",
     "user_sessions_native",
-    # never driver-gated before round 3 (sat at positions 50-79)
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "embedding_ivf_topk",
-    "multimodal_meta",
-    "multimodal_features",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "lineitem_cube_stats",
-    "q21_sole_late_supplier",
-    "part_best_supplier",
-    "customer_order_timeline",
-    "docs_train_test_split",
-    "docs_stratified_sample",
-    "user_purchase_error_overlap",
-    "q11_major_part_types",
-    "q6_forecast_revenue",
-    "q13_customer_order_distribution",
-    "docs_source_mix_weights",
-    "embedding_knn_vote",
-    "docs_contamination",
-    "embedding_label_centroids",
-    "dedup_near_clusters",
-    "docs_repetition_stats",
-    # new round-3 queries are appended here as they are added
+    # the 30 queries whose driver evidence predates round-3 churn (gated
+    # only in r1/r2; rotated out by r3's _GATE_FIRST) — rotate back in so
+    # every query has a green driver row dated r3-or-later
+    "events_approx_stats",
+    "events_props_map",
+    "events_json_avg",
+    "orders_with_late_lineitems",
+    "customers_without_orders",
+    "lineitem_rollup_by_year_month",
+    "events_value_percentiles",
+    "orders_status_pivot",
+    "orders_status_unpivot",
+    "top_parts_by_revenue",
+    "small_quantity_revenue",
+    "ingest_next_surrogate_key",
+    "text_quality_stats",
+    "lang_histogram",
+    "doc_fingerprints",
+    "training_data_pipeline",
+    "docs_chunked",
+    "docs_bigram_quality",
+    "dedup_exact_survivors",
+    "dedup_exact_groups",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "asof_last_purchase",
+    "events_range_pairs",
+    "events_multires_rollup",
+    "corpus_token_frequency",
+    "embedding_cosine_topk",
+    "embedding_cosine_topk_arrow",
+    # new round-4 queries are appended here as they are added (33 names
+    # above + up to 17 new entries still fit the first-50 window)
 ]
 
 

@@ -7,7 +7,7 @@ import base64
 
 import pytest
 
-from bigdataingestion_spark.config.crypto import encrypt_value
+from bigdataingestion_spark.config.crypto import decrypt_value, encrypt_value
 from bigdataingestion_spark.config.repository import ConfigRepository
 from bigdataingestion_spark.pipeline.credentials import (
     get_scope_name,
@@ -98,6 +98,30 @@ def test_load_credentials_full_chain(spark, cred_repo):
     assert creds.user == "ingest_user"
     assert creds.password == "p@ssw0rd"  # decrypt UDF + base64 decode applied
     assert creds.filepath == "/lake/raw/"
+
+
+def test_crypto_roundtrip_and_tamper_detection():
+    secret = "vault-secret-value"
+    ct = encrypt_value(secret, "p@ssw0rd")
+    assert decrypt_value(secret, ct) == "p@ssw0rd"
+
+    # flip one byte anywhere in the blob -> clean auth error, never garbage
+    blob = bytearray(base64.b64decode(ct))
+    for pos in (0, len(blob) // 2, len(blob) - 1):  # nonce, ciphertext, tag
+        tampered = bytearray(blob)
+        tampered[pos] ^= 0x01
+        bad = base64.b64encode(bytes(tampered)).decode("ascii")
+        with pytest.raises(ValueError, match="authentication failed"):
+            decrypt_value(secret, bad)
+
+    # wrong key is an auth error too (not silently-wrong plaintext)
+    with pytest.raises(ValueError, match="authentication failed"):
+        decrypt_value("other-secret", ct)
+
+    # truncated blob (e.g. legacy un-MACed value) fails loudly
+    short = base64.b64encode(base64.b64decode(ct)[:20]).decode("ascii")
+    with pytest.raises(ValueError, match="too short"):
+        decrypt_value(secret, short)
 
 
 def test_missing_scope_raises(tmp_path):
