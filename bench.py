@@ -84,7 +84,8 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     catalog.q1_pricing_summary(spark, sf_dir).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # clamp: reps < 1 would run the full warm-up then crash on median([])
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     samples: dict[str, list[float]] = {n: [] for n in catalog.headline_queries()}
     for _ in range(reps):
         for name, fn in catalog.headline_queries().items():

@@ -1505,14 +1505,40 @@ def embedding_near_dup_pairs(spark, sf_dir):
 @register(
     "embedding_ivf_topk",
     f"""
-    WITH cent AS (
-      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < 4
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+               AS cell_id,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 4
+    ),
+    a0 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], s.cv) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(s.cv, s.cv))) DESC, s.cell_id) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT a0.cell_id, CAST(t.pos AS INT) AS pos,
+             e.embedding[CAST(t.pos + 1 AS INT)]::DOUBLE AS v
+      FROM embeddings e JOIN a0 USING (vec_id),
+           UNNEST(range(len(e.embedding))) AS t(pos)
+    ),
+    cent AS (
+      SELECT cell_id, list(c ORDER BY pos) AS cv FROM (
+        SELECT cell_id, pos, round(avg(v), 6) AS c
+        FROM comp GROUP BY cell_id, pos
+      ) GROUP BY cell_id
     ),
     sims AS (
       SELECT e.vec_id, c.cell_id,
-             list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) /
+             list_dot_product(e.embedding::DOUBLE[], c.cv) /
              (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-              sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) AS s
+              sqrt(list_dot_product(c.cv, c.cv))) AS s
       FROM embeddings e CROSS JOIN cent c
     ),
     assigned AS (
@@ -1538,10 +1564,15 @@ def embedding_near_dup_pairs(spark, sf_dir):
     """,
 )
 def embedding_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: coarse centroid cells, search the query's cell only —
-    the scale path next to brute-force ``embedding_cosine_topk``."""
+    """IVF-style ANN: k-means-lite coarse quantizer (md5-ranked seeds + one
+    deterministic Lloyd iteration, centroid components rounded to 6dp on
+    both engines so summation-order noise can't flip an assignment), then
+    search the query's cell only — the scale path next to brute-force
+    ``embedding_cosine_topk``. The oracle recomputes the same training
+    relationally: QUALIFY md5-rank for seeds, UNNEST(range(len)) +
+    GROUP BY (cell, pos) for the Lloyd mean."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, query_id=0, n_cells=4, k=5)
+    return similarity.ivf_topk(emb, query_id=0, n_cells=4, k=5, lloyd_iters=1)
 
 
 # ===========================================================================

@@ -366,6 +366,7 @@ def connected_components(
     left: str = "id_a",
     right: str = "id_b",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve a duplicate-pair graph into clusters: (node, cluster_id) with
     cluster_id = min node id reachable from the node.
@@ -375,23 +376,35 @@ def connected_components(
     neighbors' labels. Rounds needed = graph diameter — near-dup clusters
     are small and dense, so this converges in a handful of rounds; progress
     is checked with a cheap sum(label) aggregate (monotonically decreasing,
-    stable iff converged). Each round is localCheckpoint-ed to truncate
-    lineage (without it the plan doubles per round and the driver, not the
-    cluster, becomes the bottleneck). At 100 TB the same loop holds — the
-    per-round shuffle is |edges|, and the alternating large-star/small-star
-    variant is a drop-in if diameters blow up.
+    stable iff converged). Each round is checkpointed to truncate lineage
+    (without it the plan doubles per round and the driver, not the cluster,
+    becomes the bottleneck). At 100 TB the same loop holds — the per-round
+    shuffle is |edges|, and the alternating large-star/small-star variant is
+    a drop-in if diameters blow up.
+
+    ``checkpoint_dir``: when set, rounds use RELIABLE checkpoints
+    (``setCheckpointDir`` + ``checkpoint(eager=True)`` to that path —
+    HDFS/object-store on a real cluster). When ``None`` the loop falls back
+    to ``localCheckpoint``, which stores blocks on executors: fine in
+    local[n] and tests, but executor loss loses the blocks and dynamic
+    allocation can't reap pinned executors — on a production cluster pass a
+    durable dir.
     """
     sym = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     edges = (
         sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .cache()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iterations):
@@ -400,15 +413,13 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        labels = (
-            labels.join(nbr, labels.node == nbr.a, "left")
-            .select(
+        labels = _ckpt(
+            labels.join(nbr, labels.node == nbr.a, "left").select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:

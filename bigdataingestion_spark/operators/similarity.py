@@ -177,20 +177,76 @@ def ivf_assign(
     )
 
 
+def kmeans_lite_centroids(
+    df: DataFrame,
+    n_cells: int,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic k-means-lite training for the IVF coarse quantizer.
+
+    Seeds are an md5-ranked pseudo-random sample (like the LSH hyperplanes:
+    reproducible across engines and runs, no random state) instead of
+    first-n ids — first-n seeding degenerates when low ids correlate with
+    insert time or label. Each Lloyd iteration reassigns every vector to its
+    nearest centroid by cosine and recomputes centroids as the element-wise
+    mean. Centroid components are ``round(x, 6)`` so engine summation-order
+    noise cannot flip a later nearest-centroid decision (the repo's float
+    policy applied to the one place a float feeds back into control flow).
+
+    At scale: each iteration is one narrow assign pass (broadcast centroids,
+    per-row O(cells*dim)) plus a posexplode shuffle keyed (cell_id, pos) —
+    dim× row inflation but only (cell_id, pos, value) wide. Real deployments
+    train on a sample; callers can pre-sample ``df`` before handing it here.
+
+    Returns (cell_id, cv) with cell_id in [0, n_cells).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    centroids = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_cells)
+        .select(
+            (F.col("_rk") - 1).alias("cell_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
+        members = df.join(assigned, id_col).select("cell_id", vec_col)
+        comp = members.select(
+            "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        )
+        avgs = comp.groupBy("cell_id", "pos").agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+        )
+        centroids = avgs.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,
     n_cells: int = 4,
     k: int = 5,
+    lloyd_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize into cells (centroids = the first
-    ``n_cells`` vectors — a deterministic seeding; real deployments train
-    k-means), then search only the query's cell. The scale path: a cell scan
-    touches ~1/n_cells of the corpus vs. brute force."""
-    centroids = df.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+    """IVF-style ANN: coarse-quantize into k-means-lite cells
+    (``kmeans_lite_centroids``: md5-sampled seeds + deterministic Lloyd
+    refinement), then search only the query's cell. The scale path: a cell
+    scan touches ~1/n_cells of the corpus vs. brute force."""
+    centroids = kmeans_lite_centroids(
+        df, n_cells, lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col
     )
     assigned = ivf_assign(df, centroids, vec_col, id_col)
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))

@@ -1,5 +1,6 @@
 """Config repository + watermark state store tests."""
 
+import pytest
 import pandas as pd
 
 from bigdataingestion_spark.config.crypto import decrypt_value, encrypt_value
@@ -70,7 +71,6 @@ def test_crypto_roundtrip():
     ct = encrypt_value("s3cret", "p@ssw0rd")
     assert ct != "p@ssw0rd"
     assert decrypt_value("s3cret", ct) == "p@ssw0rd"
-    try:
-        assert decrypt_value("other", ct) != "p@ssw0rd"
-    except UnicodeDecodeError:
-        pass  # wrong key yields garbage bytes — also acceptable
+    # encrypt-then-MAC: wrong key is a clean auth failure, never garbage
+    with pytest.raises(ValueError, match="authentication failed"):
+        decrypt_value("other", ct)

@@ -150,6 +150,40 @@ def test_pairwise_cosine_blocked(spark):
     assert all(p[0] != 3 and p[1] != 3 for p in pairs)
 
 
+def test_kmeans_lite_ivf_recall(spark):
+    # 3 well-separated clusters of 8 vectors each; IVF with Lloyd-refined
+    # centroids must recover the query's cluster, so recall@5 vs brute
+    # force is perfect on separable data.
+    import math
+
+    rows = []
+    base = {0: (1.0, 0.0, 0.0), 1: (0.0, 1.0, 0.0), 2: (0.0, 0.0, 1.0)}
+    for cid, (x, y, z) in base.items():
+        for j in range(8):
+            eps = 0.05 * math.sin(cid * 10 + j)  # deterministic jitter
+            rows.append((cid * 8 + j, [x + eps, y + eps / 2, z]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = similarity.kmeans_lite_centroids(df, n_cells=3, lloyd_iters=1)
+    got = cents.collect()
+    assert len(got) == 3
+    assert {r.cell_id for r in got} == {0, 1, 2}
+    assert all(len(r.cv) == 3 for r in got)
+    # deterministic: same input -> identical centroids
+    again = similarity.kmeans_lite_centroids(df, n_cells=3, lloyd_iters=1).collect()
+    assert sorted(map(tuple, ((r.cell_id, *r.cv) for r in got))) == sorted(
+        map(tuple, ((r.cell_id, *r.cv) for r in again))
+    )
+
+    exact = [r.vec_id for r in similarity.cosine_topk(df, base[0], k=5).collect()]
+    ivf = [
+        r.vec_id
+        for r in similarity.ivf_topk(df, query_id=0, n_cells=3, k=5).collect()
+    ]
+    recall = len(set(exact) & set(ivf)) / 5
+    assert recall == 1.0, (exact, ivf)
+
+
 def test_multimodal_features_deterministic(docs):
     media = multimodal.documents_as_media(
         docs.filter(F.col("doc_id").isin(1, 4)).select("doc_id", "text")
@@ -303,6 +337,26 @@ def test_connected_components_path_graph(spark):
     )
     cc = {r["node"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    # long chain (diameter 40 -> many propagation rounds) with a reliable
+    # checkpoint dir: every round must survive lineage truncation to disk
+    ckpt = str(tmp_path / "cc_ckpt")
+    chain = [(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    cc = {
+        r["node"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            pairs, max_iterations=50, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert all(cc[n] == 0 for n in range(41))
+    assert cc[100] == cc[101] == cc[102] == 100
+    # checkpoints actually landed in the requested dir
+    import os
+
+    assert any(os.scandir(ckpt))
 
 
 def test_near_dedup_survivors_keeps_canonical(spark):
