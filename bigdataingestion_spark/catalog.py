@@ -2640,6 +2640,266 @@ def docs_repetition_stats(spark, sf_dir):
 
 
 # ===========================================================================
+# [EXT] round-4 widening: gapfill/retention/funnel, banded simhash pairs,
+# salted-agg parity, k-means cells, tf-idf
+# ===========================================================================
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH agg AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt, round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type AS key FROM events)
+    SELECT k.key, s.bucket,
+           CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+             PARTITION BY k.key ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_locf
+    FROM keys k CROSS JOIN spine s
+    LEFT JOIN agg a ON a.key = k.key AND a.bucket = s.bucket
+    """,
+)
+def events_hourly_gapfill(spark, sf_dir):
+    """[EXT] TimescaleDB time_bucket_gapfill + LOCF parity: every hourly
+    bucket per event_type, missing hours at cnt=0 carrying the previous
+    bucket's (pre-rounded) average forward (operators.temporal.gapfill_locf)."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.gapfill_locf(ev, ts_col="ts", key_col="event_type", value_col="value")
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+           count(DISTINCT a.u) AS n_users
+    FROM activity a JOIN first_seen f USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """[EXT] Cohort retention matrix: users bucketed by first-activity day,
+    distinct active users per (cohort, day offset)
+    (operators.temporal.retention_cohorts)."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.retention_cohorts(ev, ts_col="ts", user_col="user_id")
+
+
+@register(
+    "events_window_funnel",
+    """
+    WITH t1 AS (
+      SELECT user_id AS u, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.u
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+        AND e.ts <= t1.t1 + INTERVAL 1 HOUR
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t3
+      FROM events e JOIN t1 ON e.user_id = t1.u JOIN t2 ON e.user_id = t2.u
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        AND e.ts <= t1.t1 + INTERVAL 1 HOUR
+      GROUP BY 1
+    ),
+    users AS (SELECT DISTINCT user_id AS u FROM events)
+    SELECT CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                     WHEN t2.t2 IS NOT NULL THEN 2
+                     WHEN t1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_depth,
+           count(*) AS n_users
+    FROM users u
+    LEFT JOIN t1 ON u.u = t1.u
+    LEFT JOIN t2 ON u.u = t2.u
+    LEFT JOIN t3 ON u.u = t3.u
+    GROUP BY 1
+    """,
+)
+def events_window_funnel(spark, sf_dir):
+    """[EXT] ClickHouse-windowFunnel-style conversion depth histogram for
+    view -> click -> purchase within 1h of the first view — one shuffle by
+    user with chained conditional-min windows, vs the oracle's 3-scan
+    self-join formulation (operators.temporal.window_funnel)."""
+    ev = _t(spark, sf_dir, "events")
+    return temporal.window_funnel(
+        ev, steps=["view", "click", "purchase"], window="1 hour"
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""
+    WITH sh AS ({_simhash_sql()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash_hi, b.simhash_hi)) +
+                bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash_hi, b.simhash_hi)) +
+          bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
+    """
+
+
+@register("simhash_hamming_pairs", _simhash_pairs_sql())
+def simhash_hamming_pairs(spark, sf_dir):
+    """[EXT] SimHash near-dup pairs at hamming <= 3 via lossless banding
+    (4 bands; pigeonhole guarantees every qualifying pair shares a band) —
+    candidates are band collisions only, never all pairs; the oracle does
+    the quadratic join the banded plan avoids
+    (operators.dedup.simhash_hamming_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_hamming_pairs(docs, max_distance=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "orders_salted_totals",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_salted_totals(spark, sf_dir):
+    """[EXT] Skew-safe two-phase aggregation parity: per-status totals over
+    a 3-value (maximally hot) grouping key, phase 1 on (key, salt) spreading
+    each hot key over 16 reducers, phase 2 merging partials — identical
+    result to the oracle's direct GROUP BY (operators.skew)."""
+    from bigdataingestion_spark.operators.skew import with_salt
+
+    orders = _t(spark, sf_dir, "orders")
+    phase1 = with_salt(orders, 16).groupBy("o_orderstatus", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("o_totalprice").alias("_s")
+    )
+    return phase1.groupBy("o_orderstatus").agg(
+        F.sum("_n").alias("n_orders"),
+        F.round(F.sum("_s"), 2).alias("total_price"),
+    )
+
+
+def _kmeans_cells_sql() -> str:
+    return """
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+               AS cell_id,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 4
+    ),
+    a0 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], s.cv) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(s.cv, s.cv))) DESC, s.cell_id) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT a0.cell_id, CAST(t.pos AS INT) AS pos,
+             e.embedding[CAST(t.pos + 1 AS INT)]::DOUBLE AS v
+      FROM embeddings e JOIN a0 USING (vec_id),
+           UNNEST(range(len(e.embedding))) AS t(pos)
+    ),
+    cent AS (
+      SELECT cell_id, list(c ORDER BY pos) AS cv FROM (
+        SELECT cell_id, pos, round(avg(v), 6) AS c
+        FROM comp GROUP BY cell_id, pos
+      ) GROUP BY cell_id
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cell_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.cv, c.cv))) AS s
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id, s FROM (
+        SELECT vec_id, cell_id, s,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cell_id AS INT) AS cell_id, count(*) AS n_vectors,
+           round(avg(s), 6) AS avg_cos
+    FROM assigned GROUP BY 1
+    """
+
+
+@register("embedding_kmeans_cells", _kmeans_cells_sql())
+def embedding_kmeans_cells(spark, sf_dir):
+    """[EXT] Cluster profile of the k-means-lite IVF quantizer: per-cell
+    population and mean cosine to the Lloyd-refined centroid — the
+    cell-balance diagnostic an IVF index needs before choosing n_cells
+    (operators.similarity.kmeans_lite_centroids + ivf_assign)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_lite_centroids(emb, n_cells=4, lloyd_iters=1)
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        similarity.cosine(F.col("embedding"), F.col("cv")).alias("_s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_s"), F.col("cell_id"))
+    best = sims.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return best.groupBy(F.col("cell_id").cast("int").alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("_s"), 6).alias("avg_cos"),
+    )
+
+
+@register(
+    "docs_tfidf_top_terms",
+    f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM words WHERE word <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, word, round(tf * ln(n / df), 6) AS tfidf
+    FROM tf JOIN df USING (word), n
+    ORDER BY tf * ln(n / df) DESC, doc_id, word
+    LIMIT 20
+    """,
+)
+def docs_tfidf_top_terms(spark, sf_dir):
+    """[EXT] Corpus top-20 (doc, term) by TF-IDF; ranking on the unrounded
+    score (integer tf/df + ln are bit-identical cross-engine) makes the
+    top-N cut deterministic (operators.text.tfidf_top_terms)."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), top_n=20)
+
+
+# ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
 
@@ -2689,8 +2949,15 @@ _GATE_FIRST = [
     "corpus_token_frequency",
     "embedding_cosine_topk",
     "embedding_cosine_topk_arrow",
-    # new round-4 queries are appended here as they are added (33 names
-    # above + up to 17 new entries still fit the first-50 window)
+    # new round-4 queries (need first driver evidence)
+    "events_hourly_gapfill",
+    "events_retention_cohorts",
+    "events_window_funnel",
+    "simhash_hamming_pairs",
+    "orders_salted_totals",
+    "embedding_kmeans_cells",
+    "docs_tfidf_top_terms",
+    # 40 names above; 10 window slots fill from registration order
 ]
 
 

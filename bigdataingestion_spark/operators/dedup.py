@@ -471,3 +471,90 @@ def contamination_hits(
     return c.join(b, "shingle").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hits")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_distance: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, found via banding — the
+    scale path for simhash dedup (the exact counterpart of MinHash-LSH's
+    banded buckets).
+
+    The 64-bit signature splits into ``max_distance + 1`` bands; by
+    pigeonhole, any pair within ``max_distance`` bit flips agrees exactly on
+    at least one band, so the banded self-join is LOSSLESS for the
+    threshold: candidates = band collisions only (never all pairs), then the
+    exact distance ``bit_count(xor)`` filters. At 100 TB the shuffle is
+    |docs| x bands rows of (band_key, id, hi, lo) — signatures carried
+    through so no post-join lookup.
+    """
+    sig = simhash64(df, text_col=text_col, id_col=id_col)
+    n_bands = max_distance + 1
+    width = 64 // n_bands  # last band absorbs the remainder bits
+
+    def _band_key(s: int, e: int):
+        """Bits [s, e) of the 64-bit signature, assembled from the two
+        32-bit halves — never materializes the full value (hi * 2^32 + lo
+        overflows a signed long under ANSI mode for hi >= 2^31)."""
+        parts = []
+        if s < 32:
+            lo_e = min(e, 32)
+            parts.append(
+                F.shiftright(F.col("simhash_lo"), s).bitwiseAND(
+                    F.lit((1 << (lo_e - s)) - 1)
+                )
+            )
+        if e > 32:
+            hi_s = max(s, 32)
+            piece = F.shiftright(F.col("simhash_hi"), hi_s - 32).bitwiseAND(
+                F.lit((1 << (e - hi_s)) - 1)
+            )
+            parts.append(piece * F.lit(1 << (hi_s - s)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    bounds = [
+        (b * width, (b + 1) * width if b < n_bands - 1 else 64)
+        for b in range(n_bands)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_key(s, e).alias("band_key")
+                    )
+                    for b, (s, e) in enumerate(bounds)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash_hi", "simhash_lo", "bk.band", "bk.band_key")
+    a = banded.select(
+        F.col("band"), F.col("band_key"),
+        F.col(id_col).alias("id_a"),
+        F.col("simhash_hi").alias("hi_a"), F.col("simhash_lo").alias("lo_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_key"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash_hi").alias("hi_b"), F.col("simhash_lo").alias("lo_b"),
+    )
+    dist = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()  # a close pair can collide in several bands
+    )

@@ -215,3 +215,142 @@ def multires_rollup(
         "cnt",
         "total",
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """TimescaleDB-style ``time_bucket_gapfill`` + last-observation-carried-
+    forward: one row per (key, bucket) for EVERY bucket between the global
+    min and max, missing buckets filled with cnt=0 and the previous bucket's
+    average carried forward.
+
+    Shuffle shape at 100 TB: ONE raw scan aggregates down to (keys x
+    buckets) rows in a map-side-combined shuffle; the bucket spine (1-row
+    min/max exploded via ``sequence``) and the distinct-key list are both
+    derived from that cached aggregate, not from re-scans of the raw table —
+    both broadcast-sized. The LOCF window partitions by key over an
+    already-tiny frame.
+
+    The carried value is the ROUNDED per-bucket average, so downstream
+    equality is engine-portable (the repo's float policy applied before the
+    carry, not after).
+    """
+    from bigdataingestion_spark.caching import cache_tracked
+
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    agg = cache_tracked(
+        df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+    )
+    bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket")
+    )
+    keys = agg.select("key").distinct()
+    grid = keys.crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["key", "bucket"], "left")
+        .select(
+            "key",
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the number of distinct cohort users active that
+    many days later — the training-data freshness/engagement matrix.
+
+    Two shuffles, both on ``user_col`` (the first-seen aggregate and the
+    activity join are co-partitioned; AQE plans the join after the
+    first-seen side has collapsed to |users| rows), then one count-distinct
+    shuffle on (cohort, offset) — bounded by users x days.
+    """
+    day = F.col(ts_col).cast("date")
+    first_seen = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(day).alias("cohort_day")
+    )
+    activity = df.select(
+        F.col(user_col).alias("user"), day.alias("active_day")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user").alias("n_users"))
+    )
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: list[str],
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse-``windowFunnel``-style ordered conversion depth: per user,
+    how deep into ``steps`` they progressed, where step i+1 must occur
+    strictly after step i and the whole chain within ``window`` of step 1.
+    Returns (funnel_depth, n_users) — depth 0 = active users with no step-1
+    event.
+
+    One shuffle by user; each step's anchor timestamp is a conditional-min
+    window over the SAME partitioning (Catalyst reuses the exchange for the
+    chained window projections), so the funnel never rescans the raw table
+    per step — the trap in the self-join formulation, which at k steps is k
+    scans + k shuffles.
+    """
+    w = Window.partitionBy("user")
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+    )
+    t1 = F.min(F.when(F.col("etype") == steps[0], F.col("ts"))).over(w)
+    ev = ev.withColumn("t1", t1)
+    deadline = F.col("t1") + F.expr(f"INTERVAL {window}")
+    prev = "t1"
+    for i, step in enumerate(steps[1:], start=2):
+        ti = F.min(
+            F.when(
+                (F.col("etype") == step)
+                & (F.col("ts") > F.col(prev))
+                & (F.col("ts") <= deadline),
+                F.col("ts"),
+            )
+        ).over(w)
+        ev = ev.withColumn(f"t{i}", ti)
+        prev = f"t{i}"
+    depth = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        depth = F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(depth)
+    per_user = ev.select("user", *[f"t{i}" for i in range(1, len(steps) + 1)]).distinct()
+    return (
+        per_user.select("user", depth.alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.countDistinct("user").alias("n_users"))
+    )

@@ -342,3 +342,44 @@ def redact_documents(
     redacted = redact_pii(F.col(text_col))
     n_hits = F.size(F.split(redacted, "<(EMAIL|SSN|CARD|PHONE|IP)>")) - 1
     return df.withColumn(out_col, redacted).withColumn("pii_hits", n_hits)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-N (doc, term) pairs by TF-IDF — the relevance-scoring
+    pass of a retrieval/quality pipeline. score = tf * ln(N / df) with N =
+    corpus size and df = documents containing the term.
+
+    Shuffle shape: one explode -> (doc, word) count (map-side combined),
+    then the document-frequency aggregate reuses the word-keyed shuffle; N
+    is a broadcast 1-row aggregate. Ranking runs on the UNROUNDED score
+    (integer tf/df and ln are bit-identical cross-engine) so the top-N cut
+    is deterministic; the emitted score is rounded per the float policy.
+    """
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    score = F.col("tf") * F.log(F.col("n") / F.col("df"))
+    return (
+        tf.join(docfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "word",
+            score.alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), F.col(id_col), F.col("word"))
+        .limit(top_n)
+        .select(id_col, "word", F.round("_raw", 6).alias("tfidf"))
+    )

@@ -407,3 +407,33 @@ def test_knn_classify_majority(spark):
     assert out[0]["qid"] == 99
     assert out[0]["knn_label"] == 0  # neighbors outvote the stored label
     assert out[0]["votes"] == 3
+
+
+def test_simhash_hamming_pairs_banding_is_lossless(spark):
+    # docs 1/2 identical (hamming 0), 3 close to them, 4 unrelated;
+    # banded candidates must equal a brute-force all-pairs filter
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "the quick brown fox jumps over the lazy dog tonight again"),
+        (3, "the quick brown fox jumps over the lazy cat tonight again"),
+        (4, "completely unrelated content about distributed query engines"),
+        (5, "another entirely different document on streaming watermarks"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_hamming_pairs(df, max_distance=6).collect()
+    }
+    # brute force over the same signatures
+    sig = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in dedup.simhash64(df).collect()}
+    brute = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sig[a][0] ^ sig[b][0]).count("1") + bin(
+                sig[a][1] ^ sig[b][1]
+            ).count("1")
+            if d <= 6:
+                brute[(a, b)] = d
+    assert banded == brute
+    assert banded[(1, 2)] == 0

@@ -108,3 +108,79 @@ def test_multires_rollup_ladder(spark):
     assert by_grain["total"][0].total == 15.0
     day1 = [r for r in by_grain["day"] if r.bucket == ts("2024-01-01 00:00:00")][0]
     assert day1.cnt == 3 and day1.total == 7.0
+
+
+def test_gapfill_locf_fills_missing_buckets(spark):
+    from datetime import datetime
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", datetime(2024, 1, 1, 3, 20), 40.0),  # hours 1, 2 missing
+        ("b", datetime(2024, 1, 1, 1, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {
+        (r.key, r.bucket.hour): (r.cnt, r.avg_value_locf)
+        for r in temporal.gapfill_locf(
+            df, ts_col="ts", key_col="event_type", value_col="value"
+        ).collect()
+    }
+    # spine spans global min..max hour (0..3) for BOTH keys
+    assert len(out) == 8
+    assert out[("a", 0)] == (1, 10.0)
+    assert out[("a", 1)] == (0, 10.0)  # gap: cnt 0, LOCF carries 10.0
+    assert out[("a", 2)] == (0, 10.0)
+    assert out[("a", 3)] == (1, 40.0)
+    assert out[("b", 0)] == (0, None)  # before b's first observation
+    assert out[("b", 1)] == (1, 5.0)
+    assert out[("b", 3)] == (0, 5.0)
+
+
+def test_retention_cohorts_offsets(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9)),
+        (1, datetime(2024, 1, 3, 9)),   # offset 2
+        (2, datetime(2024, 1, 1, 12)),  # same cohort as 1
+        (3, datetime(2024, 1, 2, 8)),   # its own cohort
+        (1, datetime(2024, 1, 3, 23)),  # same (user, day): counted once
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in temporal.retention_cohorts(df, "ts", "user_id").collect()
+    }
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 2)] == 1
+    assert out[("2024-01-02", 0)] == 1
+    assert len(out) == 3
+
+
+def test_window_funnel_depths(spark):
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return datetime(2024, 1, 1, 10, minutes)
+
+    rows = [
+        # user 1: full funnel inside the hour
+        (1, "view", at(0)), (1, "click", at(10)), (1, "purchase", at(20)),
+        # user 2: click BEFORE the view -> depth 1
+        (2, "click", at(0)), (2, "view", at(5)),
+        # user 3: purchase outside the 1h window -> depth 2
+        (3, "view", at(0)), (3, "click", at(30)),
+        (3, "purchase", datetime(2024, 1, 1, 11, 30)),
+        # user 4: no view at all -> depth 0
+        (4, "signup", at(0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {
+        r.funnel_depth: r.n_users
+        for r in temporal.window_funnel(
+            df, steps=["view", "click", "purchase"], window="1 hour"
+        ).collect()
+    }
+    assert out == {3: 1, 1: 1, 2: 1, 0: 1}
