@@ -2640,6 +2640,232 @@ def docs_repetition_stats(spark, sf_dir):
 
 
 # ===========================================================================
+# TPC-H completion: the 5 shapes missing from the q* suite (q17 already
+# present as small_quantity_revenue), adapted to the fixture schema (no
+# partsupp — the part->supplier relation derives from lineitem; no
+# commit/receipt dates — lateness is shipdate vs orderdate)
+# ===========================================================================
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_cost
+      FROM costs c
+      JOIN supplier s ON s_suppkey = c.l_suppkey
+      JOIN nation n ON n_nationkey = s_nationkey
+      JOIN region r ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             row_number() OVER (
+               PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey
+             ) AS rn
+      FROM eligible
+    )
+    SELECT p.p_partkey, s.s_name, round(k.unit_cost, 4) AS unit_cost
+    FROM ranked k
+    JOIN part p ON p_partkey = k.l_partkey
+    JOIN supplier s ON s_suppkey = k.l_suppkey
+    WHERE k.rn = 1 AND p.p_type = 'PROMO' AND p.p_size <= 15
+    ORDER BY p.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-style minimum-cost supplier: per part, the EUROPE supplier
+    with the lowest observed unit price (correlated-min decorrelated to a
+    rank-1 window; ranking on the unrounded min so the cut is
+    engine-deterministic). Dimension chain supplier->nation->region is
+    broadcast; the (part, supp) cost aggregate is the only big shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe_supp = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    eligible = costs.join(
+        F.broadcast(europe_supp), costs.l_suppkey == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = (
+        eligible.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey", "s_name", F.round("unit_cost", 4).alias("unit_cost")
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q4_priority_late_ship",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def q4_priority_late_ship(spark, sf_dir):
+    """TPC-H Q4-style order-priority checking: quarter's orders having any
+    lineitem shipped >30 days after order date (EXISTS -> LEFT SEMI with
+    the inequality in the join condition), histogrammed by priority."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12-style dual conditional count (fixture has no l_shipmode;
+    returnflag plays the group key) — the CASE-inside-SUM pivot shape over
+    an order/lineitem join with the date filter pushed to the scan."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15-style top supplier: max-of-aggregate + join-back. Revenue
+    is ROUNDED (2dp) before the max/equality so engine summation-order
+    noise can't flip the arg-max — the classic Q15 float hazard."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("_max"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q20_bulk_part_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM shipped
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE qty > 50
+    ORDER BY s_name, n_name
+    """,
+)
+def q20_bulk_part_suppliers(spark, sf_dir):
+    """TPC-H Q20-style nested-IN chain: suppliers who moved >50 units of
+    any 'small%' part in a year (part filter -> lineitem agg -> threshold
+    -> distinct supplier semi-chain; quantity sums are exact integers in
+    doubles, so the threshold is engine-safe)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    shipped = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(shipped.select("l_suppkey").distinct(), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name", "n_name")
+    )
+
+
+# ===========================================================================
 # [EXT] round-4 widening: gapfill/retention/funnel, banded simhash pairs,
 # salted-agg parity, k-means cells, tf-idf
 # ===========================================================================
@@ -2957,7 +3183,12 @@ _GATE_FIRST = [
     "orders_salted_totals",
     "embedding_kmeans_cells",
     "docs_tfidf_top_terms",
-    # 40 names above; 10 window slots fill from registration order
+    "q2_min_cost_supplier",
+    "q4_priority_late_ship",
+    "q12_priority_by_returnflag",
+    "q15_top_supplier",
+    "q20_bulk_part_suppliers",
+    # 45 names above; 5 window slots fill from registration order
 ]
 
 
