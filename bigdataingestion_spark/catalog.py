@@ -3099,6 +3099,65 @@ def embedding_kmeans_cells(spark, sf_dir):
 
 
 @register(
+    "docs_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source AS shard,
+             CAST({_WC_SQL} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS prev
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(prev // 512 AS BIGINT) AS seq_id,
+           CAST(prev % 512 AS BIGINT) AS token_offset
+    FROM c
+    """,
+)
+def docs_pack_sequences(spark, sf_dir):
+    """[EXT] GPT-style concat-and-chunk packing manifest: per-shard token
+    streams cut every 512 tokens; each doc's starting sequence + offset —
+    all-integer window arithmetic, deterministic across engines
+    (operators.text.pack_sequences)."""
+    return text.pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+@register(
+    "events_scd2_intervals",
+    """
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM events
+    """,
+)
+def events_scd2_intervals(spark, sf_dir):
+    """[EXT] SCD2 validity intervals from a change log: each user's event
+    stream read as attribute changes; a version's valid_to is the next
+    change's timestamp, the open version flagged current — the query-side
+    mirror of the sinks.scd2 close-out/open semantics (one window shuffle
+    keyed by the dimension key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
     "docs_tfidf_top_terms",
     f"""
     WITH words AS (
@@ -3188,7 +3247,9 @@ _GATE_FIRST = [
     "q12_priority_by_returnflag",
     "q15_top_supplier",
     "q20_bulk_part_suppliers",
-    # 45 names above; 5 window slots fill from registration order
+    "docs_pack_sequences",
+    "events_scd2_intervals",
+    # 47 names above; 3 window slots fill from registration order
 ]
 
 

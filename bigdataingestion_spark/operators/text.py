@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdataingestion_spark.caching import cache_tracked
 
@@ -382,4 +383,44 @@ def tfidf_top_terms(
         .orderBy(F.desc("_raw"), F.col(id_col), F.col("word"))
         .limit(top_n)
         .select(id_col, "word", F.round("_raw", 6).alias("tfidf"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: within each shard,
+    documents are concatenated in id order and the token stream is cut
+    every ``budget`` tokens. Returns per document its shard, token count,
+    the sequence index where it STARTS and its token offset within that
+    sequence — the manifest a training loader needs to materialize packed
+    samples without re-tokenizing.
+
+    All-integer window arithmetic (cumulative token count, floor-div,
+    mod), so the layout is deterministic and engine-portable. At 100 TB the
+    window partitions by shard — the parallelism unit of a packing job —
+    and never sees text, only (shard, id, n_tokens).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        word_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    # `div`, not floor(/): double division loses exactness past 2^53 tokens
+    return toks.withColumn("_prev", prev).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.expr(f"_prev div {int(budget)}").alias("seq_id"),
+        F.expr(f"_prev % {int(budget)}").alias("token_offset"),
     )

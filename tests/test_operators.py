@@ -437,3 +437,21 @@ def test_simhash_hamming_pairs_banding_is_lossless(spark):
                 brute[(a, b)] = d
     assert banded == brute
     assert banded[(1, 2)] == 0
+
+
+def test_pack_sequences_layout(spark):
+    rows = [
+        (1, "a", "one two three"),            # 3 tokens
+        (2, "a", "four five six seven"),      # 4 tokens -> crosses budget 5
+        (3, "a", "eight nine"),               # 2 tokens
+        (4, "b", "x y z"),                    # separate shard restarts at 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r.doc_id: (r.shard, r.n_tokens, r.seq_id, r.token_offset)
+        for r in text.pack_sequences(df, budget=5).collect()
+    }
+    assert out[1] == ("a", 3, 0, 0)
+    assert out[2] == ("a", 4, 0, 3)   # starts in seq 0 at offset 3, straddles
+    assert out[3] == ("a", 2, 1, 2)   # prev=7 -> seq 1, offset 2
+    assert out[4] == ("b", 3, 0, 0)   # new shard: fresh stream
