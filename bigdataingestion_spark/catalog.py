@@ -667,6 +667,64 @@ def streaming_hourly_counts(spark, sf_dir):
 
 
 @register(
+    "streaming_user_sessions",
+    """
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events FROM (
+      SELECT user_id, session_id, count(*) AS n_events FROM (
+        SELECT user_id,
+               sum(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id
+               ) AS session_id
+        FROM (
+          SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                              > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events)
+        )
+      ) GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+)
+def streaming_user_sessions(spark, sf_dir):
+    """REAL Structured Streaming stateful sessionization inside the gate:
+    readStream -> session_window(30 min) -> complete-mode memory sink (the
+    only mode Spark allows for merging session windows in a catch-up run;
+    see streaming.ingest.stream_session_windows), then a batch rollup to
+    (user, n_sessions, total_events) — the streaming counterpart of
+    ``user_sessions_native``, validated against the SAME first-principles
+    lag+cumsum oracle. Completes the session trilogy: lag-window batch,
+    native-window batch, native-window streaming."""
+    import tempfile
+    import uuid
+
+    from bigdataingestion_spark.streaming.ingest import stream_session_windows
+
+    name = f"sess_gate_{uuid.uuid4().hex[:8]}"
+    src = os.path.join(sf_dir, "events.parquet")
+    q = stream_session_windows(
+        spark,
+        src,
+        checkpoint_dir=tempfile.mkdtemp(prefix="bdi_ck_"),
+        ts_col="ts",
+        key_col="user_id",
+        gap="30 minutes",
+        queryName=name,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+    )
+
+
+@register(
     "events_approx_stats",
     """
     SELECT event_type,
@@ -3249,7 +3307,8 @@ _GATE_FIRST = [
     "q20_bulk_part_suppliers",
     "docs_pack_sequences",
     "events_scd2_intervals",
-    # 47 names above; 3 window slots fill from registration order
+    "streaming_user_sessions",
+    # 48 names above; 2 window slots fill from registration order
 ]
 
 
