@@ -3242,6 +3242,185 @@ def docs_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), top_n=20)
 
 
+def _pii_redact_sql(expr: str) -> str:
+    """DuckDB regexp_replace chain mirroring text.PII_PATTERNS in order.
+    Patterns are RE2/Java-compatible (no lookaround, no backrefs); 'g'
+    matches Spark's replace-all semantics."""
+    for pat, repl in text.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+_PII_SEED_SUFFIX = (
+    "@mail.example.com ph 555-123-4567 ssn 123-45-6789 ip 192.168.1.42"
+)
+
+
+@register(
+    "docs_pii_redacted",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '{_PII_SEED_SUFFIX}' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(
+             {_pii_redact_sql('text')}, '<(EMAIL|SSN|CARD|PHONE|IP)>'
+           )) - 1 AS BIGINT) AS pii_hits,
+           md5({_pii_redact_sql('text')}) AS redacted_md5
+    FROM seeded
+    """,
+)
+def docs_pii_redacted(spark, sf_dir):
+    """[EXT] PII scrub pass: every document gets a deterministic synthetic
+    PII suffix (email/phone/SSN/IP seeded from doc_id, since fixture text
+    is clean), then the full regexp_replace chain masks it; the md5 of the
+    redacted text is an exact cross-engine witness of the whole redaction
+    (operators.text.redact_pii — pure JVM regex chain, scan-speed)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit(_PII_SEED_SUFFIX),
+        ).alias("text"),
+    )
+    red = text.redact_documents(docs)
+    return red.select(
+        "doc_id",
+        F.col("pii_hits").cast("long").alias("pii_hits"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+@register(
+    "events_latest_state",
+    """
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_latest_state(spark, sf_dir):
+    """[EXT] CDC latest-wins compaction: the current-state view a MERGE
+    mirror converges to, computed as a struct-max aggregate (map-side
+    partial agg; the shuffle carries one pre-reduced row per key per map
+    task instead of the sorted change log — operators.temporal.latest_state)."""
+    return temporal.latest_state(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        payload_cols=("event_type", "value"),
+    )
+
+
+@register(
+    "orders_yoy_growth",
+    """
+    WITH y AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             round(sum(o_totalprice), 4) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT yr, revenue, n_orders,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY yr))
+                 / lag(revenue) OVER (ORDER BY yr), 6) AS yoy_pct
+    FROM y
+    """,
+)
+def orders_yoy_growth(spark, sf_dir):
+    """[EXT] Year-over-year revenue growth. The lag window runs over the
+    POST-AGGREGATE frame (one row per year), so the single-partition window
+    is a handful of rows at any input scale; growth is computed from the
+    4-dp-rounded revenue so both engines divide identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    y = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return y.select(
+        "yr",
+        "revenue",
+        "n_orders",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("yoy_pct"),
+    )
+
+
+@register(
+    "events_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type, round((value - mu) / sd, 4) AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs(value - mu) > 2.5 * sd
+    """,
+)
+def events_zscore_outliers(spark, sf_dir):
+    """[EXT] Per-type z-score anomaly gate (the outlier-filter stage of a
+    quality pipeline). The stats frame is one row per event_type — hinted
+    broadcast, so the fact scan never shuffles: stats-aggregate + one
+    broadcast-joined filter pass."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == stats._et)
+        .filter(F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_min(embedding::DOUBLE[]) AS mn,
+             list_max(embedding::DOUBLE[]) AS mx
+      FROM embeddings
+    ),
+    p AS (SELECT vec_id, v, mn, mx, (mx - mn) / 255.0 AS scale FROM s)
+    SELECT vec_id,
+           round(mn, 6) AS vmin,
+           round(mx, 6) AS vmax,
+           CAST(CASE WHEN mx > mn THEN list_sum(list_transform(
+             v, x -> CAST(round((x - mn) / scale) AS BIGINT)
+           )) ELSE 0 END AS BIGINT) AS code_sum,
+           CASE WHEN mx > mn THEN round(list_max(list_transform(
+             v, x -> abs(mn + round((x - mn) / scale) * scale - x)
+           )), 6) ELSE 0.0 END AS max_abs_err
+    FROM p
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """[EXT] Scalar int8 quantization diagnostics per vector: value range,
+    code checksum, max reconstruction error. Elementwise built-in array
+    math in double precision — narrow pass, zero shuffle, whole-stage
+    codegen (operators.similarity.quantize_int8; the codes array itself is
+    dropped here so the gate hashes only scalar columns — r3 lesson)."""
+    q = similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.select("vec_id", "vmin", "vmax", "code_sum", "max_abs_err")
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
@@ -3263,9 +3442,6 @@ _GATE_FIRST = [
     # only in r1/r2; rotated out by r3's _GATE_FIRST) — rotate back in so
     # every query has a green driver row dated r3-or-later
     "events_approx_stats",
-    "events_props_map",
-    "events_json_avg",
-    "orders_with_late_lineitems",
     "customers_without_orders",
     "lineitem_rollup_by_year_month",
     "events_value_percentiles",
@@ -3308,7 +3484,15 @@ _GATE_FIRST = [
     "docs_pack_sequences",
     "events_scd2_intervals",
     "streaming_user_sessions",
-    # 48 names above; 2 window slots fill from registration order
+    "docs_pii_redacted",
+    "events_latest_state",
+    "orders_yoy_growth",
+    "events_zscore_outliers",
+    "embedding_quantize_int8",
+    # Exactly 50 names: never-gated r4 queries take priority over three
+    # stale-evidence rows (events_props_map, events_json_avg,
+    # orders_with_late_lineitems — catalog-only code untouched since their
+    # r1 green rows; they rotate back in r5).
 ]
 
 

@@ -354,3 +354,27 @@ def window_funnel(
         .groupBy("funnel_depth")
         .agg(F.countDistinct("user").alias("n_users"))
     )
+
+
+def latest_state(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    payload_cols: tuple[str, ...] = ("event_type", "value"),
+) -> DataFrame:
+    """CDC latest-wins compaction: one row per key holding the most recent
+    payload (the materialized "current state" view of a change stream —
+    what a MERGE-based mirror table converges to, computed in one pass).
+
+    Implemented as a struct-max aggregate, NOT a row_number window: max of
+    struct(order_cols..., payload_cols...) compares lexicographically, so
+    the order columns dominate and the payload rides along. Unlike the
+    window formulation this gets map-side partial aggregation — at 100 TB
+    the shuffle carries one pre-reduced row per key per map task instead of
+    the full sorted change log.
+    """
+    s = F.max(F.struct(*order_cols, *payload_cols)).alias("_s")
+    out = df.groupBy(key_col).agg(s)
+    cols = [F.col(key_col)]
+    cols += [F.col(f"_s.{c}").alias(f"last_{c}") for c in (*order_cols, *payload_cols)]
+    return out.select(*cols)

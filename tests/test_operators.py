@@ -455,3 +455,54 @@ def test_pack_sequences_layout(spark):
     assert out[2] == ("a", 4, 0, 3)   # starts in seq 0 at offset 3, straddles
     assert out[3] == ("a", 2, 1, 2)   # prev=7 -> seq 1, offset 2
     assert out[4] == ("b", 3, 0, 0)   # new shard: fresh stream
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    rows = [
+        (1, [0.0, 0.5, 1.0, 0.25]),
+        (2, [3.0, 3.0, 3.0]),  # constant vector -> degenerate scale
+        (3, [-2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    # endpoints quantize exactly; error bounded by scale/2 = (mx-mn)/510
+    assert out[1].vmin == 0.0 and out[1].vmax == 1.0
+    assert out[1].max_abs_err <= (1.0 - 0.0) / 510 + 1e-6  # + output rounding
+    assert out[1].codes[0] == 0 and out[1].codes[2] == 255
+    # constant vector: all-zero codes, zero error, no div-by-zero
+    assert out[2].codes == [0, 0, 0]
+    assert out[2].code_sum == 0 and out[2].max_abs_err == 0.0
+    # signed range maps ends to 0/255
+    assert out[3].codes == [0, 255] and out[3].code_sum == 255
+
+
+def test_latest_state_picks_max_order_key(spark):
+    from bigdataingestion_spark.operators import temporal
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1), 10, "a", 1.0),
+        (1, datetime(2024, 1, 2), 11, "b", 2.0),
+        (1, datetime(2024, 1, 2), 12, "c", 3.0),  # same ts, higher id wins
+        (2, datetime(2024, 1, 1), 13, "d", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type", "value"]
+    )
+    out = {r.user_id: r for r in temporal.latest_state(df).collect()}
+    assert out[1].last_event_id == 12 and out[1].last_event_type == "c"
+    assert out[2].last_event_id == 13 and out[2].last_value == 4.0
+
+
+def test_redact_pii_masks_each_kind(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co ssn 123-45-6789 card 4111 1111 1111 1111 "
+             "ph (555) 123-4567 ip 10.0.0.1 clean words")],
+        ["doc_id", "text"],
+    )
+    row = text.redact_documents(df).collect()[0]
+    red = row.text_redacted
+    for tag in ("<EMAIL>", "<SSN>", "<CARD>", "<PHONE>", "<IP>"):
+        assert tag in red, red
+    assert "123-45-6789" not in red and "a@b.co" not in red
+    assert row.pii_hits == 5
