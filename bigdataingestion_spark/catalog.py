@@ -3421,6 +3421,46 @@ def embedding_quantize_int8(spark, sf_dir):
     return q.select("vec_id", "vmin", "vmax", "code_sum", "max_abs_err")
 
 
+@register(
+    "events_value_histogram",
+    """
+    WITH s AS (
+      SELECT min(value) AS mn, max(value) AS mx
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20.0)), 19) AS INT)
+             AS bucket,
+           count(*) AS n,
+           round(min(value), 6) AS bucket_min,
+           round(max(value), 6) AS bucket_max
+    FROM events, s WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """[EXT] Equal-width 20-bucket histogram of event values — the
+    distribution profile a quality pipeline computes before choosing filter
+    thresholds. The min/max frame is a broadcast 1-row aggregate, so the
+    binning pass is narrow; bucket = least(floor((v-mn)/width), 19) keeps
+    the v==mx edge in the top bucket identically in both engines (min/max
+    are exact selections, so the arithmetic is bit-reproducible)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bucket_min"),
+            F.round(F.max("value"), 6).alias("bucket_max"),
+        )
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================

@@ -57,3 +57,45 @@ def test_cluster_rewrite_sorts_by_key(spark, tmp_path):
         1 for (a, b) in zip(spans, spans[1:]) if a[1] > b[0]
     )
     assert overlaps == 0, f"file key ranges overlap: {spans}"
+
+
+def test_zorder_rewrite_narrows_both_dims(spark, tmp_path):
+    from bigdataingestion_spark.sinks.zorder import zorder_rewrite
+
+    import pyarrow.parquet as pq
+
+    # two independent uniform dims: x = hashed order, y = reversed digits
+    df = spark.range(20_000).select(
+        (F.col("id") * 2654435761 % 20_000).cast("double").alias("x"),
+        (F.col("id") % 97).cast("double").alias("y"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "z")
+    df.repartition(8).write.parquet(path)
+
+    def mean_span_frac(col_idx, lo_g, hi_g):
+        fracs = []
+        for f in _parquet_files(path):
+            meta = pq.ParquetFile(f).metadata
+            stats = [
+                meta.row_group(i).column(col_idx).statistics
+                for i in range(meta.num_row_groups)
+            ]
+            lo = min(s.min for s in stats)
+            hi = max(s.max for s in stats)
+            fracs.append((hi - lo) / (hi_g - lo_g))
+        return sum(fracs) / len(fracs)
+
+    # unsorted baseline: every file spans ~the full range on both dims
+    assert mean_span_frac(0, 0, 19999) > 0.9
+    assert mean_span_frac(1, 0, 96) > 0.9
+
+    zorder_rewrite(spark, path, ["x", "y"], bits=4, num_files=16)
+    out = spark.read.parquet(path)
+    assert out.count() == 20_000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # z-ordered: BOTH dims' per-file spans shrink well below the global span
+    zx = mean_span_frac(0, 0, 19999)
+    zy = mean_span_frac(1, 0, 96)
+    assert zx < 0.5, zx
+    assert zy < 0.5, zy
