@@ -3461,6 +3461,79 @@ def events_value_histogram(spark, sf_dir):
     )
 
 
+def _pq_sql(m: int = 4, sub_dim: int = 16, k: int = 4) -> str:
+    """Per-subspace mirror of the k-means-lite oracle (see
+    _kmeans_cells_sql) over contiguous vector slices, UNION ALL'd."""
+    ctes, finals = [], []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        sv = f"(embedding::DOUBLE[])[{lo}:{hi}]"
+        sv_e = f"(e.embedding::DOUBLE[])[{lo}:{hi}]"
+        cos_seed = (
+            f"list_dot_product({sv_e}, s.cv) / "
+            f"(sqrt(list_dot_product({sv_e}, {sv_e})) * "
+            f"sqrt(list_dot_product(s.cv, s.cv)))"
+        )
+        cos_cent = (
+            f"list_dot_product({sv_e}, c.cv) / "
+            f"(sqrt(list_dot_product({sv_e}, {sv_e})) * "
+            f"sqrt(list_dot_product(c.cv, c.cv)))"
+        )
+        ctes.append(f"""
+    seeds{s} AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+               AS cell_id,
+             {sv} AS cv
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= {k}
+    ),
+    a0_{s} AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_seed} DESC, s.cell_id) AS rn
+        FROM embeddings e CROSS JOIN seeds{s} s
+      ) WHERE rn = 1
+    ),
+    comp{s} AS (
+      SELECT a.cell_id, CAST(t.pos AS INT) AS pos,
+             {sv_e}[CAST(t.pos + 1 AS INT)] AS v
+      FROM embeddings e JOIN a0_{s} a USING (vec_id),
+           UNNEST(range({sub_dim})) AS t(pos)
+    ),
+    cent{s} AS (
+      SELECT cell_id, list(c ORDER BY pos) AS cv FROM (
+        SELECT cell_id, pos, round(avg(v), 6) AS c
+        FROM comp{s} GROUP BY cell_id, pos
+      ) GROUP BY cell_id
+    ),
+    asg{s} AS (
+      SELECT vec_id, CAST({s} AS INT) AS subspace,
+             CAST(cell_id AS INT) AS code, round(sim, 6) AS sim
+      FROM (
+        SELECT e.vec_id, c.cell_id, {cos_cent} AS sim,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_cent} DESC, c.cell_id) AS rn
+        FROM embeddings e CROSS JOIN cent{s} c
+      ) WHERE rn = 1
+    )""")
+        finals.append(f"SELECT * FROM asg{s}")
+    return "WITH " + ",".join(ctes) + "\n" + " UNION ALL ".join(finals)
+
+
+@register("embedding_pq_codes", _pq_sql())
+def embedding_pq_codes(spark, sf_dir):
+    """[EXT] Product quantization encode: 4 subspaces x 16 dims, an
+    md5-seeded + 1-Lloyd k-means-lite codebook of 4 codewords per subspace;
+    long-form (vec_id, subspace, code, sim) with the per-subspace cosine to
+    the winning codeword as the distortion diagnostic
+    (operators.similarity.pq_encode — codebooks broadcast, encode narrow)."""
+    return similarity.pq_encode(
+        _t(spark, sf_dir, "embeddings"),
+        m=4, sub_dim=16, codes_per_space=4, lloyd_iters=1,
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================

@@ -389,3 +389,59 @@ def quantize_int8(
         ).alias("code_sum"),
         F.round(max_err, 6).alias("max_abs_err"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    codes_per_space: int = 4,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` contiguous
+    ``sub_dim``-wide subvectors and learn an independent k-means-lite
+    codebook (md5-seeded + deterministic Lloyd, see
+    ``kmeans_lite_centroids``) per subspace; every vector is then encoded
+    as ``m`` small codes. Returns long-form (id, subspace, code, sim) —
+    ``sim`` is the cosine between the subvector and its winning codeword,
+    the per-subspace distortion a PQ training job monitors.
+
+    This is the 100 TB ANN workhorse shape: m*log2(k) bits per vector
+    (here 4*2 = 8 bits vs 64*4 bytes raw), codebooks tiny and broadcast,
+    encode = narrow per-row O(m*k*sub_dim) math with no shuffle. Training
+    cost is m independent kmeans-lite runs — on a real corpus, train on a
+    sample and encode the full corpus with the broadcast codebooks.
+    """
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    outs = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
+        )
+        cents = kmeans_lite_centroids(
+            sub, codes_per_space, lloyd_iters=lloyd_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+        sims = sub.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col("cell_id"),
+            cosine(F.col(vec_col), F.col("cv")).alias("_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cell_id"))
+        outs.append(
+            sims.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(id_col),
+                F.lit(s).cast("int").alias("subspace"),
+                F.col("cell_id").cast("int").alias("code"),
+                F.round("_sim", 6).alias("sim"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs)

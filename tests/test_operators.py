@@ -506,3 +506,19 @@ def test_redact_pii_masks_each_kind(spark):
         assert tag in red, red
     assert "123-45-6789" not in red and "a@b.co" not in red
     assert row.pii_hits == 5
+
+
+def test_pq_encode_shape_and_ranges(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.pq_encode(df, m=2, sub_dim=4, codes_per_space=3).collect()
+    # every vector gets exactly one code per subspace
+    assert len(out) == 12 * 2
+    seen = {(r.vec_id, r.subspace) for r in out}
+    assert len(seen) == 24
+    for r in out:
+        assert 0 <= r.code < 3
+        assert -1.0 - 1e-6 <= r.sim <= 1.0 + 1e-6
