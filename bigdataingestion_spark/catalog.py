@@ -3461,9 +3461,10 @@ def events_value_histogram(spark, sf_dir):
     )
 
 
-def _pq_sql(m: int = 4, sub_dim: int = 16, k: int = 4) -> str:
+def _pq_ctes(m: int = 4, sub_dim: int = 16, k: int = 4):
     """Per-subspace mirror of the k-means-lite oracle (see
-    _kmeans_cells_sql) over contiguous vector slices, UNION ALL'd."""
+    _kmeans_cells_sql) over contiguous vector slices. Returns the CTE
+    bodies; _pq_sql / _pq_topk_sql assemble them."""
     ctes, finals = [], []
     for s in range(m):
         lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
@@ -3518,7 +3519,50 @@ def _pq_sql(m: int = 4, sub_dim: int = 16, k: int = 4) -> str:
       ) WHERE rn = 1
     )""")
         finals.append(f"SELECT * FROM asg{s}")
+    return ctes, finals
+
+
+def _pq_sql(m: int = 4, sub_dim: int = 16, k: int = 4) -> str:
+    ctes, finals = _pq_ctes(m, sub_dim, k)
     return "WITH " + ",".join(ctes) + "\n" + " UNION ALL ".join(finals)
+
+
+def _pq_topk_sql(
+    qid: int, topk: int, m: int = 4, sub_dim: int = 16, k: int = 4
+) -> str:
+    """ADC search oracle: cosine(query, PQ reconstruction) via per-subspace
+    LUTs over the SAME codebooks as _pq_sql; ranking on the 6dp-rounded
+    score with id tiebreak (mirrors operators.similarity.pq_topk)."""
+    ctes, finals = _pq_ctes(m, sub_dim, k)
+    lut_parts = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        lut_parts.append(f"""
+      SELECT CAST({s} AS INT) AS subspace, CAST(c.cell_id AS INT) AS code,
+             list_dot_product((q.qv)[{lo}:{hi}], c.cv) AS dotp,
+             list_dot_product(c.cv, c.cv) AS n2
+      FROM cent{s} c, q""")
+    return (
+        "WITH " + ",".join(ctes) + f""",
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}
+    ),
+    luts AS ({' UNION ALL '.join(lut_parts)}),
+    codes AS ({' UNION ALL '.join(
+        f'SELECT vec_id, subspace, code FROM asg{s}' for s in range(m)
+    )}),
+    scored AS (
+      SELECT vec_id, sum(dotp) AS d, sum(n2) AS sn2
+      FROM codes JOIN luts USING (subspace, code) GROUP BY vec_id
+    )
+    SELECT vec_id,
+           round(d / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(sn2)), 6)
+             AS pq_sim
+    FROM scored, q
+    ORDER BY pq_sim DESC, vec_id
+    LIMIT {topk}
+    """
+    )
 
 
 @register("embedding_pq_codes", _pq_sql())
@@ -3531,6 +3575,17 @@ def embedding_pq_codes(spark, sf_dir):
     return similarity.pq_encode(
         _t(spark, sf_dir, "embeddings"),
         m=4, sub_dim=16, codes_per_space=4, lloyd_iters=1,
+    )
+
+
+@register("embedding_pq_topk", _pq_topk_sql(qid=7, topk=10))
+def embedding_pq_topk(spark, sf_dir):
+    """[EXT] PQ asymmetric-distance top-10 for query vector 7: corpus
+    touched only through its 8-bit codes joined to broadcast per-subspace
+    LUTs — the memory-bound ANN scan (operators.similarity.pq_topk)."""
+    return similarity.pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=7, k=10, m=4, sub_dim=16, codes_per_space=4, lloyd_iters=1,
     )
 
 

@@ -391,6 +391,33 @@ def quantize_int8(
     )
 
 
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    codes_per_space: int = 4,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[DataFrame]:
+    """Train the m independent per-subspace codebooks (see ``pq_encode``);
+    returns one (cell_id, cv) frame per subspace. Split out so encode and
+    ADC search share ONE training pass."""
+    return [
+        kmeans_lite_centroids(
+            df.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
+            ),
+            codes_per_space,
+            lloyd_iters=lloyd_iters,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        for s in range(m)
+    ]
+
+
 def pq_encode(
     df: DataFrame,
     m: int = 4,
@@ -399,6 +426,7 @@ def pq_encode(
     lloyd_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codebooks: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Product quantization: split each vector into ``m`` contiguous
     ``sub_dim``-wide subvectors and learn an independent k-means-lite
@@ -418,16 +446,18 @@ def pq_encode(
 
     from pyspark.sql.window import Window
 
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            df, m=m, sub_dim=sub_dim, codes_per_space=codes_per_space,
+            lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
+        )
     outs = []
     for s in range(m):
         sub = df.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
         )
-        cents = kmeans_lite_centroids(
-            sub, codes_per_space, lloyd_iters=lloyd_iters,
-            vec_col=vec_col, id_col=id_col,
-        )
+        cents = codebooks[s]
         sims = sub.crossJoin(F.broadcast(cents)).select(
             F.col(id_col),
             F.col("cell_id"),
@@ -445,3 +475,71 @@ def pq_encode(
             )
         )
     return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    sub_dim: int = 16,
+    codes_per_space: int = 4,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: score every vector by the cosine
+    between the query and that vector's PQ RECONSTRUCTION, computed from
+    per-subspace lookup tables — the memory-bound ANN scan shape. Per
+    subspace s the LUT maps code -> (dot(q_s, codeword), ||codeword||^2);
+    a vector's score is sum(dot) / (||q|| * sqrt(sum(norm2))), i.e.
+    cos(q, concat of its codewords). The corpus is touched only through
+    its m small integer codes: at 100 TB the scan reads 8-bit codes, not
+    float vectors, and the LUT join is a broadcast of m*k rows.
+
+    Ranking runs on the 6dp-ROUNDED score with an id tiebreak so the
+    (at most last-ulp) summation-order noise of the m-term sum can never
+    reorder results across engines.
+    """
+    from functools import reduce
+
+    books = pq_codebooks(
+        df, m=m, sub_dim=sub_dim, codes_per_space=codes_per_space,
+        lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
+    )
+    codes = pq_encode(
+        df, m=m, sub_dim=sub_dim, codes_per_space=codes_per_space,
+        lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
+        codebooks=books,
+    ).select(id_col, "subspace", "code")
+    qrow = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .first()
+    )
+    qv = list(qrow[0])
+    qnorm = sum(x * x for x in qv) ** 0.5
+    luts = []
+    for s in range(m):
+        qs = F.array(*[F.lit(x) for x in qv[s * sub_dim:(s + 1) * sub_dim]])
+        luts.append(
+            books[s].select(
+                F.lit(s).cast("int").alias("subspace"),
+                F.col("cell_id").cast("int").alias("code"),
+                dot(qs, F.col("cv")).alias("dotp"),
+                dot(F.col("cv"), F.col("cv")).alias("n2"),
+            )
+        )
+    lut = reduce(lambda a, b: a.unionAll(b), luts)
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("dotp").alias("_d"), F.sum("n2").alias("_n2"))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("_d") / (F.lit(qnorm) * F.sqrt(F.col("_n2"))), 6
+            ).alias("pq_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("pq_sim"), F.col(id_col)).limit(k)

@@ -522,3 +522,23 @@ def test_pq_encode_shape_and_ranges(spark):
     for r in out:
         assert 0 <= r.code < 3
         assert -1.0 - 1e-6 <= r.sim <= 1.0 + 1e-6
+
+
+def test_pq_topk_ranks_query_cluster_first(spark):
+    import math
+
+    # two separable clusters in 8 dims; PQ reconstruction keeps them apart
+    rows = []
+    for j in range(6):
+        eps = 0.05 * math.sin(j)
+        rows.append((j, [1.0 + eps, 0.0, 1.0, 0.0, 1.0 - eps, 0.0, 1.0, 0.0]))
+        rows.append((10 + j, [0.0, 1.0 + eps, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0 - eps]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.pq_topk(
+        df, query_id=0, k=6, m=2, sub_dim=4, codes_per_space=2
+    ).collect()
+    got = [r.vec_id for r in out]
+    assert set(got) == {0, 1, 2, 3, 4, 5}, got  # entire query cluster first
+    sims = [r.pq_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(s > 0.0 for s in sims)
