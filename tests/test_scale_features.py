@@ -148,3 +148,43 @@ def test_q21_has_no_expand(spark, sf_correct_dir):
         catalog.CATALOG["q21_sole_late_supplier"].fn(spark, sf_correct_dir)
     )
     assert "Expand" not in plan
+
+
+def test_latest_state_has_partial_aggregation(spark, sf_correct_dir):
+    """The struct-max formulation must compile to a partial+final aggregate
+    pair around ONE exchange (map-side pre-reduction) — the reason it beats
+    a row_number window at scale."""
+    from bigdataingestion_spark import catalog
+
+    plan = _executed_plan(
+        catalog.CATALOG["events_latest_state"].fn(spark, sf_correct_dir)
+    )
+    aggs = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    assert len(aggs) >= 2, plan  # partial + final
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan
+
+
+def test_zscore_outliers_broadcasts_stats(spark, sf_correct_dir):
+    """The per-type stats frame joins back via broadcast — the fact scan
+    must not shuffle for the join."""
+    from bigdataingestion_spark import catalog
+
+    plan = _executed_plan(
+        catalog.CATALOG["events_zscore_outliers"].fn(spark, sf_correct_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_int8_is_shuffle_free(spark, sf_correct_dir):
+    """Elementwise quantization must stay narrow: no aggregate-induced
+    exchange (the only permitted exchange is _spread's small-input
+    round-robin repartition)."""
+    from bigdataingestion_spark import catalog
+
+    plan = _executed_plan(
+        catalog.CATALOG["embedding_quantize_int8"].fn(spark, sf_correct_dir)
+    )
+    assert "hashpartitioning" not in plan, plan
+    assert "Window" not in plan and "Sort" not in plan
