@@ -3589,6 +3589,39 @@ def embedding_pq_topk(spark, sf_dir):
     )
 
 
+@register(
+    "docs_temperature_sample",
+    """
+    WITH shares AS (
+      SELECT source, count(*) * 1.0 / sum(count(*)) OVER () AS share
+      FROM documents GROUP BY source
+    ),
+    rel AS (
+      SELECT source, share,
+             (sqrt(share) / sum(sqrt(share)) OVER ()) / share AS r
+      FROM shares
+    ),
+    rates AS (SELECT source, r / max(r) OVER () AS keep_rate FROM rel)
+    SELECT d.source, count(*) AS n_kept,
+           round(n.keep_rate, 6) AS keep_rate
+    FROM documents d JOIN rates n ON d.source = n.source
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000) / 1000000.0 < n.keep_rate
+    GROUP BY d.source, n.keep_rate
+    """,
+)
+def docs_temperature_sample(spark, sf_dir):
+    """[EXT] Temperature-flattened (T=2) source-mix resampling: rare
+    sources keep everything, dominant sources are hash-gated down toward a
+    sqrt-flattened mix — the corpus-rebalancing pass of a training
+    pipeline. Rate table broadcast; the gate is a deterministic narrow
+    filter (operators.text.temperature_sample)."""
+    sampled = text.temperature_sample(_t(spark, sf_dir, "documents"))
+    return sampled.groupBy("source", F.round("keep_rate", 6).alias("keep_rate")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    ).select("source", "n_kept", "keep_rate")
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================

@@ -424,3 +424,38 @@ def pack_sequences(
         F.expr(f"_prev div {int(budget)}").alias("seq_id"),
         F.expr(f"_prev % {int(budget)}").alias("token_offset"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-flattened source mixing (T=2, i.e. target share ∝
+    sqrt(actual share)) via deterministic hash-gate sampling: per source,
+    keep-rate ∝ target_share / actual_share, normalized so the rarest
+    source keeps everything; a doc survives when its md5-fraction is below
+    its source's rate. sqrt (not pow) keeps the rate arithmetic
+    correctly-rounded and therefore bit-identical across engines.
+
+    Scale shape: the rate table is one row per source (broadcast); the
+    gate is a narrow filter at the scan — no seed, no shuffle, and
+    reshuffle-proof (membership depends only on doc_id). Appends
+    ``keep_rate`` so downstream stages can importance-weight.
+    """
+    w = Window.partitionBy()
+    rates = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_share", F.col("_n") / F.sum("_n").over(w))
+        .withColumn("_rel", (F.sqrt("_share") / F.sum(F.sqrt("_share")).over(w)) / F.col("_share"))
+        .withColumn("keep_rate", F.col("_rel") / F.max("_rel").over(w))
+        .select(source_col, "keep_rate")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % resolution
+    ) / float(resolution)
+    return df.join(F.broadcast(rates), source_col).filter(frac < F.col("keep_rate"))

@@ -542,3 +542,22 @@ def test_pq_topk_ranks_query_cluster_first(spark):
     sims = [r.pq_sim for r in out]
     assert sims == sorted(sims, reverse=True)
     assert all(s > 0.0 for s in sims)
+
+
+def test_temperature_sample_flattens_mix(spark):
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "rare") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = text.temperature_sample(df)
+    rates = {
+        r.source: r.keep_rate for r in out.select("source", "keep_rate").distinct().collect()
+    }
+    # rarest source keeps everything; dominant source is downsampled
+    assert abs(rates["rare"] - 1.0) < 1e-9
+    assert rates["big"] < 1.0
+    kept = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in kept}
+    assert counts["rare"] == 10
+    assert counts["big"] < 200
+    # deterministic: same membership on rerun
+    again = {r.doc_id for r in text.temperature_sample(df).select("doc_id").collect()}
+    assert again == {r.doc_id for r in out.select("doc_id").collect()}
