@@ -3622,6 +3622,51 @@ def docs_temperature_sample(spark, sf_dir):
     ).select("source", "n_kept", "keep_rate")
 
 
+def _minhash_incremental_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+    band_rows = ", ".join(
+        f"({b}, md5(concat_ws(',', {', '.join(sig_cols[b * r:(b + 1) * r])})))"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sn.{c} = sc.{c} THEN 1 ELSE 0 END" for c in sig_cols
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql(num_hashes)}),
+    buckets AS (
+      SELECT doc_id, b.band, b.key
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, key)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM buckets n JOIN buckets c
+        ON n.band = c.band AND n.key = c.key
+      WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    )
+    SELECT new_id, corpus_id,
+           round(({matches}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig sn ON cand.new_id = sn.doc_id
+    JOIN sig sc ON cand.corpus_id = sc.doc_id
+    """
+
+
+@register("minhash_incremental_pairs", _minhash_incremental_sql())
+def minhash_incremental_pairs(spark, sf_dir):
+    """[EXT] Incremental batch-vs-corpus near-dup gate: odd doc_ids play
+    the incoming micro-batch, even ids the existing corpus; banded
+    signature probe join, batch-side-only hashing at scale
+    (operators.dedup.minhash_incremental_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_incremental_pairs(
+        corpus=docs.filter(F.col("doc_id") % 2 == 0),
+        batch=docs.filter(F.col("doc_id") % 2 == 1),
+        num_hashes=16,
+        bands=4,
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================

@@ -243,6 +243,33 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _banded_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """(id, sig array, band, key) bucket rows: the signature is cut into
+    ``bands`` bands and each band md5-keyed. Every bucket row carries the
+    full signature array so candidate scoring needs no post-join (16 longs
+    per row — cheap in the shuffle)."""
+    rows_per_band = num_hashes // bands
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+    band_exprs = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(c) for c in sig_cols]).alias("sig"),
+        F.explode(F.array(*band_exprs)).alias("bk"),
+    ).select(
+        id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 16,
@@ -260,28 +287,8 @@ def minhash_lsh_pairs(
     signature positions).
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
-    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
-
-    band_exprs = []
-    for b in range(bands):
-        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        band_exprs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("key"),
-            )
-        )
-    # each bucket row carries the full signature array so no post-join is
-    # needed to score candidates (16 longs per row — cheap in the shuffle)
-    buckets = sig.select(
-        F.col(id_col),
-        F.array(*[F.col(c) for c in sig_cols]).alias("sig"),
-        F.explode(F.array(*band_exprs)).alias("bk"),
-    ).select(
-        id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = _banded_buckets(sig, num_hashes, bands, id_col)
 
     a = buckets.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
@@ -308,6 +315,61 @@ def minhash_lsh_pairs(
     # score; one aggregate dedupes (replaces distinct + two signature joins)
     return pairs.groupBy("id_a", "id_b").agg(
         F.first("est_jaccard").alias("est_jaccard")
+    )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup check: candidate pairs between a NEW document
+    batch and the EXISTING corpus — the dedup gate a production ingest runs
+    per micro-batch (the EXT twin of the reference's watermark-incremental
+    load: only the increment is hashed, never the corpus).
+
+    Returns (new_id, corpus_id, est_jaccard). At scale the corpus side is
+    a PERSISTED banded-signature index (this function recomputes it from
+    text for self-containment; materialize ``_banded_buckets(sig)`` once
+    and append per batch in production), so a batch ingest costs
+    O(|batch|) hashing plus a probe join that touches only colliding
+    buckets — with a small batch, the batch side broadcasts and the corpus
+    index never shuffles.
+    """
+    assert num_hashes % bands == 0
+    cb = _banded_buckets(
+        minhash_signatures(corpus, num_hashes, text_col, id_col, n),
+        num_hashes, bands, id_col,
+    ).select(
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_c"),
+        "band", "key",
+    )
+    nb = _banded_buckets(
+        minhash_signatures(batch, num_hashes, text_col, id_col, n),
+        num_hashes, bands, id_col,
+    ).select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_n"),
+        "band", "key",
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_n"), F.col("sig_c"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        nb.join(cb, on=["band", "key"])
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 

@@ -561,3 +561,18 @@ def test_temperature_sample_flattens_mix(spark):
     # deterministic: same membership on rerun
     again = {r.doc_id for r in text.temperature_sample(df).select("doc_id").collect()}
     assert again == {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_minhash_incremental_finds_cross_side_dup(docs):
+    # doc 1 (odd -> batch) is an exact dup of doc 2 (even -> corpus);
+    # incremental probe must surface it without pairing corpus docs together
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs = {
+        (r.new_id, r.corpus_id): r.est_jaccard
+        for r in dedup.minhash_incremental_pairs(
+            corpus, batch, num_hashes=16, bands=4
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert all(n % 2 == 1 and c % 2 == 0 for n, c in pairs)
