@@ -3667,6 +3667,41 @@ def minhash_incremental_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "docs_boilerplate_ngrams",
+    f"""
+    WITH words AS (
+      SELECT doc_id, source,
+             regexp_split_to_array({_NORM_SQL}, ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+             )) AS gram
+      FROM words WHERE len(w) >= 3
+    ),
+    pg AS (SELECT source, gram, count(*) AS n_docs FROM sh GROUP BY 1, 2),
+    tot AS (SELECT source, count(*) AS total FROM documents GROUP BY source)
+    SELECT source, gram, n_docs,
+           round(n_docs * 1.0 / total, 6) AS doc_frac
+    FROM pg JOIN tot USING (source)
+    WHERE n_docs >= total * 0.08
+    ORDER BY n_docs * 1.0 / total DESC, source, gram
+    LIMIT 20
+    """,
+)
+def docs_boilerplate_ngrams(spark, sf_dir):
+    """[EXT] Per-source boilerplate detection: trigrams present in >=8% of
+    a source's documents — the template/disclaimer signal a cleaner strips
+    before dedup (the analysis face of the hot-shingle cap). Per-source
+    totals broadcast; top-20 cut ranked on the exact integer ratio
+    (operators.text.boilerplate_ngrams)."""
+    return text.boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=3, min_frac=0.08, top_n=20
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================

@@ -459,3 +459,57 @@ def temperature_sample(
         % resolution
     ) / float(resolution)
     return df.join(F.broadcast(rates), source_col).filter(frac < F.col("keep_rate"))
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_frac: float = 0.3,
+    top_n: int = 20,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source boilerplate detection: n-grams present in at least
+    ``min_frac`` of a source's documents — headers, disclaimers, and
+    template fragments a cleaning pipeline strips before dedup (ubiquitous
+    grams also poison similarity joins; this is the analysis face of the
+    hot-shingle cap in ``dedup.ngram_jaccard_pairs``).
+
+    One explode -> distinct (source, gram, doc) -> (source, gram) count;
+    the per-source doc totals are a tiny broadcast frame. Ranking runs on
+    the exact integer ratio (no float in the cut), then source/gram — a
+    deterministic top-N across engines.
+    """
+    from bigdataingestion_spark.operators.dedup import word_shingles
+
+    words = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    grams = words.select(
+        id_col, "source", F.explode(word_shingles(F.col("_w"), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("n_docs")  # shingles are distinct per doc
+    )
+    totals = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("_total")
+    )
+    hits = (
+        per_gram.join(F.broadcast(totals), "source")
+        .filter(F.col("n_docs") >= F.col("_total") * min_frac)
+    )
+    return (
+        hits.orderBy(
+            F.desc(F.col("n_docs") / F.col("_total")), "source", "gram"
+        )
+        .limit(top_n)
+        .select(
+            "source",
+            "gram",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_frac"),
+        )
+    )

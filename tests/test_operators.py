@@ -576,3 +576,14 @@ def test_minhash_incremental_finds_cross_side_dup(docs):
     }
     assert pairs[(1, 2)] == 1.0
     assert all(n % 2 == 1 and c % 2 == 0 for n, c in pairs)
+
+
+def test_boilerplate_ngrams_flags_template(spark):
+    rows = [(i, "srcA", f"standard legal disclaimer text unique{i} tail{i}") for i in range(10)]
+    rows += [(100 + i, "srcB", f"organic{i} words{i} only{i} here{i} now{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = text.boilerplate_ngrams(df, n=3, min_frac=0.5, top_n=10).collect()
+    flagged = {(r.source, r.gram) for r in out}
+    assert ("srcA", "standard legal disclaimer") in flagged
+    assert all(r.source == "srcA" for r in out)  # srcB has no shared trigram
+    assert all(r.doc_frac >= 0.5 for r in out)
