@@ -3773,7 +3773,11 @@ _GATE_FIRST = [
     # Exactly 50 names: never-gated r4 queries take priority over three
     # stale-evidence rows (events_props_map, events_json_avg,
     # orders_with_late_lineitems — catalog-only code untouched since their
-    # r1 green rows; they rotate back in r5).
+    # r1 green rows). Those three plus the six queries added after the
+    # window filled (events_value_histogram, embedding_pq_codes,
+    # embedding_pq_topk, docs_temperature_sample,
+    # minhash_incremental_pairs, docs_boilerplate_ngrams) are the r5
+    # rotation queue — see COVERAGE.md.
 ]
 
 
