@@ -517,6 +517,8 @@ def pq_topk(
         .select(F.transform(F.col(vec_col), lambda x: x.cast("double")))
         .first()
     )
+    if qrow is None:
+        raise ValueError(f"pq_topk: query_id {query_id!r} not found in {id_col}")
     qv = list(qrow[0])
     qnorm = sum(x * x for x in qv) ** 0.5
     luts = []
