@@ -99,3 +99,30 @@ def test_zorder_rewrite_narrows_both_dims(spark, tmp_path):
     zy = mean_span_frac(1, 0, 96)
     assert zx < 0.5, zx
     assert zy < 0.5, zy
+
+
+def test_zorder_skewed_column_stays_balanced(spark, tmp_path):
+    """90% of x mass on one value: rank-based (approxQuantile) boundaries
+    collapse x's hot buckets, but the interleaved y bits still spread rows
+    so no output file becomes a hot blob."""
+    from bigdataingestion_spark.sinks.zorder import zorder_rewrite
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, 0.0)
+        .otherwise((F.col("id") % 1000).cast("double"))
+        .alias("x"),
+        (F.col("id") % 251).cast("double").alias("y"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "zskew")
+    df.repartition(4).write.parquet(path)
+    zorder_rewrite(spark, path, ["x", "y"], bits=4, num_files=8)
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    import pyarrow.parquet as pq
+
+    rows_per_file = [
+        pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path)
+    ]
+    assert max(rows_per_file) < 10_000 * 0.5, rows_per_file
