@@ -3702,6 +3702,43 @@ def docs_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+@register(
+    "docs_length_profile",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS mean_chars,
+           round(stddev_samp(n_chars), 6) AS std_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.90), 6) AS p90,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_length_profile(spark, sf_dir):
+    """[EXT] Per-language length profile (the describe() panel of a corpus
+    quality dashboard): count/mean/std plus EXACT linear-interpolated
+    percentiles — Spark `percentile` and DuckDB `quantile_cont` share the
+    interpolation definition, verified bit-equal on the fixtures. Exact
+    percentiles sort within groups; at 100 TB swap to approx_percentile
+    and relax the oracle (the approx variant is events_approx_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("std_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("p90"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
