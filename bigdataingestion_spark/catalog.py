@@ -3739,6 +3739,95 @@ def docs_length_profile(spark, sf_dir):
     )
 
 
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), CAST('2001-01-01' AS TIMESTAMP))
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 4) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+      FROM rfm
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           count(*) AS n_customers,
+           round(avg(monetary), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """[EXT] RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (ntile with id tiebreak for engine-determinism), rolled up to
+    segment sizes. The quartile windows run on the POST-aggregate frame
+    (one row per customer); at larger scale swap ntile for approx-quantile
+    cut points to avoid the single-partition ordering."""
+    o = _t(spark, sf_dir, "orders")
+    ref = F.lit("2001-01-01").cast("timestamp")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(ref, F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.col("o_custkey"))).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.col("o_custkey"))).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    t AS (
+      SELECT src, dst, count(*) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM t
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """[EXT] First-order event-type transition matrix from per-user
+    sequences — the behavioral-modeling prep of a clickstream pipeline.
+    One user-keyed window (the sequence shuffle), one pair aggregate; the
+    normalizing window runs over the |types|^2 transition frame, not the
+    event log."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("src")
+    return t.select(
+        "src", "dst", "n",
+        F.round(F.col("n") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
