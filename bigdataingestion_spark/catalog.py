@@ -3828,6 +3828,150 @@ def events_markov_transitions(spark, sf_dir):
     )
 
 
+@register(
+    "customer_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(min(year(o_orderdate)) AS INT) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+      SELECT f.cohort_year, CAST(year(o.o_orderdate) AS INT) AS order_year,
+             CAST(sum(1) AS BIGINT) AS n_orders,
+             round(sum(o.o_totalprice), 4) AS revenue
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort_year, order_year, n_orders, revenue,
+           round(sum(revenue) OVER (
+             PARTITION BY cohort_year ORDER BY order_year
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS cum_revenue
+    FROM spend
+    """,
+)
+def customer_cohort_ltv(spark, sf_dir):
+    """[EXT] Cohort lifetime value: customers grouped by first-order year,
+    revenue tracked per subsequent year with a cumulative sum — the LTV
+    curve panel. The cohort map is one aggregate (AQE-broadcastable), the
+    cumulative window runs over the tiny cohort x year frame. The window
+    sums the 4dp-ROUNDED yearly revenue so both engines accumulate
+    identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("cohort_year")
+    )
+    spend = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_year", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("order_year")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spend.select(
+        "cohort_year", "order_year", "n_orders", "revenue",
+        F.round(F.sum("revenue").over(w), 4).alias("cum_revenue"),
+    )
+
+
+@register(
+    "events_error_runs",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ) AS grp
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, count(*) AS run_len
+      FROM marked WHERE event_type = 'error'
+      GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS longest_error_run,
+           CAST(count(*) AS BIGINT) AS n_error_runs
+    FROM runs GROUP BY user_id
+    """,
+)
+def events_error_runs(spark, sf_dir):
+    """[EXT] Gaps-and-islands: longest consecutive error streak per user
+    (the alerting signal "N errors in a row"). The row_number-difference
+    trick turns runs into group keys with two windows sharing ONE
+    user-keyed shuffle; everything after is integer aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = (
+        marked.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_error_run"),
+        F.count(F.lit(1)).alias("n_error_runs"),
+    )
+
+
+@register(
+    "corpus_zipf_fit",
+    f"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word
+      FROM documents
+    ),
+    freq AS (
+      SELECT word, count(*) AS n FROM words WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+      FROM freq QUALIFY row_number() OVER (ORDER BY n DESC, word) <= 100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept
+    FROM ranked
+    """,
+)
+def corpus_zipf_fit(spark, sf_dir):
+    """[EXT] Zipf rank-frequency fit over the top-100 terms: built-in
+    least-squares aggregates (regr_slope/regr_intercept) on ln(freq) vs
+    ln(rank) — the sanity panel that flags synthetic or boilerplate-heavy
+    corpora (natural text slopes near -1). Rank cut is deterministic
+    (integer count, word tiebreak); the regression runs on a 100-row
+    frame."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(text.normalize_text(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        freq.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.col("word")))
+        )
+        .filter(F.col("rank") <= 100)
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("n"), F.log("rank")), 6).alias("zipf_intercept"),
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
