@@ -3989,26 +3989,15 @@ _GATE_FIRST = [
     # the sessionization pair in-window one more round
     "user_sessions",
     "user_sessions_native",
-    # the 30 queries whose driver evidence predates round-3 churn (gated
-    # only in r1/r2; rotated out by r3's _GATE_FIRST) — rotate back in so
-    # every query has a green driver row dated r3-or-later
+    # stale-evidence queries whose MODULE was touched in r3/r4 churn (or
+    # whose oracle semantics are delicate): keep in-window for fresh rows.
+    # Catalog-only queries untouched since their r1/r2 green rows are
+    # displaced by never-gated queries (see queue note below).
     "events_approx_stats",
-    "customers_without_orders",
-    "lineitem_rollup_by_year_month",
-    "events_value_percentiles",
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "top_parts_by_revenue",
-    "small_quantity_revenue",
-    "ingest_next_surrogate_key",
     "text_quality_stats",
     "lang_histogram",
-    "doc_fingerprints",
     "training_data_pipeline",
-    "docs_chunked",
     "docs_bigram_quality",
-    "dedup_exact_survivors",
-    "dedup_exact_groups",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -4040,14 +4029,30 @@ _GATE_FIRST = [
     "orders_yoy_growth",
     "events_zscore_outliers",
     "embedding_quantize_int8",
-    # Exactly 50 names: never-gated r4 queries take priority over three
-    # stale-evidence rows (events_props_map, events_json_avg,
-    # orders_with_late_lineitems — catalog-only code untouched since their
-    # r1 green rows). Those three plus the six queries added after the
-    # window filled (events_value_histogram, embedding_pq_codes,
-    # embedding_pq_topk, docs_temperature_sample,
-    # minhash_incremental_pairs, docs_boilerplate_ngrams) are the r5
-    # rotation queue — see COVERAGE.md.
+    "events_value_histogram",
+    "embedding_pq_codes",
+    "embedding_pq_topk",
+    "docs_temperature_sample",
+    "minhash_incremental_pairs",
+    "docs_boilerplate_ngrams",
+    "docs_length_profile",
+    "customer_rfm_segments",
+    "events_markov_transitions",
+    "customer_cohort_ltv",
+    "events_error_runs",
+    "corpus_zipf_fit",
+    # Exactly 50 names. Every never-gated r4 query is in-window (zero
+    # driver evidence beats stale-green). The r5 rotation queue (all with
+    # r1/r2 driver-green rows and catalog-only code untouched since):
+    # events_props_map, events_json_avg, orders_with_late_lineitems,
+    # customers_without_orders, lineitem_rollup_by_year_month,
+    # events_value_percentiles, orders_status_pivot, orders_status_unpivot,
+    # top_parts_by_revenue, small_quantity_revenue,
+    # ingest_next_surrogate_key, doc_fingerprints, docs_chunked,
+    # dedup_exact_survivors, dedup_exact_groups, minhash_signatures,
+    # simhash64, asof_last_purchase, events_range_pairs,
+    # events_multires_rollup, corpus_token_frequency,
+    # embedding_cosine_topk, embedding_cosine_topk_arrow — see COVERAGE.md.
 ]
 
 
