@@ -725,6 +725,58 @@ def streaming_user_sessions(spark, sf_dir):
 
 
 @register(
+    "streaming_click_attribution",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(c.ts_us AS BIGINT) AS click_us,
+           CAST(p.ts_us AS BIGINT) AS purchase_us
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts_us >= c.ts_us
+     AND p.ts_us <= c.ts_us + 1800000000
+    """,
+)
+def streaming_click_attribution(spark, sf_dir):
+    """REAL stream-stream interval join inside the gate: two watermarked
+    streams over the events table (clicks and purchases), inner-joined on
+    user with purchase time bounded to [click, click + 30 min], run as an
+    availableNow micro-batch stream to an in-memory sink
+    (streaming.ingest.stream_stream_join) and compared against the batch
+    interval-join oracle. Timestamps compared as epoch micros on BOTH
+    sides (nanos parquet floors to micros identically in each engine)."""
+    import tempfile
+    import uuid
+
+    from bigdataingestion_spark.streaming.ingest import stream_stream_join
+
+    name = f"attr_gate_{uuid.uuid4().hex[:8]}"
+    src = os.path.join(sf_dir, "events.parquet")
+    q = stream_stream_join(
+        spark,
+        src,
+        checkpoint_dir=tempfile.mkdtemp(prefix="bdi_ck_"),
+        within="30 minutes",
+        queryName=name,
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+
+
+@register(
     "events_approx_stats",
     """
     SELECT event_type,

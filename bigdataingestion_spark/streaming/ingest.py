@@ -225,3 +225,81 @@ def stream_session_windows(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    fmt: str = "parquet",
+    queryName: str = "stream_join",
+) -> StreamingQuery:
+    """Watermarked stream-stream interval join: attribute each right-side
+    event (purchase) to the left-side events (clicks) by the same key that
+    happened within ``within`` before it.
+
+    Both sides carry an event-time watermark and the join condition bounds
+    ``right_ts`` to ``[left_ts, left_ts + within]`` — together these let
+    Spark evict join state once the watermark passes a row's match horizon,
+    so state is bounded by (watermark lag + within) x arrival rate rather
+    than growing with the whole stream. Without the time bound (or with
+    only one watermark) Spark would have to buffer every row forever —
+    the difference between a 100 TB attribution join that runs 24/7 and
+    one that OOMs in an hour. Append mode emits each matched pair exactly
+    once (inner joins emit only when a match is final).
+    """
+    import os
+
+    probe = spark.read.format(fmt).load(source_dir)
+
+    def side(etype: str, prefix: str) -> DataFrame:
+        reader = spark.readStream.format(fmt).schema(probe.schema)
+        if os.path.isfile(source_dir):
+            reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
+            s = reader.load(os.path.dirname(source_dir))
+        else:
+            s = reader.load(source_dir)
+        if dict(probe.dtypes).get(ts_col) == "bigint":
+            s = s.withColumn(
+                ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
+            )
+        # filter BEFORE the stateful join: only matching-type rows enter
+        # join state (at scale the type predicate also prunes at the scan)
+        return (
+            s.filter(F.col(type_col) == etype)
+            .select(
+                F.col(key_col).alias(f"{prefix}_key"),
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(ts_col).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", WATERMARK_LAG)
+        )
+
+    left, right = side(left_type, "left"), side(right_type, "right")
+    cond = (
+        (F.col("left_key") == F.col("right_key"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    joined = left.join(right, cond, "inner").select(
+        F.col("left_key").alias(key_col),
+        F.col("left_id").alias(f"{left_type}_id"),
+        F.col("right_id").alias(f"{right_type}_id"),
+        F.col("left_ts").alias(f"{left_type}_ts"),
+        F.col("right_ts").alias(f"{right_type}_ts"),
+    )
+    return (
+        joined.writeStream.format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

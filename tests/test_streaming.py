@@ -57,6 +57,41 @@ def test_stream_windowed_counts_matches_batch(spark, tmp_path, landing):
     assert streamed.agg(F.sum("cnt")).first()[0] == ev.count()
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path, landing):
+    """Watermarked click->purchase interval join equals the batch join,
+    including when the file source splits input across micro-batches."""
+    from bigdataingestion_spark.streaming.ingest import stream_stream_join
+
+    src, ev = landing
+    q = stream_stream_join(
+        spark, src, str(tmp_path / "ckpt_ssj"), queryName="ssj_test"
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("ssj_test")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    assert streamed.count() == batch.count()
+    s_pairs = {
+        (r.click_id, r.purchase_id) for r in streamed.collect()
+    }
+    b_pairs = {(r.c_id, r.p_id) for r in batch.collect()}
+    assert s_pairs == b_pairs
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Duplicate event_ids across micro-batch files collapse to one row."""
     import pyspark.sql.functions as F
