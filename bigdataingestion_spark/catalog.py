@@ -777,6 +777,56 @@ def streaming_click_attribution(spark, sf_dir):
 
 
 @register(
+    "streaming_cdc_latest_state",
+    """
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_cdc_latest_state(spark, sf_dir):
+    """REAL streaming CDC upsert inside the gate: the events table staged
+    as a 4-file change-log landing zone, streamed one file per micro-batch
+    through foreachBatch MERGE (streaming.ingest.stream_cdc_upsert,
+    latest-wins by (ts, event_id)) into a parquet lake table; the final
+    lake state must equal the batch latest-state oracle — same output
+    schema and oracle as ``events_latest_state``, proving the streaming
+    merge converges to the batch answer regardless of micro-batch
+    arrival order."""
+    import tempfile
+
+    from bigdataingestion_spark.streaming.ingest import stream_cdc_upsert
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    work = tempfile.mkdtemp(prefix="bdi_cdc_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ev.repartition(4).write.parquet(landing)
+    q = stream_cdc_upsert(
+        spark,
+        landing,
+        target,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
     "events_approx_stats",
     """
     SELECT event_type,

@@ -92,6 +92,52 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, landing):
     assert s_pairs == b_pairs
 
 
+def test_stream_cdc_upsert_converges_out_of_order(spark, tmp_path):
+    """foreachBatch ordered merge: newest version per key wins even when
+    micro-batches deliver versions out of time order, and redelivery is
+    idempotent."""
+    from bigdataingestion_spark.streaming.ingest import stream_cdc_upsert
+
+    src = tmp_path / "cdc_src"
+    # version 2 rows land in the FIRST file, version 1 in the second —
+    # maxFilesPerTrigger=1 streams them as separate, out-of-order batches
+    v2 = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit(2).alias("version"),
+        F.expr("timestamp_micros(cast(1700000200000000 + id as long))").alias("ts"),
+    )
+    v1 = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("version"),
+        F.expr("timestamp_micros(cast(1700000100000000 + id as long))").alias("ts"),
+    )
+    v2.coalesce(1).write.parquet(str(src))
+    v1.coalesce(1).write.mode("append").parquet(str(src))
+    target = str(tmp_path / "cdc_state")
+    q = stream_cdc_upsert(
+        spark,
+        str(src),
+        target,
+        str(tmp_path / "cdc_ckpt"),
+        keys=["k"],
+        order_cols=["ts"],
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 100
+    # keys 0-49 must hold version 2 (newer ts) even if v1's batch ran later
+    assert out.filter("k < 50").filter("version <> 2").count() == 0
+    assert out.filter("k >= 50").filter("version <> 1").count() == 0
+
+    # catch-up rerun: checkpoint skips processed files, state unchanged
+    q2 = stream_cdc_upsert(
+        spark, str(src), target, str(tmp_path / "cdc_ckpt"),
+        keys=["k"], order_cols=["ts"],
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 100
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Duplicate event_ids across micro-batch files collapse to one row."""
     import pyspark.sql.functions as F
