@@ -827,6 +827,60 @@ def streaming_cdc_latest_state(spark, sf_dir):
 
 
 @register(
+    "streaming_nation_purchases",
+    """
+    SELECT n.n_name, count(*) AS n_purchases,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY n.n_name
+    """,
+)
+def streaming_nation_purchases(spark, sf_dir):
+    """REAL stream-static enrichment inside the gate: purchase events
+    streamed (availableNow) and joined per micro-batch against the
+    broadcast customer->nation dimension chain
+    (streaming.ingest.stream_static_enrich), then a batch rollup of the
+    enriched sink to purchases per nation — the lookup/enrichment stage
+    of an event pipeline, validated against the batch three-way-join
+    oracle. Completes the streaming join coverage: stream-stream
+    (streaming_click_attribution) and stream-static (here)."""
+    import uuid
+
+    from bigdataingestion_spark.streaming.ingest import stream_static_enrich
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    name = f"enrich_gate_{uuid.uuid4().hex[:8]}"
+    q = stream_static_enrich(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        dim,
+        on=F.col("user_id") == F.col("c_custkey"),
+        select_cols=[F.col("n_name"), F.col("value")],
+        row_filter=F.col("event_type") == "purchase",
+        queryName=name,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
     "events_approx_stats",
     """
     SELECT event_type,

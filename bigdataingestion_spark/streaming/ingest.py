@@ -20,7 +20,7 @@ pipeline uses for rollups (state is bounded by the watermark horizon).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -299,6 +299,52 @@ def stream_stream_join(
         joined.writeStream.format("memory")
         .queryName(queryName)
         .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    on: Column,
+    select_cols: list[Column],
+    row_filter: Column | None = None,
+    fmt: str = "parquet",
+    queryName: str = "stream_enrich",
+    ts_col: str = "ts",
+) -> StreamingQuery:
+    """Stream-static join: enrich a stream against a batch dimension table.
+
+    The static side is re-read per micro-batch (so slowly-changing dims
+    pick up updates between batches) and explicitly broadcast — the stream
+    never shuffles for the join, which at 100 TB/day is the difference
+    between a narrow per-batch map join and repartitioning the firehose.
+    Stateless, so append mode needs no watermark. This is the third join
+    shape Structured Streaming offers (static-static, stream-stream,
+    stream-static) — the lookup/enrichment stage every event pipeline has.
+    """
+    import os
+
+    probe = spark.read.format(fmt).load(source_dir)
+    reader = spark.readStream.format(fmt).schema(probe.schema)
+    if os.path.isfile(source_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
+        stream = reader.load(os.path.dirname(source_dir))
+    else:
+        stream = reader.load(source_dir)
+    if dict(probe.dtypes).get(ts_col) == "bigint":
+        stream = stream.withColumn(
+            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
+        )
+    if row_filter is not None:
+        stream = stream.filter(row_filter)
+    enriched = stream.join(F.broadcast(dim), on, "inner").select(*select_cols)
+    return (
+        enriched.writeStream.format("memory")
+        .queryName(queryName)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

@@ -92,6 +92,32 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, landing):
     assert s_pairs == b_pairs
 
 
+def test_stream_static_enrich_matches_batch(spark, tmp_path, landing, sf_smoke_dir):
+    """Per-batch broadcast enrichment equals the batch join."""
+    from bigdataingestion_spark.streaming.ingest import stream_static_enrich
+
+    src, ev = landing
+    dim = load_table(spark, sf_smoke_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    q = stream_static_enrich(
+        spark,
+        src,
+        dim,
+        on=F.col("user_id") == F.col("c_custkey"),
+        select_cols=[F.col("event_id"), F.col("c_nationkey")],
+        row_filter=F.col("event_type") == "purchase",
+        queryName="enrich_test",
+    )
+    q.awaitTermination(120)
+    batch_n = (
+        ev.filter("event_type = 'purchase'")
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .count()
+    )
+    assert spark.table("enrich_test").count() == batch_n
+
+
 def test_stream_cdc_upsert_converges_out_of_order(spark, tmp_path):
     """foreachBatch ordered merge: newest version per key wins even when
     micro-batches deliver versions out of time order, and redelivery is
