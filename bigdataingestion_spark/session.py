@@ -24,6 +24,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or get) a SparkSession tuned for the ingestion/analytics engine.
 
@@ -57,6 +58,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if rocksdb_state:
+        # Streaming state off-heap in local RocksDB instead of the
+        # executor-heap HDFS-backed map: at 100 TB stream scale, stateful
+        # operators (sessionization, stream-stream joins, dedup) hold
+        # state bounded by disk, not executor memory, and changelog
+        # checkpointing keeps commits incremental. The provider conf is
+        # also settable per-query before ``start()`` (dynamic SQLConf).
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            "true",
+        )
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER_SET"):

@@ -164,6 +164,68 @@ def test_stream_cdc_upsert_converges_out_of_order(spark, tmp_path):
     assert spark.read.parquet(target).count() == 100
 
 
+def test_rocksdb_state_store_windowed_counts(spark, tmp_path, landing):
+    """Stateful windowed agg with the RocksDB state store provider (the
+    bounded-memory state backend for 100 TB streams) matches the event
+    count — provider conf is dynamic, set per-query before start()."""
+    src, ev = landing
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = stream_windowed_counts(
+            spark, src, str(tmp_path / "ckpt_rocks"), queryName="wc_rocks"
+        )
+        q.awaitTermination(120)
+        streamed = (
+            spark.table("wc_rocks")
+            .groupBy("window_start", "event_type")
+            .agg(F.max("cnt").alias("cnt"))
+        )
+        assert streamed.agg(F.sum("cnt")).first()[0] == ev.count()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_listener_audits_progress(spark, tmp_path, landing):
+    """AuditStreamingListener lands start/progress/termination records in
+    the same JSONL audit trail the batch pipeline writes."""
+    import json
+    import time
+
+    from bigdataingestion_spark.sinks.audit import AuditLog
+    from bigdataingestion_spark.streaming import AuditStreamingListener
+
+    src, ev = landing
+    audit_path = str(tmp_path / "audit" / "stream_audit.jsonl")
+    listener = AuditStreamingListener(AuditLog(path=audit_path))
+    spark.streams.addListener(listener)
+    try:
+        q = stream_windowed_counts(
+            spark, src, str(tmp_path / "ckpt_lst"), queryName="wc_audited"
+        )
+        q.awaitTermination(120)
+        # listener-bus delivery is async; poll briefly for the records
+        records = []
+        for _ in range(40):
+            if os.path.exists(audit_path):
+                with open(audit_path, encoding="utf-8") as f:
+                    records = [json.loads(line) for line in f]
+                if any("progress" in r["message"] for r in records) and any(
+                    "started" in r["message"] for r in records
+                ):
+                    break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert any("started" in r["message"] for r in records)
+    progress = [r for r in records if "progress" in r["message"]]
+    assert progress
+    assert sum(r["record_count"] for r in progress) == ev.count()
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Duplicate event_ids across micro-batch files collapse to one row."""
     import pyspark.sql.functions as F
