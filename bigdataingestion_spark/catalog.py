@@ -508,7 +508,12 @@ def user_sessions(spark, sf_dir):
     positive, post-1970 epochs in all fixtures) is kept as precision
     hygiene.
     """
-    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    # cast: unix_micros rejects TIMESTAMP_NTZ (the parquet dtype since the
+    # fixtures moved to us-precision); LTZ cast is wall-clock-preserving
+    # under the session's pinned UTC zone, and a no-op on LTZ input
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return (
         ev.withColumn("prev_us", F.lag("ts_us").over(w))

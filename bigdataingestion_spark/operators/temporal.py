@@ -150,8 +150,10 @@ def range_join_bucketed(
     blowup is bounded per (key, bucket) cell instead of per key.
     """
     # exact integer microseconds: casting timestamps to double loses
-    # precision at epoch scale (1.7e9 s + 6 fractional digits = 16 sig digits)
-    micros = F.unix_micros(F.col(ts_col))
+    # precision at epoch scale (1.7e9 s + 6 fractional digits = 16 sig digits).
+    # The LTZ cast keeps unix_micros legal on TIMESTAMP_NTZ columns
+    # (wall-clock preserving under the session's pinned UTC zone).
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
     bucket = F.floor(micros / (window_seconds * 1_000_000))
     a = df.select(
         F.col(key).alias("_k"),

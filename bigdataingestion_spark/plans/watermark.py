@@ -36,7 +36,12 @@ def heuristic_watermark_columns(dtypes: list[tuple[str, str]]) -> list[str]:
     cols: list[str] = []
     for name, dtype in dtypes:
         low = name.lower()
-        if dtype == "timestamp" and low.startswith(TIMESTAMP_PREFIXES):
+        # Spark 4 reads parquet timestamps with isAdjustedToUTC=false as
+        # TIMESTAMP_NTZ; the reference ran on Spark 3 where every timestamp
+        # was LTZ, so both dtypes are "a timestamp column" for this heuristic.
+        if dtype in ("timestamp", "timestamp_ntz") and low.startswith(
+            TIMESTAMP_PREFIXES
+        ):
             cols.append(name)
         elif dtype == "date" and low.startswith(DATE_PREFIXES):
             cols.append(name)

@@ -27,6 +27,23 @@ from pyspark.sql.streaming import StreamingQuery
 WATERMARK_LAG = "80 hours"  # reference ING:350 (DATEADD(hour,-80,...))
 
 
+def _normalize_event_time(df: DataFrame, ts_col: str, probe_dtypes: dict) -> DataFrame:
+    """Make ``ts_col`` a TIMESTAMP (LTZ) event-time column.
+
+    Raw ns-long parquet columns are converted (see ``functions.io``); parquet
+    timestamps with isAdjustedToUTC=false load as TIMESTAMP_NTZ, which
+    streaming watermarks/windows reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    — cast to LTZ. Sessions here pin ``spark.sql.session.timeZone=UTC``
+    (``session.py``), so the cast is wall-clock preserving.
+    """
+    dt = probe_dtypes.get(ts_col)
+    if dt == "bigint":
+        return df.withColumn(ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_file_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -50,11 +67,7 @@ def stream_file_ingest(
         .option("maxFilesPerTrigger", 64)
         .load(source_dir)
     )
-    if dict(probe.dtypes).get(ts_col) == "bigint":
-        # ns-timestamp parquet read as raw longs (see functions.io)
-        stream = stream.withColumn(
-            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
-        )
+    stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     stream = stream.withColumn("_ingest_date", F.to_date(F.col(ts_col)))
     writer = (
         stream.writeStream.format(fmt)
@@ -96,11 +109,7 @@ def stream_windowed_counts(
         stream = reader.load(os.path.dirname(source_dir))
     else:
         stream = reader.load(source_dir)
-    if dict(probe.dtypes).get(ts_col) == "bigint":
-        # ns-timestamp parquet read as raw longs (see functions.io) — convert
-        stream = stream.withColumn(
-            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
-        )
+    stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     stream = (
         stream.withWatermark(ts_col, WATERMARK_LAG)
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
@@ -151,10 +160,7 @@ def stream_dedup_to_lake(
     """
     probe = spark.read.format(fmt).load(source_dir)
     stream = spark.readStream.format(fmt).schema(probe.schema).load(source_dir)
-    if dict(probe.dtypes).get(ts_col) == "bigint":
-        stream = stream.withColumn(
-            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
-        )
+    stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     deduped = stream.withWatermark(ts_col, WATERMARK_LAG).dropDuplicatesWithinWatermark(
         id_cols
     )
@@ -202,10 +208,7 @@ def stream_session_windows(
         stream = reader.load(os.path.dirname(source_dir))
     else:
         stream = reader.load(source_dir)
-    if dict(probe.dtypes).get(ts_col) == "bigint":
-        stream = stream.withColumn(
-            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
-        )
+    stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     sessions = (
         stream.groupBy(
             F.session_window(F.col(ts_col), gap).alias("sess"),
@@ -266,10 +269,7 @@ def stream_stream_join(
             s = reader.load(os.path.dirname(source_dir))
         else:
             s = reader.load(source_dir)
-        if dict(probe.dtypes).get(ts_col) == "bigint":
-            s = s.withColumn(
-                ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
-            )
+        s = _normalize_event_time(s, ts_col, dict(probe.dtypes))
         # filter BEFORE the stateful join: only matching-type rows enter
         # join state (at scale the type predicate also prunes at the scan)
         return (
@@ -335,10 +335,7 @@ def stream_static_enrich(
         stream = reader.load(os.path.dirname(source_dir))
     else:
         stream = reader.load(source_dir)
-    if dict(probe.dtypes).get(ts_col) == "bigint":
-        stream = stream.withColumn(
-            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
-        )
+    stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     if row_filter is not None:
         stream = stream.filter(row_filter)
     enriched = stream.join(F.broadcast(dim), on, "inner").select(*select_cols)
