@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdataingestion_spark.functions.io import load_table
-from bigdataingestion_spark.operators import dedup, multimodal, similarity, temporal, text
+from bigdataingestion_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    temporal,
+    text,
+)
 
 # ---------------------------------------------------------------------------
 
@@ -4131,6 +4138,169 @@ def corpus_zipf_fit(spark, sf_dir):
         F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(F.log("n"), F.log("rank")), 6).alias("zipf_intercept"),
     )
+
+
+@register(
+    "docs_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word
+        FROM documents WHERE length({_NORM_SQL}) > 0
+      ) WHERE word <> ''
+    ),
+    vocab AS (
+      SELECT word FROM tok GROUP BY word
+      ORDER BY count(*) DESC, word LIMIT 100
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           count(CASE WHEN v.word IS NULL THEN 1 END) AS n_oov,
+           round(count(CASE WHEN v.word IS NULL THEN 1 END) * 1.0 / count(*), 6)
+             AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.doc_id
+    """,
+)
+def docs_vocab_coverage(spark, sf_dir):
+    """[EXT] Per-document OOV rate against the corpus top-100 vocabulary
+    (operators.text.vocab_coverage): the tokenizer-fit diagnostic of a
+    training pipeline. The vocabulary is a bounded top-k
+    (TakeOrderedAndProject) broadcast back over the token stream; the only
+    full-size shuffle is the per-document aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, top_k=100)
+
+
+@register(
+    "docs_weighted_sample",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 + 1) / 1000001.0) / n_chars AS es_key
+      FROM documents
+    ) ORDER BY es_key, doc_id LIMIT 25
+    """,
+)
+def docs_weighted_sample(spark, sf_dir):
+    """[EXT] Efraimidis-Spirakis weighted sampling without replacement
+    (operators.text.weighted_sample): char-count-weighted, seedless — the
+    md5-uniform key makes the sample identical across engines, reruns, and
+    partitionings. One distributed top-k, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.weighted_sample(docs, weight_col="n_chars", k=25).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "orders_in_flight_daily",
+    """
+    WITH iv AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(max(l.l_shipdate) AS DATE) AS end_day
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        SELECT start_day AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT end_day + 1 AS day, -1 AS delta FROM iv
+      ) GROUP BY day
+    )
+    SELECT day, CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS in_flight
+    FROM deltas
+    """,
+)
+def orders_in_flight_daily(spark, sf_dir):
+    """[EXT] Sweep-line interval concurrency
+    (operators.temporal.interval_concurrency_daily): per day, how many
+    orders are in flight (placed but not yet fully shipped — interval
+    o_orderdate .. max lineitem shipdate, inclusive). Deltas are
+    aggregated per day BEFORE the running sum, so the unpartitioned
+    cumulative window runs over the bounded day table, not the raw rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_ts"))
+    )
+    return temporal.interval_concurrency_daily(
+        iv, "o_orderdate", "end_ts"
+    ).withColumnRenamed("concurrent", "in_flight")
+
+
+_PR_N = "(SELECT n FROM nn)"
+
+
+@register(
+    "supplier_pagerank",
+    f"""
+    WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    e AS (
+      SELECT a.s AS src, b.s AS dst, CAST(count(*) AS DOUBLE) AS w
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+      GROUP BY a.s, b.s
+    ),
+    st AS (SELECT src, sum(w) AS strength FROM e GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM supplier),
+    r0 AS (SELECT s_suppkey AS node, 1.0 / {_PR_N} AS pr FROM supplier),
+    c1 AS (
+      SELECT e.dst AS node, sum(r.pr * e.w / st.strength) AS c
+      FROM e JOIN r0 r ON e.src = r.node JOIN st ON e.src = st.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT r.node, 0.15 / {_PR_N} + 0.85 * coalesce(c1.c, 0) AS pr
+      FROM r0 r LEFT JOIN c1 ON r.node = c1.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, sum(r.pr * e.w / st.strength) AS c
+      FROM e JOIN r1 r ON e.src = r.node JOIN st ON e.src = st.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT r.node, 0.15 / {_PR_N} + 0.85 * coalesce(c2.c, 0) AS pr
+      FROM r1 r LEFT JOIN c2 ON r.node = c2.node
+    ),
+    c3 AS (
+      SELECT e.dst AS node, sum(r.pr * e.w / st.strength) AS c
+      FROM e JOIN r2 r ON e.src = r.node JOIN st ON e.src = st.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT r.node, 0.15 / {_PR_N} + 0.85 * coalesce(c3.c, 0) AS pr
+      FROM r2 r LEFT JOIN c3 ON r.node = c3.node
+    )
+    SELECT node AS s_suppkey, round(pr, 6) AS pr FROM r3
+    """,
+)
+def supplier_pagerank(spark, sf_dir):
+    """[EXT] Weighted PageRank (3 iterations, d=0.85) over the supplier
+    co-supply graph — edge weight = number of distinct shared parts
+    (operators.graph.pagerank). The oracle unrolls the identical power
+    iteration in SQL. Scale shape: the per-part self-join is bounded by
+    suppliers-per-part (hot parts would get the same df-cap treatment as
+    hot shingles in dedup); each iteration is one join + one aggregate
+    with the cached edge list reused throughout."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    sp = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = sup.select(F.col("s_suppkey").alias("node"))
+    pr = graph.pagerank(edges, nodes, iterations=3, damping=0.85, weight="w")
+    return pr.select(F.col("node").alias("s_suppkey"), F.round("pr", 6).alias("pr"))
 
 
 # ===========================================================================

@@ -1,0 +1,64 @@
+"""[EXT] Iterative graph algorithms composed from DataFrame joins.
+
+Spark ships no DataFrame-native PageRank (GraphX is RDD/Scala-only), but
+power iteration IS a join-aggregate pipeline: each step joins the edge list
+with the current rank vector on ``src``, scales by out-weight, and sums
+contributions per ``dst``. Expressing it declaratively keeps every step in
+whole-stage codegen and lets AQE pick the join strategy per iteration —
+broadcast while the rank vector is small, shuffle hash join on a
+billion-node graph. The edge list (with per-source strengths) is cached
+once and reused across iterations; the iteration count is small and fixed,
+so lineage stays shallow — no checkpointing needed, unlike the unbounded
+fixpoint in ``dedup.connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    weight: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration (weighted) PageRank without dangling-mass
+    redistribution.
+
+    ``edges``: directed (``src``, ``dst``[, ``weight``]) rows — supply both
+    directions for an undirected graph. ``nodes``: single ``node`` column
+    defining the population N (isolated nodes decay to ``(1-d)/N``). Each
+    step a node passes ``damping * pr * w/strength`` along every out-edge,
+    where ``strength`` is its total out-weight (uniform weights reduce to
+    classic PageRank). Returns (``node``, ``pr``).
+    """
+    n = nodes.count()  # one scalar aggregate, driver-side by design
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("pr"))
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    ew = edges.select("src", "dst", w_col.alias("_w"))
+    strength = ew.groupBy("src").agg(F.sum("_w").alias("_strength"))
+    ew = ew.join(strength, "src").cache()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                (F.col("pr") * F.col("_w") / F.col("_strength")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    ew.unpersist()
+    return ranks

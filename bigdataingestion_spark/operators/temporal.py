@@ -380,3 +380,37 @@ def latest_state(
     cols = [F.col(key_col)]
     cols += [F.col(f"_s.{c}").alias(f"last_{c}") for c in (*order_cols, *payload_cols)]
     return out.select(*cols)
+
+
+def interval_concurrency_daily(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency: for each day where the count changes, how
+    many [start, end] intervals (inclusive, day granularity) cover it —
+    e.g. shipments simultaneously in transit.
+
+    Shape matters at scale: the +1/-1 deltas are aggregated PER DAY first,
+    so the full-size shuffle is an ordinary groupBy; the cumulative sum
+    then runs over the bounded day table (a few thousand rows for decades
+    of data, regardless of row count). The unpartitioned running-sum
+    window — normally a single-partition scale-killer — therefore operates
+    on an aggregate, not the raw data.
+    """
+    starts = df.select(
+        F.to_date(F.col(start_col)).alias("day"), F.lit(1).alias("delta")
+    )
+    ends = df.select(
+        F.date_add(F.to_date(F.col(end_col)), 1).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = (
+        starts.unionAll(ends)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day", F.sum("delta").over(w).alias("concurrent")
+    )

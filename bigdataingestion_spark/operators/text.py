@@ -513,3 +513,74 @@ def boilerplate_ngrams(
             F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_frac"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-``top_k``
+    vocabulary — the tokenizer-fit diagnostic of a training pipeline (a doc
+    whose tokens mostly miss the vocabulary will shatter into byte
+    fallbacks downstream).
+
+    Two passes, neither quadratic: (1) explode tokens and take the top-k
+    by (freq desc, word asc) — a distributed TakeOrderedAndProject whose
+    result is bounded by ``top_k`` and therefore broadcastable at any
+    corpus size; (2) re-explode and LEFT-join the broadcast vocabulary,
+    counting misses per document. The only full-size shuffle is the final
+    per-document aggregate.
+    """
+    norm = normalize_text(F.col(text_col))
+    tokens = (
+        df.filter(F.length(norm) > 0)
+        .select(F.col(id_col), F.explode(F.split(norm, " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = (
+        tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("word"))
+        .limit(top_k)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tokens.join(F.broadcast(vocab), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 25,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement: key each
+    row with ``-ln(u)/w`` (u a deterministic md5-uniform of the id in
+    (0,1), w the row's weight) and keep the ``k`` smallest keys. Inclusion
+    probability is proportional to weight, yet there is no seed and no
+    state — reruns, engines, and partitionings pick the identical sample
+    (the property a resumable 100 TB sampling job needs). Distributed cost
+    is one top-k (TakeOrderedAndProject), never a global sort.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+        + 1
+    ) / 1_000_001.0
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("_es_key", key)
+        .orderBy("_es_key", id_col)
+        .limit(k)
+        .drop("_es_key")
+    )

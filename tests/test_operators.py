@@ -587,3 +587,86 @@ def test_boilerplate_ngrams_flags_template(spark):
     assert ("srcA", "standard legal disclaimer") in flagged
     assert all(r.source == "srcA" for r in out)  # srcB has no shared trigram
     assert all(r.doc_frac >= 0.5 for r in out)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """3-node weighted chain: compare against a hand-run power iteration."""
+    from bigdataingestion_spark.operators import graph
+
+    # a->b (w=2), b->a (w=2), b->c (w=1), c->b (w=1): b is the hub
+    edges = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 1, 2.0), (2, 3, 1.0), (3, 2, 1.0)],
+        ["src", "dst", "w"],
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["node"])  # 4 isolated
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(edges, nodes, iterations=3, weight="w").collect()
+    }
+    # reference power iteration in plain python
+    n, d = 4, 0.85
+    pr = {k: 1.0 / n for k in (1, 2, 3, 4)}
+    strength = {1: 2.0, 2: 3.0, 3: 1.0}
+    out_edges = {1: [(2, 2.0)], 2: [(1, 2.0), (3, 1.0)], 3: [(2, 1.0)]}
+    for _ in range(3):
+        contrib = {k: 0.0 for k in pr}
+        for src, outs in out_edges.items():
+            for dst, w in outs:
+                contrib[dst] += pr[src] * w / strength[src]
+        pr = {k: (1 - d) / n + d * contrib[k] for k in pr}
+    for k in (1, 2, 3, 4):
+        assert got[k] == pytest.approx(pr[k], abs=1e-12)
+    # isolated node decays to (1-d)/n
+    assert got[4] == pytest.approx((1 - 0.85) / 4, abs=1e-12)
+    # hub outranks leaves
+    assert got[2] > got[1] > got[4]
+
+
+def test_interval_concurrency_daily_counts_overlaps(spark):
+    from datetime import date
+
+    from bigdataingestion_spark.operators import temporal
+
+    iv = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 1), date(2024, 1, 3)),
+            (2, date(2024, 1, 2), date(2024, 1, 2)),
+            (3, date(2024, 1, 5), date(2024, 1, 5)),
+        ],
+        ["id", "s", "e"],
+    )
+    out = {
+        r["day"]: r["concurrent"]
+        for r in temporal.interval_concurrency_daily(iv, "s", "e").collect()
+    }
+    assert out[date(2024, 1, 1)] == 1
+    assert out[date(2024, 1, 2)] == 2  # 1 and 2 overlap
+    assert out[date(2024, 1, 3)] == 1  # 2 ended (inclusive end + 1)
+    assert out[date(2024, 1, 4)] == 0
+    assert out[date(2024, 1, 5)] == 1
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    rows = [(i, 10_000 if i < 10 else 10) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    take1 = {r["doc_id"] for r in text.weighted_sample(df, k=20).collect()}
+    take2 = {
+        r["doc_id"]
+        for r in text.weighted_sample(df.repartition(7), k=20).collect()
+    }
+    assert take1 == take2  # partitioning-independent
+    # the 10 heavy rows (1000x weight) should essentially all be sampled
+    assert len(take1 & set(range(10))) >= 9
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_correct_dir):
+    """The vocab side of the token join must be broadcast — a shuffle of the
+    token stream against a 100-row vocab would be the wrong plan at scale."""
+    from bigdataingestion_spark import catalog
+
+    df = catalog.CATALOG["docs_vocab_coverage"].fn(spark, sf_correct_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    out = {r["doc_id"]: r for r in df.collect()}
+    r = next(iter(out.values()))
+    assert 0.0 <= r["oov_rate"] <= 1.0
