@@ -4303,6 +4303,86 @@ def supplier_pagerank(spark, sf_dir):
     return pr.select(F.col("node").alias("s_suppkey"), F.round("pr", 6).alias("pr"))
 
 
+@register(
+    "orders_quality_report",
+    """
+    SELECT 'totalprice_positive' AS rule,
+           count(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) AS violations,
+           round(count(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) * 1.0
+                 / count(*), 6) AS violation_ratio
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           count(CASE WHEN NOT (o_orderdate IS NOT NULL) THEN 1 END),
+           round(count(CASE WHEN NOT (o_orderdate IS NOT NULL) THEN 1 END)
+                 * 1.0 / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'status_known',
+           count(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 END),
+           round(count(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1
+                 END) * 1.0 / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           count(*) - count(DISTINCT o_orderkey),
+           round((count(*) - count(DISTINCT o_orderkey)) * 1.0 / count(*), 6)
+    FROM orders
+    """,
+)
+def orders_quality_report(spark, sf_dir):
+    """Declarative data-quality report (pipeline.quality.report_df) — the
+    validation gate of the reference's ingest run expressed as a query:
+    every row-predicate rule shares ONE conditional-count aggregation pass
+    (stack-unpivoted to a row per rule); only the declared uniqueness rule
+    pays a count-distinct shuffle."""
+    from bigdataingestion_spark.pipeline.quality import Expectation, report_df
+
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        Expectation("totalprice_positive", F.col("o_totalprice") > 0),
+        Expectation("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+        Expectation("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+    ]
+    return report_df(o, rules, unique_cols=["o_orderkey"])
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "lineitem_column_profile",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, count({c}) AS n_values,
+           count(DISTINCT {c}) AS n_distinct,
+           round(min(CAST({c} AS DOUBLE)), 6) AS vmin,
+           round(max(CAST({c} AS DOUBLE)), 6) AS vmax,
+           round(avg(CAST({c} AS DOUBLE)), 4) AS vavg
+    FROM lineitem
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def lineitem_column_profile(spark, sf_dir):
+    """Column-level profiling (Deequ/analyzer-style): per numeric column
+    count, exact distinct, min/max/mean — one stack-unpivot pass then a
+    groupBy on the 4-row column-name key. The unpivot keeps it a single
+    scan of the fact table regardless of how many columns are profiled."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = ", ".join(f"'{c}', cast({c} as double)" for c in _PROFILE_COLS)
+    unpivoted = li.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {pairs}) AS (col_name, val)")
+    )
+    return unpivoted.groupBy("col_name").agg(
+        F.count("val").alias("n_values"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.round(F.min("val"), 6).alias("vmin"),
+        F.round(F.max("val"), 6).alias("vmax"),
+        F.round(F.avg("val"), 4).alias("vavg"),
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================

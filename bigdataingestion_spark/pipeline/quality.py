@@ -80,3 +80,46 @@ def expect_unique(df: DataFrame, cols: list[str]) -> dict:
         "violations": total - distinct,
         "passed": total == distinct,
     }
+
+
+def report_df(
+    df: DataFrame,
+    expectations: list[Expectation],
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Lazy, DataFrame-shaped version of :func:`check`: one row per rule
+    (``rule``, ``violations``, ``violation_ratio``), nothing collected.
+
+    All row-predicate rules still share ONE aggregation pass (conditional
+    counts unpivoted via ``stack``); a declared uniqueness rule adds its own
+    count-distinct aggregate — the only rule class that genuinely needs a
+    shuffle keyed on the candidate key.
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, e in enumerate(expectations):
+        aggs.append(F.count(F.when(~e.predicate, 1)).alias(f"_v{i}"))
+    agg = df.agg(*aggs)
+    pairs = ", ".join(f"'{e.name}', _v{i}" for i, e in enumerate(expectations))
+    out = agg.select(
+        F.expr(
+            f"stack({len(expectations)}, {pairs}) AS (rule, violations)"
+        ),
+        F.col("_total"),
+    ).select(
+        "rule",
+        "violations",
+        F.round(F.col("violations") / F.col("_total"), 6).alias("violation_ratio"),
+    )
+    if unique_cols:
+        uniq = df.agg(
+            F.count(F.lit(1)).alias("_t"),
+            F.countDistinct(*[F.col(c) for c in unique_cols]).alias("_d"),
+        ).select(
+            F.lit(f"unique({','.join(unique_cols)})").alias("rule"),
+            (F.col("_t") - F.col("_d")).alias("violations"),
+            F.round((F.col("_t") - F.col("_d")) / F.col("_t"), 6).alias(
+                "violation_ratio"
+            ),
+        )
+        out = out.unionByName(uniq)
+    return out

@@ -131,3 +131,26 @@ def test_quality_expectations(spark):
     uniq = expect_unique(df, ["id"])
     assert uniq["passed"]
     assert not expect_unique(df.union(df), ["id"])["passed"]
+
+
+def test_report_df_counts_violations_lazily(spark):
+    from bigdataingestion_spark.pipeline.quality import Expectation, report_df
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 0.0), (3, None)], ["k", "v"]
+    )
+    out = {
+        r["rule"]: (r["violations"], r["violation_ratio"])
+        for r in report_df(
+            df,
+            [
+                Expectation("v_positive", F.col("v") > 0),
+                Expectation("v_not_null", F.col("v").isNotNull()),
+            ],
+            unique_cols=["k"],
+        ).collect()
+    }
+    # NULL predicate result is not a violation (matches SQL CASE semantics)
+    assert out["v_positive"] == (2, 0.5)
+    assert out["v_not_null"] == (1, 0.25)
+    assert out["unique(k)"] == (1, 0.25)
