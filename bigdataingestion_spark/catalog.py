@@ -4410,15 +4410,19 @@ _GATE_FIRST = [
     "training_data_pipeline",
     "docs_bigram_quality",
     "ngram_jaccard_pairs",
-    "minhash_signatures",
     "minhash_lsh_pairs",
-    "simhash64",
     "asof_last_purchase",
     "events_range_pairs",
-    "events_multires_rollup",
-    "corpus_token_frequency",
-    "embedding_cosine_topk",
-    "embedding_cosine_topk_arrow",
+    # late-r4 additions (zero driver evidence beats stale-green; these six
+    # displaced minhash_signatures/simhash64/corpus_token_frequency/
+    # embedding_cosine_topk{,_arrow}/events_multires_rollup, all r1/r2
+    # driver-green with operators untouched by this session's churn)
+    "docs_vocab_coverage",
+    "docs_weighted_sample",
+    "orders_in_flight_daily",
+    "supplier_pagerank",
+    "orders_quality_report",
+    "lineitem_column_profile",
     # new round-4 queries (need first driver evidence)
     "events_hourly_gapfill",
     "events_retention_cohorts",
@@ -4454,15 +4458,14 @@ _GATE_FIRST = [
     "corpus_zipf_fit",
     # Exactly 50 names. Every never-gated r4 query is in-window (zero
     # driver evidence beats stale-green). The r5 rotation queue (all with
-    # r1/r2 driver-green rows and catalog-only code untouched since):
+    # r1/r2 driver-green rows and code untouched since):
     # events_props_map, events_json_avg, orders_with_late_lineitems,
     # customers_without_orders, lineitem_rollup_by_year_month,
     # events_value_percentiles, orders_status_pivot, orders_status_unpivot,
     # top_parts_by_revenue, small_quantity_revenue,
     # ingest_next_surrogate_key, doc_fingerprints, docs_chunked,
     # dedup_exact_survivors, dedup_exact_groups, minhash_signatures,
-    # simhash64, asof_last_purchase, events_range_pairs,
-    # events_multires_rollup, corpus_token_frequency,
+    # simhash64, events_multires_rollup, corpus_token_frequency,
     # embedding_cosine_topk, embedding_cosine_topk_arrow — see COVERAGE.md.
 ]
 
