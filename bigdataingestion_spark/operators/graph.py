@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigdataingestion_spark.caching import cache_tracked
+
 
 def pagerank(
     edges: DataFrame,
@@ -41,7 +43,10 @@ def pagerank(
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     ew = edges.select("src", "dst", w_col.alias("_w"))
     strength = ew.groupBy("src").agg(F.sum("_w").alias("_strength"))
-    ew = ew.join(strength, "src").cache()
+    # tracked cache, NOT cache()+unpersist-on-return: the result is lazy, so
+    # unpersisting before the caller materializes it would silently rebuild
+    # the edge list once per iteration; release_caches() frees it post-query
+    ew = cache_tracked(ew.join(strength, "src"))
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for _ in range(iterations):
@@ -60,5 +65,4 @@ def pagerank(
                 F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("pr"),
         )
-    ew.unpersist()
     return ranks
