@@ -4383,6 +4383,86 @@ def lineitem_column_profile(spark, sf_dir):
     )
 
 
+@register(
+    "user_value_ewma",
+    """
+    WITH recent AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, count(*) AS n_recent,
+           round(sum(value * power(0.8, rn - 1))
+                 / sum(power(0.8, rn - 1)), 4) AS ewma_value
+    FROM recent WHERE rn <= 10
+    GROUP BY user_id
+    """,
+)
+def user_value_ewma(spark, sf_dir):
+    """[EXT] Exponentially-weighted moving average of each user's last 10
+    event values (decay 0.8) — the recency-weighted feature a
+    personalization pipeline derives per entity. One window partitioned by
+    user (rank newest-first), then an ordinary grouped weighted average:
+    partition-parallel at any user count, frame bounded at 10 rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    weight = F.pow(F.lit(0.8), F.col("rn") - 1)
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            F.round(
+                F.sum(F.col("value") * weight) / F.sum(weight), 4
+            ).alias("ewma_value"),
+        )
+    )
+
+
+@register(
+    "orders_benford_digits",
+    """
+    SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+             AS digit,
+           count(*) AS n_orders,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS observed_pct,
+           round(log10(1 + 1.0 / substr(CAST(CAST(floor(o_totalprice) AS
+             BIGINT) AS VARCHAR), 1, 1)::INT), 4) AS benford_pct
+    FROM orders WHERE o_totalprice >= 1
+    GROUP BY 1
+    """,
+)
+def orders_benford_digits(spark, sf_dir):
+    """[EXT] Benford first-digit profile of order totals vs the theoretical
+    log10(1+1/d) distribution — the classic anomaly/fraud screen a data
+    auditor runs over monetary columns. Digit extraction goes through
+    floor -> BIGINT -> string so it is integer-exact in both engines (a
+    double->decimal rounding path could flip a boundary digit). One
+    groupBy on a 9-value key; the percent-of-total is a window over the
+    9-row aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    )
+    agg = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return agg.select(
+        "digit",
+        "n_orders",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(Window.partitionBy()), 4
+        ).alias("observed_pct"),
+        F.round(
+            F.log10(1 + 1.0 / F.col("digit").cast("int")), 4
+        ).alias("benford_pct"),
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
@@ -4466,7 +4546,9 @@ _GATE_FIRST = [
     # ingest_next_surrogate_key, doc_fingerprints, docs_chunked,
     # dedup_exact_survivors, dedup_exact_groups, minhash_signatures,
     # simhash64, events_multires_rollup, corpus_token_frequency,
-    # embedding_cosine_topk, embedding_cosine_topk_arrow — see COVERAGE.md.
+    # embedding_cosine_topk, embedding_cosine_topk_arrow — plus the two
+    # never-gated late additions user_value_ewma and orders_benford_digits
+    # (registered after the window filled) — see COVERAGE.md.
 ]
 
 
