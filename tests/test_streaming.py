@@ -253,3 +253,41 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "dup_lake"))
     assert out.count() == 100
     assert out.select("event_id").distinct().count() == 100
+
+
+def test_stream_quality_gate_splits_clean_and_quarantine(spark, tmp_path):
+    from bigdataingestion_spark.pipeline.quality import Expectation
+    from bigdataingestion_spark.streaming.quality_gate import stream_quality_gate
+
+    landing = tmp_path / "landing"
+    rows = [
+        (1, "ok", 10.0),
+        (2, "ok", -3.0),       # violates value_positive
+        (3, None, 5.0),        # violates name_not_null
+        (4, "ok", None),       # NULL predicate result -> NOT a violation
+        (5, "bad", -1.0),      # violates value_positive only
+    ]
+    spark.createDataFrame(rows, ["id", "name", "value"]).coalesce(1).write.parquet(
+        str(landing)
+    )
+    rules = [
+        Expectation("value_positive", F.col("value") > 0),
+        Expectation("name_not_null", F.col("name").isNotNull()),
+    ]
+    q = stream_quality_gate(
+        spark,
+        str(landing),
+        str(tmp_path / "lake"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+        rules,
+    )
+    q.awaitTermination(120)
+    clean = spark.read.parquet(str(tmp_path / "lake"))
+    assert sorted(r["id"] for r in clean.collect()) == [1, 4]
+    dlq = {r["id"]: r["_violations"] for r in spark.read.parquet(
+        str(tmp_path / "dlq")).collect()}
+    assert set(dlq) == {2, 3, 5}
+    assert dlq[2] == "value_positive"
+    assert dlq[3] == "name_not_null"
+    assert dlq[5] == "value_positive"
