@@ -188,3 +188,33 @@ def test_quantize_int8_is_shuffle_free(spark, sf_correct_dir):
     )
     assert "hashpartitioning" not in plan, plan
     assert "Window" not in plan and "Sort" not in plan
+
+
+def test_backfill_fills_only_missing_days(spark, sf_smoke_dir, tmp_path):
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.pipeline.backfill import BackfillPlanner
+    from bigdataingestion_spark.sinks.writer import DatalakeWriter
+
+    ev = load_table(spark, sf_smoke_dir, "events")
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) > 3
+    writer = DatalakeWriter(str(tmp_path / "lake"))
+    planner = BackfillPlanner(writer)
+    # pre-materialize the first two days (healthy partitions)
+    for d in days[:2]:
+        writer.write(
+            ev.filter(F.to_date("ts") == F.lit(d)),
+            "dcx",
+            writer.run_path("events", d.isoformat()),
+            "overwrite",
+        )
+    missing = planner.plan(ev, "ts", "events")
+    assert missing == days[2:]
+    written = planner.run(ev, "ts", "events")
+    assert len(written) == len(days) - 2
+    # complete and idempotent: a second run plans nothing and data matches
+    assert planner.plan(ev, "ts", "events") == []
+    total = spark.read.parquet(str(tmp_path / "lake" / "events" / "*" / "*" / "*"))
+    assert total.count() == ev.count()
