@@ -4463,6 +4463,34 @@ def orders_benford_digits(spark, sf_dir):
     )
 
 
+@register(
+    "events_dow_hour_profile",
+    """
+    SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(hour(ts) AS INT) AS hr,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_profile(spark, sf_dir):
+    """[EXT] Weekly activity heatmap: events by ISO day-of-week x hour.
+    Portability trap handled explicitly: Spark's dayofweek() is
+    1=Sunday while DuckDB's isodow() is 1=Monday — weekday()+1 IS
+    ISO dow on the Spark side, so both engines bucket identically.
+    One groupBy on a 168-value key; partial aggregation does the work
+    map-side at any scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
@@ -4547,8 +4575,9 @@ _GATE_FIRST = [
     # dedup_exact_survivors, dedup_exact_groups, minhash_signatures,
     # simhash64, events_multires_rollup, corpus_token_frequency,
     # embedding_cosine_topk, embedding_cosine_topk_arrow — plus the two
-    # never-gated late additions user_value_ewma and orders_benford_digits
-    # (registered after the window filled) — see COVERAGE.md.
+    # never-gated late additions user_value_ewma, orders_benford_digits,
+    # and events_dow_hour_profile (registered after the window filled) —
+    # see COVERAGE.md.
 ]
 
 
