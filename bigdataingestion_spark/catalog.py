@@ -4464,6 +4464,37 @@ def orders_benford_digits(spark, sf_dir):
 
 
 @register(
+    "lineitem_price_quantity_stats",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar,
+           round(stddev_samp(l_extendedprice), 2) AS price_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_quantity_stats(spark, sf_dir):
+    """[EXT] Bivariate statistics per return flag: Pearson correlation,
+    sample covariance, and stddev — single-pass moment aggregates with
+    map-side partials (Spark and DuckDB both stream the co-moments, so
+    one shuffle of 3 groups regardless of row count). Rounding absorbs
+    engine summation-order noise in the higher moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+            "qty_disc_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+    )
+
+
+@register(
     "events_dow_hour_profile",
     """
     SELECT CAST(isodow(ts) AS INT) AS iso_dow,
@@ -4576,8 +4607,8 @@ _GATE_FIRST = [
     # simhash64, events_multires_rollup, corpus_token_frequency,
     # embedding_cosine_topk, embedding_cosine_topk_arrow — plus the two
     # never-gated late additions user_value_ewma, orders_benford_digits,
-    # and events_dow_hour_profile (registered after the window filled) —
-    # see COVERAGE.md.
+    # events_dow_hour_profile, and lineitem_price_quantity_stats
+    # (registered after the window filled) — see COVERAGE.md.
 ]
 
 
