@@ -84,6 +84,22 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     catalog.q1_pricing_summary(spark, sf_dir).collect()
 
+    # plan-identity tripwire: fingerprint every headliner's pre-execution
+    # physical plan and compare against the committed baseline BEFORE timing,
+    # so a bench delta can be attributed (plan change vs environment noise)
+    # without a hand audit. Regenerate after deliberate plan changes with
+    # scripts/update_plan_baseline.py.
+    from bigdataingestion_spark.plans import fingerprint as fp
+
+    current_plans = {}
+    for n, f in catalog.headline_queries().items():
+        release_caches()  # cache-free plans: tracked caches make them order-dependent
+        current_plans[n] = fp.fingerprint(f(spark, sf_dir))
+    release_caches()
+    plans_unchanged, plan_changed = fp.compare(current_plans, sf_dir)
+    for n in plan_changed:
+        print(f"PLAN CHANGED vs plans_baseline.json: {n}", file=sys.stderr)
+
     # clamp: reps < 1 would run the full warm-up then crash on median([])
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     samples: dict[str, list[float]] = {n: [] for n in catalog.headline_queries()}
@@ -112,6 +128,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "spread": spread,
+                "plans_unchanged": plans_unchanged,
+                "plan_changed": plan_changed,
             }
         )
     )

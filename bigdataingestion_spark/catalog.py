@@ -426,29 +426,52 @@ def customer_order_moving_avg(spark, sf_dir):
 @register(
     "customer_spend_quartiles",
     """
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(total_spend, [0.25, 0.5, 0.75]) AS c FROM spend
+    )
     SELECT quartile, count(*) AS n_customers,
            round(min(total_spend), 4) AS min_spend,
            round(max(total_spend), 4) AS max_spend
     FROM (
-      SELECT o_custkey, sum(o_totalprice) AS total_spend,
-             ntile(4) OVER (ORDER BY sum(o_totalprice), o_custkey) AS quartile
-      FROM orders GROUP BY o_custkey
+      SELECT total_spend,
+             1 + CAST(total_spend > c[1] AS INT)
+               + CAST(total_spend > c[2] AS INT)
+               + CAST(total_spend > c[3] AS INT) AS quartile
+      FROM spend, cuts
     ) GROUP BY quartile
     """,
 )
 def customer_spend_quartiles(spark, sf_dir):
-    """ntile ranking over an aggregate (spend quartiles)."""
+    """Spend quartiles via exact percentile CUT POINTS, not a global ntile:
+    the cut points are one 3-value `percentile` aggregate over the
+    per-customer frame (partial-aggregated, no global sort) broadcast back
+    for a comparison-based bucket assignment. Value-based quartile
+    semantics (ties share a bucket) — the shape that survives 150M+
+    customers, where a global ntile window moves every row to one task.
+    Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation definition (verified bit-equal on the fixtures)."""
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total_spend"))
-    w = Window.orderBy("total_spend", "o_custkey")
-    return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.min("total_spend"), 4).alias("min_spend"),
-            F.round(F.max("total_spend"), 4).alias("max_spend"),
-        )
+    cuts = spend.agg(
+        F.expr("percentile(total_spend, array(0.25, 0.5, 0.75))").alias("c")
+    )
+    bucketed = spend.crossJoin(F.broadcast(cuts)).select(
+        "total_spend",
+        (
+            F.lit(1)
+            + (F.col("total_spend") > F.col("c")[0]).cast("int")
+            + (F.col("total_spend") > F.col("c")[1]).cast("int")
+            + (F.col("total_spend") > F.col("c")[2]).cast("int")
+        ).alias("quartile"),
+    )
+    return bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("total_spend"), 4).alias("min_spend"),
+        F.round(F.max("total_spend"), 4).alias("max_spend"),
     )
 
 
@@ -3918,12 +3941,24 @@ def docs_length_profile(spark, sf_dir):
              round(sum(o_totalprice), 4) AS monetary
       FROM orders GROUP BY o_custkey
     ),
-    scored AS (
-      SELECT o_custkey, recency_days, frequency, monetary,
-             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
-             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
-             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+    cuts AS (
+      SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
       FROM rfm
+    ),
+    scored AS (
+      SELECT o_custkey, monetary,
+             1 + CAST(recency_days > rc[1] AS INT)
+               + CAST(recency_days > rc[2] AS INT)
+               + CAST(recency_days > rc[3] AS INT) AS r_quartile,
+             1 + CAST(frequency < fc[3] AS INT)
+               + CAST(frequency < fc[2] AS INT)
+               + CAST(frequency < fc[1] AS INT) AS f_quartile,
+             1 + CAST(monetary < mc[3] AS INT)
+               + CAST(monetary < mc[2] AS INT)
+               + CAST(monetary < mc[1] AS INT) AS m_quartile
+      FROM rfm, cuts
     )
     SELECT r_quartile, f_quartile, m_quartile,
            count(*) AS n_customers,
@@ -3932,11 +3967,15 @@ def docs_length_profile(spark, sf_dir):
     """,
 )
 def customer_rfm_segments(spark, sf_dir):
-    """[EXT] RFM segmentation: per-customer recency/frequency/monetary
-    quartiles (ntile with id tiebreak for engine-determinism), rolled up to
-    segment sizes. The quartile windows run on the POST-aggregate frame
-    (one row per customer); at larger scale swap ntile for approx-quantile
-    cut points to avoid the single-partition ordering."""
+    """[EXT] RFM segmentation rolled up to segment sizes. Quartiles are
+    assigned from exact percentile CUT POINTS — one 9-value `percentile`
+    aggregate over the per-customer frame, broadcast back for
+    comparison-based bucketing — instead of three global ntile windows,
+    each of which would move all |customers| rows (150M+ at 100x TPC-H)
+    through a single-task sort. Value-based semantics: quartile 1 is the
+    best bucket on each axis (most recent / most frequent / highest spend);
+    ties share a bucket. Spark `percentile` and DuckDB `quantile_cont`
+    share the interpolation definition (verified bit-equal on fixtures)."""
     o = _t(spark, sf_dir, "orders")
     ref = F.lit("2001-01-01").cast("timestamp")
     rfm = o.groupBy("o_custkey").agg(
@@ -3944,12 +3983,33 @@ def customer_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 4).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
+    cuts = rfm.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("rc"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fc"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mc"),
+    )
+
+    def _asc_bucket(v, c):  # larger value -> later bucket
+        return (
+            F.lit(1)
+            + (v > c[0]).cast("int")
+            + (v > c[1]).cast("int")
+            + (v > c[2]).cast("int")
+        )
+
+    def _desc_bucket(v, c):  # larger value -> bucket 1
+        return (
+            F.lit(1)
+            + (v < c[2]).cast("int")
+            + (v < c[1]).cast("int")
+            + (v < c[0]).cast("int")
+        )
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
         "monetary",
-        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_quartile"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.col("o_custkey"))).alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.col("o_custkey"))).alias("m_quartile"),
+        _asc_bucket(F.col("recency_days"), F.col("rc")).alias("r_quartile"),
+        _desc_bucket(F.col("frequency"), F.col("fc")).alias("f_quartile"),
+        _desc_bucket(F.col("monetary"), F.col("mc")).alias("m_quartile"),
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -4120,18 +4180,31 @@ def corpus_zipf_fit(spark, sf_dir):
     least-squares aggregates (regr_slope/regr_intercept) on ln(freq) vs
     ln(rank) — the sanity panel that flags synthetic or boilerplate-heavy
     corpora (natural text slopes near -1). Rank cut is deterministic
-    (integer count, word tiebreak); the regression runs on a 100-row
-    frame."""
+    (integer count, word tiebreak). Scale shape: the cut is a distributed
+    ``orderBy(...).limit(100)`` (TakeOrderedAndProject — each task keeps a
+    100-row heap; no full-vocabulary sort), mirroring
+    ``text.tfidf_top_terms``; only the 100 survivors pass through the
+    rank assignment, which is a 100-element ``posexplode`` over one
+    collected array — no WindowExec anywhere in the plan."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(text.normalize_text(F.col("text")), " ")).alias("word")
     ).filter(F.col("word") != "")
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    top = freq.orderBy(F.desc("n"), F.col("word")).limit(100)
+    # rank = 1 + position in the (n DESC, word ASC) order, assigned by
+    # posexplode over one sorted 100-element array (negated count makes
+    # array_sort's ascending struct order equal the rank order)
     ranked = (
-        freq.withColumn(
-            "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.col("word")))
+        top.agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("n")).alias("_negn"), F.col("word")))
+            ).alias("_a")
         )
-        .filter(F.col("rank") <= 100)
+        .select(F.posexplode("_a").alias("_r0", "_s"))
+        .select(
+            (-F.col("_s._negn")).alias("n"), (F.col("_r0") + 1).alias("rank")
+        )
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
@@ -4240,7 +4313,11 @@ _PR_N = "(SELECT n FROM nn)"
 @register(
     "supplier_pagerank",
     f"""
-    WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    WITH sp0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    sp AS (
+      SELECT p, s FROM sp0
+      QUALIFY count(*) OVER (PARTITION BY p) <= 100
+    ),
     e AS (
       SELECT a.s AS src, b.s AS dst, CAST(count(*) AS DOUBLE) AS w
       FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
@@ -4283,21 +4360,21 @@ def supplier_pagerank(spark, sf_dir):
     """[EXT] Weighted PageRank (3 iterations, d=0.85) over the supplier
     co-supply graph — edge weight = number of distinct shared parts
     (operators.graph.pagerank). The oracle unrolls the identical power
-    iteration in SQL. Scale shape: the per-part self-join is bounded by
-    suppliers-per-part (hot parts would get the same df-cap treatment as
-    hot shingles in dedup); each iteration is one join + one aggregate
-    with the cached edge list reused throughout."""
+    iteration in SQL. Scale shape: the edge build goes through
+    ``graph.cooccurrence_edges`` with ``max_key_degree=100`` — the real
+    hot-key df-cap (count window on the part key, hot parts dropped from
+    the self-join), mirroring the hot-shingle cap in
+    ``dedup.ngram_jaccard_pairs``; without it one hot part with 1e5
+    suppliers is a 1e10-pair stage. The oracle applies the identical
+    QUALIFY cap (inert on TPC-H's ~4 suppliers/part). Each iteration is
+    one join + one aggregate with the cached edge list reused
+    throughout."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     sp = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    a, b = sp.alias("a"), sp.alias("b")
-    edges = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    edges = graph.cooccurrence_edges(sp, key_col="p", node_col="s", max_key_degree=100)
     nodes = sup.select(F.col("s_suppkey").alias("node"))
     pr = graph.pagerank(edges, nodes, iterations=3, damping=0.85, weight="w")
     return pr.select(F.col("node").alias("s_suppkey"), F.round("pr", 6).alias("pr"))

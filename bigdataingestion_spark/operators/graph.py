@@ -20,6 +20,43 @@ from pyspark.sql import functions as F
 from bigdataingestion_spark.caching import cache_tracked
 
 
+def cooccurrence_edges(
+    pairs: DataFrame,
+    key_col: str = "p",
+    node_col: str = "s",
+    max_key_degree: int | None = 100,
+) -> DataFrame:
+    """Weighted co-occurrence edge list from (key, node) membership rows:
+    every ordered (src, dst) node pair sharing a key, weighted by the
+    number of distinct shared keys.
+
+    The per-key self-join is quadratic in nodes-per-key: one hot key with
+    1e5 members would alone emit 1e10 pairs. Keys with more than
+    ``max_key_degree`` members are therefore dropped from the join — the
+    same hot-key df-cap as ``dedup.ngram_jaccard_pairs`` applies to hot
+    shingles (a key shared by everyone carries no co-occurrence signal).
+    The count() window is keyed on ``key_col``, and its shuffle leaves the
+    data hash-partitioned by key, which the self-join immediately reuses.
+    ``max_key_degree=None`` disables the cap (inputs known to be cold).
+    """
+    from pyspark.sql.window import Window
+
+    sp = pairs.select(F.col(key_col).alias("_k"), F.col(node_col).alias("_n"))
+    if max_key_degree is not None:
+        hot = Window.partitionBy("_k")
+        sp = (
+            sp.withColumn("_deg", F.count(F.lit(1)).over(hot))
+            .filter(F.col("_deg") <= F.lit(max_key_degree))
+            .drop("_deg")
+        )
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(b, (F.col("a._k") == F.col("b._k")) & (F.col("a._n") != F.col("b._n")))
+        .groupBy(F.col("a._n").alias("src"), F.col("b._n").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,

@@ -204,15 +204,23 @@ def kmeans_lite_centroids(
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    centroids = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_cells)
-        .select(
-            (F.col("_rk") - 1).alias("cell_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    # seed selection is a distributed top-k (TakeOrderedAndProject: each
+    # task keeps an n_cells-row heap), NOT a global row_number window that
+    # would single-partition-sort the full embedding table; the
+    # rank-assigning window then runs over the n_cells-row survivor frame
+    seeds = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.md5(F.col(id_col).cast("string")).alias("_mk"),
         )
+        .orderBy("_mk", id_col)
+        .limit(n_cells)
+    )
+    w = Window.orderBy("_mk", F.col(id_col))
+    centroids = seeds.withColumn("_rk", F.row_number().over(w)).select(
+        (F.col("_rk") - 1).alias("cell_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
     for _ in range(lloyd_iters):
         assigned = ivf_assign(df, centroids, vec_col, id_col)

@@ -622,6 +622,26 @@ def test_pagerank_matches_power_iteration(spark):
     assert got[2] > got[1] > got[4]
 
 
+def test_cooccurrence_edges_hot_key_cap_bounds_pairs(spark):
+    """One synthetic hot key (20 members) is dropped by the degree cap, so
+    pair counts stay bounded by the cold keys; cap=None keeps the quadratic
+    blow-up (the exact-verification escape hatch)."""
+    from bigdataingestion_spark.operators import graph
+
+    rows = [("hot", f"n{i}") for i in range(20)]  # 20*19 = 380 pairs uncapped
+    rows += [("cold1", "a"), ("cold1", "b"), ("cold2", "a"), ("cold2", "c")]
+    pairs = spark.createDataFrame(rows, ["p", "s"])
+
+    capped = graph.cooccurrence_edges(pairs, "p", "s", max_key_degree=5).collect()
+    got = {(r.src, r.dst): r.w for r in capped}
+    # only the cold keys contribute: a<->b (via cold1), a<->c (via cold2)
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "c"): 1, ("c", "a"): 1}
+
+    uncapped = graph.cooccurrence_edges(pairs, "p", "s", max_key_degree=None)
+    # 380 hot-key ordered pairs + the 4 cold ones
+    assert uncapped.agg(F.sum("w")).collect()[0][0] == 384
+
+
 def test_interval_concurrency_daily_counts_overlaps(spark):
     from datetime import date
 
