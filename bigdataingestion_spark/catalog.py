@@ -4609,83 +4609,74 @@ def events_dow_hour_profile(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # r3 driver red, fixed this round (feature array -> feature_key string
-    # projection + full DuckDB oracle); keep in-window until green
-    "multimodal_features",
-    # hash-green in r3 after the HUGEINT->BIGINT casts; judge asked to keep
-    # the sessionization pair in-window one more round
-    "user_sessions",
-    "user_sessions_native",
-    # stale-evidence queries whose MODULE was touched in r3/r4 churn (or
-    # whose oracle semantics are delicate): keep in-window for fresh rows.
-    # Catalog-only queries untouched since their r1/r2 green rows are
-    # displaced by never-gated queries (see queue note below).
-    "events_approx_stats",
-    "text_quality_stats",
-    "lang_histogram",
-    "training_data_pipeline",
-    "docs_bigram_quality",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "asof_last_purchase",
-    "events_range_pairs",
-    # late-r4 additions (zero driver evidence beats stale-green; these six
-    # displaced minhash_signatures/simhash64/corpus_token_frequency/
-    # embedding_cosine_topk{,_arrow}/events_multires_rollup, all r1/r2
-    # driver-green with operators untouched by this session's churn)
-    "docs_vocab_coverage",
-    "docs_weighted_sample",
-    "orders_in_flight_daily",
+    # --- 7 never-gated queries (zero driver rows in r1-r4): first priority.
+    # Union of driver-green across rounds covers all OTHER 118 declared
+    # queries; these close the gap.
+    "streaming_cdc_latest_state",
+    "streaming_click_attribution",
+    "streaming_nation_purchases",
+    "user_value_ewma",
+    "orders_benford_digits",
+    "events_dow_hour_profile",
+    "lineitem_price_quantity_stats",
+    # --- 8 queries touched by round-5 code changes (quartile cut points,
+    # zipf top-k rank, pagerank hot-key cap, kmeans top-k seeding — the
+    # seeding feeds kmeans_cells, both PQ queries, and ivf_topk):
+    # fresh driver rows required.
+    "customer_rfm_segments",
+    "customer_spend_quartiles",
+    "corpus_zipf_fit",
     "supplier_pagerank",
-    "orders_quality_report",
-    "lineitem_column_profile",
-    # new round-4 queries (need first driver evidence)
-    "events_hourly_gapfill",
-    "events_retention_cohorts",
-    "events_window_funnel",
-    "simhash_hamming_pairs",
-    "orders_salted_totals",
     "embedding_kmeans_cells",
-    "docs_tfidf_top_terms",
-    "q2_min_cost_supplier",
-    "q4_priority_late_ship",
-    "q12_priority_by_returnflag",
-    "q15_top_supplier",
-    "q20_bulk_part_suppliers",
-    "docs_pack_sequences",
-    "events_scd2_intervals",
-    "streaming_user_sessions",
-    "docs_pii_redacted",
-    "events_latest_state",
-    "orders_yoy_growth",
-    "events_zscore_outliers",
-    "embedding_quantize_int8",
-    "events_value_histogram",
     "embedding_pq_codes",
     "embedding_pq_topk",
-    "docs_temperature_sample",
-    "minhash_incremental_pairs",
-    "docs_boilerplate_ngrams",
-    "docs_length_profile",
-    "customer_rfm_segments",
-    "events_markov_transitions",
-    "customer_cohort_ltv",
-    "events_error_runs",
-    "corpus_zipf_fit",
-    # Exactly 50 names. Every never-gated r4 query is in-window (zero
-    # driver evidence beats stale-green). The r5 rotation queue (all with
-    # r1/r2 driver-green rows and code untouched since):
-    # events_props_map, events_json_avg, orders_with_late_lineitems,
-    # customers_without_orders, lineitem_rollup_by_year_month,
-    # events_value_percentiles, orders_status_pivot, orders_status_unpivot,
-    # top_parts_by_revenue, small_quantity_revenue,
-    # ingest_next_surrogate_key, doc_fingerprints, docs_chunked,
-    # dedup_exact_survivors, dedup_exact_groups, minhash_signatures,
-    # simhash64, events_multires_rollup, corpus_token_frequency,
-    # embedding_cosine_topk, embedding_cosine_topk_arrow — plus the two
-    # never-gated late additions user_value_ewma, orders_benford_digits,
-    # events_dow_hour_profile, and lineitem_price_quantity_stats
-    # (registered after the window filled) — see COVERAGE.md.
+    "embedding_ivf_topk",
+    # --- 21-query stale queue (newest driver row is r1/r2; code untouched
+    # since, all green in the local sweep at HEAD): rotate for fresh rows.
+    "events_props_map",
+    "events_json_avg",
+    "orders_with_late_lineitems",
+    "customers_without_orders",
+    "lineitem_rollup_by_year_month",
+    "events_value_percentiles",
+    "orders_status_pivot",
+    "orders_status_unpivot",
+    "top_parts_by_revenue",
+    "small_quantity_revenue",
+    "ingest_next_surrogate_key",
+    "doc_fingerprints",
+    "docs_chunked",
+    "dedup_exact_survivors",
+    "dedup_exact_groups",
+    "minhash_signatures",
+    "simhash64",
+    "events_multires_rollup",
+    "corpus_token_frequency",
+    "embedding_cosine_topk",
+    "embedding_cosine_topk_arrow",
+    # --- 14 filler slots from the r3-evidence set: the reference-parity
+    # ingest_* core, the bench headliners among them, and the delicate
+    # operator queries (checkpointed fixpoint, semi-join contamination,
+    # multimodal metadata).
+    "ingest_chunk_profile",
+    "ingest_years_above_limit",
+    "ingest_months_below_limit",
+    "ingest_distinct_years",
+    "ingest_watermark_next",
+    "ingest_watermark_filter_count",
+    "ingest_config_union",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_by_spend",
+    "multimodal_meta",
+    "dedup_near_clusters",
+    "docs_contamination",
+    # Exactly 50 names. After this round's gate, every one of the 125
+    # declared queries has union-of-rounds driver evidence (the 7
+    # never-gated close out), every r5-touched query has a fresh row, and
+    # the oldest remaining evidence is r3. The r6 rotation queue is the
+    # r3/r4-evidence remainder, oldest first — see COVERAGE.md.
 ]
 
 

@@ -40,10 +40,17 @@ def lake_days(base_path: str, lake_dir: str) -> set[date]:
         for m in os.listdir(os.path.join(root, y)) if os.path.isdir(os.path.join(root, y)) else []:
             md = os.path.join(root, y, m)
             for d in os.listdir(md) if os.path.isdir(md) else []:
-                if _DAY_DIR.match(f"{y}/{m}/{d}") and os.listdir(
-                    os.path.join(md, d)
-                ):
-                    found.add(date(int(y), int(m), int(d)))
+                dd = os.path.join(md, d)
+                # stray files (a _SUCCESS marker named like '01') and
+                # non-calendar dirs (2024/02/30) must not abort the plan
+                if not _DAY_DIR.match(f"{y}/{m}/{d}") or not os.path.isdir(dd):
+                    continue
+                try:
+                    day = date(int(y), int(m), int(d))
+                except ValueError:
+                    continue
+                if os.listdir(dd):
+                    found.add(day)
     return found
 
 

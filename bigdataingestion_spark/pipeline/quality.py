@@ -95,21 +95,28 @@ def report_df(
     count-distinct aggregate — the only rule class that genuinely needs a
     shuffle keyed on the candidate key.
     """
-    aggs = [F.count(F.lit(1)).alias("_total")]
-    for i, e in enumerate(expectations):
-        aggs.append(F.count(F.when(~e.predicate, 1)).alias(f"_v{i}"))
-    agg = df.agg(*aggs)
-    pairs = ", ".join(f"'{e.name}', _v{i}" for i, e in enumerate(expectations))
-    out = agg.select(
-        F.expr(
-            f"stack({len(expectations)}, {pairs}) AS (rule, violations)"
-        ),
-        F.col("_total"),
-    ).select(
-        "rule",
-        "violations",
-        F.round(F.col("violations") / F.col("_total"), 6).alias("violation_ratio"),
-    )
+    out = None
+    if expectations:
+        aggs = [F.count(F.lit(1)).alias("_total")]
+        for i, e in enumerate(expectations):
+            aggs.append(F.count(F.when(~e.predicate, 1)).alias(f"_v{i}"))
+        agg = df.agg(*aggs)
+        # unpivot via inline() over an array of literal structs — rule names
+        # are passed as lit() parameters, never interpolated into SQL text
+        # (a name containing a quote would break a stack() string)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(e.name).alias("rule"), F.col(f"_v{i}").alias("violations")
+                )
+                for i, e in enumerate(expectations)
+            ]
+        )
+        out = agg.select(F.inline(entries), F.col("_total")).select(
+            "rule",
+            "violations",
+            F.round(F.col("violations") / F.col("_total"), 6).alias("violation_ratio"),
+        )
     if unique_cols:
         uniq = df.agg(
             F.count(F.lit(1)).alias("_t"),
@@ -121,5 +128,10 @@ def report_df(
                 "violation_ratio"
             ),
         )
-        out = out.unionByName(uniq)
+        out = uniq if out is None else out.unionByName(uniq)
+    if out is None:
+        # no rules at all: empty report with the contract schema
+        return df.sparkSession.createDataFrame(
+            [], "rule string, violations bigint, violation_ratio double"
+        )
     return out

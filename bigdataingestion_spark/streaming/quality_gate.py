@@ -10,8 +10,16 @@ rejected them — to a quarantine directory for replay after the upstream fix.
 
 Scale shape: the expectations compose into one boolean column evaluated in
 whole-stage codegen; the batch is cached once per trigger (two outputs, one
-parse) and both writes are ordinary partitioned appends. ``foreachBatch``
-is the seam because a single streaming query cannot have two file sinks.
+parse). ``foreachBatch`` is the seam because a single streaming query
+cannot have two file sinks.
+
+Exactly-once: ``foreachBatch`` alone is at-least-once — if the quarantine
+write fails after the clean write succeeded, restart replays the whole
+batch. Both sinks therefore write to a ``batch_id={id}``-suffixed
+directory in OVERWRITE mode: a replay of batch N rewrites exactly batch
+N's directory instead of appending duplicates, making the pair of writes
+idempotent without a transaction. Readers see ``batch_id`` as an ordinary
+discovered partition column.
 """
 
 from __future__ import annotations
@@ -36,6 +44,40 @@ def _violation_labels(expectations: list[Expectation]):
     )
 
 
+def gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_dir: str,
+    quarantine_dir: str,
+    expectations: list[Expectation],
+    fmt: str = "parquet",
+) -> None:
+    """Split one micro-batch and write both halves idempotently.
+
+    Module-level (not a closure) so the replay contract is directly
+    testable: calling this twice with the same ``batch_id`` must leave the
+    same rows on disk as calling it once.
+    """
+    if batch_df.isEmpty():
+        return
+    tagged = batch_df.withColumn(
+        "_violations", _violation_labels(expectations)
+    ).cache()
+    try:
+        clean = tagged.filter(F.size("_violations") == 0).drop("_violations")
+        bad = tagged.filter(F.size("_violations") > 0).withColumn(
+            "_violations", F.concat_ws(",", "_violations")
+        )
+        clean.write.mode("overwrite").format(fmt).save(
+            f"{target_dir}/batch_id={batch_id}"
+        )
+        bad.write.mode("overwrite").format(fmt).save(
+            f"{quarantine_dir}/batch_id={batch_id}"
+        )
+    finally:
+        tagged.unpersist()
+
+
 def stream_quality_gate(
     spark: SparkSession,
     source_dir: str,
@@ -54,21 +96,8 @@ def stream_quality_gate(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(source_dir)
     )
-    labels = _violation_labels(expectations)
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        tagged = batch_df.withColumn("_violations", labels).cache()
-        try:
-            clean = tagged.filter(F.size("_violations") == 0).drop("_violations")
-            bad = tagged.filter(F.size("_violations") > 0).withColumn(
-                "_violations", F.concat_ws(",", "_violations")
-            )
-            clean.write.mode("append").format(fmt).save(target_dir)
-            bad.write.mode("append").format(fmt).save(quarantine_dir)
-        finally:
-            tagged.unpersist()
+        gate_batch(batch_df, batch_id, target_dir, quarantine_dir, expectations, fmt)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -218,3 +218,13 @@ def test_backfill_fills_only_missing_days(spark, sf_smoke_dir, tmp_path):
     assert planner.plan(ev, "ts", "events") == []
     total = spark.read.parquet(str(tmp_path / "lake" / "events" / "*" / "*" / "*"))
     assert total.count() == ev.count()
+    # stray entries must not abort planning: a regular FILE named like a
+    # day, a non-calendar day DIR (day 00), and a loose marker file
+    y, m = days[0].year, f"{days[0].month:02d}"
+    month_dir = tmp_path / "lake" / "events" / str(y) / m
+    (month_dir / "99").write_text("a file, not a day dir")
+    bad_day = month_dir / "00"
+    bad_day.mkdir()
+    (bad_day / "part-0000").write_text("x")
+    (tmp_path / "lake" / "events" / "_SUCCESS").write_text("")
+    assert planner.plan(ev, "ts", "events") == []

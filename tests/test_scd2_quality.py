@@ -154,3 +154,25 @@ def test_report_df_counts_violations_lazily(spark):
     assert out["v_positive"] == (2, 0.5)
     assert out["v_not_null"] == (1, 0.25)
     assert out["unique(k)"] == (1, 0.25)
+
+
+def test_report_df_quoted_names_and_empty_rules(spark):
+    from bigdataingestion_spark.pipeline.quality import Expectation, report_df
+
+    df = spark.createDataFrame([(1, 10.0), (2, -5.0)], ["k", "v"])
+    # a rule name containing quotes must not break the unpivot
+    out = {
+        r["rule"]: r["violations"]
+        for r in report_df(
+            df, [Expectation("v > 0 ('strict')", F.col("v") > 0)]
+        ).collect()
+    }
+    assert out == {"v > 0 ('strict')": 1}
+    # no row rules: uniqueness-only report, then fully-empty report
+    only_uniq = report_df(df, [], unique_cols=["k"]).collect()
+    assert [r["rule"] for r in only_uniq] == ["unique(k)"]
+    empty = report_df(df, [])
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "rule", "violations", "violation_ratio",
+    ]

@@ -291,3 +291,24 @@ def test_stream_quality_gate_splits_clean_and_quarantine(spark, tmp_path):
     assert dlq[2] == "value_positive"
     assert dlq[3] == "name_not_null"
     assert dlq[5] == "value_positive"
+
+
+def test_gate_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once; replaying the same batch_id must not
+    duplicate rows in either sink (per-batch overwrite directories)."""
+    from bigdataingestion_spark.pipeline.quality import Expectation
+    from bigdataingestion_spark.streaming.quality_gate import gate_batch
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 2.0)], ["id", "value"]
+    )
+    rules = [Expectation("value_positive", F.col("value") > 0)]
+    lake, dlq = str(tmp_path / "lake"), str(tmp_path / "dlq")
+    gate_batch(df, 0, lake, dlq, rules)
+    gate_batch(df, 0, lake, dlq, rules)  # replay after a simulated crash
+    assert spark.read.parquet(lake).count() == 2
+    assert spark.read.parquet(dlq).count() == 1
+    # a NEW batch id still appends alongside
+    df2 = spark.createDataFrame([(4, 7.0)], ["id", "value"])
+    gate_batch(df2, 1, lake, dlq, rules)
+    assert spark.read.parquet(lake).count() == 3
