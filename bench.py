@@ -116,6 +116,10 @@ def main() -> None:
     }  # max-min over reps: cheap dispersion signal for regression triage
 
     timings["pipeline_ingest_events"] = round(_bench_pipeline(spark, sf_dir), 3)
+    try:
+        loadavg = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg = None
 
     total = round(sum(timings.values()), 3)
     print(
@@ -130,6 +134,9 @@ def main() -> None:
                 "spread": spread,
                 "plans_unchanged": plans_unchanged,
                 "plan_changed": plan_changed,
+                # machine-state context: r4's +26% "regression" was noise;
+                # load average before/after lets a reader attribute deltas
+                "loadavg_1m": loadavg,
             }
         )
     )

@@ -4680,9 +4680,12 @@ _GATE_FIRST = [
 ]
 
 
+def queries_in_gate_order() -> list[str]:
+    return list(dict.fromkeys([*_GATE_FIRST, *CATALOG]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = list(dict.fromkeys([*_GATE_FIRST, *CATALOG]))
-    return {name: CATALOG[name].fn for name in ordered}
+    return {name: CATALOG[name].fn for name in queries_in_gate_order()}
 
 
 def oracle_sql() -> dict[str, str]:

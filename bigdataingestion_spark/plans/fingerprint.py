@@ -35,7 +35,9 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame
 
-BASELINE_PATH = Path(__file__).resolve().parent.parent.parent / "plans_baseline.json"
+_REPO = Path(__file__).resolve().parent.parent.parent
+BASELINE_PATH = _REPO / "plans_baseline.json"  # bench headliners @ sf0.1
+GATE_BASELINE_PATH = _REPO / "plans_baseline_gate.json"  # gate window @ sf0.01
 
 _NORMALIZERS = [
     (re.compile(r"#\d+L?"), ""),  # expression ids: l_qty#123L
@@ -78,9 +80,10 @@ def fingerprint(df: DataFrame) -> str:
     return hashlib.sha256(normalize(plan_text(df)).encode()).hexdigest()[:16]
 
 
-def load_baseline() -> dict:
-    if BASELINE_PATH.exists():
-        return json.loads(BASELINE_PATH.read_text())
+def load_baseline(path: Path | None = None) -> dict:
+    path = path or BASELINE_PATH
+    if path.exists():
+        return json.loads(path.read_text())
     return {}
 
 

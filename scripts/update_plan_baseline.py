@@ -1,10 +1,15 @@
-"""Regenerate plans_baseline.json from the current headline-query plans.
+"""Regenerate the committed plan baselines from current query plans.
+
+Writes BOTH baselines: plans_baseline.json (bench headliners at sf0.1 —
+checked by bench.py and tests/test_plan_fingerprint.py) and
+plans_baseline_gate.json (the 50-query driver-gate window at sf0.01 —
+checked by tests/test_plan_fingerprint.py in one batch pass).
 
 Run after a DELIBERATE plan change (new optimization, new headliner) and
-commit the resulting diff; the baseline's git history then documents every
+commit the resulting diff; the baselines' git history then documents every
 plan evolution. Usage:
 
-    python scripts/update_plan_baseline.py [sf_dir]
+    python scripts/update_plan_baseline.py [headline_sf_dir]
 """
 
 from __future__ import annotations
@@ -42,6 +47,18 @@ def main() -> int:
         + "\n"
     )
     print(f"wrote {fp.BASELINE_PATH} ({len(plans)} plans, sf_dir={sf_dir})")
+
+    gate_sf = "/root/testdata/sf0.01"
+    gate_plans = {}
+    for name in list(catalog.queries_in_gate_order())[:50]:
+        release_caches()
+        gate_plans[name] = fp.fingerprint(catalog.CATALOG[name].fn(spark, gate_sf))
+    release_caches()
+    fp.GATE_BASELINE_PATH.write_text(
+        json.dumps({"sf_dir": gate_sf, "plans": gate_plans}, indent=1, sort_keys=True)
+        + "\n"
+    )
+    print(f"wrote {fp.GATE_BASELINE_PATH} ({len(gate_plans)} plans, sf_dir={gate_sf})")
     spark.stop()
     return 0
 

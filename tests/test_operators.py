@@ -690,3 +690,26 @@ def test_vocab_coverage_broadcasts_vocab(spark, sf_correct_dir):
     out = {r["doc_id"]: r for r in df.collect()}
     r = next(iter(out.values()))
     assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_cooccurrence_edges_symmetric_and_repartition_invariant(spark):
+    """Co-occurrence weights are symmetric (w(a,b) == w(b,a)) and the
+    capped edge list is invariant under input repartitioning — the degree
+    cap must depend on data, not physical layout."""
+    from bigdataingestion_spark.operators import graph
+
+    rows = [(k, n) for k in ("k1", "k2", "k3") for n in (f"a{k}", "b", "c")]
+    pairs = spark.createDataFrame(rows, ["p", "s"])
+    base = {
+        (r.src, r.dst): r.w
+        for r in graph.cooccurrence_edges(pairs, "p", "s", max_key_degree=3).collect()
+    }
+    assert base, "expected edges"
+    assert all(base[(a, b)] == base[(b, a)] for (a, b) in base)
+    shuffled = {
+        (r.src, r.dst): r.w
+        for r in graph.cooccurrence_edges(
+            pairs.repartition(7), "p", "s", max_key_degree=3
+        ).collect()
+    }
+    assert shuffled == base

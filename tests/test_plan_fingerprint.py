@@ -42,3 +42,32 @@ def test_headliner_plan_matches_baseline(spark, name):
         f"{name}: physical plan changed (baseline {want}, now {got}). "
         "Deliberate? scripts/update_plan_baseline.py && commit."
     )
+
+
+GATE_BASE = fp.load_baseline(fp.GATE_BASELINE_PATH)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GATE_BASE.get("sf_dir", "")), reason="gate sf_dir absent"
+)
+def test_gate_window_plans_match_baseline(spark):
+    """All 50 driver-gate-window queries in ONE pass (a parametrized
+    version would pay 50 fixture hits): report every mismatch at once."""
+    from bigdataingestion_spark.caching import release_caches
+
+    assert GATE_BASE, "plans_baseline_gate.json missing"
+    sf = GATE_BASE["sf_dir"]
+    window = catalog.queries_in_gate_order()[:50]
+    missing = [n for n in window if n not in GATE_BASE["plans"]]
+    assert not missing, f"gate queries without baseline: {missing}"
+    changed = {}
+    for name in window:
+        release_caches()
+        got = fp.fingerprint(catalog.CATALOG[name].fn(spark, sf))
+        if got != GATE_BASE["plans"][name]:
+            changed[name] = (GATE_BASE["plans"][name], got)
+    release_caches()
+    assert not changed, (
+        f"gate-window plans changed: {changed}. "
+        "Deliberate? scripts/update_plan_baseline.py && commit."
+    )

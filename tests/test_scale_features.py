@@ -150,6 +150,36 @@ def test_q21_has_no_expand(spark, sf_correct_dir):
     assert "Expand" not in plan
 
 
+def test_quartile_and_zipf_queries_have_no_global_window(spark, sf_correct_dir):
+    """The round-5 scale fixes, pinned: quartile assignment is percentile
+    cut points (no window at all), and zipf's rank is a distributed top-k +
+    bounded posexplode (TakeOrderedAndProject, no window). A reappearing
+    unpartitioned Window here means the single-partition sort came back."""
+    from bigdataingestion_spark import catalog
+
+    for q in ("customer_rfm_segments", "customer_spend_quartiles"):
+        plan = _executed_plan(catalog.CATALOG[q].fn(spark, sf_correct_dir))
+        assert "Window" not in plan, q
+
+    zipf = _executed_plan(catalog.CATALOG["corpus_zipf_fit"].fn(spark, sf_correct_dir))
+    assert "Window" not in zipf
+    assert "TakeOrderedAndProject" in zipf
+
+
+def test_kmeans_seed_selection_is_distributed_topk(spark, sf_correct_dir):
+    """Seed selection must plan as TakeOrderedAndProject over the full
+    table; the only Sort/Window allowed is over the n_cells-row survivor
+    frame (rank assignment)."""
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.operators import similarity
+
+    emb = load_table(spark, sf_correct_dir, "embeddings")
+    plan = _executed_plan(
+        similarity.kmeans_lite_centroids(emb, n_cells=4, lloyd_iters=0)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_latest_state_has_partial_aggregation(spark, sf_correct_dir):
     """The struct-max formulation must compile to a partial+final aggregate
     pair around ONE exchange (map-side pre-reduction) — the reason it beats
