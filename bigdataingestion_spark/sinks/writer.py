@@ -33,6 +33,11 @@ class SinkPolicy:
     small_file_rows: int = 1_000_000  # below this, compact to one file
     max_records_per_file: int = 5_000_000
     merge_schema: bool = True
+    # opt-in: back 'delta'-format tables with the repo's own transaction
+    # log (sinks/txlog.py) instead of bare parquet — restores the atomic
+    # replace / idempotent replay / snapshot read semantics the reference
+    # gets from Delta (no delta-spark jars in this environment)
+    use_txlog: bool = False
 
     def format_for(self, task: str) -> str:
         return "parquet" if task in self.parquet_domains else "delta"
@@ -58,10 +63,19 @@ class DatalakeWriter:
     ) -> str:
         """Write one table/chunk. Returns the physical format used."""
         fmt = self.policy.format_for(task)
-        physical = "parquet" if fmt == "delta" else fmt  # no delta jars here
         out = df
         if approx_rows is not None and approx_rows <= self.policy.small_file_rows:
             out = df.coalesce(1)
+        if fmt == "delta" and self.policy.use_txlog:
+            from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+            table = TxLogTable(path)
+            if mode == "append":
+                table.append(out, merge_schema=self.policy.merge_schema)
+            else:
+                table.overwrite(out)
+            return "txlog"
+        physical = "parquet" if fmt == "delta" else fmt  # no delta jars here
         writer = (
             out.write.format(physical)
             .mode(mode)
@@ -93,5 +107,9 @@ class DatalakeWriter:
         """Re-read a written path (reference ING:346-349) for the watermark
         max computation."""
         fmt = self.policy.format_for(task)
+        if fmt == "delta" and self.policy.use_txlog:
+            from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+            return TxLogTable(path).read(spark)
         physical = "parquet" if fmt == "delta" else fmt
         return spark.read.format(physical).load(path)

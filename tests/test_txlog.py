@@ -1,0 +1,191 @@
+"""Transactional guarantees of the txlog table format (sinks/txlog.py):
+the Delta-DML semantics (reference ING:302-306, 366-415) that the plain
+parquet stand-in cannot provide — atomic replace, snapshot isolation via
+the log, time travel, idempotent replays, optimistic concurrency, additive
+schema evolution."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataingestion_spark.sinks.txlog import (
+    ConcurrentWriteError,
+    SchemaEvolutionError,
+    TxLogTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    df2 = spark.createDataFrame([(3, "c")], ["id", "v"])
+
+    assert t.append(df1) == 0
+    assert t.append(df2) == 1
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b"), (3, "c")]
+
+    df3 = spark.createDataFrame([(9, "z")], ["id", "v"])
+    assert t.overwrite(df3) == 2
+    assert _rows(t.read(spark)) == [(9, "z")]
+    # time travel: every prior version still readable (files not vacuumed)
+    assert _rows(t.read(spark, version=0)) == [(1, "a"), (2, "b")]
+    assert _rows(t.read(spark, version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+    ops = [e["op"] for e in t.history()]
+    assert ops == ["append", "append", "overwrite"]
+
+
+def test_plain_parquet_reader_never_sees_the_log(spark, tmp_path):
+    """The commit log lives under an underscore dir, so a vanilla parquet
+    read of the table root still works (it just lacks snapshot semantics)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    raw = spark.read.parquet(str(tmp_path / "t"))
+    assert _rows(raw) == [(1, "a")]
+
+
+def test_txn_id_replay_is_noop(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    batch = spark.createDataFrame([(1, 10.0)], ["id", "value"])
+    v1 = t.append(batch, txn_id="stream-batch-0")
+    v2 = t.append(batch, txn_id="stream-batch-0")  # redelivery
+    assert v1 == v2 == 0
+    assert t.read(spark).count() == 1
+
+
+def test_merge_upsert_source_wins_and_latest_wins(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "old", 100), (2, "keep", 100)], ["id", "v", "ts"]
+        )
+    )
+    # source-wins: id=1 replaced, id=3 inserted
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "new", 50), (3, "ins", 50)], ["id", "v", "ts"]),
+        keys=["id"],
+    )
+    assert _rows(t.read(spark).select("id", "v")) == [
+        (1, "new"), (2, "keep"), (3, "ins"),
+    ]
+    # latest-wins: a STALE update (ts=10 < 50) cannot regress the row
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "stale", 10)], ["id", "v", "ts"]),
+        keys=["id"],
+        order_cols=["ts"],
+    )
+    assert _rows(t.read(spark).filter(F.col("id") == 1).select("v")) == [("new",)]
+    # merges are single atomic commits with full remove+add
+    assert [e["op"] for e in t.history()][-2:] == ["merge", "merge"]
+
+
+def test_concurrent_writer_conflict(spark, tmp_path):
+    t1 = TxLogTable(str(tmp_path / "t"))
+    t2 = TxLogTable(str(tmp_path / "t"))
+    t1.append(spark.createDataFrame([(1,)], ["id"]))
+    # both see version 0; t2 commits first, t1 must fail (not overwrite)
+    df = spark.createDataFrame([(2,)], ["id"])
+    files2 = t2._stage_files(df)
+    t2._commit(files2, [], df.schema, "append", None, 0)
+    with pytest.raises(ConcurrentWriteError):
+        files1 = t1._stage_files(df)
+        t1._commit(files1, [], df.schema, "append", None, 0)
+    # the losing writer's data files were cleaned up; table state is t2's
+    assert t1.read(spark).count() == 2
+    live = {f for f in os.listdir(str(tmp_path / "t")) if f.endswith(".parquet")}
+    assert live == set(t1.snapshot().files)
+
+
+def test_schema_evolution_additive_only(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.append(spark.createDataFrame([(2, "b", 5.0)], ["id", "v", "score"]))
+    out = t.read(spark)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "score"]
+    got = {r["id"]: r["score"] for r in out.collect()}
+    assert got[1] is None and got[2] == 5.0  # old files read NULL for new col
+    # type conflict refused
+    with pytest.raises(SchemaEvolutionError):
+        t.append(spark.createDataFrame([(3, 7)], ["id", "v"]))
+
+
+def test_vacuum_keeps_latest_only(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], ["id"]))
+    t.overwrite(spark.createDataFrame([(2,)], ["id"]))
+    deleted = t.vacuum()
+    assert deleted  # version-0 files gone
+    assert _rows(t.read(spark)) == [(2,)]
+    with pytest.raises(Exception):
+        t.read(spark, version=0).collect()  # time travel ends after vacuum
+
+
+def test_overwrite_crash_before_commit_is_invisible(spark, tmp_path):
+    """Staged-but-uncommitted files must not change what readers see: the
+    snapshot is defined by the log, not the directory."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], ["id"]))
+    # simulate a writer that staged data files and crashed pre-commit
+    t._stage_files(spark.createDataFrame([(99,)], ["id"]))
+    assert _rows(t.read(spark)) == [(1,)]
+
+
+def test_orchestrator_with_txlog_sink_matches_parquet_lake(
+    spark, tmp_path, sf_smoke_dir
+):
+    """End-to-end: the chunked ingest run over a txlog-backed lake lands
+    exactly the same rows as the parquet-backed run, and every lake table
+    is a committed snapshot (readable through the log with history)."""
+    from bigdataingestion_spark.config.repository import ConfigRepository
+    from bigdataingestion_spark.config.state import TableLoadDetails
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.pipeline.orchestrator import Orchestrator
+    from bigdataingestion_spark.sinks.writer import DatalakeWriter, SinkPolicy
+    from bigdataingestion_spark.sources.files import FileSource
+
+    src = tmp_path / "source" / "db"
+    os.makedirs(src)
+    ev = load_table(spark, sf_smoke_dir, "events").withColumn(
+        "createddate", F.col("ts")
+    )
+    ev.write.parquet(str(src / "events.parquet"))
+
+    def run(lake_name, use_txlog):
+        config = ConfigRepository(str(tmp_path / lake_name / "c.parquet"))
+        config.insert("dcx_postgresql_db_settings", "db_db_name", "db")
+        config.insert("dcx_postgresql_table_settings", "db_tables", "events")
+        orch = Orchestrator(
+            spark=spark,
+            source=FileSource(spark, str(tmp_path / "source")),
+            writer=DatalakeWriter(
+                str(tmp_path / lake_name), SinkPolicy(use_txlog=use_txlog)
+            ),
+            config=config,
+            state=TableLoadDetails(str(tmp_path / lake_name / "s.parquet")),
+            single_batch_limit=300,  # forces the chunked path
+        )
+        results = orch.run(run_date="2026-01-01")
+        assert all(r.strategy != "failed" for r in results)
+        return results
+
+    run("lake_pq", use_txlog=False)
+    run("lake_tx", use_txlog=True)
+
+    pq = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(tmp_path / "lake_pq" / "events")
+    )
+    table = TxLogTable(str(tmp_path / "lake_tx" / "events" / "2026" / "01" / "01"))
+    tx = table.read(spark)
+    assert tx.count() == pq.count() == ev.count()
+    assert _rows(tx.select("event_id")) == _rows(pq.select("event_id"))
+    # chunked loads produced one append commit per chunk, all in the log
+    assert {e["op"] for e in table.history()} <= {"append", "overwrite"}
+    assert table.version() >= 0
