@@ -1,0 +1,74 @@
+"""Model-based property test for the txlog table format: an arbitrary
+sequence of append / overwrite / source-wins-merge / latest-wins-merge
+operations must leave the table equal to a plain-Python model of the same
+semantics, and every intermediate version must remain time-travelable to
+exactly the rows the model held at that point. Hypothesis drives the op
+sequence; Spark jobs are tiny, so examples are capped for runtime."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+# an operation: (kind, rows) where rows are (key, value) tuples; the test
+# assigns a globally unique, increasing ord to every row so latest-wins
+# merges are tie-free and deterministic in both the model and the engine
+_row = st.tuples(
+    st.integers(min_value=1, max_value=6),    # key — collisions likely
+    st.sampled_from(["a", "b", "c", "d"]),    # value
+)
+_op = st.tuples(
+    st.sampled_from(["append", "overwrite", "merge", "merge_latest"]),
+    st.lists(_row, min_size=1, max_size=4),
+)
+
+
+def _apply_model(model: list, op: str, rows: list) -> list:
+    """The reference semantics in plain Python over (k, v, ord) tuples."""
+    if op == "append":
+        return model + rows
+    if op == "overwrite":
+        return list(rows)
+    if op == "merge":  # source wins: drop ALL target rows for source keys
+        skeys = {r[0] for r in rows}
+        return [r for r in model if r[0] not in skeys] + rows
+    # merge_latest: one survivor per key, greatest ord (globally unique)
+    best: dict = {}
+    for r in model + rows:
+        if r[0] not in best or r[2] > best[r[0]][2]:
+            best[r[0]] = r
+    return list(best.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_op, min_size=1, max_size=5))
+def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
+    tmp = tmp_path_factory.mktemp("txprop")
+    t = TxLogTable(str(tmp / "t"))
+    model: list = []
+    snapshots: list[tuple[int, list]] = []
+    ordc = 0
+    for op, rows in ops:
+        stamped = []
+        for k, v in rows:
+            stamped.append((k, v, ordc))
+            ordc += 1
+        df = spark.createDataFrame(stamped, ["k", "v", "ord"])
+        if op == "append":
+            version = t.append(df)
+        elif op == "overwrite":
+            version = t.overwrite(df)
+        elif op == "merge":
+            version = t.merge_upsert(spark, df, keys=["k"])
+        else:
+            version = t.merge_upsert(spark, df, keys=["k"], order_cols=["ord"])
+        model = _apply_model(model, op, stamped)
+        snapshots.append((version, sorted(model)))
+
+    # every committed version (not just the last) must time-travel to the
+    # model's state at that point
+    for version, expect in snapshots:
+        got = sorted(tuple(r) for r in t.read(spark, version=version).collect())
+        assert got == expect, (version, got, expect)
