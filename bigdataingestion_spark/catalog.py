@@ -448,12 +448,16 @@ def customer_order_moving_avg(spark, sf_dir):
 def customer_spend_quartiles(spark, sf_dir):
     """Spend quartiles via exact percentile CUT POINTS, not a global ntile:
     the cut points are one 3-value `percentile` aggregate over the
-    per-customer frame (partial-aggregated, no global sort) broadcast back
-    for a comparison-based bucket assignment. Value-based quartile
-    semantics (ties share a bucket) — the shape that survives 150M+
-    customers, where a global ntile window moves every row to one task.
-    Spark `percentile` and DuckDB `quantile_cont` share the linear
-    interpolation definition (verified bit-equal on the fixtures)."""
+    per-customer frame broadcast back for a comparison-based bucket
+    assignment — no global SORT of the frame (the ntile shape moved every
+    row through one sorting task). Residual scale note: Spark's exact
+    `percentile` merges a value->count map into one final buffer, so its
+    memory is O(distinct spend values); it is chosen here because it is
+    bit-equal to DuckDB `quantile_cont` (the oracle contract). At 100 TB
+    swap the cut-point aggregate for `approx_percentile` — the assignment
+    logic and everything downstream is unchanged, only the cut values
+    become sketch-approximate (and the exact-oracle pairing is relaxed,
+    as events_approx_stats already demonstrates for sketches)."""
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total_spend"))
     cuts = spend.agg(
@@ -3972,10 +3976,13 @@ def customer_rfm_segments(spark, sf_dir):
     aggregate over the per-customer frame, broadcast back for
     comparison-based bucketing — instead of three global ntile windows,
     each of which would move all |customers| rows (150M+ at 100x TPC-H)
-    through a single-task sort. Value-based semantics: quartile 1 is the
+    through a single-task SORT. Value-based semantics: quartile 1 is the
     best bucket on each axis (most recent / most frequent / highest spend);
-    ties share a bucket. Spark `percentile` and DuckDB `quantile_cont`
-    share the interpolation definition (verified bit-equal on fixtures)."""
+    ties share a bucket. Exact `percentile` is bit-equal to DuckDB
+    `quantile_cont` (the oracle contract) but buffers a value->count map
+    whose final merge is O(distinct values) memory — at 100 TB swap it for
+    `approx_percentile` with identical assignment logic (cut values become
+    sketch-approximate; see customer_spend_quartiles for the same note)."""
     o = _t(spark, sf_dir, "orders")
     ref = F.lit("2001-01-01").cast("timestamp")
     rfm = o.groupBy("o_custkey").agg(

@@ -76,8 +76,10 @@ class SchemaEvolutionError(ValueError):
 @dataclass(frozen=True)
 class Snapshot:
     version: int
-    files: tuple[str, ...]
+    files: tuple[str, ...]  # paths relative to the table root
     schema_json: str
+    txn_ids: tuple[str, ...] = ()
+    partition_cols: tuple[str, ...] = ()  # non-empty for partitioned tables
 
 
 def _merge_schema(current: StructType, incoming: StructType) -> StructType:
@@ -120,7 +122,11 @@ class TxLogTable:
         ]
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
-        """Replay the log up to ``version`` (latest if None)."""
+        """Replay the log up to ``version`` (latest if None). ONE log read
+        per operation: every op derives version, file list, schema, and
+        seen txn ids from the same snapshot, and commits against exactly
+        that version — a concurrent commit in between loses the
+        create-exclusive race instead of silently clobbering it."""
         entries = self.history()
         if version is not None:
             entries = [e for e in entries if e["version"] <= version]
@@ -134,10 +140,9 @@ class TxLogTable:
             version=entries[-1]["version"],
             files=tuple(files),
             schema_json=entries[-1]["schema"],
+            txn_ids=tuple(e["txn_id"] for e in entries if e.get("txn_id")),
+            partition_cols=tuple(entries[-1].get("partition_cols") or ()),
         )
-
-    def _txn_ids(self) -> set[str]:
-        return {e["txn_id"] for e in self.history() if e.get("txn_id")}
 
     def _commit(
         self,
@@ -147,6 +152,7 @@ class TxLogTable:
         op: str,
         txn_id: str | None,
         expected_version: int,
+        partition_cols: list[str] | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
@@ -157,15 +163,21 @@ class TxLogTable:
             "remove": remove,
             "schema": schema.json(),
             "txn_id": txn_id,
+            "partition_cols": list(partition_cols or ()),
         }
         target = os.path.join(self.log_dir, f"{version:08d}.json")
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        # write + fsync the FULL entry to a hidden tmp file, then publish
+        # with os.link: link is an atomic put-if-absent, so a commit file is
+        # either absent or complete — a reader can never observe a partial
+        # JSON, and a crash mid-write leaves only an ignorable .tmp orphan
+        # (object-store deployments swap this for conditional PUT)
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            # create-exclusive: the loser of a version race fails here
-            with open(target, "x") as fh:
-                fh.write(open(tmp).read())
+            os.link(tmp, target)
         except FileExistsError:
             for f in add:  # orphaned data files from the losing writer
                 try:
@@ -181,23 +193,40 @@ class TxLogTable:
 
     # ------------------------------------------------------------ data --
 
-    def _stage_files(self, df: DataFrame) -> list[str]:
-        """Write df as immutable parts at the table root (staged dir, then
-        renamed with unique names — invisible until the commit lands)."""
+    def _stage_files(
+        self, df: DataFrame, partition_cols: list[str] | None = None
+    ) -> list[str]:
+        """Write df as immutable parts under the table root (staged dir,
+        then renamed with unique names — invisible until the commit lands).
+        With ``partition_cols`` the parts land in hive-style partition
+        subdirs and the returned names are root-relative paths."""
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f"_staging-{uuid.uuid4().hex[:8]}")
-        df.write.parquet(tmp)
+        if partition_cols:
+            df.write.partitionBy(*partition_cols).parquet(tmp)
+        else:
+            df.write.parquet(tmp)
         names: list[str] = []
-        for f in sorted(os.listdir(tmp)):
-            if f.endswith(".parquet"):
+        for root, _dirs, files in os.walk(tmp):
+            rel_dir = os.path.relpath(root, tmp)
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
                 name = f"part-{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(tmp, f), os.path.join(self.path, name))
-                names.append(name)
+                rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+                os.makedirs(
+                    os.path.dirname(os.path.join(self.path, rel)) or self.path,
+                    exist_ok=True,
+                )
+                os.rename(os.path.join(root, f), os.path.join(self.path, rel))
+                names.append(rel)
         shutil.rmtree(tmp)
-        return names
+        return sorted(names)
 
-    def _next_schema(self, df: DataFrame, merge_schema: bool) -> StructType:
-        snap = self.snapshot()
+    @staticmethod
+    def _next_schema(
+        snap: Snapshot | None, df: DataFrame, merge_schema: bool
+    ) -> StructType:
         if snap is None:
             return df.schema
         current = StructType.fromJson(json.loads(snap.schema_json))
@@ -205,7 +234,31 @@ class TxLogTable:
             return current
         return _merge_schema(current, df.schema)
 
+    @staticmethod
+    def _require_flat(snap: Snapshot | None) -> None:
+        """Flat and hive-partitioned commits cannot mix in one table — the
+        two layouts are incompatible for a single reader."""
+        if snap and snap.partition_cols:
+            raise ValueError(
+                "table is partitioned; use overwrite_partitions"
+            )
+
+    @staticmethod
+    def _latest_wins(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     # ------------------------------------------------------------- ops --
+    # Every op reads the log ONCE (snapshot()), derives txn ids / schema /
+    # file list / version from that snapshot, and commits against the
+    # snapshot's version. A writer that committed concurrently (after our
+    # snapshot, before our commit) wins the create-exclusive race and we
+    # raise ConcurrentWriteError — never a lost update, never a commit
+    # whose schema/remove-list was computed against a stale snapshot.
 
     def append(
         self, df: DataFrame, txn_id: str | None = None, merge_schema: bool = True
@@ -213,18 +266,23 @@ class TxLogTable:
         """Transactional append. A ``txn_id`` seen before is a no-op (the
         exactly-once contract for replayed micro-batches). Returns the
         committed version (or the current one on a replay no-op)."""
-        if txn_id is not None and txn_id in self._txn_ids():
-            return self.version()
-        schema = self._next_schema(df, merge_schema)
+        snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        self._require_flat(snap)
+        schema = self._next_schema(snap, df, merge_schema)
         files = self._stage_files(df)
-        return self._commit(files, [], schema, "append", txn_id, self.version())
+        return self._commit(
+            files, [], schema, "append", txn_id, snap.version if snap else -1
+        )
 
     def overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
         """Atomic replace: one commit adds the new files and removes every
         current one. Readers see the old or the new table, never a mix."""
-        if txn_id is not None and txn_id in self._txn_ids():
-            return self.version()
         snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        self._require_flat(snap)
         files = self._stage_files(df)
         return self._commit(
             files,
@@ -232,7 +290,42 @@ class TxLogTable:
             df.schema,
             "overwrite",
             txn_id,
-            self.version(),
+            snap.version if snap else -1,
+        )
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_cols: list[str],
+        txn_id: str | None = None,
+    ) -> int:
+        """Dynamic-partition overwrite (Delta's ``replaceWhere`` shape, the
+        idempotent re-run primitive of the partitioned write strategy): ONE
+        commit replaces exactly the partitions present in ``df`` — their
+        current files are removed, the new files added — and leaves every
+        other partition untouched. Flat and partitioned commits cannot mix
+        in one table (the layouts are incompatible for readers)."""
+        snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        if snap and snap.files and not snap.partition_cols:
+            raise ValueError("table has flat commits; cannot mix layouts")
+        files = self._stage_files(df, partition_cols)
+        touched = {os.path.dirname(f) for f in files}
+        remove = (
+            [f for f in snap.files if os.path.dirname(f) in touched]
+            if snap
+            else []
+        )
+        schema = self._next_schema(snap, df, merge_schema=True)
+        return self._commit(
+            files,
+            remove,
+            schema,
+            "overwrite_partitions",
+            txn_id,
+            snap.version if snap else -1,
+            partition_cols=partition_cols,
         )
 
     def merge_upsert(
@@ -247,43 +340,46 @@ class TxLogTable:
         latest-wins by ``order_cols`` when deliveries may be out of order
         (the two MERGE shapes in ``sinks/merge.py``, now committed
         atomically). Returns the committed version."""
-        if txn_id is not None and txn_id in self._txn_ids():
-            return self.version()
         snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        self._require_flat(snap)
         if snap is None:
-            merged = source
-            if order_cols:
-                w = Window.partitionBy(*keys).orderBy(
-                    *[F.col(c).desc() for c in order_cols]
-                )
-                merged = (
-                    source.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
-                )
-            files = self._stage_files(merged)
-            return self._commit(
-                files, [], merged.schema, "merge", txn_id, self.version()
-            )
-        target = self.read(spark)
-        if order_cols:
-            w = Window.partitionBy(*keys).orderBy(
-                *[F.col(c).desc() for c in order_cols]
-            )
             merged = (
-                target.unionByName(source, allowMissingColumns=True)
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+                self._latest_wins(source, keys, order_cols) if order_cols else source
             )
         else:
-            survivors = target.join(source.select(keys), on=keys, how="left_anti")
-            merged = survivors.unionByName(source, allowMissingColumns=True)
-        schema = self._next_schema(source, merge_schema=True)
+            target = self._read_snapshot(spark, snap)
+            if order_cols:
+                union = target.unionByName(source, allowMissingColumns=True)
+                merged = self._latest_wins(union, keys, order_cols)
+            else:
+                survivors = target.join(
+                    source.select(keys), on=keys, how="left_anti"
+                )
+                merged = survivors.unionByName(source, allowMissingColumns=True)
+        schema = self._next_schema(snap, source, merge_schema=True)
         files = self._stage_files(merged)
         return self._commit(
-            files, list(snap.files), schema, "merge", txn_id, self.version()
+            files,
+            list(snap.files) if snap else [],
+            schema,
+            "merge",
+            txn_id,
+            snap.version if snap else -1,
         )
+
+    def _read_snapshot(self, spark: SparkSession, snap: Snapshot) -> DataFrame:
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if not snap.files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in snap.files]
+        reader = spark.read.schema(schema)
+        if snap.partition_cols:
+            # explicit files + basePath: partition columns resolve from the
+            # hive-style dir names, pruning stays file-level
+            reader = reader.option("basePath", self.path)
+        return reader.parquet(*paths)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot (or time-travel) read: explicit committed file list
@@ -291,21 +387,21 @@ class TxLogTable:
         snap = self.snapshot(version)
         if snap is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        schema = StructType.fromJson(json.loads(snap.schema_json))
-        if not snap.files:
-            return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f) for f in snap.files]
-        return spark.read.schema(schema).parquet(*paths)
+        return self._read_snapshot(spark, snap)
 
     def vacuum(self) -> list[str]:
         """Delete data files unreachable from the LATEST snapshot (ends
         time travel to older versions; the commit log itself is kept as the
-        audit trail). Returns the deleted file names."""
+        audit trail). Returns the deleted root-relative file names."""
         snap = self.snapshot()
         live = set(snap.files) if snap else set()
         deleted = []
-        for f in os.listdir(self.path):
-            if f.endswith(".parquet") and f not in live:
-                os.remove(os.path.join(self.path, f))
-                deleted.append(f)
+        for root, _dirs, files in os.walk(self.path):
+            if os.path.basename(root) == _LOG_DIR or root.startswith(self.log_dir):
+                continue
+            for f in files:
+                rel = os.path.relpath(os.path.join(root, f), self.path)
+                if rel.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(self.path, rel))
+                    deleted.append(rel)
         return sorted(deleted)

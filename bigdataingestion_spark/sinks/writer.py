@@ -92,6 +92,12 @@ class DatalakeWriter:
         as chunk writes (mode=overwrite + dynamic partition overwrite ->
         idempotent re-runs)."""
         fmt = self.policy.format_for(task)
+        if fmt == "delta" and self.policy.use_txlog:
+            from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+            # same dynamic-partition-overwrite semantics, one atomic commit
+            TxLogTable(path).overwrite_partitions(df, partition_cols)
+            return "txlog"
         physical = "parquet" if fmt == "delta" else fmt
         (
             df.write.format(physical)
@@ -108,8 +114,14 @@ class DatalakeWriter:
         max computation."""
         fmt = self.policy.format_for(task)
         if fmt == "delta" and self.policy.use_txlog:
+            import os
+
             from bigdataingestion_spark.sinks.txlog import TxLogTable
 
-            return TxLogTable(path).read(spark)
+            table = TxLogTable(path)
+            if os.path.isdir(table.log_dir):
+                return table.read(spark)
+            # table predates the txlog flag (or was written by a plain
+            # parquet deployment): fall back rather than refuse to read
         physical = "parquet" if fmt == "delta" else fmt
         return spark.read.format(physical).load(path)

@@ -47,8 +47,12 @@ def test_headliner_plan_matches_baseline(spark, name):
 GATE_BASE = fp.load_baseline(fp.GATE_BASELINE_PATH)
 
 
+# skip ONLY when a baseline exists but its fixture dir is gone on this
+# machine; a MISSING baseline file must fail (assert below), not skip —
+# otherwise deleting the file silently disarms the tripwire
 @pytest.mark.skipif(
-    not os.path.isdir(GATE_BASE.get("sf_dir", "")), reason="gate sf_dir absent"
+    bool(GATE_BASE) and not os.path.isdir(GATE_BASE.get("sf_dir", "")),
+    reason="gate sf_dir absent",
 )
 def test_gate_window_plans_match_baseline(spark):
     """All 50 driver-gate-window queries in ONE pass (a parametrized

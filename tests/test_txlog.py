@@ -189,3 +189,99 @@ def test_orchestrator_with_txlog_sink_matches_parquet_lake(
     # chunked loads produced one append commit per chunk, all in the log
     assert {e["op"] for e in table.history()} <= {"append", "overwrite"}
     assert table.version() >= 0
+
+
+def test_concurrent_commit_during_staging_raises(spark, tmp_path, monkeypatch):
+    """Lost-update guard through the PUBLIC API: writer B commits while
+    writer A is staging; A's commit must fail (its snapshot is stale), not
+    silently un-remove B's files."""
+    path = str(tmp_path / "t")
+    a, b = TxLogTable(path), TxLogTable(path)
+    a.append(spark.createDataFrame([(1,)], ["id"]))
+
+    real_stage = TxLogTable._stage_files
+
+    def stage_and_race(self, df, partition_cols=None):
+        files = real_stage(self, df, partition_cols)
+        # B sneaks in a commit after A read its snapshot
+        if not getattr(stage_and_race, "raced", False):
+            stage_and_race.raced = True
+            b.append(spark.createDataFrame([(99,)], ["id"]))
+        return files
+
+    monkeypatch.setattr(TxLogTable, "_stage_files", stage_and_race)
+    with pytest.raises(ConcurrentWriteError):
+        a.overwrite(spark.createDataFrame([(2,)], ["id"]))
+    monkeypatch.undo()
+    # B's append survived; A's staged files were cleaned up
+    assert _rows(a.read(spark)) == [(1,), (99,)]
+    live = set()
+    for root, _d, fs in os.walk(path):
+        if "_txlog" in root:
+            continue
+        live.update(f for f in fs if f.endswith(".parquet"))
+    assert live == {os.path.basename(f) for f in a.snapshot().files}
+
+
+def test_partitioned_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [(1, "2024", "a"), (2, "2025", "b")], ["id", "yr", "v"]
+    )
+    t.overwrite_partitions(df1, ["yr"])
+    # re-load 2025 only: 2024 untouched, 2025 replaced (dynamic overwrite)
+    df2 = spark.createDataFrame([(3, "2025", "c")], ["id", "yr", "v"])
+    t.overwrite_partitions(df2, ["yr"])
+    out = t.read(spark)
+    assert sorted((r["id"], r["yr"], r["v"]) for r in out.collect()) == [
+        (1, "2024", "a"), (3, "2025", "c"),
+    ]
+    # partition column resolves from dir names; time travel still works
+    assert t.read(spark, version=0).count() == 2
+    # replay with the same txn id is a no-op
+    v = t.overwrite_partitions(df2, ["yr"], txn_id="day-2025")
+    assert t.overwrite_partitions(df2, ["yr"], txn_id="day-2025") == v
+    # layouts cannot mix, in either direction
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(9, "x", "z")], ["id", "yr", "v"]))
+    t2 = TxLogTable(str(tmp_path / "flat"))
+    t2.append(spark.createDataFrame([(1,)], ["id"]))
+    with pytest.raises(ValueError):
+        t2.overwrite_partitions(df2, ["yr"])
+
+
+def test_orchestrator_partitioned_strategy_with_txlog(spark, tmp_path, sf_smoke_dir):
+    """The partitioned write strategy (the 100 TB path) goes through a
+    single overwrite_partitions commit; read_back resolves via the log."""
+    from bigdataingestion_spark.config.repository import ConfigRepository
+    from bigdataingestion_spark.config.state import TableLoadDetails
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.pipeline.orchestrator import Orchestrator
+    from bigdataingestion_spark.sinks.writer import DatalakeWriter, SinkPolicy
+    from bigdataingestion_spark.sources.files import FileSource
+
+    src = tmp_path / "source" / "db"
+    os.makedirs(src)
+    ev = load_table(spark, sf_smoke_dir, "events").withColumn(
+        "createddate", F.col("ts")
+    )
+    ev.write.parquet(str(src / "events.parquet"))
+    config = ConfigRepository(str(tmp_path / "c.parquet"))
+    config.insert("dcx_postgresql_db_settings", "db_db_name", "db")
+    config.insert("dcx_postgresql_table_settings", "db_tables", "events")
+    orch = Orchestrator(
+        spark=spark,
+        source=FileSource(spark, str(tmp_path / "source")),
+        writer=DatalakeWriter(str(tmp_path / "lake"), SinkPolicy(use_txlog=True)),
+        config=config,
+        state=TableLoadDetails(str(tmp_path / "s.parquet")),
+        single_batch_limit=300,
+        write_strategy="partitioned",
+    )
+    results = orch.run(run_date="2026-01-01")
+    assert all(r.strategy != "failed" for r in results)
+    table = TxLogTable(str(tmp_path / "lake" / "events" / "2026" / "01" / "01"))
+    assert table.version() >= 0
+    assert table.read(spark).count() == ev.count()
+    ops = {e["op"] for e in table.history()}
+    assert ops == {"overwrite_partitions"}
