@@ -99,9 +99,14 @@ def _merge_schema(current: StructType, incoming: StructType) -> StructType:
 
 
 class TxLogTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, checkpoint_interval: int = 10):
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        # every N commits the full snapshot state is rolled into a .ckpt
+        # file (the Delta protocol's checkpoint move): snapshot resolution
+        # then replays only the commits SINCE the newest usable checkpoint,
+        # keeping per-op log cost O(interval) instead of O(total commits)
+        self.checkpoint_interval = checkpoint_interval
 
     # ------------------------------------------------------------- log --
 
@@ -121,26 +126,72 @@ class TxLogTable:
             for f in self._commit_files()
         ]
 
+    def _checkpoint_files(self) -> list[str]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(f for f in os.listdir(self.log_dir) if f.endswith(".ckpt"))
+
+    def _write_checkpoint(self, snap: Snapshot) -> None:
+        """Roll the snapshot into a .ckpt (derived data: idempotent, and
+        published by atomic rename so readers never see a partial one)."""
+        target = os.path.join(self.log_dir, f"{snap.version:08d}.ckpt")
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": snap.version,
+                    "files": list(snap.files),
+                    "schema": snap.schema_json,
+                    "txn_ids": list(snap.txn_ids),
+                    "partition_cols": list(snap.partition_cols),
+                },
+                fh,
+            )
+        os.replace(tmp, target)
+
     def snapshot(self, version: int | None = None) -> Snapshot | None:
-        """Replay the log up to ``version`` (latest if None). ONE log read
-        per operation: every op derives version, file list, schema, and
-        seen txn ids from the same snapshot, and commits against exactly
-        that version — a concurrent commit in between loses the
-        create-exclusive race instead of silently clobbering it."""
-        entries = self.history()
-        if version is not None:
-            entries = [e for e in entries if e["version"] <= version]
+        """Resolve the table state at ``version`` (latest if None): start
+        from the newest checkpoint at or below the target, then replay only
+        the commits after it. ONE log resolution per operation: every op
+        derives version, file list, schema, and seen txn ids from the same
+        snapshot, and commits against exactly that version — a concurrent
+        commit in between loses the create-exclusive race instead of
+        silently clobbering it."""
+        base: Snapshot | None = None
+        for ck in reversed(self._checkpoint_files()):
+            v = int(ck.split(".")[0])
+            if version is None or v <= version:
+                d = json.loads(open(os.path.join(self.log_dir, ck)).read())
+                base = Snapshot(
+                    version=d["version"],
+                    files=tuple(d["files"]),
+                    schema_json=d["schema"],
+                    txn_ids=tuple(d["txn_ids"]),
+                    partition_cols=tuple(d["partition_cols"]),
+                )
+                break
+        # parse only the commit files AFTER the checkpoint (filename encodes
+        # the version, so the range filter needs no file reads)
+        entries = [
+            json.loads(open(os.path.join(self.log_dir, f)).read())
+            for f in self._commit_files()
+            if (base is None or int(f[:-5]) > base.version)
+            and (version is None or int(f[:-5]) <= version)
+        ]
         if not entries:
-            return None
-        files: list[str] = []
+            return base
+        files = list(base.files) if base else []
+        txn_ids = list(base.txn_ids) if base else []
         for e in entries:
             files = [f for f in files if f not in set(e["remove"])]
             files.extend(e["add"])
+            if e.get("txn_id"):
+                txn_ids.append(e["txn_id"])
         return Snapshot(
             version=entries[-1]["version"],
             files=tuple(files),
             schema_json=entries[-1]["schema"],
-            txn_ids=tuple(e["txn_id"] for e in entries if e.get("txn_id")),
+            txn_ids=tuple(txn_ids),
             partition_cols=tuple(entries[-1].get("partition_cols") or ()),
         )
 
@@ -189,6 +240,10 @@ class TxLogTable:
             ) from None
         finally:
             os.remove(tmp)
+        if self.checkpoint_interval and version > 0 and (
+            version % self.checkpoint_interval == 0
+        ):
+            self._write_checkpoint(self.snapshot(version))
         return version
 
     # ------------------------------------------------------------ data --

@@ -285,3 +285,31 @@ def test_orchestrator_partitioned_strategy_with_txlog(spark, tmp_path, sf_smoke_
     assert table.read(spark).count() == ev.count()
     ops = {e["op"] for e in table.history()}
     assert ops == {"overwrite_partitions"}
+
+
+def test_checkpointed_snapshot_equals_full_replay(spark, tmp_path):
+    """25 commits with checkpoint_interval=10: snapshots resolved through
+    checkpoints must equal the model at every version, including versions
+    before/between checkpoints, and txn-id dedup must survive a checkpoint."""
+    t = TxLogTable(str(tmp_path / "t"), checkpoint_interval=10)
+    expect: dict[int, list] = {}
+    rows: list = []
+    for i in range(25):
+        if i % 7 == 3:
+            rows = [(i, "ow")]
+            t.overwrite(spark.createDataFrame(rows, ["id", "v"]))
+        else:
+            rows = rows + [(i, "ap")]
+            t.append(
+                spark.createDataFrame([(i, "ap")], ["id", "v"]), txn_id=f"b{i}"
+            )
+        expect[i] = sorted(rows)
+    ckpts = [f for f in os.listdir(str(tmp_path / "t" / "_txlog")) if f.endswith(".ckpt")]
+    assert len(ckpts) == 2  # versions 10 and 20
+    for v in (0, 5, 9, 10, 11, 19, 20, 24):
+        got = sorted(tuple(r) for r in t.read(spark, version=v).collect())
+        assert got == expect[v], v
+    # txn-id replay recorded before the checkpoint is still a no-op after it
+    n = t.read(spark).count()
+    t.append(spark.createDataFrame([(99, "dup")], ["id", "v"]), txn_id="b2")
+    assert t.read(spark).count() == n
