@@ -393,3 +393,50 @@ def stream_cdc_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_txlog_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 64,
+) -> StreamingQuery:
+    """File landing zone -> txlog table, exactly-once at the TABLE level.
+
+    ``foreachBatch`` sinks are at-least-once: after a crash between the
+    batch write and the checkpoint commit, restart re-delivers the batch.
+    The native file sink solves this with its manifest log but supports
+    only a single plain file sink; merge/multi-sink topologies
+    (``stream_cdc_upsert``, the dead-letter gate) need idempotency in the
+    SINK. This is the canonical third pattern, Delta's ``txn``
+    appId/version contract re-expressed on ``sinks.txlog``: each batch
+    appends with ``txn_id=f"batch-{batch_id}"``, and the table's log makes
+    a replayed id a no-op — so redelivery cannot duplicate rows no matter
+    when the writer crashed, and the lake state is exactly-once without
+    rewriting any existing data (unlike the CDC merge, which pays a
+    copy-on-write per batch for the same guarantee).
+    """
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    probe = spark.read.format(fmt).load(source_dir)
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(probe.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(source_dir)
+    )
+    table = TxLogTable(target_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df, txn_id=f"batch-{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -313,3 +313,43 @@ def test_checkpointed_snapshot_equals_full_replay(spark, tmp_path):
     n = t.read(spark).count()
     t.append(spark.createDataFrame([(99, "dup")], ["id", "v"]), txn_id="b2")
     assert t.read(spark).count() == n
+
+
+def test_stream_txlog_ingest_exactly_once(spark, tmp_path, sf_smoke_dir):
+    """Streaming foreachBatch append with txn ids: batch redelivery is a
+    table-level no-op, and incremental restarts ingest only new files."""
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    landing = tmp_path / "landing"
+    ev = load_table(spark, sf_smoke_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    first.coalesce(2).write.parquet(str(landing))
+
+    q = stream_txlog_ingest(
+        spark, str(landing), str(tmp_path / "t"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    t = TxLogTable(str(tmp_path / "t"))
+    assert t.read(spark).count() == first.count()
+
+    # crash-redelivery: re-applying an already-committed batch id is a no-op
+    done_ids = [e["txn_id"] for e in t.history() if e["txn_id"]]
+    assert done_ids
+    t.append(first.limit(5), txn_id=done_ids[0])
+    assert t.read(spark).count() == first.count()
+
+    # restart with the same checkpoint after new files land: only the new
+    # file is processed, under a NEW batch id
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    second.coalesce(1).write.mode("append").parquet(str(landing))
+    q2 = stream_txlog_ingest(
+        spark, str(landing), str(tmp_path / "t"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == ev.count()
+    assert len(set(e["txn_id"] for e in t.history() if e["txn_id"])) == len(
+        [e for e in t.history() if e["txn_id"]]
+    )

@@ -72,3 +72,36 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
     for version, expect in snapshots:
         got = sorted(tuple(r) for r in t.read(spark, version=version).collect())
         assert got == expect, (version, got, expect)
+
+
+_prow = st.tuples(
+    st.integers(min_value=1, max_value=5),          # id
+    st.sampled_from(["2024", "2025", "2026"]),      # partition value
+    st.sampled_from(["a", "b"]),                    # payload
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(_prow, min_size=1, max_size=4), min_size=1, max_size=4))
+def test_partitioned_overwrite_matches_model(spark, tmp_path_factory, batches):
+    """Dynamic-partition overwrite semantics vs a dict-of-partitions model:
+    each batch replaces exactly the partitions it contains, at every
+    committed version."""
+    tmp = tmp_path_factory.mktemp("txpart")
+    t = TxLogTable(str(tmp / "t"))
+    model: dict[str, list] = {}
+    snapshots = []
+    for rows in batches:
+        df = spark.createDataFrame(rows, ["id", "yr", "v"])
+        version = t.overwrite_partitions(df, ["yr"])
+        touched = {r[1] for r in rows}
+        for yr in touched:
+            model[yr] = [r for r in rows if r[1] == yr]
+        flat = sorted(r for rs in model.values() for r in rs)
+        snapshots.append((version, flat))
+    for version, expect in snapshots:
+        got = sorted(
+            (r["id"], r["yr"], r["v"])
+            for r in t.read(spark, version=version).collect()
+        )
+        assert got == expect, (version, got, expect)
