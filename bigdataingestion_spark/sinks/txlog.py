@@ -147,6 +147,8 @@ class TxLogTable:
                 },
                 fh,
             )
+            fh.flush()
+            os.fsync(fh.fileno())  # rename durability alone can publish a torn file
         os.replace(tmp, target)
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
@@ -160,16 +162,23 @@ class TxLogTable:
         base: Snapshot | None = None
         for ck in reversed(self._checkpoint_files()):
             v = int(ck.split(".")[0])
-            if version is None or v <= version:
+            if version is not None and v > version:
+                continue
+            try:
                 d = json.loads(open(os.path.join(self.log_dir, ck)).read())
-                base = Snapshot(
-                    version=d["version"],
-                    files=tuple(d["files"]),
-                    schema_json=d["schema"],
-                    txn_ids=tuple(d["txn_ids"]),
-                    partition_cols=tuple(d["partition_cols"]),
-                )
-                break
+            except (ValueError, OSError):
+                # checkpoints are DERIVED data: an unreadable one (torn
+                # write, bit rot) must never brick the table — fall back to
+                # the next older checkpoint, or to full log replay
+                continue
+            base = Snapshot(
+                version=d["version"],
+                files=tuple(d["files"]),
+                schema_json=d["schema"],
+                txn_ids=tuple(d["txn_ids"]),
+                partition_cols=tuple(d["partition_cols"]),
+            )
+            break
         # parse only the commit files AFTER the checkpoint (filename encodes
         # the version, so the range filter needs no file reads)
         entries = [
@@ -183,7 +192,8 @@ class TxLogTable:
         files = list(base.files) if base else []
         txn_ids = list(base.txn_ids) if base else []
         for e in entries:
-            files = [f for f in files if f not in set(e["remove"])]
+            removed = set(e["remove"])
+            files = [f for f in files if f not in removed]
             files.extend(e["add"])
             if e.get("txn_id"):
                 txn_ids.append(e["txn_id"])
@@ -243,7 +253,14 @@ class TxLogTable:
         if self.checkpoint_interval and version > 0 and (
             version % self.checkpoint_interval == 0
         ):
-            self._write_checkpoint(self.snapshot(version))
+            try:
+                self._write_checkpoint(self.snapshot(version))
+            except OSError:
+                # the commit itself is already durable; a failed checkpoint
+                # write (disk full, permissions) must not make the caller
+                # believe the commit failed and retry into a duplicate —
+                # the next interval boundary will try again
+                pass
         return version
 
     # ------------------------------------------------------------ data --

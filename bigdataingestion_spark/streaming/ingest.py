@@ -44,6 +44,32 @@ def _normalize_event_time(df: DataFrame, ts_col: str, probe_dtypes: dict) -> Dat
     return df
 
 
+def _open_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe the batch schema, then open the checkpointable file stream.
+    Returns (probe, stream). Accepts a single FILE as the source (the
+    streaming file source itself only takes directories — a glob filter on
+    the parent emulates it). One definition for the seven streaming entry
+    points in this module plus the dead-letter gate, so source-handling
+    fixes land once."""
+    import os
+
+    probe = spark.read.format(fmt).load(source_dir)
+    reader = spark.readStream.format(fmt).schema(probe.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(source_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
+        stream = reader.load(os.path.dirname(source_dir))
+    else:
+        stream = reader.load(source_dir)
+    return probe, stream
+
+
 def stream_file_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -60,13 +86,7 @@ def stream_file_ingest(
     via the manifest log, giving exactly-once per micro-batch — strictly
     stronger than the reference's at-least-once chunk appends.
     """
-    probe = spark.read.format(fmt).load(source_dir)
-    stream = (
-        spark.readStream.format(fmt)
-        .schema(probe.schema)
-        .option("maxFilesPerTrigger", 64)
-        .load(source_dir)
-    )
+    probe, stream = _open_file_stream(spark, source_dir, fmt, 64)
     stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     stream = stream.withColumn("_ingest_date", F.to_date(F.col(ts_col)))
     writer = (
@@ -99,16 +119,7 @@ def stream_windowed_counts(
     80h horizon matches the reference's late-data allowance. Because update
     mode re-emits a window each time it changes, consumers take the LAST
     (= max, counts are monotonic) row per (window, key)."""
-    import os
-
-    probe = spark.read.format(fmt).load(source_dir)
-    reader = spark.readStream.format(fmt).schema(probe.schema)
-    if os.path.isfile(source_dir):
-        # the streaming file source only accepts directories
-        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
-        stream = reader.load(os.path.dirname(source_dir))
-    else:
-        stream = reader.load(source_dir)
+    probe, stream = _open_file_stream(spark, source_dir, fmt)
     stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     stream = (
         stream.withWatermark(ts_col, WATERMARK_LAG)
@@ -158,8 +169,7 @@ def stream_dedup_to_lake(
     (the reference's late-data allowance, ING:350) are suppressed; the
     checkpoint makes redelivered micro-batches idempotent across restarts.
     """
-    probe = spark.read.format(fmt).load(source_dir)
-    stream = spark.readStream.format(fmt).schema(probe.schema).load(source_dir)
+    probe, stream = _open_file_stream(spark, source_dir, fmt)
     stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     deduped = stream.withWatermark(ts_col, WATERMARK_LAG).dropDuplicatesWithinWatermark(
         id_cols
@@ -199,15 +209,7 @@ def stream_session_windows(
     ``streaming.stateful.streaming_sessionize`` (applyInPandasWithState,
     bounded state, per-session emission) instead.
     """
-    import os
-
-    probe = spark.read.format(fmt).load(source_dir)
-    reader = spark.readStream.format(fmt).schema(probe.schema)
-    if os.path.isfile(source_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
-        stream = reader.load(os.path.dirname(source_dir))
-    else:
-        stream = reader.load(source_dir)
+    probe, stream = _open_file_stream(spark, source_dir, fmt)
     stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     sessions = (
         stream.groupBy(
@@ -258,17 +260,8 @@ def stream_stream_join(
     one that OOMs in an hour. Append mode emits each matched pair exactly
     once (inner joins emit only when a match is final).
     """
-    import os
-
-    probe = spark.read.format(fmt).load(source_dir)
-
     def side(etype: str, prefix: str) -> DataFrame:
-        reader = spark.readStream.format(fmt).schema(probe.schema)
-        if os.path.isfile(source_dir):
-            reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
-            s = reader.load(os.path.dirname(source_dir))
-        else:
-            s = reader.load(source_dir)
+        probe, s = _open_file_stream(spark, source_dir, fmt)
         s = _normalize_event_time(s, ts_col, dict(probe.dtypes))
         # filter BEFORE the stateful join: only matching-type rows enter
         # join state (at scale the type predicate also prunes at the scan)
@@ -326,15 +319,7 @@ def stream_static_enrich(
     shape Structured Streaming offers (static-static, stream-stream,
     stream-static) — the lookup/enrichment stage every event pipeline has.
     """
-    import os
-
-    probe = spark.read.format(fmt).load(source_dir)
-    reader = spark.readStream.format(fmt).schema(probe.schema)
-    if os.path.isfile(source_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
-        stream = reader.load(os.path.dirname(source_dir))
-    else:
-        stream = reader.load(source_dir)
+    probe, stream = _open_file_stream(spark, source_dir, fmt)
     stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     if row_filter is not None:
         stream = stream.filter(row_filter)
@@ -374,13 +359,7 @@ def stream_cdc_upsert(
     """
     from bigdataingestion_spark.sinks.merge import merge_upsert_ordered
 
-    probe = spark.read.format(fmt).load(source_dir)
-    stream = (
-        spark.readStream.format(fmt)
-        .schema(probe.schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(source_dir)
-    )
+    probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -402,6 +381,7 @@ def stream_txlog_ingest(
     checkpoint_dir: str,
     fmt: str = "parquet",
     max_files_per_trigger: int = 64,
+    app_id: str | None = None,
 ) -> StreamingQuery:
     """File landing zone -> txlog table, exactly-once at the TABLE level.
 
@@ -411,28 +391,32 @@ def stream_txlog_ingest(
     only a single plain file sink; merge/multi-sink topologies
     (``stream_cdc_upsert``, the dead-letter gate) need idempotency in the
     SINK. This is the canonical third pattern, Delta's ``txn``
-    appId/version contract re-expressed on ``sinks.txlog``: each batch
-    appends with ``txn_id=f"batch-{batch_id}"``, and the table's log makes
-    a replayed id a no-op — so redelivery cannot duplicate rows no matter
-    when the writer crashed, and the lake state is exactly-once without
-    rewriting any existing data (unlike the CDC merge, which pays a
-    copy-on-write per batch for the same guarantee).
+    (appId, version) contract re-expressed on ``sinks.txlog``: each batch
+    appends with ``txn_id=f"{app_id}:{batch_id}"`` and the table's log
+    makes a replayed id a no-op — redelivery cannot duplicate rows no
+    matter when the writer crashed, without rewriting any existing data
+    (unlike the CDC merge, which pays a copy-on-write per batch for the
+    same guarantee).
+
+    ``app_id`` scopes batch ids PER QUERY (default: the checkpoint dir's
+    basename): two queries feeding one table get distinct txn ids, so one
+    query's batch 0 cannot be mistaken for the other's replay. Exactly as
+    with Delta's contract, deleting a checkpoint to reprocess from scratch
+    restarts batch numbering — pass a fresh ``app_id`` in that case or the
+    early batches will be deduplicated as replays.
     """
+    import os
+
     from bigdataingestion_spark.sinks.txlog import TxLogTable
 
-    probe = spark.read.format(fmt).load(source_dir)
-    stream = (
-        spark.readStream.format(fmt)
-        .schema(probe.schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(source_dir)
-    )
+    probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
     table = TxLogTable(target_dir)
+    scope = app_id or os.path.basename(os.path.normpath(checkpoint_dir))
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.append(batch_df, txn_id=f"batch-{batch_id}")
+        table.append(batch_df, txn_id=f"{scope}:{batch_id}")
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -89,13 +89,9 @@ def stream_quality_gate(
     max_files_per_trigger: int = 64,
 ) -> StreamingQuery:
     """File-landing-zone -> (lake, dead-letter) streaming split."""
-    probe = spark.read.format(fmt).load(source_dir)
-    stream = (
-        spark.readStream.format(fmt)
-        .schema(probe.schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(source_dir)
-    )
+    from bigdataingestion_spark.streaming.ingest import _open_file_stream
+
+    _probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         gate_batch(batch_df, batch_id, target_dir, quarantine_dir, expectations, fmt)
 

@@ -353,3 +353,50 @@ def test_stream_txlog_ingest_exactly_once(spark, tmp_path, sf_smoke_dir):
     assert len(set(e["txn_id"] for e in t.history() if e["txn_id"])) == len(
         [e for e in t.history() if e["txn_id"]]
     )
+
+
+def test_stream_txlog_ingest_app_id_scopes_batch_ids(spark, tmp_path, sf_smoke_dir):
+    """Two queries (distinct checkpoints) feeding ONE table: the second
+    query's batch 0 must not be deduplicated against the first's."""
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    ev = load_table(spark, sf_smoke_dir, "events").select("event_id", "event_type")
+    a, b = ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.parquet(str(tmp_path / "landing_a"))
+    b.coalesce(1).write.parquet(str(tmp_path / "landing_b"))
+    for name in ("a", "b"):
+        q = stream_txlog_ingest(
+            spark,
+            str(tmp_path / f"landing_{name}"),
+            str(tmp_path / "t"),
+            str(tmp_path / f"ckpt_{name}"),
+        )
+        q.awaitTermination(120)
+    t = TxLogTable(str(tmp_path / "t"))
+    assert t.read(spark).count() == ev.count()
+    ids = [e["txn_id"] for e in t.history() if e["txn_id"]]
+    assert any(i.startswith("ckpt_a:") for i in ids)
+    assert any(i.startswith("ckpt_b:") for i in ids)
+
+
+def test_corrupt_checkpoint_falls_back_to_log_replay(spark, tmp_path):
+    """A torn/corrupt .ckpt is derived data and must not brick the table."""
+    t = TxLogTable(str(tmp_path / "t"), checkpoint_interval=3)
+    for i in range(7):
+        t.append(spark.createDataFrame([(i,)], ["id"]))
+    ckpts = sorted(
+        f for f in os.listdir(str(tmp_path / "t" / "_txlog")) if f.endswith(".ckpt")
+    )
+    assert ckpts == ["00000003.ckpt", "00000006.ckpt"]
+    # corrupt the newest checkpoint: reads fall back to the older one
+    open(str(tmp_path / "t" / "_txlog" / ckpts[-1]), "w").write("")
+    assert t.read(spark).count() == 7
+    # corrupt both: full log replay still serves every version
+    open(str(tmp_path / "t" / "_txlog" / ckpts[0]), "w").write("{bad")
+    assert t.read(spark).count() == 7
+    assert t.read(spark, version=4).count() == 5
+    # and the next interval commit writes a fresh usable checkpoint
+    for i in range(7, 10):
+        t.append(spark.createDataFrame([(i,)], ["id"]))
+    assert t.read(spark).count() == 10
