@@ -6,6 +6,7 @@ order-insensitive value hash (rows stringified under sorted column order,
 sorted, md5'd). Run before claiming any query done:
 
     python scripts/check_oracle.py [query ...]
+    python scripts/check_oracle.py --gate   # first-50 window, as the driver gates
 """
 
 from __future__ import annotations
@@ -50,7 +51,9 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    gate_only = "--gate" in args  # mirror the driver: first 50 entries only
+    only = {a for a in args if not a.startswith("--")}
 
     import __spark_entry__ as entrymod
     from bigdataingestion_spark.session import get_spark
@@ -64,6 +67,8 @@ def main() -> int:
         )
 
     qs = entrymod.queries()
+    if gate_only:
+        qs = dict(list(qs.items())[:50])
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
