@@ -150,3 +150,28 @@ def test_small_table_overwrite_is_idempotent(spark, pipeline):
     orch.run(run_date=RUN_DATE)  # overwrite -> no duplication
     written = spark.read.parquet(str(tmp_path / "lake" / "events" / "2026" / "08" / "13"))
     assert written.count() == 1000
+
+
+def test_sink_format_seam_passes_orc_through(spark, tmp_path):
+    """The format policy is an open seam, not a parquet/delta enum: a
+    policy electing ORC (Spark-native columnar alternative) round-trips
+    through write and read_back with no writer changes."""
+    from dataclasses import dataclass
+
+    from bigdataingestion_spark.sinks.writer import DatalakeWriter, SinkPolicy
+
+    @dataclass
+    class OrcPolicy(SinkPolicy):
+        def format_for(self, task: str) -> str:
+            return "orc"
+
+    writer = DatalakeWriter(str(tmp_path / "lake"), OrcPolicy())
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    fmt = writer.write(df, "dcx", str(tmp_path / "lake" / "t"), "overwrite", 2)
+    assert fmt == "orc"
+    back = writer.read_back(spark, "dcx", str(tmp_path / "lake" / "t"))
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+    import os
+
+    files = os.listdir(str(tmp_path / "lake" / "t"))
+    assert any(f.endswith(".orc") for f in files), files
