@@ -49,16 +49,31 @@ def _open_file_stream(
     source_dir: str,
     fmt: str,
     max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe the batch schema, then open the checkpointable file stream.
-    Returns (probe, stream). Accepts a single FILE as the source (the
+    Returns (probe, stream) — ``probe`` is an empty frame of the declared
+    schema when one is passed. Accepts a single FILE as the source (the
     streaming file source itself only takes directories — a glob filter on
     the parent emulates it). One definition for the seven streaming entry
     points in this module plus the dead-letter gate, so source-handling
-    fixes land once."""
+    fixes land once.
+
+    Pass ``schema`` (a StructType) to start against a landing zone that
+    has no files yet — schema probing needs at least one file, and a 24/7
+    gate usually starts BEFORE the first drop."""
     import os
 
-    probe = spark.read.format(fmt).load(source_dir)
+    if schema is not None:
+        probe = spark.createDataFrame([], schema)
+    else:
+        try:
+            probe = spark.read.format(fmt).load(source_dir)
+        except Exception as exc:
+            raise ValueError(
+                f"cannot probe schema from {source_dir!r} (empty or absent); "
+                "pass an explicit schema to start against an empty landing zone"
+            ) from exc
     reader = spark.readStream.format(fmt).schema(probe.schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -78,6 +93,7 @@ def stream_file_ingest(
     ts_col: str = "ts",
     fmt: str = "parquet",
     available_now: bool = True,
+    schema=None,
 ) -> StreamingQuery:
     """File-landing-zone -> lake streaming ingest, partitioned by event date.
 
@@ -86,7 +102,7 @@ def stream_file_ingest(
     via the manifest log, giving exactly-once per micro-batch — strictly
     stronger than the reference's at-least-once chunk appends.
     """
-    probe, stream = _open_file_stream(spark, source_dir, fmt, 64)
+    probe, stream = _open_file_stream(spark, source_dir, fmt, 64, schema=schema)
     stream = _normalize_event_time(stream, ts_col, dict(probe.dtypes))
     stream = stream.withColumn("_ingest_date", F.to_date(F.col(ts_col)))
     writer = (
@@ -382,6 +398,7 @@ def stream_txlog_ingest(
     fmt: str = "parquet",
     max_files_per_trigger: int = 64,
     app_id: str | None = None,
+    schema=None,
 ) -> StreamingQuery:
     """File landing zone -> txlog table, exactly-once at the TABLE level.
 
@@ -409,7 +426,9 @@ def stream_txlog_ingest(
 
     from bigdataingestion_spark.sinks.txlog import TxLogTable
 
-    probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
+    probe, stream = _open_file_stream(
+        spark, source_dir, fmt, max_files_per_trigger, schema=schema
+    )
     table = TxLogTable(target_dir)
     scope = app_id or os.path.basename(os.path.normpath(checkpoint_dir))
 

@@ -312,3 +312,42 @@ def test_gate_batch_replay_is_idempotent(spark, tmp_path):
     df2 = spark.createDataFrame([(4, 7.0)], ["id", "value"])
     gate_batch(df2, 1, lake, dlq, rules)
     assert spark.read.parquet(lake).count() == 3
+
+
+def test_stream_starts_on_empty_landing_zone_with_schema(spark, tmp_path):
+    """A 24/7 gate usually starts BEFORE the first file drop: with an
+    explicit schema the stream starts against an empty dir, and a probe
+    without one fails with an actionable error."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from bigdataingestion_spark.streaming.ingest import (
+        _open_file_stream,
+        stream_txlog_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = StructType().add("id", LongType()).add("v", StringType())
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        _open_file_stream(spark, str(landing), "parquet")
+
+    q = stream_txlog_ingest(
+        spark, str(landing), str(tmp_path / "t"), str(tmp_path / "ckpt"),
+        schema=schema,
+    )
+    q.awaitTermination(60)  # zero batches: no commits, no error
+
+    # first drop arrives; a catch-up run on the same checkpoint lands it
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(landing))
+    q2 = stream_txlog_ingest(
+        spark, str(landing), str(tmp_path / "t"), str(tmp_path / "ckpt"),
+        schema=schema,
+    )
+    q2.awaitTermination(120)
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    assert TxLogTable(str(tmp_path / "t")).read(spark).count() == 2
