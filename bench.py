@@ -97,6 +97,11 @@ def main() -> None:
         current_plans[n] = fp.fingerprint(f(spark, sf_dir))
     release_caches()
     plans_unchanged, plan_changed = fp.compare(current_plans, sf_dir)
+    if plans_unchanged is None:
+        print(
+            f"PLAN BASELINE NOT CHECKED: no baseline for sf_dir={sf_dir}",
+            file=sys.stderr,
+        )
     for n in plan_changed:
         print(f"PLAN CHANGED vs plans_baseline.json: {n}", file=sys.stderr)
 
@@ -132,7 +137,10 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "spread": spread,
+                # tri-state: true = verified vs baseline, false = diverged,
+                # null = no baseline for this sf_dir (NOT evidence of parity)
                 "plans_unchanged": plans_unchanged,
+                "plans_checked": plans_unchanged is not None,
                 "plan_changed": plan_changed,
                 # machine-state context: r4's +26% "regression" was noise;
                 # load average before/after lets a reader attribute deltas

@@ -4616,74 +4616,68 @@ def events_dow_hour_profile(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # --- 7 never-gated queries (zero driver rows in r1-r4): first priority.
-    # Union of driver-green across rounds covers all OTHER 118 declared
-    # queries; these close the gap.
-    "streaming_cdc_latest_state",
-    "streaming_click_attribution",
-    "streaming_nation_purchases",
-    "user_value_ewma",
-    "orders_benford_digits",
-    "events_dow_hour_profile",
-    "lineitem_price_quantity_stats",
-    # --- 8 queries touched by round-5 code changes (quartile cut points,
-    # zipf top-k rank, pagerank hot-key cap, kmeans top-k seeding — the
-    # seeding feeds kmeans_cells, both PQ queries, and ivf_topk):
-    # fresh driver rows required.
-    "customer_rfm_segments",
-    "customer_spend_quartiles",
-    "corpus_zipf_fit",
-    "supplier_pagerank",
-    "embedding_kmeans_cells",
-    "embedding_pq_codes",
-    "embedding_pq_topk",
-    "embedding_ivf_topk",
-    # --- 21-query stale queue (newest driver row is r1/r2; code untouched
-    # since, all green in the local sweep at HEAD): rotate for fresh rows.
-    "events_props_map",
-    "events_json_avg",
-    "orders_with_late_lineitems",
-    "customers_without_orders",
-    "lineitem_rollup_by_year_month",
-    "events_value_percentiles",
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "top_parts_by_revenue",
-    "small_quantity_revenue",
-    "ingest_next_surrogate_key",
-    "doc_fingerprints",
-    "docs_chunked",
-    "dedup_exact_survivors",
-    "dedup_exact_groups",
-    "minhash_signatures",
-    "simhash64",
-    "events_multires_rollup",
-    "corpus_token_frequency",
-    "embedding_cosine_topk",
-    "embedding_cosine_topk_arrow",
-    # --- 14 filler slots from the r3-evidence set: the reference-parity
-    # ingest_* core, the bench headliners among them, and the delicate
-    # operator queries (checkpointed fixpoint, semi-join contamination,
-    # multimodal metadata).
-    "ingest_chunk_profile",
-    "ingest_years_above_limit",
-    "ingest_months_below_limit",
-    "ingest_distinct_years",
-    "ingest_watermark_next",
-    "ingest_watermark_filter_count",
-    "ingest_config_union",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_customers_by_spend",
-    "multimodal_meta",
-    "dedup_near_clusters",
-    "docs_contamination",
-    # Exactly 50 names. After this round's gate, every one of the 125
-    # declared queries has union-of-rounds driver evidence (the 7
-    # never-gated close out), every r5-touched query has a fresh row, and
-    # the oldest remaining evidence is r3. The r6 rotation queue is the
-    # r3/r4-evidence remainder, oldest first — see COVERAGE.md.
+    # Round-6 window (precomputed in COVERAGE.md r5 notes): evidence ages
+    # entering r6 are 50 @ r5, 31 @ r3, 44 @ r4. Take the 31 r3-evidence
+    # queries first (oldest evidence in the union), then 19 r4-evidence
+    # fillers prioritizing modules r6 touches (streaming, dedup) and the
+    # bench headliners among them.
+    # --- 31 r3-evidence queries ---
+    "customer_order_moving_avg",
+    "customer_order_timeline",
+    "customer_top_order",
+    "docs_repetition_stats",
+    "docs_source_mix_weights",
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "embedding_knn_vote",
+    "embedding_label_centroids",
+    "embedding_label_stats",
+    "embedding_near_dup_pairs",
+    "event_type_daily",
+    "lineitem_cube_stats",
+    "part_best_supplier",
+    "q10_returned_items",
+    "q11_major_part_types",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_customers",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "similar_part_names",
+    "streaming_hourly_counts",
+    "user_funnel_set_ops",
+    "user_purchase_error_overlap",
+    # --- 19 r4-evidence fillers: r6-touched modules first (streaming
+    # ingest/quality-gate -> streaming_user_sessions; dedup crossover work
+    # -> the minhash/ngram/simhash family), then bench headliners.
+    "streaming_user_sessions",
+    "minhash_lsh_pairs",
+    "minhash_incremental_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "asof_last_purchase",
+    "training_data_pipeline",
+    "text_quality_stats",
+    "lang_histogram",
+    "user_sessions",
+    "user_sessions_native",
+    "multimodal_features",
+    "events_latest_state",
+    "events_range_pairs",
+    "events_hourly_gapfill",
+    "events_retention_cohorts",
+    "events_window_funnel",
+    "customer_cohort_ltv",
+    "docs_bigram_quality",
+    # Exactly 50 names. After this round's gate the oldest evidence in the
+    # union is r4 (25 queries); the r7 queue is those 25 + the 25 oldest
+    # r5 entries.
 ]
 
 

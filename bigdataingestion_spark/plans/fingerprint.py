@@ -87,14 +87,16 @@ def load_baseline(path: Path | None = None) -> dict:
     return {}
 
 
-def compare(current: dict[str, str], sf_dir: str) -> tuple[bool, list[str]]:
+def compare(current: dict[str, str], sf_dir: str) -> tuple[bool | None, list[str]]:
     """(plans_unchanged, changed_names) vs the committed baseline for this
-    sf-dir. A missing baseline (or a baseline for a different sf) compares
-    as unchanged-with-no-evidence: returns (True, []) so bench still runs,
-    and the test layer decides whether absence is an error."""
+    sf-dir. Tri-state: True = compared and identical, False = compared and
+    diverged, None = NOT COMPARED (missing baseline, or a baseline taken
+    at a different sf-dir) — so a consumer can tell "verified unchanged"
+    from "no evidence either way". Bench still runs in the None case; the
+    test layer decides whether absence is an error."""
     base = load_baseline()
     if base.get("sf_dir") != sf_dir:
-        return True, []
+        return None, []
     plans = base.get("plans", {})
     changed = [n for n, fp in current.items() if n in plans and plans[n] != fp]
     return not changed, changed

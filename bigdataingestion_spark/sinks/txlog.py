@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -461,19 +462,38 @@ class TxLogTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         return self._read_snapshot(spark, snap)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> list[str]:
         """Delete data files unreachable from the LATEST snapshot (ends
         time travel to older versions; the commit log itself is kept as the
-        audit trail). Returns the deleted root-relative file names."""
+        audit trail). Returns the deleted root-relative file names.
+
+        Safe to run concurrently with writers, on two grounds (the Delta
+        VACUUM contract): ``_staging-*`` directories (a writer's in-flight
+        spark output, not yet renamed into the root) are skipped outright,
+        and files younger than ``retention_seconds`` (default 7 days, Delta's
+        default) are kept even when unreferenced — that covers the window
+        where a writer has renamed parts into the table root but not yet
+        won its commit. Pass ``retention_seconds=0`` only when no writer is
+        running (tests, decommission)."""
         snap = self.snapshot()
         live = set(snap.files) if snap else set()
+        cutoff = time.time() - retention_seconds
         deleted = []
-        for root, _dirs, files in os.walk(self.path):
-            if os.path.basename(root) == _LOG_DIR or root.startswith(self.log_dir):
-                continue
+        for root, dirs, files in os.walk(self.path):
+            # prune: the log itself, and any writer's in-flight staging dir
+            dirs[:] = [
+                d for d in dirs if d != _LOG_DIR and not d.startswith("_staging-")
+            ]
             for f in files:
                 rel = os.path.relpath(os.path.join(root, f), self.path)
-                if rel.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(self.path, rel))
-                    deleted.append(rel)
+                if not rel.endswith(".parquet") or rel in live:
+                    continue
+                full = os.path.join(self.path, rel)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # inside the retention window: maybe staged
+                    os.remove(full)
+                except OSError:
+                    continue  # already gone (racing vacuum / loser cleanup)
+                deleted.append(rel)
         return sorted(deleted)

@@ -415,13 +415,19 @@ def stream_txlog_ingest(
     (unlike the CDC merge, which pays a copy-on-write per batch for the
     same guarantee).
 
-    ``app_id`` scopes batch ids PER QUERY (default: the checkpoint dir's
-    basename): two queries feeding one table get distinct txn ids, so one
-    query's batch 0 cannot be mistaken for the other's replay. Exactly as
+    ``app_id`` scopes batch ids PER QUERY (default: a short hash of the
+    checkpoint dir's ABSOLUTE path — two queries feeding one table always
+    have distinct checkpoint paths, so they get distinct txn ids and one
+    query's batch 0 cannot be mistaken for the other's replay; a basename
+    default would silently collide on the common ``.../checkpoint``
+    convention and drop the second query's batches as replays). Exactly as
     with Delta's contract, deleting a checkpoint to reprocess from scratch
     restarts batch numbering — pass a fresh ``app_id`` in that case or the
-    early batches will be deduplicated as replays.
+    early batches will be deduplicated as replays. Moving the checkpoint
+    directory changes the default scope for the same reason; pin an
+    explicit ``app_id`` if the checkpoint path is not stable.
     """
+    import hashlib
     import os
 
     from bigdataingestion_spark.sinks.txlog import TxLogTable
@@ -430,7 +436,9 @@ def stream_txlog_ingest(
         spark, source_dir, fmt, max_files_per_trigger, schema=schema
     )
     table = TxLogTable(target_dir)
-    scope = app_id or os.path.basename(os.path.normpath(checkpoint_dir))
+    scope = app_id or hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

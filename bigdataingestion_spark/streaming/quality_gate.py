@@ -78,6 +78,32 @@ def gate_batch(
         tagged.unpersist()
 
 
+def _refuse_legacy_layout(path: str) -> None:
+    """The ``batch_id={id}`` sink layout cannot extend a directory written
+    by the old append-mode gate (pre-r5): root-level data files mixed with
+    hive partition dirs make Spark's partition discovery fail, and readers
+    would suddenly see a new ``batch_id`` column. Refuse up front with the
+    migration step instead of failing obscurely downstream."""
+    import os
+
+    if not os.path.isdir(path):
+        return
+    root_files = [
+        f
+        for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f))
+        and not f.startswith((".", "_"))  # _SUCCESS etc. are harmless
+    ]
+    if root_files:
+        raise ValueError(
+            f"{path} holds root-level data files from the legacy append-mode "
+            f"gate layout (e.g. {root_files[0]}); the gate now writes "
+            "batch_id={id} subdirectories and the two layouts cannot mix. "
+            "Point the gate at a fresh directory (or move the legacy files "
+            "into it as a one-off batch_id=legacy subdirectory)."
+        )
+
+
 def stream_quality_gate(
     spark: SparkSession,
     source_dir: str,
@@ -88,9 +114,15 @@ def stream_quality_gate(
     fmt: str = "parquet",
     max_files_per_trigger: int = 64,
 ) -> StreamingQuery:
-    """File-landing-zone -> (lake, dead-letter) streaming split."""
+    """File-landing-zone -> (lake, dead-letter) streaming split.
+
+    Sinks write ``batch_id={id}`` subdirectories (idempotent per-batch
+    overwrite). Upgrading from the pre-batch_id append layout requires a
+    fresh target/quarantine dir — mixed layouts are refused at start."""
     from bigdataingestion_spark.streaming.ingest import _open_file_stream
 
+    _refuse_legacy_layout(target_dir)
+    _refuse_legacy_layout(quarantine_dir)
     _probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         gate_batch(batch_df, batch_id, target_dir, quarantine_dir, expectations, fmt)

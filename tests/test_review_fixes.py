@@ -73,3 +73,62 @@ def test_jdbc_partitioned_read_empty_increment_no_crash(spark, tmp_path):
     assert df.count() == 0
     # non-empty partitioned read still works (bounds resolved)
     assert src.read_table("pdb", addr).count() == 1
+
+
+def test_fingerprint_compare_tristate(tmp_path, monkeypatch):
+    """ADVICE r5: 'not compared' must be distinguishable from 'verified
+    unchanged' — compare() returns None when no baseline exists for the
+    sf-dir, True/False only after a real comparison."""
+    import json
+
+    from bigdataingestion_spark.plans import fingerprint as fp
+
+    base = tmp_path / "plans_baseline.json"
+    monkeypatch.setattr(fp, "BASELINE_PATH", base)
+    # no baseline at all -> None (not-checked), no changed names
+    assert fp.compare({"q": "abc"}, "/sf0.1") == (None, [])
+    # baseline for a DIFFERENT sf-dir -> also not-checked
+    base.write_text(json.dumps({"sf_dir": "/sf0.01", "plans": {"q": "abc"}}))
+    assert fp.compare({"q": "zzz"}, "/sf0.1") == (None, [])
+    # matching sf-dir: real comparison, both outcomes
+    base.write_text(json.dumps({"sf_dir": "/sf0.1", "plans": {"q": "abc"}}))
+    assert fp.compare({"q": "abc"}, "/sf0.1") == (True, [])
+    assert fp.compare({"q": "zzz"}, "/sf0.1") == (False, ["q"])
+
+
+def test_quality_gate_refuses_legacy_append_layout(spark, tmp_path):
+    """ADVICE r5: the batch_id={id} sink layout cannot extend a directory
+    written by the old append-mode gate; refuse at start with an
+    actionable error instead of failing in partition discovery."""
+    import pytest
+
+    from bigdataingestion_spark.pipeline.quality import Expectation
+    from bigdataingestion_spark.streaming.quality_gate import stream_quality_gate
+
+    landing = tmp_path / "landing"
+    spark.createDataFrame([(1,)], ["id"]).coalesce(1).write.parquet(str(landing))
+    legacy_target = tmp_path / "target"
+    # legacy layout: data files at the dir root, no batch_id= subdirs
+    spark.createDataFrame([(0,)], ["id"]).coalesce(1).write.parquet(
+        str(legacy_target)
+    )
+    with pytest.raises(ValueError, match="legacy append-mode"):
+        stream_quality_gate(
+            spark,
+            str(landing),
+            str(legacy_target),
+            str(tmp_path / "quarantine"),
+            str(tmp_path / "ckpt"),
+            [Expectation("pos", F.col("id") > 0)],
+        )
+    # a batch_id-layout dir (or a fresh one) is accepted
+    q = stream_quality_gate(
+        spark,
+        str(landing),
+        str(tmp_path / "target2"),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt2"),
+        [Expectation("pos", F.col("id") > 0)],
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "target2")).count() == 1

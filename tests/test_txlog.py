@@ -121,11 +121,27 @@ def test_vacuum_keeps_latest_only(spark, tmp_path):
     t = TxLogTable(str(tmp_path / "t"))
     t.append(spark.createDataFrame([(1,)], ["id"]))
     t.overwrite(spark.createDataFrame([(2,)], ["id"]))
-    deleted = t.vacuum()
+    # default retention (7 days) keeps everything just written: time travel
+    # still works — the concurrent-writer safety window
+    assert t.vacuum() == []
+    assert _rows(t.read(spark, version=0)) == [(1,)]
+    deleted = t.vacuum(retention_seconds=0)
     assert deleted  # version-0 files gone
     assert _rows(t.read(spark)) == [(2,)]
     with pytest.raises(Exception):
         t.read(spark, version=0).collect()  # time travel ends after vacuum
+
+
+def test_vacuum_skips_staging_dirs(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], ["id"]))
+    # simulate another writer's in-flight staging output: must survive
+    # vacuum even with zero retention
+    staging = tmp_path / "t" / "_staging-deadbeef"
+    staging.mkdir()
+    (staging / "part-0000.parquet").write_bytes(b"in-flight")
+    assert t.vacuum(retention_seconds=0) == []
+    assert (staging / "part-0000.parquet").read_bytes() == b"in-flight"
 
 
 def test_overwrite_crash_before_commit_is_invisible(spark, tmp_path):
@@ -376,8 +392,42 @@ def test_stream_txlog_ingest_app_id_scopes_batch_ids(spark, tmp_path, sf_smoke_d
     t = TxLogTable(str(tmp_path / "t"))
     assert t.read(spark).count() == ev.count()
     ids = [e["txn_id"] for e in t.history() if e["txn_id"]]
-    assert any(i.startswith("ckpt_a:") for i in ids)
-    assert any(i.startswith("ckpt_b:") for i in ids)
+    # default scope = short hash of the checkpoint dir's absolute path
+    import hashlib
+
+    for name in ("a", "b"):
+        scope = hashlib.sha256(
+            os.path.abspath(str(tmp_path / f"ckpt_{name}")).encode()
+        ).hexdigest()[:12]
+        assert any(i.startswith(f"{scope}:") for i in ids)
+
+
+def test_stream_txlog_ingest_same_basename_checkpoints_do_not_collide(
+    spark, tmp_path, sf_smoke_dir
+):
+    """Regression (ADVICE r5): two queries whose checkpoint dirs share a
+    basename ('checkpoint' is a common convention) must still get distinct
+    txn scopes — a basename-derived default silently dropped the second
+    query's batches as replays."""
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    ev = load_table(spark, sf_smoke_dir, "events").select("event_id", "event_type")
+    a, b = ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.parquet(str(tmp_path / "landing_a"))
+    b.coalesce(1).write.parquet(str(tmp_path / "landing_b"))
+    for name in ("a", "b"):
+        q = stream_txlog_ingest(
+            spark,
+            str(tmp_path / f"landing_{name}"),
+            str(tmp_path / "t"),
+            str(tmp_path / name / "checkpoint"),  # same basename, both queries
+        )
+        q.awaitTermination(120)
+    t = TxLogTable(str(tmp_path / "t"))
+    assert t.read(spark).count() == ev.count()  # second query NOT dropped
+    scopes = {e["txn_id"].split(":")[0] for e in t.history() if e["txn_id"]}
+    assert len(scopes) == 2
 
 
 def test_corrupt_checkpoint_falls_back_to_log_replay(spark, tmp_path):
