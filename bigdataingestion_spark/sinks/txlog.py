@@ -462,6 +462,80 @@ class TxLogTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         return self._read_snapshot(spark, snap)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 256 * 1024 * 1024,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 4,
+        txn_id: str | None = None,
+    ) -> int:
+        """Delta's OPTIMIZE (+ ZORDER BY) on the txlog: rewrite the current
+        snapshot's data files into ~``target_file_bytes`` files — optionally
+        Z-order-clustered on ``zorder_by`` so row-group min/max statistics
+        prune scans on every clustered column — and swap them in ONE atomic
+        commit (add rewritten, remove all current). Content is unchanged:
+        readers of any version, before or after, see identical rows; only
+        the physical layout moves. The old files stay on disk for time
+        travel until ``vacuum``.
+
+        Unlike ``sinks.compact.compact_path`` (directory swap — the plain
+        parquet path), this goes through the commit protocol: a concurrent
+        writer that lands first wins the create-exclusive race and the
+        compaction raises ``ConcurrentWriteError`` — re-run it; compaction
+        never clobbers a commit it didn't see. A ``txn_id`` seen before is
+        a no-op (idempotent re-run for scheduled maintenance). Returns the
+        committed version (or the current one on a no-op/replay).
+        """
+        snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        if snap is None or not snap.files:
+            return snap.version if snap else -1  # nothing to compact
+        df = self._read_snapshot(spark, snap)
+        size = sum(
+            os.path.getsize(os.path.join(self.path, f))
+            for f in snap.files
+            if os.path.exists(os.path.join(self.path, f))
+        )
+        n_files = max(1, -(-size // target_file_bytes))
+        # partitioned tables: hash on the partition columns so every hive
+        # partition is written by exactly one task -> one compacted file
+        # per partition dir (shuffling on a synthetic key instead would
+        # spread each partition over many tasks and recreate small files)
+        pcols = list(snap.partition_cols)
+        if zorder_by:
+            from bigdataingestion_spark.sinks.zorder import zorder_key
+
+            keyed = df.withColumn("_z", zorder_key(df, zorder_by, bits=zorder_bits))
+            if pcols:  # Delta ZORDER shape: cluster within each partition
+                df = (
+                    keyed.repartition(n_files, *pcols)
+                    .sortWithinPartitions(*pcols, "_z")
+                    .drop("_z")
+                )
+            else:
+                df = (
+                    keyed.repartitionByRange(n_files, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
+        elif pcols:
+            df = df.repartition(n_files, *pcols)
+        else:
+            df = df.repartition(n_files)
+        files = self._stage_files(df, list(snap.partition_cols) or None)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        return self._commit(
+            files,
+            list(snap.files),
+            schema,
+            "compact",
+            txn_id,
+            snap.version,
+            partition_cols=list(snap.partition_cols) or None,
+        )
+
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> list[str]:
         """Delete data files unreachable from the LATEST snapshot (ends
         time travel to older versions; the commit log itself is kept as the

@@ -450,3 +450,129 @@ def test_corrupt_checkpoint_falls_back_to_log_replay(spark, tmp_path):
     for i in range(7, 10):
         t.append(spark.createDataFrame([(i,)], ["id"]))
     assert t.read(spark).count() == 10
+
+
+def _data_files(root: str) -> list[str]:
+    out = []
+    for r, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if d != "_txlog" and not d.startswith("_")]
+        out.extend(
+            os.path.relpath(os.path.join(r, f), root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def test_compact_is_atomic_and_content_preserving(spark, tmp_path):
+    """OPTIMIZE: many small appends -> one commit swapping in few files;
+    rows identical at HEAD, all prior versions still time-travelable."""
+    t = TxLogTable(str(tmp_path / "t"))
+    for i in range(8):
+        t.append(spark.createDataFrame([(i, f"v{i}")], ["id", "v"]))
+    before_files = _data_files(str(tmp_path / "t"))
+    before_rows = sorted(_rows(t.read(spark)))
+    v = t.compact(spark)
+    assert v == 8
+    assert t.history()[-1]["op"] == "compact"
+    snap = t.snapshot()
+    assert len(snap.files) < len(before_files)  # actually compacted (1 file)
+    assert sorted(_rows(t.read(spark))) == before_rows
+    # time travel across the compaction boundary still serves every version
+    assert t.read(spark, version=3).count() == 4
+    # replay idempotence: same txn_id is a no-op
+    v2 = t.compact(spark, txn_id="maint:1")
+    assert v2 == 9
+    assert t.compact(spark, txn_id="maint:1") == 9
+    assert t.version() == 9
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    rows = [(i, 2024 + i % 2, f"v{i}") for i in range(10)]
+    # two appends per partition -> multiple files per partition dir
+    for half in (rows[:5], rows[5:]):
+        t.overwrite_partitions(
+            spark.createDataFrame(half, ["id", "yr", "v"]).repartition(3), ["yr"]
+        )
+    # second overwrite only replaced partitions it contained; re-add all
+    t.overwrite_partitions(spark.createDataFrame(rows, ["id", "yr", "v"]), ["yr"])
+    before = sorted(_rows(t.read(spark)))
+    v = t.compact(spark)
+    snap = t.snapshot()
+    assert snap.partition_cols == ("yr",)
+    assert sorted(_rows(t.read(spark))) == before
+    # one compacted file per hive partition dir
+    dirs = {os.path.dirname(f) for f in snap.files}
+    assert dirs == {"yr=2024", "yr=2025"}
+    per_dir = {d: sum(1 for f in snap.files if os.path.dirname(f) == d) for d in dirs}
+    assert all(n == 1 for n in per_dir.values()), per_dir
+    assert t.read(spark, version=v - 1).count() == 10  # pre-compact intact
+
+
+def test_compact_zorder_clusters_rowgroups(spark, tmp_path):
+    """ZORDER BY: content invariant, and each output file's min/max range
+    on the leading cluster column is narrower than the full span (the
+    data-skipping property the rewrite exists for)."""
+    import pyarrow.parquet as pq
+
+    t = TxLogTable(str(tmp_path / "t"))
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("a"),
+        (F.col("id") * 7919 % n).cast("int").alias("b"),  # decorrelated
+    )
+    t.append(df.repartition(8))
+    before = sorted(_rows(t.read(spark)))
+    t.compact(spark, target_file_bytes=2 * 1024, zorder_by=["a", "b"])
+    snap = t.snapshot()
+    assert len(snap.files) > 8  # small target -> many clustered files
+    assert sorted(_rows(t.read(spark))) == before
+    spans = {"a": [], "b": []}
+    for f in snap.files:
+        md = pq.read_metadata(os.path.join(str(tmp_path / "t"), f))
+        for ci, cname in enumerate(("a", "b")):
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(ci)
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            spans[cname].append(max(maxs) - min(mins))
+    # clustered on BOTH columns: a hash-shuffled layout gives per-file
+    # spans ~= n on each; the Z-curve bounds each at ~n/sqrt(k) for k
+    # files. Assert both averages are well under the full range.
+    for cname, s in spans.items():
+        assert sum(s) / len(s) < 0.6 * n, (cname, s)
+
+
+def test_compact_loses_race_to_concurrent_writer(spark, tmp_path, monkeypatch):
+    """A writer landing between compact's snapshot and its commit must win;
+    the compaction raises instead of clobbering the unseen commit."""
+    import pytest
+
+    from bigdataingestion_spark.sinks import txlog as txmod
+
+    t = TxLogTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], ["id"]))
+    real_stage = TxLogTable._stage_files
+    fired = []  # the interloper's own append re-enters _stage_files: fire once
+
+    def stage_then_interleave(self, df, partition_cols=None):
+        files = real_stage(self, df, partition_cols)
+        if not fired:
+            fired.append(True)
+            # another writer commits AFTER compact snapshotted, BEFORE it
+            # commits
+            other = TxLogTable(self.path)
+            other.append(spark.createDataFrame([(99,)], ["id"]))
+        return files
+
+    monkeypatch.setattr(TxLogTable, "_stage_files", stage_then_interleave)
+    with pytest.raises(txmod.ConcurrentWriteError):
+        t.compact(spark)
+    monkeypatch.undo()
+    # the interloper's row survived; a retry now succeeds and keeps it
+    assert sorted(_rows(t.read(spark))) == [(0,), (1,), (2,), (99,)]
+    t.compact(spark)
+    assert sorted(_rows(t.read(spark))) == [(0,), (1,), (2,), (99,)]

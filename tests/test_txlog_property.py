@@ -20,13 +20,15 @@ _row = st.tuples(
     st.sampled_from(["a", "b", "c", "d"]),    # value
 )
 _op = st.tuples(
-    st.sampled_from(["append", "overwrite", "merge", "merge_latest"]),
+    st.sampled_from(["append", "overwrite", "merge", "merge_latest", "compact"]),
     st.lists(_row, min_size=1, max_size=4),
 )
 
 
 def _apply_model(model: list, op: str, rows: list) -> list:
     """The reference semantics in plain Python over (k, v, ord) tuples."""
+    if op == "compact":  # layout-only: content is invariant
+        return model
     if op == "append":
         return model + rows
     if op == "overwrite":
@@ -51,6 +53,11 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
     snapshots: list[tuple[int, list]] = []
     ordc = 0
     for op, rows in ops:
+        if op == "compact":
+            version = t.compact(spark)
+            if version >= 0:  # no-op on a never-written table
+                snapshots.append((version, sorted(model)))
+            continue
         stamped = []
         for k, v in rows:
             stamped.append((k, v, ordc))
@@ -99,6 +106,8 @@ def test_partitioned_overwrite_matches_model(spark, tmp_path_factory, batches):
             model[yr] = [r for r in rows if r[1] == yr]
         flat = sorted(r for rs in model.values() for r in rs)
         snapshots.append((version, flat))
+    # compaction preserves the partitioned layout and every partition's rows
+    snapshots.append((t.compact(spark), snapshots[-1][1]))
     for version, expect in snapshots:
         got = sorted(
             (r["id"], r["yr"], r["v"])
