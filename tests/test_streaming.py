@@ -351,3 +351,64 @@ def test_stream_starts_on_empty_landing_zone_with_schema(spark, tmp_path):
     from bigdataingestion_spark.sinks.txlog import TxLogTable
 
     assert TxLogTable(str(tmp_path / "t")).read(spark).count() == 2
+
+
+def test_stream_cdc_upsert_crash_between_merge_and_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """Failure injection at the at-least-once hazard: the worker dies AFTER
+    a batch's merge rewrote the lake state but BEFORE the checkpoint
+    recorded the batch. The restart re-delivers that batch; the ordered
+    merge must absorb the replay (same keys, same versions -> same state),
+    never duplicate or regress keys."""
+    from bigdataingestion_spark.sinks import merge as merge_mod
+    from bigdataingestion_spark.streaming.ingest import stream_cdc_upsert
+
+    src = tmp_path / "cdc_src"
+    v1 = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(1).alias("version"),
+        F.expr("timestamp_micros(cast(1700000100000000 + id as long))").alias("ts"),
+    )
+    v2 = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit(2).alias("version"),
+        F.expr("timestamp_micros(cast(1700000200000000 + id as long))").alias("ts"),
+    )
+    v1.coalesce(1).write.parquet(str(src))
+    v2.coalesce(1).write.mode("append").parquet(str(src))
+    target = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    real_merge = merge_mod.merge_upsert_ordered
+    crashed = []
+
+    def crash_after_merge(*args, **kwargs):
+        out = real_merge(*args, **kwargs)
+        if not crashed:
+            crashed.append(True)
+            raise RuntimeError("injected crash: merge landed, checkpoint not")
+        return out
+
+    monkeypatch.setattr(merge_mod, "merge_upsert_ordered", crash_after_merge)
+    q = stream_cdc_upsert(
+        spark, str(src), target, ckpt, keys=["k"], order_cols=["ts"]
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+        raise q.exception() or AssertionError("query did not fail")
+    monkeypatch.undo()
+
+    # hazard is real: the first batch's merge IS on disk
+    assert crashed and spark.read.parquet(target).count() > 0
+
+    # restart with the same checkpoint: crashed batch replays through the
+    # merge, remaining batches apply once — state converges exactly
+    q2 = stream_cdc_upsert(
+        spark, str(src), target, ckpt, keys=["k"], order_cols=["ts"]
+    )
+    q2.awaitTermination(300)
+    out = spark.read.parquet(target)
+    assert out.count() == 100  # one row per key, no replay duplicates
+    assert out.filter("k < 50").filter("version <> 2").count() == 0
+    assert out.filter("k >= 50").filter("version <> 1").count() == 0

@@ -576,3 +576,60 @@ def test_compact_loses_race_to_concurrent_writer(spark, tmp_path, monkeypatch):
     assert sorted(_rows(t.read(spark))) == [(0,), (1,), (2,), (99,)]
     t.compact(spark)
     assert sorted(_rows(t.read(spark))) == [(0,), (1,), (2,), (99,)]
+
+
+def test_stream_txlog_ingest_crash_between_sink_and_checkpoint(
+    spark, tmp_path, sf_smoke_dir, monkeypatch
+):
+    """Failure injection at the exactly-once hazard window: the worker dies
+    AFTER the txlog append committed but BEFORE the streaming checkpoint
+    recorded the batch. foreachBatch is at-least-once, so the restart
+    re-delivers the same batch id — the table's txn-id log must make that
+    replay a no-op, leaving exactly one copy of every source row."""
+    from bigdataingestion_spark.functions.io import load_table
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    landing = tmp_path / "landing"
+    ev = load_table(spark, sf_smoke_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.parquet(str(landing))
+
+    real_append = TxLogTable.append
+    crashed = []
+
+    def crash_after_commit(self, df, txn_id=None, merge_schema=True):
+        version = real_append(self, df, txn_id=txn_id, merge_schema=merge_schema)
+        if not crashed:
+            crashed.append(version)
+            raise RuntimeError("injected crash: sink committed, checkpoint not")
+        return version
+
+    monkeypatch.setattr(TxLogTable, "append", crash_after_commit)
+    q = stream_txlog_ingest(
+        spark, str(landing), str(tmp_path / "t"), str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+        raise q.exception() or AssertionError("query did not fail")
+    monkeypatch.undo()
+
+    # the hazard is real: the batch IS committed on disk, the streaming
+    # checkpoint is not — a naive sink would double-append on restart
+    t = TxLogTable(str(tmp_path / "t"))
+    assert crashed and t.version() == crashed[0]
+    assert t.read(spark).count() == first.count()
+
+    # land new data, then restart with the same checkpoint: the crashed
+    # batch is re-delivered under the SAME txn id and deduplicated, the new
+    # file is processed under the next id
+    second.coalesce(1).write.mode("append").parquet(str(landing))
+    q2 = stream_txlog_ingest(
+        spark, str(landing), str(tmp_path / "t"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(300)
+    assert t.read(spark).count() == ev.count()  # exactly once, no dup batch
+    txns = [e["txn_id"] for e in t.history() if e["txn_id"]]
+    assert len(txns) == len(set(txns)) == 2  # batch 0 committed ONCE
