@@ -81,3 +81,49 @@ def test_jdbc_schema_qualified_read(spark, derby):
     addr = resolve_table("staging.Orders", task="analytics")
     df = src.read_table("testdb", addr)
     assert [r.id for r in df.collect()] == [7]
+
+
+def test_partitioned_read_runs_parallel_tasks_with_exact_coverage(spark, tmp_path):
+    """SCALE.md calls single-stream JDBC the first bottleneck at scale;
+    jdbc.py's partition_spec is the fix. Evidence: a partitioned read
+    plans N JDBC input partitions (N concurrent source cursors), and the
+    partition union is EXACTLY the table — no row lost or duplicated at
+    the stride boundaries Spark derives from lowerBound/upperBound (both
+    bounds rows included; boundary values on a stride edge appear once)."""
+    from bigdataingestion_spark.sources.jdbc import JdbcSource
+    from bigdataingestion_spark.sources.querygen import resolve_table
+
+    url = f"jdbc:derby:{tmp_path}/pardb;create=true"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate('CREATE TABLE "t" ("id" INT, "v" INT)')
+    # ids deliberately NON-contiguous & skewed (gaps, a dense head) so
+    # stride boundaries fall on missing values and repeated edges
+    ids = [*range(0, 200), *range(500, 520), 999, 1000]
+    for i in ids:
+        st.executeUpdate(f'INSERT INTO "t" VALUES ({i}, {i * 3})')
+    conn.close()
+
+    n_parts = 4
+    src = JdbcSource(
+        spark,
+        host="unused",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        jdbc_url=url,
+        partition_spec={"t": ("id", n_parts)},
+    )
+    df = src.read_table("pardb", resolve_table("t", task="x"))
+
+    # the scan is genuinely parallel: N JDBC partitions -> N scan tasks
+    assert df.rdd.getNumPartitions() == n_parts
+    # every partition actually carries rows (bounds split the real range)
+    per_part = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert len(per_part) == n_parts and sum(per_part) == len(ids)
+    assert sum(1 for c in per_part if c > 0) >= 2  # parallelism is real
+
+    # exact coverage: union of partitions == table, boundary rows once
+    got = sorted(r.id for r in df.collect())
+    assert got == sorted(ids)
+    vals = {r.id: r.v for r in df.collect()}
+    assert vals[999] == 2997 and vals[0] == 0 and vals[1000] == 3000
