@@ -74,6 +74,48 @@ def test_ngram_jaccard_cap_inert_below_threshold(docs):
     assert a == b
 
 
+def test_lsh_then_exact_agrees_with_exact_join(spark, sf_smoke_dir):
+    """The composition operator: exact-value agreement with the full
+    Jaccard join on every returned pair (precision), and near-total recall
+    at r=2/b=16 on the driver fixture."""
+    docs = spark.read.parquet(f"{sf_smoke_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    composed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.lsh_then_exact(
+            docs, threshold=0.5, num_hashes=32, bands=16
+        ).collect()
+    }
+    assert composed  # fixture carries real near-dups
+    # precision is exact: every returned pair is a true pair, same value
+    for pair, j in composed.items():
+        assert exact.get(pair) == j, pair
+    # recall: >= 99.6% per-pair collision probability at s=0.5; the fixture
+    # pair count is small, so allow at most one missed pair
+    assert len(composed) >= len(exact) - 1
+
+
+def test_lsh_then_exact_respects_hot_shingle_cap(spark):
+    """Same cap semantics as ngram_jaccard_pairs: a boilerplate shingle
+    shared corpus-wide is excluded from both operators identically."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(30)]  # 30 identical docs
+    rows += [(100, "unique text one two three four five six seven eight")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped_exact = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=10).collect())
+    )
+    capped_composed = sorted(
+        map(tuple, dedup.lsh_then_exact(docs, threshold=0.5, num_hashes=32, bands=16, max_shingle_df=10).collect())
+    )
+    assert capped_composed == capped_exact == []
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {
         (r.id_a, r.id_b): r.est_jaccard
