@@ -35,8 +35,17 @@ re-expressed minimally:
   ``order_cols`` for out-of-order deliveries), rewritten and swapped in one
   commit. File-level pruning (rewriting only files whose key range
   intersects the source) is the 100 TB refinement of the same design.
-- ``read(spark, version=N)`` time-travels; ``history()`` is the audit log;
+- ``read(spark, version=N)`` / ``read(spark, timestamp=T)`` time-travel
+  (commits carry a wall-clock ``ts``); ``history()`` is the audit log;
   ``vacuum()`` deletes files unreachable from the latest version.
+- ``delete(spark, predicate)`` / ``update(spark, predicate, set)`` are
+  copy-on-write row-level DML with FILE-LEVEL PRUNING: one scan finds the
+  files that contain matching rows (``input_file_name``), ONLY those files
+  are rewritten, and the swap is one atomic commit. Untouched files are
+  carried over by reference — at 100 TB a DELETE hitting 0.1% of files
+  rewrites 0.1% of the table, which is exactly Delta's copy-on-write DML
+  shape. ``restore(version)`` is a metadata-only commit that points the
+  table back at an earlier version's file list (Delta RESTORE).
 - schema evolution is additive (mergeSchema): new columns extend the
   committed schema; readers apply the latest schema over old files (absent
   columns read as NULL). A type CONFLICT raises instead of corrupting.
@@ -215,18 +224,22 @@ class TxLogTable:
         txn_id: str | None,
         expected_version: int,
         partition_cols: list[str] | None = None,
+        metrics: dict | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
         entry = {
             "version": version,
             "op": op,
+            "ts": time.time(),  # commit wall-clock: timestamp time travel
             "add": add,
             "remove": remove,
             "schema": schema.json(),
             "txn_id": txn_id,
             "partition_cols": list(partition_cols or ()),
         }
+        if metrics:
+            entry["op_metrics"] = metrics
         target = os.path.join(self.log_dir, f"{version:08d}.json")
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         # write + fsync the FULL entry to a hidden tmp file, then publish
@@ -442,6 +455,173 @@ class TxLogTable:
             snap.version if snap else -1,
         )
 
+    def _rel_from_uri(self, uri: str) -> str:
+        """Normalize an ``input_file_name()`` URI to a root-relative name
+        matching the snapshot's file list."""
+        from urllib.parse import unquote, urlparse
+
+        p = urlparse(uri)
+        local = unquote(p.path) if p.scheme else uri
+        return os.path.relpath(local, os.path.abspath(self.path))
+
+    def _touched_files(
+        self, spark: SparkSession, snap: Snapshot, pred
+    ) -> list[str]:
+        """Files of ``snap`` containing at least one row matching ``pred``
+        — ONE scan with ``input_file_name()``, collected driver-side. The
+        result is bounded by the table's file count (metadata scale, same
+        as the log itself); this is Delta's DML file-finding pass, and with
+        a predicate on a partition or Z-ordered column the scan itself
+        prunes via pushdown before any row is read."""
+        df = self._read_snapshot(spark, snap)
+        hits = (
+            df.withColumn("_file", F.input_file_name())
+            .filter(pred)
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        touched = {self._rel_from_uri(r[0]) for r in hits}
+        return [f for f in snap.files if f in touched]
+
+    def _read_files(self, spark: SparkSession, snap: Snapshot, files: list[str]) -> DataFrame:
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        reader = spark.read.schema(schema)
+        if snap.partition_cols:
+            reader = reader.option("basePath", self.path)
+        return reader.parquet(*[os.path.join(self.path, f) for f in files])
+
+    def delete(
+        self, spark: SparkSession, predicate: str, txn_id: str | None = None
+    ) -> int:
+        """Row-level DELETE WHERE, copy-on-write (Delta DML semantics:
+        reference ING:366-415 uses MERGE/DELETE on its Delta state tables).
+        One scan finds the files containing matching rows; ONLY those are
+        rewritten without the matching rows; one atomic commit swaps them.
+        Rows where the predicate evaluates NULL are kept (SQL DELETE
+        three-valued logic). No matching rows -> no-op, no commit. Files
+        never touched are carried by reference — a DELETE hitting k files
+        costs O(k) rewrite regardless of table size."""
+        snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        if snap is None or not snap.files:
+            return snap.version if snap else -1
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        touched = self._touched_files(spark, snap, pred)
+        if not touched:
+            return snap.version
+        keep = self._read_files(spark, snap, touched).filter(~pred)
+        files = self._stage_files(keep, list(snap.partition_cols) or None)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        return self._commit(
+            files,
+            touched,
+            schema,
+            "delete",
+            txn_id,
+            snap.version,
+            partition_cols=list(snap.partition_cols) or None,
+            metrics={
+                "predicate": predicate,
+                "files_rewritten": len(touched),
+                "files_carried": len(snap.files) - len(touched),
+            },
+        )
+
+    def update(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        set_exprs: dict[str, str],
+        txn_id: str | None = None,
+    ) -> int:
+        """Row-level UPDATE ... SET, copy-on-write with the same file-level
+        pruning as ``delete``. ``set_exprs`` maps existing column names to
+        SQL expressions; each assignment is cast to the column's committed
+        type (UPDATE never changes the schema — Delta's contract). Updating
+        a partition column is allowed: the partitionBy re-stage moves the
+        rewritten rows into their new hive partitions. Rows where the
+        predicate is NULL are untouched."""
+        snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        if snap is None or not snap.files:
+            return snap.version if snap else -1
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        by_name = {f.name.lower(): f for f in schema.fields}
+        for c in set_exprs:
+            if c.lower() not in by_name:
+                raise ValueError(f"UPDATE SET references unknown column: {c}")
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        touched = self._touched_files(spark, snap, pred)
+        if not touched:
+            return snap.version
+        df = self._read_files(spark, snap, touched)
+        for c, expr in set_exprs.items():
+            field = by_name[c.lower()]
+            df = df.withColumn(
+                field.name,
+                F.when(pred, F.expr(expr).cast(field.dataType)).otherwise(
+                    F.col(field.name)
+                ),
+            )
+        files = self._stage_files(df, list(snap.partition_cols) or None)
+        return self._commit(
+            files,
+            touched,
+            schema,
+            "update",
+            txn_id,
+            snap.version,
+            partition_cols=list(snap.partition_cols) or None,
+            metrics={
+                "predicate": predicate,
+                "set": sorted(set_exprs),
+                "files_rewritten": len(touched),
+                "files_carried": len(snap.files) - len(touched),
+            },
+        )
+
+    def restore(self, version: int, txn_id: str | None = None) -> int:
+        """Delta RESTORE: a METADATA-ONLY commit that points the table back
+        at ``version``'s file list and schema. History is preserved (the
+        restore is itself a new commit you can time-travel across); the
+        restored version's data files must still exist — a vacuum that
+        already reclaimed them makes the restore refuse up front rather
+        than commit an unreadable table."""
+        if version > self.version():
+            raise ValueError(
+                f"cannot restore to v{version}: latest is v{self.version()}"
+            )
+        old = self.snapshot(version)
+        if old is None:
+            raise ValueError(f"no commit at version {version} in {self.path}")
+        missing = [
+            f for f in old.files
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: {len(missing)} data files "
+                f"vacuumed (first: {missing[0]})"
+            )
+        cur = self.snapshot()
+        if txn_id is not None and cur and txn_id in cur.txn_ids:
+            return cur.version
+        cur_files = set(cur.files) if cur else set()
+        old_files = set(old.files)
+        return self._commit(
+            [f for f in old.files if f not in cur_files],
+            [f for f in (cur.files if cur else ()) if f not in old_files],
+            StructType.fromJson(json.loads(old.schema_json)),
+            "restore",
+            txn_id,
+            cur.version if cur else -1,
+            partition_cols=list(old.partition_cols) or None,
+            metrics={"restored_version": version},
+        )
+
     def _read_snapshot(self, spark: SparkSession, snap: Snapshot) -> DataFrame:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if not snap.files:
@@ -454,9 +634,42 @@ class TxLogTable:
             reader = reader.option("basePath", self.path)
         return reader.parquet(*paths)
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def version_at_timestamp(self, timestamp: float) -> int:
+        """Latest committed version whose commit wall-clock ``ts`` is at or
+        before ``timestamp`` (Delta's ``timestampAsOf`` resolution). Commits
+        written before the ``ts`` field existed sort as time 0 (visible to
+        any timestamp). Raises if the table has no commit that old."""
+        best = -1
+        for f in self._commit_files():
+            e = json.loads(open(os.path.join(self.log_dir, f)).read())
+            if e.get("ts", 0.0) <= timestamp:
+                best = max(best, e["version"])
+        if best < 0:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp} in {self.path}"
+            )
+        return best
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> DataFrame:
         """Snapshot (or time-travel) read: explicit committed file list
-        under the committed schema — never a directory listing."""
+        under the committed schema — never a directory listing. Time travel
+        by ``version`` or by ``timestamp`` (epoch seconds; resolves to the
+        latest commit at or before it), not both."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version or timestamp, not both")
+        if timestamp is not None:
+            version = self.version_at_timestamp(timestamp)
+        elif version is not None and version > self.version():
+            # Delta's contract: time travel beyond the latest commit is an
+            # error, not a silent clamp to HEAD
+            raise ValueError(
+                f"cannot time travel to v{version}: latest is v{self.version()}"
+            )
         snap = self.snapshot(version)
         if snap is None:
             raise FileNotFoundError(f"no committed version at {self.path}")

@@ -633,3 +633,133 @@ def test_stream_txlog_ingest_crash_between_sink_and_checkpoint(
     assert t.read(spark).count() == ev.count()  # exactly once, no dup batch
     txns = [e["txn_id"] for e in t.history() if e["txn_id"]]
     assert len(txns) == len(set(txns)) == 2  # batch 0 committed ONCE
+
+
+# ---------------------------------------------------------------- DML --
+
+
+def test_delete_rewrites_only_files_with_matches(spark, tmp_path):
+    """Copy-on-write DELETE with file-level pruning: the file whose rows
+    all survive is carried by REFERENCE (same name in the new snapshot),
+    not rewritten — the property that makes DELETE O(matched files) at
+    100 TB (Delta's DML shape; reference ING:366-415 leans on Delta DML)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    low_files = set(t.snapshot().files)
+    t.append(spark.createDataFrame([(10, "x"), (11, "y")], ["id", "v"]))
+
+    v = t.delete(spark, "id >= 10 and v = 'x'")
+    assert v == 2
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b"), (11, "y")]
+    # pruning: every file of the untouched first append survives unrenamed
+    assert low_files <= set(t.snapshot().files)
+    # time travel across the delete
+    assert _rows(t.read(spark, version=1)) == [
+        (1, "a"), (2, "b"), (10, "x"), (11, "y")
+    ]
+    e = t.history()[-1]
+    assert e["op"] == "delete"
+    assert e["op_metrics"]["files_carried"] >= len(low_files)
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    """SQL three-valued logic: DELETE removes rows where the predicate is
+    TRUE; NULL-evaluating rows stay."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 20.0)], "id int, score double"
+        )
+    )
+    t.delete(spark, "score > 10")
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_delete_no_match_is_noop_and_replay_idempotent(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    assert t.delete(spark, "id = 999") == 0  # no commit
+    assert t.version() == 0
+    v = t.delete(spark, "id = 1", txn_id="purge-1")
+    assert t.delete(spark, "id = 1", txn_id="purge-1") == v  # replay no-op
+    assert t.read(spark).count() == 0
+
+
+def test_update_sets_values_and_casts_to_committed_type(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 10.0, "a"), (2, 20.0, "b")],
+                              "id int, score double, v string")
+    )
+    untouched = spark.createDataFrame([(3, 30.0, "c")],
+                                      "id int, score double, v string")
+    t.append(untouched)
+    carried = set(t.snapshot().files)
+
+    t.update(spark, "id = 1", {"score": "score * 2 + 1", "v": "upper(v)"})
+    assert _rows(t.read(spark)) == [(1, 21.0, "A"), (2, 20.0, "b"), (3, 30.0, "c")]
+    # the int literal in 'score * 2 + 1' came back as the committed double
+    assert dict(t.read(spark).dtypes)["score"] == "double"
+    # file pruning: append #2 had no matches, its files are carried
+    assert any(f in set(t.snapshot().files) for f in carried)
+    with pytest.raises(ValueError):
+        t.update(spark, "id = 2", {"nope": "1"})
+
+
+def test_update_partition_column_moves_rows_between_partitions(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "2024", "a"), (2, "2025", "b")], ["id", "yr", "v"]
+    )
+    t.overwrite_partitions(df, ["yr"])
+    t.update(spark, "id = 1", {"yr": "'2025'"})
+    out = {(r["id"], r["yr"]) for r in t.read(spark).collect()}
+    assert out == {(1, "2025"), (2, "2025")}
+    # the row physically moved into the 2025 hive dir
+    assert any(f.startswith("yr=2025/") for f in t.snapshot().files)
+    assert t.read(spark, version=0).filter("yr = '2024'").count() == 1
+
+
+def test_restore_is_metadata_only_and_time_travelable(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    v0_files = set(t.snapshot().files)
+    t.overwrite(spark.createDataFrame([(9, "z")], ["id", "v"]))
+
+    v = t.restore(0)
+    assert v == 2
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b")]
+    # metadata only: the restored snapshot references v0's files verbatim
+    assert set(t.snapshot().files) == v0_files
+    # the overwrite is still in history and still readable
+    assert [e["op"] for e in t.history()] == ["append", "overwrite", "restore"]
+    assert _rows(t.read(spark, version=1)) == [(9, "z")]
+
+
+def test_restore_refuses_after_vacuum(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.overwrite(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    t.vacuum(retention_seconds=0)  # reclaims v0's files
+    with pytest.raises(FileNotFoundError):
+        t.restore(0)
+    with pytest.raises(ValueError):
+        t.restore(99)
+
+
+def test_read_by_timestamp(spark, tmp_path):
+    import time as _time
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+
+    assert _rows(t.read(spark, timestamp=mid)) == [(1, "a")]
+    assert _rows(t.read(spark, timestamp=_time.time())) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError):
+        t.read(spark, timestamp=mid - 3600)
+    with pytest.raises(ValueError):
+        t.read(spark, version=0, timestamp=mid)
