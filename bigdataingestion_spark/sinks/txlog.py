@@ -675,6 +675,69 @@ class TxLogTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         return self._read_snapshot(spark, snap)
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        allow_rewrites: bool = False,
+    ) -> DataFrame:
+        """Incremental read: the rows ADDED by commits in
+        ``(from_version, to_version]`` — the files those commits added,
+        read under the latest schema in range. This is the incremental-
+        consumption primitive (Delta's streaming-source/CDF read): a
+        downstream job remembers the last version it processed and reads
+        only the delta, never re-scanning the table.
+
+        Exact change semantics hold for append-only ranges. A commit that
+        REWRITES data (overwrite / merge / delete / update / restore)
+        makes "rows in new files" ≠ "new rows" — compact is exempt (pure
+        layout, content unchanged, its adds are skipped). By default a
+        rewrite commit in range raises; pass ``allow_rewrites=True`` to
+        get the rewritten files' rows anyway (at-least-once semantics,
+        the caller deduplicates downstream)."""
+        to_version = self.version() if to_version is None else to_version
+        if to_version > self.version():
+            raise ValueError(
+                f"cannot read changes to v{to_version}: latest is v{self.version()}"
+            )
+        adds: list[str] = []
+        schema_json: str | None = None
+        pcols: tuple[str, ...] = ()
+        for e in self.history():
+            if not (from_version < e["version"] <= to_version):
+                continue
+            if e["op"] == "compact":
+                continue  # layout-only: content unchanged, nothing new
+            if e["op"] not in ("append",) and e["remove"] and not allow_rewrites:
+                raise ValueError(
+                    f"v{e['version']} ({e['op']}) rewrites data; rows-added "
+                    "is not rows-changed — pass allow_rewrites=True for "
+                    "at-least-once delivery"
+                )
+            adds.extend(e["add"])
+            schema_json = e["schema"]
+            pcols = tuple(e.get("partition_cols") or ())
+        if schema_json is None:
+            snap = self.snapshot(to_version)
+            schema_json = snap.schema_json if snap else StructType([]).json()
+        # a later commit may have already removed some added files'
+        # content from the snapshot, but the FILES still exist until
+        # vacuum — change reads stay correct within the retention window
+        live = [f for f in adds if os.path.exists(os.path.join(self.path, f))]
+        if len(live) != len(adds):
+            raise FileNotFoundError(
+                "change range includes vacuumed files; re-read the full "
+                "snapshot instead"
+            )
+        fake = Snapshot(
+            version=to_version,
+            files=tuple(adds),
+            schema_json=schema_json,
+            partition_cols=pcols,
+        )
+        return self._read_snapshot(spark, fake)
+
     def compact(
         self,
         spark: SparkSession,

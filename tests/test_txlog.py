@@ -763,3 +763,39 @@ def test_read_by_timestamp(spark, tmp_path):
         t.read(spark, timestamp=mid - 3600)
     with pytest.raises(ValueError):
         t.read(spark, version=0, timestamp=mid)
+
+
+def test_read_changes_incremental_consumption(spark, tmp_path):
+    """Downstream incremental ETL: remember the last processed version,
+    read only the delta — never a full re-scan (Delta streaming-source
+    semantics for append-only ranges; compact commits are transparent)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))          # v0
+    t.append(spark.createDataFrame([(2, "b"), (3, "c")], ["id", "v"]))  # v1
+    t.compact(spark)                                                   # v2
+    t.append(spark.createDataFrame([(4, "d")], ["id", "v"]))          # v3
+
+    assert _rows(t.read_changes(spark, from_version=-1)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")
+    ]
+    assert _rows(t.read_changes(spark, from_version=0, to_version=1)) == [
+        (2, "b"), (3, "c")
+    ]
+    # compact in range adds nothing (layout-only)
+    assert _rows(t.read_changes(spark, from_version=1, to_version=2)) == []
+    assert _rows(t.read_changes(spark, from_version=2)) == [(4, "d")]
+    with pytest.raises(ValueError):
+        t.read_changes(spark, from_version=0, to_version=99)
+
+
+def test_read_changes_refuses_rewrites_unless_opted_in(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    # one physical file, so the delete must rewrite it (carrying (2,'b'))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1))  # v0
+    t.delete(spark, "id = 1")                                           # v1
+    with pytest.raises(ValueError):
+        t.read_changes(spark, from_version=0)
+    # opt-in: rewritten files' rows, at-least-once
+    assert _rows(t.read_changes(spark, from_version=0, allow_rewrites=True)) == [
+        (2, "b")
+    ]
