@@ -1,9 +1,10 @@
 """Model-based property test for the txlog table format: an arbitrary
-sequence of append / overwrite / source-wins-merge / latest-wins-merge
-operations must leave the table equal to a plain-Python model of the same
-semantics, and every intermediate version must remain time-travelable to
-exactly the rows the model held at that point. Hypothesis drives the op
-sequence; Spark jobs are tiny, so examples are capped for runtime."""
+sequence of append / overwrite / source-wins-merge / latest-wins-merge /
+compact / delete / update / restore operations must leave the table equal
+to a plain-Python model of the same semantics, and every intermediate
+version must remain time-travelable to exactly the rows the model held at
+that point. Hypothesis drives the op sequence; Spark jobs are tiny, so
+examples are capped for runtime."""
 
 from __future__ import annotations
 
@@ -19,9 +20,16 @@ _row = st.tuples(
     st.integers(min_value=1, max_value=6),    # key — collisions likely
     st.sampled_from(["a", "b", "c", "d"]),    # value
 )
-_op = st.tuples(
-    st.sampled_from(["append", "overwrite", "merge", "merge_latest", "compact"]),
-    st.lists(_row, min_size=1, max_size=4),
+_op = st.one_of(
+    st.tuples(
+        st.sampled_from(["append", "overwrite", "merge", "merge_latest", "compact"]),
+        st.lists(_row, min_size=1, max_size=4),
+    ),
+    # row-level DML / restore: payload is a key (restore: an index seed)
+    st.tuples(
+        st.sampled_from(["delete", "update", "restore"]),
+        st.integers(min_value=1, max_value=6),
+    ),
 )
 
 
@@ -51,15 +59,36 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
     t = TxLogTable(str(tmp / "t"))
     model: list = []
     snapshots: list[tuple[int, list]] = []
+    by_version: dict[int, list] = {}
     ordc = 0
-    for op, rows in ops:
+    for op, payload in ops:
         if op == "compact":
             version = t.compact(spark)
             if version >= 0:  # no-op on a never-written table
                 snapshots.append((version, sorted(model)))
+                by_version[version] = sorted(model)
+            continue
+        if op in ("delete", "update", "restore"):
+            if t.version() < 0:
+                continue  # DML on a never-written table: nothing to do
+            if op == "delete":
+                version = t.delete(spark, f"k = {payload}")
+                model = [r for r in model if r[0] != payload]
+            elif op == "update":
+                version = t.update(spark, f"k = {payload}", {"v": "'z'"})
+                model = [
+                    (k, "z" if k == payload else v, o) for k, v, o in model
+                ]
+            else:  # restore to a committed version chosen by the seed
+                versions = sorted(by_version)
+                target = versions[payload % len(versions)]
+                version = t.restore(target)
+                model = list(by_version[target])
+            snapshots.append((version, sorted(model)))
+            by_version[version] = sorted(model)
             continue
         stamped = []
-        for k, v in rows:
+        for k, v in payload:
             stamped.append((k, v, ordc))
             ordc += 1
         df = spark.createDataFrame(stamped, ["k", "v", "ord"])
@@ -73,6 +102,7 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
             version = t.merge_upsert(spark, df, keys=["k"], order_cols=["ord"])
         model = _apply_model(model, op, stamped)
         snapshots.append((version, sorted(model)))
+        by_version[version] = sorted(model)
 
     # every committed version (not just the last) must time-travel to the
     # model's state at that point
