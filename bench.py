@@ -54,20 +54,28 @@ def _bench_pipeline(spark, sf_dir: str) -> float:
         config = ConfigRepository(f"{work}/c.parquet")
         config.insert("dcx_postgresql_db_settings", "db_db_name", "db")
         config.insert("dcx_postgresql_table_settings", "db_tables", "events")
-        orch = Orchestrator(
-            spark=spark,
-            source=FileSource(spark, f"{work}/src"),
-            writer=DatalakeWriter(f"{work}/lake"),
-            config=config,
-            state=TableLoadDetails(f"{work}/s.parquet"),
-            single_batch_limit=5000,
-            write_strategy="partitioned",
-        )
-        t0 = time.perf_counter()
-        results = orch.run(run_date="2026-01-01")
-        dt = time.perf_counter() - t0
-        assert all(r.strategy != "failed" for r in results)
-        return dt
+        # median of 3 full runs: every other headliner reports a median over
+        # round-robin reps, and this one — the only query doing heavy writes —
+        # showed the widest single-shot swings (r4-r6 informational runs:
+        # 1.4-2.1 s for identical code). Each rep gets a fresh lake/state dir
+        # so every run is a true first load.
+        times = []
+        for rep in range(3):
+            state_path = f"{work}/s{rep}.parquet"
+            orch = Orchestrator(
+                spark=spark,
+                source=FileSource(spark, f"{work}/src"),
+                writer=DatalakeWriter(f"{work}/lake{rep}"),
+                config=config,
+                state=TableLoadDetails(state_path),
+                single_batch_limit=5000,
+                write_strategy="partitioned",
+            )
+            t0 = time.perf_counter()
+            results = orch.run(run_date="2026-01-01")
+            times.append(time.perf_counter() - t0)
+            assert all(r.strategy != "failed" for r in results)
+        return statistics.median(times)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
