@@ -46,6 +46,9 @@ re-expressed minimally:
   rewrites 0.1% of the table, which is exactly Delta's copy-on-write DML
   shape. ``restore(version)`` is a metadata-only commit that points the
   table back at an earlier version's file list (Delta RESTORE).
+- ``add_constraint(name, sql)`` is a Delta-style table CHECK: carried in
+  the log like the schema, validated against existing data when added,
+  enforced on every subsequent write (NULL passes, FALSE violates).
 - schema evolution is additive (mergeSchema): new columns extend the
   committed schema; readers apply the latest schema over old files (absent
   columns read as NULL). A type CONFLICT raises instead of corrupting.
@@ -83,6 +86,10 @@ class SchemaEvolutionError(ValueError):
     """Non-additive schema change (existing column changed type)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write contained rows failing a table CHECK constraint."""
+
+
 @dataclass(frozen=True)
 class Snapshot:
     version: int
@@ -90,6 +97,7 @@ class Snapshot:
     schema_json: str
     txn_ids: tuple[str, ...] = ()
     partition_cols: tuple[str, ...] = ()  # non-empty for partitioned tables
+    constraints: tuple[tuple[str, str], ...] = ()  # (name, sql_expr) CHECKs
 
 
 def _merge_schema(current: StructType, incoming: StructType) -> StructType:
@@ -154,6 +162,7 @@ class TxLogTable:
                     "schema": snap.schema_json,
                     "txn_ids": list(snap.txn_ids),
                     "partition_cols": list(snap.partition_cols),
+                    "constraints": [list(c) for c in snap.constraints],
                 },
                 fh,
             )
@@ -187,6 +196,9 @@ class TxLogTable:
                 schema_json=d["schema"],
                 txn_ids=tuple(d["txn_ids"]),
                 partition_cols=tuple(d["partition_cols"]),
+                constraints=tuple(
+                    tuple(c) for c in d.get("constraints") or ()
+                ),
             )
             break
         # parse only the commit files AFTER the checkpoint (filename encodes
@@ -201,18 +213,22 @@ class TxLogTable:
             return base
         files = list(base.files) if base else []
         txn_ids = list(base.txn_ids) if base else []
+        cons = list(base.constraints) if base else []
         for e in entries:
             removed = set(e["remove"])
             files = [f for f in files if f not in removed]
             files.extend(e["add"])
             if e.get("txn_id"):
                 txn_ids.append(e["txn_id"])
+            if "constraints" in e:  # absent only in pre-upgrade commits
+                cons = [tuple(c) for c in e["constraints"]]
         return Snapshot(
             version=entries[-1]["version"],
             files=tuple(files),
             schema_json=entries[-1]["schema"],
             txn_ids=tuple(txn_ids),
             partition_cols=tuple(entries[-1].get("partition_cols") or ()),
+            constraints=tuple(cons),
         )
 
     def _commit(
@@ -225,6 +241,7 @@ class TxLogTable:
         expected_version: int,
         partition_cols: list[str] | None = None,
         metrics: dict | None = None,
+        constraints: list | tuple | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
@@ -237,6 +254,7 @@ class TxLogTable:
             "schema": schema.json(),
             "txn_id": txn_id,
             "partition_cols": list(partition_cols or ()),
+            "constraints": [list(c) for c in (constraints or ())],
         }
         if metrics:
             entry["op_metrics"] = metrics
@@ -330,6 +348,63 @@ class TxLogTable:
             )
 
     @staticmethod
+    def _check_constraints(df: DataFrame, constraints) -> None:
+        """Raise if any row FAILS a CHECK (SQL semantics: a constraint
+        expression evaluating NULL passes; only FALSE violates). One
+        short-circuiting limit(1) probe per constraint — constraint counts
+        are small, and per-constraint probes give a named error with a
+        sample violating row."""
+        for name, expr in constraints or ():
+            bad = (
+                df.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {name} ({expr}) violated, "
+                    f"e.g. {bad[0].asDict()}"
+                )
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (Delta table constraints):
+        a metadata-only commit adding a named SQL CHECK enforced on every
+        subsequent write (append/overwrite/merge source rows, post-SET
+        update rows). Existing data is validated first — a table already
+        violating the CHECK refuses the constraint."""
+        snap = self.snapshot()
+        cons = list(snap.constraints) if snap else []
+        if any(n == name for n, _ in cons):
+            raise ValueError(f"constraint {name} already exists")
+        if snap and snap.files:
+            self._check_constraints(self._read_snapshot(spark, snap), [(name, expr)])
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap
+            else StructType([])
+        )
+        return self._commit(
+            [], [], schema, "add_constraint", None,
+            snap.version if snap else -1,
+            partition_cols=list(snap.partition_cols) if snap else None,
+            metrics={"constraint": name, "expr": expr},
+            constraints=cons + [(name, expr)],
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self.snapshot()
+        cons = list(snap.constraints) if snap else []
+        if not any(n == name for n, _ in cons):
+            raise ValueError(f"no constraint named {name}")
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        return self._commit(
+            [], [], schema, "drop_constraint", None, snap.version,
+            partition_cols=list(snap.partition_cols) or None,
+            metrics={"constraint": name},
+            constraints=[c for c in cons if c[0] != name],
+        )
+
+    @staticmethod
     def _latest_wins(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
         w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
         return (
@@ -356,10 +431,12 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
+        self._check_constraints(df, snap.constraints if snap else ())
         schema = self._next_schema(snap, df, merge_schema)
         files = self._stage_files(df)
         return self._commit(
-            files, [], schema, "append", txn_id, snap.version if snap else -1
+            files, [], schema, "append", txn_id, snap.version if snap else -1,
+            constraints=snap.constraints if snap else (),
         )
 
     def overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
@@ -369,6 +446,7 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
+        self._check_constraints(df, snap.constraints if snap else ())
         files = self._stage_files(df)
         return self._commit(
             files,
@@ -377,6 +455,7 @@ class TxLogTable:
             "overwrite",
             txn_id,
             snap.version if snap else -1,
+            constraints=snap.constraints if snap else (),
         )
 
     def overwrite_partitions(
@@ -396,6 +475,7 @@ class TxLogTable:
             return snap.version
         if snap and snap.files and not snap.partition_cols:
             raise ValueError("table has flat commits; cannot mix layouts")
+        self._check_constraints(df, snap.constraints if snap else ())
         files = self._stage_files(df, partition_cols)
         touched = {os.path.dirname(f) for f in files}
         remove = (
@@ -412,6 +492,7 @@ class TxLogTable:
             txn_id,
             snap.version if snap else -1,
             partition_cols=partition_cols,
+            constraints=snap.constraints if snap else (),
         )
 
     def merge_upsert(
@@ -444,6 +525,9 @@ class TxLogTable:
                     source.select(keys), on=keys, how="left_anti"
                 )
                 merged = survivors.unionByName(source, allowMissingColumns=True)
+        # only the incoming rows need checking: every surviving target row
+        # was validated by the commit that wrote it
+        self._check_constraints(source, snap.constraints if snap else ())
         schema = self._next_schema(snap, source, merge_schema=True)
         files = self._stage_files(merged)
         return self._commit(
@@ -453,6 +537,7 @@ class TxLogTable:
             "merge",
             txn_id,
             snap.version if snap else -1,
+            constraints=snap.constraints if snap else (),
         )
 
     def _rel_from_uri(self, uri: str) -> str:
@@ -522,6 +607,7 @@ class TxLogTable:
             txn_id,
             snap.version,
             partition_cols=list(snap.partition_cols) or None,
+            constraints=snap.constraints,
             metrics={
                 "predicate": predicate,
                 "files_rewritten": len(touched),
@@ -566,6 +652,7 @@ class TxLogTable:
                     F.col(field.name)
                 ),
             )
+        self._check_constraints(df, snap.constraints)  # post-SET rows
         files = self._stage_files(df, list(snap.partition_cols) or None)
         return self._commit(
             files,
@@ -575,6 +662,7 @@ class TxLogTable:
             txn_id,
             snap.version,
             partition_cols=list(snap.partition_cols) or None,
+            constraints=snap.constraints,
             metrics={
                 "predicate": predicate,
                 "set": sorted(set_exprs),
@@ -620,6 +708,7 @@ class TxLogTable:
             cur.version if cur else -1,
             partition_cols=list(old.partition_cols) or None,
             metrics={"restored_version": version},
+            constraints=old.constraints,  # metadata restores with the data
         )
 
     def _read_snapshot(self, spark: SparkSession, snap: Snapshot) -> DataFrame:
@@ -810,6 +899,7 @@ class TxLogTable:
             txn_id,
             snap.version,
             partition_cols=list(snap.partition_cols) or None,
+            constraints=snap.constraints,
         )
 
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> list[str]:

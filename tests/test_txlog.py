@@ -799,3 +799,66 @@ def test_read_changes_refuses_rewrites_unless_opted_in(spark, tmp_path):
     assert _rows(t.read_changes(spark, from_version=0, allow_rewrites=True)) == [
         (2, "b")
     ]
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Delta-style table CHECKs: carried in the log, validated on add,
+    enforced on append/overwrite/merge/update; NULL passes (SQL CHECK
+    three-valued logic); drop lifts enforcement; restore restores the
+    constraint set with the data."""
+    from bigdataingestion_spark.sinks.txlog import ConstraintViolationError
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10.0)], "id int, score double"))
+    t.add_constraint(spark, "score_pos", "score > 0")
+
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(2, -1.0)], "id int, score double"))
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(spark.createDataFrame([(2, -1.0)], "id int, score double"))
+    with pytest.raises(ConstraintViolationError):
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([(1, -5.0)], "id int, score double"),
+            keys=["id"],
+        )
+    with pytest.raises(ConstraintViolationError):
+        t.update(spark, "id = 1", {"score": "-1.0"})
+    # nothing committed by the failed writes
+    assert _rows(t.read(spark)) == [(1, 10.0)]
+
+    # NULL evaluates as pass (SQL CHECK semantics)
+    t.append(spark.createDataFrame([(3, None)], "id int, score double"))
+    # a valid write carries the constraint forward
+    t.append(spark.createDataFrame([(4, 1.0)], "id int, score double"))
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(5, -9.0)], "id int, score double"))
+
+    # existing data failing the CHECK refuses the add
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint(spark, "id_small", "id < 2")
+    with pytest.raises(ValueError):
+        t.add_constraint(spark, "score_pos", "score > 1")  # duplicate name
+
+    t.drop_constraint("score_pos")
+    t.append(spark.createDataFrame([(6, -2.0)], "id int, score double"))
+    with pytest.raises(ValueError):
+        t.drop_constraint("nope")
+
+
+def test_constraints_survive_checkpoint_and_restore(spark, tmp_path):
+    from bigdataingestion_spark.sinks.txlog import ConstraintViolationError
+
+    t = TxLogTable(str(tmp_path / "t"), checkpoint_interval=3)
+    t.append(spark.createDataFrame([(1,)], "id int"))          # v0
+    t.add_constraint(spark, "id_pos", "id > 0")                # v1
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i,)], "id int"))      # v2..v5 (ckpt at v3)
+    # a fresh handle resolves from the checkpoint: constraint still enforced
+    t2 = TxLogTable(str(tmp_path / "t"), checkpoint_interval=3)
+    with pytest.raises(ConstraintViolationError):
+        t2.append(spark.createDataFrame([(-1,)], "id int"))
+    # restore to the pre-constraint version drops enforcement with the data
+    t2.restore(0)
+    t2.append(spark.createDataFrame([(-1,)], "id int"))
+    assert sorted(r["id"] for r in t2.read(spark).collect()) == [-1, 1]
