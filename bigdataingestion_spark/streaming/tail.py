@@ -41,11 +41,27 @@ from bigdataingestion_spark.sinks.txlog import TxLogTable
 
 
 def _read_state(state_path: str) -> dict:
+    """ABSENT state file = fresh consumer (start from the beginning).
+    A PRESENT-but-unreadable one is corruption, not a fresh start: silently
+    resetting to -1 would re-deliver every prior range under NEW range
+    identities ("-1-N" instead of the original splits), which a txn-id
+    deduplicating sink cannot no-op — duplicates. Raise instead; the
+    operator restores the file or deliberately deletes it to re-bootstrap
+    an idempotent-by-content sink."""
     try:
-        d = json.load(open(state_path))
-        return {"version": int(d["version"]), "pending": d.get("pending")}
-    except (OSError, ValueError, KeyError):
+        raw = open(state_path).read()
+    except FileNotFoundError:
         return {"version": -1, "pending": None}
+    try:
+        d = json.loads(raw)
+        return {"version": int(d["version"]), "pending": d.get("pending")}
+    except (ValueError, TypeError, KeyError) as e:
+        raise ValueError(
+            f"corrupt tail position file {state_path!r} ({e}); restore it, "
+            "or delete it ONLY if the downstream sink deduplicates by "
+            "content — a deleted position replays all history under new "
+            "range identities"
+        ) from e
 
 
 def _write_state(state_path: str, state: dict) -> None:
@@ -120,8 +136,20 @@ def txlog_mirror(
     run's retry re-appends the SAME pending range (write-ahead intent) and
     the destination's log no-ops it. Append-only sources only
     (``read_changes`` refuses rewrite commits — a compacted source is
-    fine, a merged/deleted one needs a fresh full copy instead)."""
-    scope = scope or f"mirror-{os.path.basename(source.path)}"
+    fine, a merged/deleted one needs a fresh full copy instead).
+
+    The default ``scope`` hashes the source's ABSOLUTE path (the same rule
+    ``stream_txlog_ingest`` uses for checkpoint dirs): two different
+    sources mirroring into one destination always get distinct txn scopes,
+    where a basename-derived scope would collide on the common
+    ``.../a/events`` vs ``.../b/events`` layout and silently drop the
+    second mirror's ranges as replays. Pin an explicit ``scope`` if the
+    source path is not stable across runs (mounts, relocations)."""
+    import hashlib
+
+    scope = scope or "mirror-" + hashlib.sha256(
+        os.path.abspath(source.path).encode()
+    ).hexdigest()[:12]
 
     def _apply(changes: DataFrame, from_v: int, to_v: int) -> None:
         dest.append(changes, txn_id=f"{scope}:{from_v}-{to_v}")

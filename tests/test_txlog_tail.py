@@ -114,6 +114,36 @@ def test_tail_refuses_rewrites_without_opt_in(spark, tmp_path):
     assert got == [[(2, "b")]]
 
 
+def test_two_same_basename_sources_mirror_without_txn_collision(spark, tmp_path):
+    """Default mirror scope hashes the source's absolute path: two sources
+    that share a basename (.../a/events, .../b/events) feeding ONE
+    destination must not collide on txn ids — a basename-derived scope
+    would make the second mirror's ranges look like replays and silently
+    drop them."""
+    src_a = TxLogTable(str(tmp_path / "a" / "events"))
+    src_b = TxLogTable(str(tmp_path / "b" / "events"))
+    dst = TxLogTable(str(tmp_path / "dst"))
+    src_a.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    src_b.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+
+    txlog_mirror(spark, src_a, dst, str(tmp_path / "pos_a.json"))
+    txlog_mirror(spark, src_b, dst, str(tmp_path / "pos_b.json"))
+    assert _rows(dst.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_corrupt_position_file_raises_instead_of_replaying_history(tmp_path):
+    """A present-but-unreadable position file is corruption; silently
+    resetting to -1 would replay all history under NEW range identities
+    that a txn-id sink cannot deduplicate."""
+    state = tmp_path / "pos.json"
+    state.write_text("{not json")
+    with pytest.raises(ValueError, match="corrupt tail position"):
+        _read_state(str(state))
+    state.write_text('{"pending": null}')  # parseable but missing version
+    with pytest.raises(ValueError, match="corrupt tail position"):
+        _read_state(str(state))
+
+
 def test_available_now_drains_in_one_call(spark, tmp_path):
     t = TxLogTable(str(tmp_path / "src"))
     state = str(tmp_path / "pos.json")
