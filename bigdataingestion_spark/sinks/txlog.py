@@ -242,6 +242,7 @@ class TxLogTable:
         partition_cols: list[str] | None = None,
         metrics: dict | None = None,
         constraints: list | tuple | None = None,
+        cleanup_on_conflict: bool = True,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
@@ -272,11 +273,17 @@ class TxLogTable:
         try:
             os.link(tmp, target)
         except FileExistsError:
-            for f in add:  # orphaned data files from the losing writer
-                try:
-                    os.remove(os.path.join(self.path, f))
-                except OSError:
-                    pass
+            if cleanup_on_conflict:
+                # orphaned data files from the losing writer: every TxLog op
+                # re-stages from its source DataFrame on retry, so the files
+                # are disposable. Callers that CANNOT re-stage (externally
+                # staged files, e.g. commit_files) pass False and retry the
+                # commit itself against a fresh snapshot instead.
+                for f in add:
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
             raise ConcurrentWriteError(
                 f"version {version} was committed by another writer"
             ) from None
@@ -457,6 +464,65 @@ class TxLogTable:
             snap.version if snap else -1,
             constraints=snap.constraints if snap else (),
         )
+
+    def commit_files(
+        self,
+        add: list[str],
+        schema: StructType,
+        overwrite: bool = False,
+        txn_id: str | None = None,
+        op: str | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """Commit EXTERNALLY STAGED data files (already renamed into the
+        table root with unique names) — the entry point for writers whose
+        data plane lives outside :meth:`_stage_files`, e.g. the Python
+        Data Source writer, which streams Arrow batches to parquet in
+        executor processes and registers the results here in one atomic
+        commit.
+
+        Unlike the DataFrame ops, the staged files cannot be regenerated
+        on a lost commit race, so a conflict retries THE COMMIT against a
+        fresh snapshot (``cleanup_on_conflict=False`` keeps the files)
+        instead of raising. Schema union and txn-id replay follow
+        :meth:`append`; a replayed ``txn_id`` deletes the now-orphaned
+        staged files and no-ops. Flat layout only (the data source write
+        path carries no partitioning). Constraints are the CALLER's
+        responsibility — this layer never sees the rows, only file names
+        — so callers must validate before staging (the data source writer
+        does; see ``sources/txlog_datasource.py``)."""
+        last: Exception | None = None
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            if txn_id is not None and snap and txn_id in snap.txn_ids:
+                for f in add:  # replay: the staged files will never commit
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
+                return snap.version
+            self._require_flat(snap)
+            merged = (
+                _merge_schema(
+                    StructType.fromJson(json.loads(snap.schema_json)), schema
+                )
+                if snap and not overwrite
+                else schema
+            )
+            try:
+                return self._commit(
+                    list(add),
+                    list(snap.files) if (snap and overwrite) else [],
+                    merged,
+                    op or ("overwrite" if overwrite else "append"),
+                    txn_id,
+                    snap.version if snap else -1,
+                    constraints=snap.constraints if snap else (),
+                    cleanup_on_conflict=False,
+                )
+            except ConcurrentWriteError as e:
+                last = e  # another writer landed first: reread, retry
+        raise last  # type: ignore[misc]
 
     def overwrite_partitions(
         self,
@@ -909,21 +975,53 @@ class TxLogTable:
 
         Safe to run concurrently with writers, on two grounds (the Delta
         VACUUM contract): ``_staging-*`` directories (a writer's in-flight
-        spark output, not yet renamed into the root) are skipped outright,
-        and files younger than ``retention_seconds`` (default 7 days, Delta's
+        spark output, not yet renamed into the root) are skipped while any
+        of their files is younger than the retention window, and files
+        younger than ``retention_seconds`` (default 7 days, Delta's
         default) are kept even when unreferenced — that covers the window
         where a writer has renamed parts into the table root but not yet
-        won its commit. Pass ``retention_seconds=0`` only when no writer is
-        running (tests, decommission)."""
+        won its commit. A staging dir untouched for longer than the window
+        is an orphan (e.g. a failed data-source write task whose commit
+        message never arrived) and is reclaimed whole. Pass
+        ``retention_seconds=0`` only when no writer is running (tests,
+        decommission); at 0, staging dirs are preserved outright."""
         snap = self.snapshot()
         live = set(snap.files) if snap else set()
         cutoff = time.time() - retention_seconds
         deleted = []
         for root, dirs, files in os.walk(self.path):
-            # prune: the log itself, and any writer's in-flight staging dir
-            dirs[:] = [
-                d for d in dirs if d != _LOG_DIR and not d.startswith("_staging-")
-            ]
+            # prune the log itself and any writer's in-flight staging dir —
+            # but a staging dir whose last write predates the retention
+            # window is an orphan (a failed task attempt whose commit
+            # message never arrived; live writers touch theirs constantly):
+            # reclaim the whole tree, Delta's uncommitted-file story
+            keep = []
+            for d in dirs:
+                if d == _LOG_DIR:
+                    continue
+                if d.startswith("_staging-"):
+                    if retention_seconds <= 0:
+                        # retention 0 is the no-writers escape hatch and
+                        # historically preserves staging dirs outright;
+                        # orphan reclamation needs a positive window to
+                        # tell "abandoned" from "in flight"
+                        continue
+                    full_dir = os.path.join(root, d)
+                    try:
+                        mtimes = [os.path.getmtime(full_dir)] + [
+                            os.path.getmtime(os.path.join(full_dir, f))
+                            for f in os.listdir(full_dir)
+                        ]
+                        if max(mtimes) <= cutoff:
+                            shutil.rmtree(full_dir, ignore_errors=True)
+                            deleted.append(
+                                os.path.relpath(full_dir, self.path) + os.sep
+                            )
+                    except OSError:
+                        pass  # racing writer/vacuum: leave it
+                    continue
+                keep.append(d)
+            dirs[:] = keep
             for f in files:
                 rel = os.path.relpath(os.path.join(root, f), self.path)
                 if not rel.endswith(".parquet") or rel in live:

@@ -1,0 +1,445 @@
+"""PySpark Python Data Source over the txlog table format.
+
+``sinks.txlog.TxLogTable`` gives this repo Delta-shaped ACID tables
+(ordered commit log + immutable parquet) with a programmatic API. This
+module plugs that format into Spark's own source/sink surface via the
+Python Data Source API (pyspark >= 4.0), so a txlog table is usable from
+the standard reader/writer chains — the way the reference uses
+``format("delta")`` end to end (PostgresToDataLake_Ingestion_Notebook.py:
+302-306 writes, :256-268 reads):
+
+- ``spark.read.format("txlog").load(path)`` — snapshot read, with
+  ``option("version", N)`` / ``option("timestamp", T)`` time travel;
+- ``spark.readStream.format("txlog").load(path)`` — a REAL Structured
+  Streaming source whose offsets are commit versions (the Delta
+  streaming-source shape): each micro-batch reads exactly the files the
+  new commits added, Spark's checkpoint owns the offset log, and
+  ``maxVersionsPerBatch`` gives admission control. Compactions are
+  transparent (layout-only commits are skipped); rewrite commits fail the
+  stream unless ``allowRewrites`` is set (at-least-once, dedup
+  downstream) — the same contract as ``TxLogTable.read_changes``;
+- ``df.write.format("txlog").mode("append"|"overwrite").save(path)`` and
+  ``df.writeStream.format("txlog")...`` — executors stream Arrow batches
+  straight to staged parquet files; the driver registers them in ONE
+  atomic log commit (``TxLogTable.commit_files``). With
+  ``option("txnAppId", ...)`` each streamed micro-batch commits under
+  ``txn_id=f"{appId}:{batchId}"`` and replays no-op in the table's log:
+  exactly-once, Delta's ``txnAppId``/``txnVersion`` contract.
+
+Scale: one input partition per data file — reads distribute across
+executors and transfer as Arrow record batches, never row-at-a-time
+Python. The batch reader prunes hive partition directories via the
+explicit ``partitionFilter`` option (``option("partitionFilter",
+"cc=us,dt=2024-01-01")``); Catalyst filter pushdown is deliberately NOT
+implemented — see the note inside ``_TxLogBatchReader`` for the Spark
+4.1 scan-caching hazard that makes stateful ``pushFilters`` unsafe. For
+heavy BATCH analytics the native ``TxLogTable.read`` (JVM parquet scan,
+whole-stage codegen, full pushdown) remains the hot path — this source's
+batch reader is the API-parity and interop surface; the STREAMING source
+and the exactly-once stream sink are capabilities the native path does
+not have. Like the txlog itself, the table root must be on storage all
+executors share.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, Sequence
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    import pyarrow as pa
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+# --------------------------------------------------------------- shared --
+
+
+def _arrow_schema(schema: StructType) -> "pa.Schema":
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _parse_hive_values(rel_path: str) -> tuple[tuple[str, str | None], ...]:
+    """``a=1/b=x/part-..parquet`` -> (("a","1"), ("b","x")); hive NULL
+    markers decode to None."""
+    out = []
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out.append((k, None if v == _HIVE_NULL else unquote(v)))
+    return tuple(out)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    rel_path: str
+    part_values: tuple  # (("col", "raw-string-or-None"), ...)
+
+
+def _file_batches(
+    table_path: str,
+    part: _FilePartition,
+    target: "pa.Schema",
+) -> Iterator["pa.RecordBatch"]:
+    """Read one committed parquet file and project it to the TARGET arrow
+    schema: present columns are cast, hive partition values become
+    constant columns, columns the file predates (additive schema
+    evolution) read as nulls — the same semantics the native snapshot
+    reader gets from Spark's parquet scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    full = os.path.join(table_path, part.rel_path)
+    values = dict(part.part_values)
+    batches = pq.ParquetFile(full).iter_batches()
+    for batch in batches:
+        n = batch.num_rows
+        have = {name: i for i, name in enumerate(batch.schema.names)}
+        cols = []
+        for field in target:
+            if field.name in have:
+                arr = batch.column(have[field.name])
+                if arr.type != field.type:
+                    arr = pc.cast(arr, field.type)
+            elif field.name in values:
+                v = values[field.name]
+                if v is None:
+                    arr = pa.nulls(n, field.type)
+                else:
+                    arr = pc.cast(pa.array([v] * n, pa.string()), field.type)
+            else:  # file predates this column (additive evolution)
+                arr = pa.nulls(n, field.type)
+            cols.append(arr)
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+
+# ---------------------------------------------------------------- batch --
+
+
+class _TxLogBatchReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+        self._path = options["path"]
+        table = TxLogTable(self._path)
+        version = options.get("version")
+        ts = options.get("timestamp")
+        if version is not None and ts is not None:
+            raise ValueError("pass version or timestamp, not both")
+        if ts is not None:
+            version = table.version_at_timestamp(float(ts))
+        snap = table.snapshot(int(version) if version is not None else None)
+        if snap is None:
+            raise FileNotFoundError(f"no committed version at {self._path}")
+        self._files = list(snap.files)
+        self._pcols = set(snap.partition_cols)
+        self._schema = schema
+        pf = options.get("partitionFilter")
+        if pf:
+            self._apply_partition_filter(pf)
+
+    # NOTE deliberately NO pushFilters(): Spark 4.1's Python-data-source
+    # filter pushdown caches the planned scan on the relation object, and
+    # a later query WITHOUT filters on the same DataFrame reuses the
+    # previously-filtered scan — silently dropping rows (verified against
+    # pyspark 4.1.2: load once, run a filtered collect, then an
+    # unfiltered collect -> the second returns the filtered subset). A
+    # stateful pushFilters is therefore unsafe no matter how
+    # conservatively it prunes. Partition pruning is offered instead via
+    # the stateless ``partitionFilter`` option below; full predicate
+    # pushdown belongs to the native ``TxLogTable.read`` path (JVM
+    # parquet scan).
+
+    def _apply_partition_filter(self, spec: str) -> None:
+        """``option("partitionFilter", "cc=us,dt=2024-01-01")``: keep only
+        files whose hive partition values match every ``col=value`` pair
+        (comma-separated = AND). Explicit and per-reader-instance, so it
+        cannot leak between queries the way pushed-down filters do."""
+        wanted = []
+        for clause in spec.split(","):
+            k, sep, v = clause.strip().partition("=")
+            if not sep or not k:
+                raise ValueError(
+                    f"bad partitionFilter clause {clause!r}; use col=value"
+                )
+            if k not in self._pcols:
+                raise ValueError(
+                    f"partitionFilter column {k!r} is not a partition "
+                    f"column of this table (has: {sorted(self._pcols)})"
+                )
+            wanted.append((k, v))
+        self._files = [
+            rel
+            for rel in self._files
+            if all(
+                dict(_parse_hive_values(rel)).get(k) == v for k, v in wanted
+            )
+        ]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _FilePartition(rel, _parse_hive_values(rel)) for rel in self._files
+        ]
+
+    def read(self, partition: _FilePartition):
+        yield from _file_batches(
+            self._path, partition, _arrow_schema(self._schema)
+        )
+
+
+# --------------------------------------------------------------- stream --
+
+
+class _TxLogStreamReader(DataSourceStreamReader):
+    """Commit versions ARE the offsets: micro-batch (start, end] reads the
+    files added by those commits (compact skipped; rewrites refused unless
+    allowRewrites). Spark's checkpoint persists the offsets — restart
+    resumes exactly where the log was consumed to."""
+
+    def __init__(self, options, schema: StructType):
+        from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+        self._path = options["path"]
+        self._table = TxLogTable(self._path)
+        self._schema = schema
+        self._allow_rewrites = str(
+            options.get("allowRewrites", "false")
+        ).lower() in ("true", "1")
+        self._start = int(options.get("startingVersion", 0)) - 1
+        mx = options.get("maxVersionsPerBatch")
+        self._max_versions = int(mx) if mx is not None else None
+        self._committed: int | None = None
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        cur = self._table.version()
+        if self._max_versions is not None and self._committed is not None:
+            # best-effort admission control: after the first batch of a
+            # (re)start the planned end is capped relative to the last
+            # committed offset this process observed
+            cur = min(cur, self._committed + self._max_versions)
+        return {"version": cur}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["version"], end["version"]
+        parts: list[InputPartition] = []
+        for e in self._table.history():
+            if not (lo < e["version"] <= hi):
+                continue
+            if e["op"] == "compact":
+                continue  # layout-only: content already delivered
+            if e["op"] != "append" and e["remove"] and not self._allow_rewrites:
+                raise ValueError(
+                    f"txlog stream hit v{e['version']} ({e['op']}): rewrite "
+                    "commits break rows-added semantics; set allowRewrites "
+                    "for at-least-once delivery and deduplicate downstream"
+                )
+            parts.extend(
+                _FilePartition(rel, _parse_hive_values(rel))
+                for rel in e["add"]
+            )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        yield from _file_batches(
+            self._path, partition, _arrow_schema(self._schema)
+        )
+
+    def commit(self, end: dict) -> None:
+        self._committed = end["version"]
+
+
+# --------------------------------------------------------------- writer --
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    rel_paths: tuple  # staged files, RELATIVE to the table root
+
+
+class _TxLogWriterBase:
+    """Shared data plane. Protocol constraint (from pyspark's worker
+    model, see python_streaming_sink_runner.py): write() runs in executor
+    workers on a pickled copy, and the STREAMING commit runs on a FRESH
+    writer instance built by ``streamWriter()`` in a separate process —
+    so no instance state survives from write to commit, and no live
+    SparkSession exists where commit runs. Hence:
+
+    - each write task stages its Arrow batches into its OWN
+      ``_staging-ds-{uuid}`` dir under the table root and the commit
+      message carries the staged files' RELATIVE paths — commit needs
+      only the message plus constructor options;
+    - commit renames exactly the message-named files into the root,
+      registers them in ONE atomic ``TxLogTable.commit_files`` commit,
+      then removes the message-named staging dirs. Staging dirs of
+      FAILED task attempts (whose messages never arrive) are reclaimed
+      by ``TxLogTable.vacuum`` after the retention window, Delta's
+      orphan-file story;
+    - CHECK constraints cannot be evaluated here (no SparkSession in the
+      commit worker), so a table WITH constraints refuses this write
+      path up front — use ``TxLogTable.append``/``merge_upsert``, which
+      validate, for constrained tables."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._path = options["path"]
+        self._schema = schema
+        self._overwrite = overwrite
+        self._txn_app = options.get("txnAppId")
+        os.makedirs(self._path, exist_ok=True)
+
+    # executor side -------------------------------------------------------
+    def write(self, iterator) -> WriterCommitMessage:
+        import pyarrow.parquet as pq
+
+        staging = f"_staging-ds-{uuid.uuid4().hex[:12]}"
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    os.makedirs(os.path.join(self._path, staging), exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(self._path, staging, name), batch.schema
+                    )
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        rel = (os.path.join(staging, name),) if writer is not None else ()
+        return _StagedFiles(rel_paths=rel)
+
+    # commit side ---------------------------------------------------------
+    def _land(self, messages, txn_id: str | None) -> None:
+        from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+        table = TxLogTable(self._path)
+        staged = [p for m in messages if m is not None for p in m.rel_paths]
+        try:
+            snap = table.snapshot()
+            if snap and snap.constraints:
+                raise ValueError(
+                    f"table {self._path} has CHECK constraints "
+                    f"{[n for n, _ in snap.constraints]}; the format('txlog') "
+                    "write path cannot validate them (no SparkSession in the "
+                    "commit worker) — write via TxLogTable.append/merge_upsert"
+                )
+            add = []
+            for rel in staged:
+                final = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(self._path, rel),
+                    os.path.join(self._path, final),
+                )
+                add.append(final)
+            if add or self._overwrite:
+                table.commit_files(
+                    add,
+                    self._schema,
+                    overwrite=self._overwrite,
+                    txn_id=txn_id,
+                )
+        finally:
+            self._drop_staging(staged)
+
+    def _drop_staging(self, staged: list) -> None:
+        for d in {os.path.dirname(rel) for rel in staged}:
+            if d.startswith("_staging-ds-"):
+                shutil.rmtree(os.path.join(self._path, d), ignore_errors=True)
+
+    def _abort(self, messages) -> None:
+        self._drop_staging(
+            [p for m in messages if m is not None for p in m.rel_paths]
+        )
+
+
+class _TxLogBatchWriter(_TxLogWriterBase, DataSourceArrowWriter):
+    def commit(self, messages) -> None:
+        self._land(messages, txn_id=None)
+
+    def abort(self, messages) -> None:
+        self._abort(messages)
+
+
+class _TxLogStreamWriter(_TxLogWriterBase, DataSourceStreamArrowWriter):
+    """``txnAppId`` set -> each micro-batch commits under
+    ``{appId}:{batchId}`` and a replayed batch no-ops in the table's log:
+    exactly-once across restarts (Delta's txn contract). Without it,
+    delivery is at-least-once (a batch replayed after a crash between
+    sink commit and checkpoint commit appends twice)."""
+
+    def commit(self, messages, batchId: int) -> None:
+        txn = f"{self._txn_app}:{batchId}" if self._txn_app else None
+        self._land(messages, txn_id=txn)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
+        self._abort(messages)
+
+
+# ----------------------------------------------------------- datasource --
+
+
+class TxLogDataSource(DataSource):
+    """``format("txlog")`` — see module docstring. Options: ``path``
+    (or ``.load(path)``), batch read ``version``/``timestamp``/
+    ``partitionFilter``, stream read ``startingVersion``/
+    ``maxVersionsPerBatch``/``allowRewrites``, write ``txnAppId``
+    (exactly-once streamed appends)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def _table_schema(self) -> StructType:
+        from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog source requires a path")
+        snap = TxLogTable(path).snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"no committed txlog version at {path}; pass an explicit "
+                ".schema(...) to read an uninitialized table"
+            )
+        return StructType.fromJson(json.loads(snap.schema_json))
+
+    def schema(self) -> StructType:
+        return self._table_schema()
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _TxLogBatchReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _TxLogStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _TxLogBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _TxLogStreamWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    """Make ``format("txlog")`` available on this session."""
+    spark.dataSource.register(TxLogDataSource)

@@ -1,0 +1,302 @@
+"""format("txlog") Python Data Source (sources/txlog_datasource.py):
+batch read with time travel and partition handling, the version-offset
+Structured Streaming source, and the Arrow-staged exactly-once writers —
+the Delta-parity surface expressed through Spark's own reader/writer
+chains instead of the programmatic TxLogTable API."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+from bigdataingestion_spark.sources.txlog_datasource import register
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _drain(stream_df, out_dir, ckpt_dir, fmt="parquet"):
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in time"
+
+
+# ----------------------------------------------------------- batch read --
+
+
+def test_batch_read_matches_native_and_time_travels(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    before = time.time()
+    t.append(spark.createDataFrame([(3, "c")], ["id", "v"]))
+
+    df = spark.read.format("txlog").load(path)
+    assert _rows(df) == _rows(t.read(spark))
+    assert df.schema == t.read(spark).schema
+    # version and timestamp time travel through reader options
+    assert _rows(spark.read.format("txlog").option("version", 0).load(path)) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert _rows(
+        spark.read.format("txlog").option("timestamp", before).load(path)
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_batch_read_fills_pre_evolution_files_with_nulls(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.append(
+        spark.createDataFrame([(2, "b", "x")], ["id", "v", "extra"])
+    )  # additive evolution: older file lacks `extra`
+    assert _rows(spark.read.format("txlog").load(path)) == [
+        (1, "a", None),
+        (2, "b", "x"),
+    ]
+
+
+def test_partitioned_read_and_partition_filter_prune(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.overwrite_partitions(
+        spark.createDataFrame(
+            [(1, "us", 5), (2, "de", 6), (3, "us", 7)], ["id", "cc", "x"]
+        ),
+        ["cc"],
+    )
+    full = spark.read.format("txlog").load(path)
+    assert _rows(full) == [(1, "us", 5), (2, "de", 6), (3, "us", 7)]
+    pruned = (
+        spark.read.format("txlog")
+        .option("partitionFilter", "cc=us")
+        .load(path)
+    )
+    assert _rows(pruned) == [(1, "us", 5), (3, "us", 7)]
+    with pytest.raises(Exception, match="not a partition column"):
+        spark.read.format("txlog").option(
+            "partitionFilter", "nope=1"
+        ).load(path).collect()
+
+
+def test_relation_reuse_unfiltered_after_filtered_is_not_pruned(spark, tmp_path):
+    """Regression guard for the Spark 4.1 scan-caching hazard that made us
+    drop pushFilters(): on ONE loaded relation, a filtered collect
+    followed by an unfiltered collect must return the full table."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+    df = spark.read.format("txlog").load(path)
+    assert _rows(df.filter("id > 1")) == [(2, "b"), (3, "c")]
+    assert _rows(df) == [(1, "a"), (2, "b"), (3, "c")]  # must NOT be pruned
+
+
+# ---------------------------------------------------------- stream read --
+
+
+def test_stream_read_delivers_history_then_only_deltas(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    t.compact(spark)  # layout-only commit: transparent to the stream
+    t.add_constraint(spark, "id_pos", "id > 0")  # metadata-only commit
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark.readStream.format("txlog").load(path), out, ckpt)
+    assert _rows(spark.read.parquet(out)) == [(1, "a"), (2, "b")]
+
+    # restart after the source advanced: only the delta arrives
+    t.append(spark.createDataFrame([(3, "c")], ["id", "v"]))
+    _drain(spark.readStream.format("txlog").load(path), out, ckpt)
+    assert _rows(spark.read.parquet(out)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_read_starting_version_skips_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(
+        spark.readStream.format("txlog")
+        .option("startingVersion", 1)
+        .load(path),
+        out,
+        ckpt,
+    )
+    assert _rows(spark.read.parquet(out)) == [(2, "b")]
+
+
+def test_stream_read_refuses_rewrites_unless_opted_in(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1)
+    )
+    t.delete(spark, "id = 1")  # copy-on-write rewrite commit
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="rewrite|STREAM_FAILED"):
+        _drain(spark.readStream.format("txlog").load(path), out, ckpt)
+    # opt-in: at-least-once — the rewritten file's rows are delivered
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    _drain(
+        spark.readStream.format("txlog")
+        .option("allowRewrites", "true")
+        .load(path),
+        out2,
+        ckpt2,
+    )
+    assert _rows(spark.read.parquet(out2)) == [(1, "a"), (2, "b"), (2, "b")]
+
+
+# --------------------------------------------------------------- writers --
+
+
+def test_batch_write_append_and_overwrite_commit_atomically(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.format(
+        "txlog"
+    ).mode("append").save(path)
+    spark.createDataFrame([(2, "b")], ["id", "v"]).write.format(
+        "txlog"
+    ).mode("append").save(path)
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b")]
+    assert [h["op"] for h in t.history()] == ["append", "append"]
+    spark.createDataFrame([(9, "z")], ["id", "v"]).write.format(
+        "txlog"
+    ).mode("overwrite").save(path)
+    assert _rows(t.read(spark)) == [(9, "z")]
+    # prior versions still time-travelable (overwrite was one atomic swap)
+    assert _rows(t.read(spark, version=1)) == [(1, "a"), (2, "b")]
+    # no staging dirs left behind on the happy path
+    assert not [d for d in os.listdir(path) if d.startswith("_staging")]
+
+
+def test_stream_write_with_txn_app_id_is_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame([(10, "x")], ["id", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    dst, ckpt = str(tmp_path / "dst"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema("id long, v string")
+            .parquet(src)
+            .writeStream.format("txlog")
+            .option("path", dst)
+            .option("txnAppId", "t1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run()
+    t = TxLogTable(dst)
+    assert _rows(t.read(spark)) == [(10, "x")]
+    assert t.history()[-1]["txn_id"] == "t1:0"
+    # checkpoint loss replays batch 0: the table's log must no-op it
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert _rows(t.read(spark)) == [(10, "x")]
+    assert t.version() == 0  # no second commit
+
+
+def test_write_refuses_tables_with_check_constraints(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.add_constraint(spark, "id_pos", "id > 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        spark.createDataFrame([(2, "b")], ["id", "v"]).write.format(
+            "txlog"
+        ).mode("append").save(path)
+    assert t.version() == 1  # nothing committed
+
+
+def test_vacuum_reclaims_orphaned_staging_dirs_after_retention(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    orphan = os.path.join(path, "_staging-ds-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-x.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    old = time.time() - 10_000
+    os.utime(os.path.join(orphan, "part-x.parquet"), (old, old))
+    os.utime(orphan, (old, old))
+    # retention 0 preserves staging outright (historical contract)
+    assert t.vacuum(retention_seconds=0) == []
+    assert os.path.isdir(orphan)
+    # inside the window: preserved; beyond it: reclaimed whole
+    assert t.vacuum(retention_seconds=100_000) == []
+    assert os.path.isdir(orphan)
+    deleted = t.vacuum(retention_seconds=100)
+    assert not os.path.isdir(orphan)
+    assert any(d.startswith("_staging-ds-deadbeef") for d in deleted)
+    assert _rows(t.read(spark)) == [(1, "a")]  # live data untouched
+
+
+# ----------------------------------------------------------- commit_files --
+
+
+def test_commit_files_txn_replay_noops_and_removes_staged(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    first = t._stage_files(df)
+    assert t.commit_files(first, df.schema, txn_id="x:1") == 0
+    replay = t._stage_files(df)
+    assert t.commit_files(replay, df.schema, txn_id="x:1") == 0  # no-op
+    for rel in replay:  # replayed files deleted, not orphaned
+        assert not os.path.exists(os.path.join(path, rel))
+    assert _rows(t.read(spark)) == [(1, "a")]
+
+
+def test_commit_files_retries_through_concurrent_commits(spark, tmp_path):
+    """A writer that lost the create-exclusive race must retry with its
+    staged files intact and land on the next version."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    staged = t._stage_files(df)
+
+    real_commit = t._commit
+    raced = {"n": 0}
+
+    def racing_commit(*args, **kwargs):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            # another writer lands between our snapshot and our commit
+            t2 = TxLogTable(path)
+            t2.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+        return real_commit(*args, **kwargs)
+
+    t._commit = racing_commit
+    try:
+        version = t.commit_files(staged, df.schema)
+    finally:
+        t._commit = real_commit
+    assert version == t.version()
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b")]
