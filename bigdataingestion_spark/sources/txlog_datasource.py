@@ -13,8 +13,9 @@ the standard reader/writer chains — the way the reference uses
 - ``spark.readStream.format("txlog").load(path)`` — a REAL Structured
   Streaming source whose offsets are commit versions (the Delta
   streaming-source shape): each micro-batch reads exactly the files the
-  new commits added, Spark's checkpoint owns the offset log, and
-  ``maxVersionsPerBatch`` gives admission control. Compactions are
+  new commits added and Spark's checkpoint owns the offset log (no
+  per-batch size cap — see the in-code note on why admission control
+  cannot be made safe under this API). Compactions are
   transparent (layout-only commits are skipped); rewrite commits fail the
   stream unless ``allowRewrites`` is set (at-least-once, dedup
   downstream) — the same contract as ``TxLogTable.read_changes``;
@@ -225,21 +226,30 @@ class _TxLogStreamReader(DataSourceStreamReader):
             options.get("allowRewrites", "false")
         ).lower() in ("true", "1")
         self._start = int(options.get("startingVersion", 0)) - 1
-        mx = options.get("maxVersionsPerBatch")
-        self._max_versions = int(mx) if mx is not None else None
-        self._committed: int | None = None
+        if "maxVersionsPerBatch" in options:
+            # DELIBERATELY unsupported. latestOffset() gets no start
+            # offset from this API, so a batch-size cap needs state that
+            # survives across reader instances — and Spark provably uses
+            # MORE THAN ONE instance per running query (observed: a
+            # capped 5-commit table produced the offset sequence
+            # 4 -> 1 -> 3 -> 4; the retreat to 1 came from a second,
+            # freshly-seeded instance, and Spark replayed the overlap:
+            # 8 sink rows from 5 source rows). An unsafe knob is worse
+            # than none: the uncapped table.version() below is naturally
+            # monotonic. Rate-limit upstream (commit cadence) instead.
+            raise ValueError(
+                "maxVersionsPerBatch is not supported: per-batch offset "
+                "caps cannot be made monotonic under Spark's "
+                "multi-instance use of DataSourceStreamReader and would "
+                "replay overlapping ranges (see in-code note)"
+            )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        cur = self._table.version()
-        if self._max_versions is not None and self._committed is not None:
-            # best-effort admission control: after the first batch of a
-            # (re)start the planned end is capped relative to the last
-            # committed offset this process observed
-            cur = min(cur, self._committed + self._max_versions)
-        return {"version": cur}
+        # the commit log's version only grows -> monotonic by construction
+        return {"version": self._table.version()}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["version"], end["version"]
@@ -403,8 +413,8 @@ class TxLogDataSource(DataSource):
     """``format("txlog")`` — see module docstring. Options: ``path``
     (or ``.load(path)``), batch read ``version``/``timestamp``/
     ``partitionFilter``, stream read ``startingVersion``/
-    ``maxVersionsPerBatch``/``allowRewrites``, write ``txnAppId``
-    (exactly-once streamed appends)."""
+    ``allowRewrites``, write ``txnAppId`` (exactly-once streamed
+    appends)."""
 
     @classmethod
     def name(cls) -> str:

@@ -165,6 +165,105 @@ def test_stream_read_refuses_rewrites_unless_opted_in(spark, tmp_path):
     assert _rows(spark.read.parquet(out2)) == [(1, "a"), (2, "b"), (2, "b")]
 
 
+def test_rich_types_roundtrip_both_directions(spark, tmp_path):
+    """Arrays, structs, maps, binary, decimals, dates and timestamps must
+    survive the Arrow boundary in both the reader and the writer — the
+    embedding (array<float>) and multimodal (binary) columns depend on
+    it."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                i=1,
+                d=1.5,
+                s="a",
+                b=True,
+                dt=datetime.date(2024, 1, 1),
+                ts=datetime.datetime(2024, 1, 1, 12, 0, 0),
+                arr=[1.0, 2.0],
+                st=Row(x=1, y="u"),
+                mp={"k": 2},
+                byt=bytearray(b"\x01\x02"),
+                dec=Decimal("12.34"),
+            )
+        ],
+        schema=(
+            "i long, d double, s string, b boolean, dt date, ts timestamp,"
+            " arr array<float>, st struct<x:int,y:string>,"
+            " mp map<string,int>, byt binary, dec decimal(10,2)"
+        ),
+    )
+    native_path = str(tmp_path / "native")
+    t = TxLogTable(native_path)
+    t.append(df)
+    via_ds = spark.read.format("txlog").load(native_path)
+    assert via_ds.schema == t.read(spark).schema
+    assert via_ds.collect() == t.read(spark).collect()
+
+    ds_path = str(tmp_path / "ds")
+    df.write.format("txlog").mode("append").save(ds_path)
+    back = TxLogTable(ds_path).read(spark)
+    assert back.schema == df.schema
+    assert back.collect() == df.collect()
+
+
+def test_max_versions_per_batch_is_refused(spark, tmp_path):
+    """A per-batch offset cap cannot be made monotonic under Spark's
+    multi-instance use of DataSourceStreamReader (a second instance's
+    lower offset makes Spark replay the overlap — duplicates), so the
+    option must refuse loudly instead of dropping or duplicating data."""
+    path = str(tmp_path / "t")
+    TxLogTable(path).append(spark.createDataFrame([(1,)], ["id"]))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="maxVersionsPerBatch"):
+        _drain(
+            spark.readStream.format("txlog")
+            .option("maxVersionsPerBatch", 2)
+            .load(path),
+            out,
+            ckpt,
+        )
+
+
+def test_running_stream_picks_up_live_appends_exactly_once(spark, tmp_path):
+    """Commits landing WHILE the query runs arrive in later micro-batches
+    with no duplicates (offsets monotonic, version-keyed)."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(0,)], ["id"]))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("txlog")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        appended = 1
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= 3:
+                break
+            if appended < 3 and n >= appended:
+                t.append(spark.createDataFrame([(appended,)], ["id"]))
+                appended += 1
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert _rows(spark.read.parquet(out)) == [(0,), (1,), (2,)]
+
+
 # --------------------------------------------------------------- writers --
 
 
