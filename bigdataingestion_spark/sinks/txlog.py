@@ -144,6 +144,20 @@ class TxLogTable:
             for f in self._commit_files()
         ]
 
+    def commits_between(self, from_version: int, to_version: int) -> list[dict]:
+        """Commit entries with ``from_version < version <= to_version``,
+        reading ONLY those files — the filename encodes the version, so
+        the range filter costs no file reads. Incremental consumers (the
+        streaming source, ``read_changes``) stay O(delta) per call where
+        a ``history()`` replay would be O(total commits): on a long-lived
+        table with 100k commits, a micro-batch that advanced 3 versions
+        reads 3 files, not 100k."""
+        return [
+            json.loads(open(os.path.join(self.log_dir, f)).read())
+            for f in self._commit_files()
+            if from_version < int(f[:-5]) <= to_version
+        ]
+
     def _checkpoint_files(self) -> list[str]:
         if not os.path.isdir(self.log_dir):
             return []
@@ -859,9 +873,7 @@ class TxLogTable:
         adds: list[str] = []
         schema_json: str | None = None
         pcols: tuple[str, ...] = ()
-        for e in self.history():
-            if not (from_version < e["version"] <= to_version):
-                continue
+        for e in self.commits_between(from_version, to_version):
             if e["op"] == "compact":
                 continue  # layout-only: content unchanged, nothing new
             if e["op"] not in ("append",) and e["remove"] and not allow_rewrites:

@@ -254,9 +254,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["version"], end["version"]
         parts: list[InputPartition] = []
-        for e in self._table.history():
-            if not (lo < e["version"] <= hi):
-                continue
+        # commits_between reads only the (lo, hi] commit files: a
+        # micro-batch costs O(versions advanced), not O(table history)
+        for e in self._table.commits_between(lo, hi):
             if e["op"] == "compact":
                 continue  # layout-only: content already delivered
             if e["op"] != "append" and e["remove"] and not self._allow_rewrites:
