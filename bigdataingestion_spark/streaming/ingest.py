@@ -390,6 +390,55 @@ def stream_cdc_upsert(
     )
 
 
+def stream_cdc_upsert_txlog(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_cols: list[str],
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """``stream_cdc_upsert`` on a txlog table: each micro-batch is ONE
+    atomic ``TxLogTable.merge_upsert`` commit under a per-batch txn id.
+
+    Two upgrades over the plain-parquet CDC merge: readers racing a
+    merge see the old or the new snapshot, never a half-written
+    directory (the merge rewrite + swap is a single commit), and a
+    redelivered batch is a true NO-OP via the txn log — the plain path
+    is merely CONVERGENT under replay (latest-wins re-merge), which
+    re-pays the rewrite and relies on ``order_cols`` correctness. The
+    txn scope hashes the checkpoint's absolute path (same rule as
+    ``stream_txlog_ingest``); deleting the checkpoint to reprocess
+    requires a fresh ``app_id``."""
+    import hashlib
+    import os
+
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
+    table = TxLogTable(target_dir)
+    scope = app_id or hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_upsert(
+            spark, batch_df, keys, order_cols, txn_id=f"{scope}:{batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_txlog_ingest(
     spark: SparkSession,
     source_dir: str,

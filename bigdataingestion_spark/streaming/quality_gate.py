@@ -133,3 +133,82 @@ def stream_quality_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def gate_batch_txlog(
+    batch_df: DataFrame,
+    batch_id: int,
+    target: "TxLogTable",
+    quarantine: "TxLogTable",
+    expectations: list[Expectation],
+    scope: str,
+) -> None:
+    """One micro-batch through txlog sinks: clean rows append to
+    ``target``, rule-tagged violations to ``quarantine``, each as ONE
+    atomic commit under ``txn_id=f"{scope}:{batch_id}"``. A crash between
+    the two appends replays the batch; the already-committed side no-ops
+    on its txn id and the other side commits — exactly-once per sink
+    with no layout convention (this is what the batch_id={id} directory
+    scheme of ``gate_batch`` simulates without a log). Module-level so
+    the replay contract is directly testable."""
+    if batch_df.isEmpty():
+        return
+    tagged = batch_df.withColumn(
+        "_violations", _violation_labels(expectations)
+    ).cache()
+    try:
+        clean = tagged.filter(F.size("_violations") == 0).drop("_violations")
+        bad = tagged.filter(F.size("_violations") > 0).withColumn(
+            "_violations", F.concat_ws(",", "_violations")
+        )
+        txn = f"{scope}:{batch_id}"
+        if not clean.isEmpty():
+            target.append(clean, txn_id=txn)
+        if not bad.isEmpty():
+            quarantine.append(bad, txn_id=txn)
+    finally:
+        tagged.unpersist()
+
+
+def stream_quality_gate_txlog(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    expectations: list[Expectation],
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 64,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """``stream_quality_gate`` with txlog sinks: atomic per-batch
+    commits, txn-id exactly-once on BOTH the lake and the quarantine,
+    snapshot-isolated readers, and time travel over gate output — no
+    ``batch_id={id}`` directory convention, no legacy-layout refusal
+    needed. The txn scope hashes the checkpoint's absolute path (the
+    ``stream_txlog_ingest`` rule); deleting the checkpoint to reprocess
+    requires a fresh ``app_id``."""
+    import hashlib
+    import os
+
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+    from bigdataingestion_spark.streaming.ingest import _open_file_stream
+
+    _probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
+    target = TxLogTable(target_dir)
+    quarantine = TxLogTable(quarantine_dir)
+    scope = app_id or hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gate_batch_txlog(
+            batch_df, batch_id, target, quarantine, expectations, scope
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
