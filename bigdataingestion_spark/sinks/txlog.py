@@ -575,6 +575,37 @@ class TxLogTable:
             constraints=snap.constraints if snap else (),
         )
 
+    def _files_with_matching_keys(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        source: DataFrame,
+        keys: list[str],
+        null_safe: bool,
+    ) -> list[str]:
+        """Files of ``snap`` holding at least one row whose key appears in
+        ``source`` — the MERGE file-finding pass (one scan + a semi-join
+        against the source's distinct keys, which AQE broadcasts when
+        small). ``null_safe`` matches NULL keys to NULL keys — required
+        for latest-wins mode, where the dedup window groups NULL keys
+        together, so target NULL-key rows must be rewritten whenever the
+        source carries NULL keys."""
+        df = self._read_snapshot(spark, snap).withColumn(
+            "_file", F.input_file_name()
+        )
+        src_keys = source.select(*keys).distinct()
+        if null_safe:
+            cond = None
+            for k in keys:
+                c = df[k].eqNullSafe(src_keys[k])
+                cond = c if cond is None else cond & c
+            hit_df = df.join(src_keys, cond, "leftsemi")
+        else:
+            hit_df = df.join(src_keys, on=keys, how="leftsemi")
+        hits = hit_df.select("_file").distinct().collect()
+        touched = {self._rel_from_uri(r[0]) for r in hits}
+        return [f for f in snap.files if f in touched]
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -583,25 +614,44 @@ class TxLogTable:
         order_cols: list[str] | None = None,
         txn_id: str | None = None,
     ) -> int:
-        """Copy-on-write MERGE INTO: source-wins upsert by ``keys``, or
-        latest-wins by ``order_cols`` when deliveries may be out of order
-        (the two MERGE shapes in ``sinks/merge.py``, now committed
-        atomically). Returns the committed version."""
+        """Copy-on-write MERGE INTO with FILE-LEVEL PRUNING: source-wins
+        upsert by ``keys``, or latest-wins by ``order_cols`` when
+        deliveries may be out of order (the two MERGE shapes in
+        ``sinks/merge.py``, committed atomically).
+
+        Delta's MERGE cost shape: one finding scan locates the files that
+        contain keys present in the source; ONLY those files are merged
+        and rewritten, every other file carries into the new version by
+        reference, and pure inserts (no matching file) cost one new file.
+        A CDC micro-batch touching 0.1% of a 100 TB table rewrites 0.1%
+        of it — the pre-pruning implementation re-staged the entire
+        table per merge. The finding pass still reads every row (a
+        key-stats file skip, e.g. Z-order min/max, is the next
+        refinement); the REWRITE is what pruning bounds. Returns the
+        committed version."""
         snap = self.snapshot()
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
-        if snap is None:
+        touched: list[str] = []
+        if snap is None or not snap.files:
             merged = (
                 self._latest_wins(source, keys, order_cols) if order_cols else source
             )
         else:
-            target = self._read_snapshot(spark, snap)
+            touched = self._files_with_matching_keys(
+                spark, snap, source, keys, null_safe=bool(order_cols)
+            )
+            hit_rows = (
+                self._read_files(spark, snap, touched)
+                if touched
+                else self._read_snapshot(spark, snap).limit(0)
+            )
             if order_cols:
-                union = target.unionByName(source, allowMissingColumns=True)
+                union = hit_rows.unionByName(source, allowMissingColumns=True)
                 merged = self._latest_wins(union, keys, order_cols)
             else:
-                survivors = target.join(
+                survivors = hit_rows.join(
                     source.select(keys), on=keys, how="left_anti"
                 )
                 merged = survivors.unionByName(source, allowMissingColumns=True)
@@ -612,12 +662,16 @@ class TxLogTable:
         files = self._stage_files(merged)
         return self._commit(
             files,
-            list(snap.files) if snap else [],
+            touched,
             schema,
             "merge",
             txn_id,
             snap.version if snap else -1,
             constraints=snap.constraints if snap else (),
+            metrics={
+                "files_rewritten": len(touched),
+                "files_carried": (len(snap.files) - len(touched)) if snap else 0,
+            },
         )
 
     def _rel_from_uri(self, uri: str) -> str:

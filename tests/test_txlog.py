@@ -83,8 +83,62 @@ def test_merge_upsert_source_wins_and_latest_wins(spark, tmp_path):
         order_cols=["ts"],
     )
     assert _rows(t.read(spark).filter(F.col("id") == 1).select("v")) == [("new",)]
-    # merges are single atomic commits with full remove+add
+    # merges are single atomic commits (add rewritten, remove touched)
     assert [e["op"] for e in t.history()][-2:] == ["merge", "merge"]
+
+
+def test_merge_upsert_rewrites_only_files_with_matching_keys(spark, tmp_path):
+    """The MERGE file-pruning contract: a source touching keys in ONE of
+    three files rewrites that file alone; the other two carry into the
+    new version by reference (same physical file names)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    for lo in (0, 10, 20):  # three single-file commits, disjoint key ranges
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, "old") for i in range(3)], ["id", "v"]
+            ).coalesce(1)
+        )
+    before = set(t.snapshot().files)
+    assert len(before) == 3
+
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(11, "new"), (99, "ins")], ["id", "v"]),
+        keys=["id"],
+    )
+    entry = t.history()[-1]
+    assert entry["op"] == "merge"
+    assert len(entry["remove"]) == 1  # only the file holding id=11
+    assert entry["op_metrics"] == {"files_rewritten": 1, "files_carried": 2}
+    # the two untouched files are carried by reference
+    assert len(set(t.snapshot().files) & before) == 2
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got[11] == "new" and got[99] == "ins"
+    assert sum(1 for v in got.values() if v == "old") == 8
+
+    # pure inserts (no matching key anywhere): zero files rewritten
+    t.merge_upsert(
+        spark, spark.createDataFrame([(100, "x")], ["id", "v"]), keys=["id"]
+    )
+    assert t.history()[-1]["op_metrics"]["files_rewritten"] == 0
+    assert t.read(spark).count() == 11
+
+
+def test_merge_upsert_latest_wins_across_files(spark, tmp_path):
+    """Latest-wins dedup must see every file holding the key, even when
+    the key's rows are spread over multiple commits."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a", 100)], ["id", "v", "ts"]).coalesce(1))
+    t.append(spark.createDataFrame([(1, "b", 200)], ["id", "v", "ts"]).coalesce(1))
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "stale", 50)], ["id", "v", "ts"]),
+        keys=["id"],
+        order_cols=["ts"],
+    )
+    # both files held id=1 -> both rewritten; newest ts wins
+    assert t.history()[-1]["op_metrics"]["files_rewritten"] == 2
+    assert _rows(t.read(spark)) == [(1, "b", 200)]
 
 
 def test_concurrent_writer_conflict(spark, tmp_path):
