@@ -55,6 +55,10 @@ def get_spark(
         # partitionBy writes from the chunk writer can touch many date
         # partitions in one job; don't let the per-task file limit bite.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # write TIMESTAMP(MICROS), not the deprecated INT96: INT96 column
+        # chunks carry no min/max statistics, which blinds parquet
+        # row-group pruning AND the txlog's log-held data-skipping stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

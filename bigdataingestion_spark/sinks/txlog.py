@@ -68,7 +68,7 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,6 +98,92 @@ class Snapshot:
     txn_ids: tuple[str, ...] = ()
     partition_cols: tuple[str, ...] = ()  # non-empty for partitioned tables
     constraints: tuple[tuple[str, str], ...] = ()  # (name, sql_expr) CHECKs
+    # per-file column min/max/null stats recorded at commit time (Delta's
+    # data-skipping stats): {rel_path: {col: {"k","min","max","nulls"}}}.
+    # Missing entries (pre-stats commits, unreadable footers) simply mean
+    # "cannot skip this file" — stats are an optimization, never load-bearing
+    file_stats: dict = field(default_factory=dict)
+
+
+_STATS_MAX_COLS = 32  # Delta's default: stats on the first 32 columns
+
+
+def _norm_stat_value(v):
+    """Normalize a stats value (from a parquet footer or a Spark collect)
+    to a (kind, comparable) pair. ISO-8601 keeps dates/timestamps
+    order-faithful as strings; unsupported types return None (no pruning
+    on that column)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return ("num", int(v))
+    if isinstance(v, (int, float)):
+        return ("num", v)
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return ("str", v.isoformat())
+    if isinstance(v, _dt.date):
+        return ("str", v.isoformat())
+    return None  # Decimal, bytes, nested — skip
+
+
+def _file_column_stats(full_path: str) -> dict:
+    """{col: {"k": kind, "min", "max", "nulls"}} from one parquet footer.
+    A column appears only if EVERY row group carries usable stats (else
+    min/max would be partial and pruning unsound). All-null columns
+    appear with min/max None."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    acc: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            cc = g.column(i)
+            name = cc.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves: no top-level pruning
+            st = cc.statistics
+            if st is None or not st.has_null_count:
+                dropped.add(name)
+                acc.pop(name, None)
+                continue
+            nulls = st.null_count
+            all_null = not st.has_min_max and nulls == g.num_rows
+            if not all_null and not st.has_min_max:
+                dropped.add(name)
+                acc.pop(name, None)
+                continue
+            lo = _norm_stat_value(st.min) if not all_null else None
+            hi = _norm_stat_value(st.max) if not all_null else None
+            if not all_null and (lo is None or hi is None or lo[0] != hi[0]):
+                dropped.add(name)
+                acc.pop(name, None)
+                continue
+            cur = acc.get(name)
+            if cur is None:
+                acc[name] = {
+                    "k": lo[0] if lo else None,
+                    "min": lo[1] if lo else None,
+                    "max": hi[1] if hi else None,
+                    "nulls": nulls,
+                }
+            else:
+                cur["nulls"] += nulls
+                if lo is not None:
+                    if cur["min"] is None or lo[1] < cur["min"]:
+                        cur["min"] = lo[1]
+                        cur["k"] = lo[0]
+                    if cur["max"] is None or hi[1] > cur["max"]:
+                        cur["max"] = hi[1]
+    if len(acc) > _STATS_MAX_COLS:
+        keep = list(acc)[:_STATS_MAX_COLS]
+        acc = {k: acc[k] for k in keep}
+    return acc
 
 
 def _merge_schema(current: StructType, incoming: StructType) -> StructType:
@@ -177,6 +263,7 @@ class TxLogTable:
                     "txn_ids": list(snap.txn_ids),
                     "partition_cols": list(snap.partition_cols),
                     "constraints": [list(c) for c in snap.constraints],
+                    "stats": snap.file_stats,
                 },
                 fh,
             )
@@ -213,6 +300,7 @@ class TxLogTable:
                 constraints=tuple(
                     tuple(c) for c in d.get("constraints") or ()
                 ),
+                file_stats=d.get("stats") or {},
             )
             break
         # parse only the commit files AFTER the checkpoint (filename encodes
@@ -228,10 +316,14 @@ class TxLogTable:
         files = list(base.files) if base else []
         txn_ids = list(base.txn_ids) if base else []
         cons = list(base.constraints) if base else []
+        stats = dict(base.file_stats) if base else {}
         for e in entries:
             removed = set(e["remove"])
             files = [f for f in files if f not in removed]
             files.extend(e["add"])
+            for f in removed:
+                stats.pop(f, None)
+            stats.update(e.get("stats") or {})
             if e.get("txn_id"):
                 txn_ids.append(e["txn_id"])
             if "constraints" in e:  # absent only in pre-upgrade commits
@@ -243,6 +335,7 @@ class TxLogTable:
             txn_ids=tuple(txn_ids),
             partition_cols=tuple(entries[-1].get("partition_cols") or ()),
             constraints=tuple(cons),
+            file_stats=stats,
         )
 
     def _commit(
@@ -260,6 +353,18 @@ class TxLogTable:
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
+        # per-file data-skipping stats from the staged parquet footers —
+        # driver-side metadata reads at commit time, exactly where Delta
+        # writes its stats. Never load-bearing: any failure just means the
+        # file can't be skipped later.
+        stats: dict[str, dict] = {}
+        for f in add:
+            try:
+                s = _file_column_stats(os.path.join(self.path, f))
+                if s:
+                    stats[f] = s
+            except Exception:  # noqa: BLE001 - stats are best-effort
+                pass
         entry = {
             "version": version,
             "op": op,
@@ -270,6 +375,7 @@ class TxLogTable:
             "txn_id": txn_id,
             "partition_cols": list(partition_cols or ()),
             "constraints": [list(c) for c in (constraints or ())],
+            "stats": stats,
         }
         if metrics:
             entry["op_metrics"] = metrics
@@ -575,7 +681,7 @@ class TxLogTable:
             constraints=snap.constraints if snap else (),
         )
 
-    def _files_with_matching_keys(
+    def _stats_candidates(
         self,
         spark: SparkSession,
         snap: Snapshot,
@@ -583,14 +689,87 @@ class TxLogTable:
         keys: list[str],
         null_safe: bool,
     ) -> list[str]:
+        """Data skipping for MERGE: drop files whose log-held key-column
+        [min, max] cannot intersect the source's key range (one tiny agg
+        over the source computes its per-key min/max/null-count). A file
+        can be skipped on the evidence of ANY single key column — a match
+        needs equality on all of them. Files without stats (pre-stats
+        commits, exotic column types) always remain candidates, so the
+        skip is conservative by construction; at 100 TB this is what
+        turns the finding pass from "scan every file" into "scan the
+        files whose range the batch plausibly touches" (on a key-ordered
+        or Z-ordered layout, a narrow CDC batch keeps O(batch-span)
+        files)."""
+        aggs = []
+        for k in keys:
+            aggs += [
+                F.min(k).alias(f"_mn_{k}"),
+                F.max(k).alias(f"_mx_{k}"),
+                F.sum(F.col(k).isNull().cast("long")).alias(f"_nl_{k}"),
+            ]
+        row = source.agg(*aggs).collect()[0]
+        src = {}
+        for k in keys:
+            mn, mx = _norm_stat_value(row[f"_mn_{k}"]), _norm_stat_value(
+                row[f"_mx_{k}"]
+            )
+            src[k] = {
+                "min": mn[1] if mn else None,
+                "kind": mn[0] if mn else None,
+                "max": mx[1] if mx else None,
+                "nulls": row[f"_nl_{k}"] or 0,
+            }
+
+        def skippable(fstats: dict) -> bool:
+            for k in keys:
+                fs = fstats.get(k)
+                if fs is None:
+                    continue  # no stats for this column: can't judge
+                s = src[k]
+                file_has_nulls = (fs.get("nulls") or 0) > 0
+                if null_safe and s["nulls"] > 0 and file_has_nulls:
+                    continue  # NULL keys can match: column not usable
+                if fs["min"] is None:  # file column is ALL null
+                    # nulls never match non-null source keys; in null-safe
+                    # mode a source null would have matched (handled above)
+                    return True
+                if s["min"] is None:
+                    # source keys all null in this column: no value match
+                    # possible; null-safe null-match handled above
+                    return True
+                if fs.get("k") != s["kind"]:
+                    continue  # incomparable normalizations: be safe
+                if fs["max"] < s["min"] or fs["min"] > s["max"]:
+                    return True
+            return False
+
+        return [
+            f
+            for f in snap.files
+            if not (f in snap.file_stats and skippable(snap.file_stats[f]))
+        ]
+
+    def _files_with_matching_keys(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        source: DataFrame,
+        keys: list[str],
+        null_safe: bool,
+        candidates: list[str] | None = None,
+    ) -> list[str]:
         """Files of ``snap`` holding at least one row whose key appears in
         ``source`` — the MERGE file-finding pass (one scan + a semi-join
         against the source's distinct keys, which AQE broadcasts when
-        small). ``null_safe`` matches NULL keys to NULL keys — required
-        for latest-wins mode, where the dedup window groups NULL keys
+        small), over ``candidates`` when stats already excluded the rest.
+        ``null_safe`` matches NULL keys to NULL keys — required for
+        latest-wins mode, where the dedup window groups NULL keys
         together, so target NULL-key rows must be rewritten whenever the
         source carries NULL keys."""
-        df = self._read_snapshot(spark, snap).withColumn(
+        scan_files = snap.files if candidates is None else candidates
+        if not scan_files:
+            return []
+        df = self._read_files(spark, snap, list(scan_files)).withColumn(
             "_file", F.input_file_name()
         )
         src_keys = source.select(*keys).distinct()
@@ -625,22 +804,34 @@ class TxLogTable:
         reference, and pure inserts (no matching file) cost one new file.
         A CDC micro-batch touching 0.1% of a 100 TB table rewrites 0.1%
         of it — the pre-pruning implementation re-staged the entire
-        table per merge. The finding pass still reads every row (a
-        key-stats file skip, e.g. Z-order min/max, is the next
-        refinement); the REWRITE is what pruning bounds. Returns the
-        committed version."""
+        table per merge. Before the scan even starts, log-held per-file
+        key min/max stats (recorded at commit time from the parquet
+        footers, Delta's data-skipping stats) drop files whose key range
+        cannot intersect the source's — on a key-clustered layout the
+        finding pass then opens only the files a narrow batch plausibly
+        touches. Returns the committed version."""
         snap = self.snapshot()
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
         touched: list[str] = []
+        stat_skipped = 0
         if snap is None or not snap.files:
             merged = (
                 self._latest_wins(source, keys, order_cols) if order_cols else source
             )
         else:
-            touched = self._files_with_matching_keys(
+            candidates = self._stats_candidates(
                 spark, snap, source, keys, null_safe=bool(order_cols)
+            )
+            stat_skipped = len(snap.files) - len(candidates)
+            touched = self._files_with_matching_keys(
+                spark,
+                snap,
+                source,
+                keys,
+                null_safe=bool(order_cols),
+                candidates=candidates,
             )
             hit_rows = (
                 self._read_files(spark, snap, touched)
@@ -671,6 +862,7 @@ class TxLogTable:
             metrics={
                 "files_rewritten": len(touched),
                 "files_carried": (len(snap.files) - len(touched)) if snap else 0,
+                "files_stat_skipped": stat_skipped,
             },
         )
 

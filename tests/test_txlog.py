@@ -109,19 +109,107 @@ def test_merge_upsert_rewrites_only_files_with_matching_keys(spark, tmp_path):
     entry = t.history()[-1]
     assert entry["op"] == "merge"
     assert len(entry["remove"]) == 1  # only the file holding id=11
-    assert entry["op_metrics"] == {"files_rewritten": 1, "files_carried": 2}
+    # source key span [11, 99]: the [0,2] file is skipped by log-held
+    # min/max stats before the finding scan; [10,12] and [20,22] overlap
+    # the span so they are scanned, and only [10,12] actually matches
+    assert entry["op_metrics"] == {
+        "files_rewritten": 1,
+        "files_carried": 2,
+        "files_stat_skipped": 1,
+    }
     # the two untouched files are carried by reference
     assert len(set(t.snapshot().files) & before) == 2
     got = {r["id"]: r["v"] for r in t.read(spark).collect()}
     assert got[11] == "new" and got[99] == "ins"
     assert sum(1 for v in got.values() if v == "old") == 8
 
-    # pure inserts (no matching key anywhere): zero files rewritten
+    # pure inserts above every range: stats skip ALL files, the finding
+    # scan reads nothing, zero files rewritten
+    n_before = len(t.snapshot().files)
     t.merge_upsert(
         spark, spark.createDataFrame([(100, "x")], ["id", "v"]), keys=["id"]
     )
-    assert t.history()[-1]["op_metrics"]["files_rewritten"] == 0
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_rewritten"] == 0
+    assert m["files_stat_skipped"] == n_before
     assert t.read(spark).count() == 11
+
+
+def test_commit_records_file_stats_and_checkpoint_roundtrips_them(spark, tmp_path):
+    """Every commit records per-file column min/max/null stats from the
+    parquet footers (Delta's data-skipping stats); checkpoints carry them
+    so skip decisions stay O(interval) log reads."""
+    t = TxLogTable(str(tmp_path / "t"), checkpoint_interval=2)
+    t.append(spark.createDataFrame([(1, "a"), (5, None)], ["id", "v"]).coalesce(1))
+    snap = t.snapshot()
+    (stats,) = snap.file_stats.values()
+    assert stats["id"] == {"k": "num", "min": 1, "max": 5, "nulls": 0}
+    assert stats["v"] == {"k": "str", "min": "a", "max": "a", "nulls": 1}
+
+    t.append(spark.createDataFrame([(9, "z")], ["id", "v"]).coalesce(1))
+    t.append(spark.createDataFrame([(12, "y")], ["id", "v"]).coalesce(1))
+    assert t._checkpoint_files()  # interval hit: checkpoint written
+    snap2 = t.snapshot()
+    assert len(snap2.file_stats) == 3  # stats survive the checkpoint path
+    assert {s["id"]["min"] for s in snap2.file_stats.values()} == {1, 9, 12}
+
+
+def test_merge_skips_null_key_files_only_when_safe(spark, tmp_path):
+    """Source-wins mode: NULL keys never match, so an all-null-key file
+    is skippable and its rows survive untouched. Latest-wins mode with a
+    NULL-key source row must NOT skip that file — the dedup window groups
+    NULL keys together."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(None, "nk", 100)], "id int, v string, ts int").coalesce(1)
+    )
+    t.append(spark.createDataFrame([(1, "a", 100)], "id int, v string, ts int").coalesce(1))
+
+    # source-wins with a NULL-key row: file of NULL keys untouched,
+    # source NULL row appended alongside (SQL equality semantics)
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(None, "nk2", 200)], "id int, v string, ts int"),
+        keys=["id"],
+    )
+    assert t.history()[-1]["op_metrics"]["files_rewritten"] == 0
+    assert sorted(r.v for r in t.read(spark).collect()) == ["a", "nk", "nk2"]
+
+    # latest-wins: NULL-key rows dedupe as one group -> newest ts survives
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(None, "nk3", 300)], "id int, v string, ts int"),
+        keys=["id"],
+        order_cols=["ts"],
+    )
+    out = sorted(r.v for r in t.read(spark).collect())
+    assert out == ["a", "nk3"]
+
+
+def test_merge_stats_skip_timestamp_keys(spark, tmp_path):
+    """Timestamp min/max normalize to order-faithful ISO strings on both
+    the footer side and the source-agg side."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.sql(
+            "select timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+            " as ts, id from range(3)"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.sql(
+            "select timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+            " as ts, id from range(3)"
+        ).coalesce(1)
+    )
+    src = spark.sql(
+        "select timestamp'2024-06-01 00:00:01' as ts, cast(99 as bigint) as id"
+    )
+    t.merge_upsert(spark, src, keys=["ts"])
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] == 1  # the January file
+    assert m["files_rewritten"] == 1  # June file holds the matching ts
+    assert t.read(spark).count() == 6  # 5 survivors + upserted row
 
 
 def test_merge_upsert_latest_wins_across_files(spark, tmp_path):
