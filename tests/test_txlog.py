@@ -212,6 +212,38 @@ def test_merge_stats_skip_timestamp_keys(spark, tmp_path):
     assert t.read(spark).count() == 6  # 5 survivors + upserted row
 
 
+def test_zorder_compact_then_merge_skips_most_files(spark, tmp_path):
+    """The features compose: OPTIMIZE/ZORDER rewrites the table into
+    key-clustered files, the rewrite commit records fresh stats, and a
+    narrow merge then stat-skips every file outside the batch's key span
+    — the Delta maintenance loop (cluster, then cheap CDC) end to end."""
+    t = TxLogTable(str(tmp_path / "t"))
+    # keys arrive shuffled: each append mixes ranges, so pre-compaction
+    # every file spans most of the key space and nothing can be skipped
+    rows = [(i, f"v{i}") for i in range(400)]
+    shuffled = rows[::4] + rows[1::4] + rows[2::4] + rows[3::4]
+    for part in range(4):
+        t.append(
+            spark.createDataFrame(shuffled[part::4], ["id", "v"]).coalesce(1)
+        )
+    src = spark.createDataFrame([(7, "new"), (9, "new")], ["id", "v"])
+    t.merge_upsert(spark, src, keys=["id"])
+    # unclustered files span most of the key space: stats can exclude at
+    # most an odd straggler, not the bulk of the table
+    assert t.history()[-1]["op_metrics"]["files_stat_skipped"] <= 1
+
+    t.compact(spark, target_file_bytes=4096, zorder_by=["id"])
+    n_files = len(t.snapshot().files)
+    assert n_files > 1  # clustered into multiple range-disjoint files
+
+    t.merge_upsert(spark, spark.createDataFrame([(8, "x")], ["id", "v"]), keys=["id"])
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] >= n_files - 1  # only the id~8 file scanned
+    assert m["files_rewritten"] == 1
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got[7] == "new" and got[8] == "x" and len(got) == 400
+
+
 def test_merge_upsert_latest_wins_across_files(spark, tmp_path):
     """Latest-wins dedup must see every file holding the key, even when
     the key's rows are spread over multiple commits."""
