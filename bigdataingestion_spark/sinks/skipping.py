@@ -1,0 +1,332 @@
+"""Predicate-over-statistics file skipping for txlog DML.
+
+``TxLogTable.delete``/``update`` take a SQL predicate string; before
+their file-finding scan runs, this module decides — from the log-held
+per-file min/max/null stats alone — which files POSSIBLY contain a
+matching row. The contract is strictly conservative (Delta's
+data-skipping contract): a file is excluded only when the supported
+analysis PROVES no row can satisfy the predicate; any construct outside
+the supported subset makes the whole predicate unskippable (every file
+stays a candidate). Wrong answers are therefore impossible; the only
+failure mode is a larger scan.
+
+Supported subset (everything else bails):
+
+    expr     := conj
+    conj     := term (AND term)*
+    term     := '(' conj ')'
+              | col op literal
+              | literal op col          (mirrored)
+              | col BETWEEN lit AND lit
+              | col IN '(' lit, ... ')'
+              | col IS [NOT] NULL
+    op       := = | == | != | <> | < | <= | > | >=
+
+OR / NOT / arithmetic / function calls / column-column comparisons bail.
+Literal/column type classes must agree: numeric literals skip on "num"
+stats; string literals skip on "str" stats, and for DATE/TIMESTAMP
+columns the literal must parse as an ISO date/timestamp (stats for those
+columns are stored as order-faithful ISO-8601 strings). A mismatch bails
+on that term rather than guessing at cast semantics.
+
+NULL semantics carry through: value comparisons never match NULL rows,
+so range-excluding a file is sound regardless of its null count;
+``IS NULL`` excludes zero-null files; ``IS NOT NULL`` excludes all-null
+files.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+_NUM_TYPES = (
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    BooleanType,
+)
+_ISO_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$")
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lpar>\()
+      | (?P<rpar>\))
+      | (?P<comma>,)
+      | (?P<op><=|>=|==|!=|<>|=|<|>)
+      | (?P<num>-?\d+(\.\d+)?([eE][+-]?\d+)?)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
+    )""",
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(s: str) -> list[_Tok] | None:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if m is None:
+            return None if s[pos:].strip() else out
+        pos = m.end()
+        for kind in ("lpar", "rpar", "comma", "op", "num", "str", "word"):
+            if m.group(kind) is not None:
+                out.append(_Tok(kind, m.group(kind)))
+                break
+    return out
+
+
+# term representation: ("cmp", col, op, (kind, value)) | ("between", col, lo, hi)
+# | ("in", col, [(kind, value), ...]) | ("isnull", col) | ("notnull", col)
+
+
+class _Bail(Exception):
+    pass
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise _Bail
+        self.i += 1
+        return t
+
+    def word_is(self, *names) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "word" and t.text.upper() in names
+
+    def parse(self) -> list:
+        terms = self.conj()
+        if self.peek() is not None:
+            raise _Bail  # trailing junk
+        return terms
+
+    def conj(self) -> list:
+        terms = [self.term()]
+        while self.word_is("AND"):
+            self.take()
+            terms.append(self.term())
+        if self.word_is("OR"):
+            raise _Bail
+        return terms
+
+    def term(self):
+        t = self.peek()
+        if t is None:
+            raise _Bail
+        if t.kind == "lpar":
+            self.take()
+            inner = self.conj()
+            if self.take().kind != "rpar":
+                raise _Bail
+            return ("group", inner)
+        if t.kind in ("num", "str"):  # mirrored: literal op col
+            lit = self._literal()
+            op = self.take()
+            col = self._column()
+            if op.kind != "op":
+                raise _Bail
+            return ("cmp", col, _mirror(op.text), lit)
+        col = self._column()
+        nxt = self.peek()
+        if nxt is None:
+            raise _Bail
+        if nxt.kind == "op":
+            self.take()
+            return ("cmp", col, _norm_op(nxt.text), self._literal())
+        if self.word_is("BETWEEN"):
+            self.take()
+            lo = self._literal()
+            if not self.word_is("AND"):
+                raise _Bail
+            self.take()
+            return ("between", col, lo, self._literal())
+        if self.word_is("IN"):
+            self.take()
+            if self.take().kind != "lpar":
+                raise _Bail
+            lits = [self._literal()]
+            while self.peek() is not None and self.peek().kind == "comma":
+                self.take()
+                lits.append(self._literal())
+            if self.take().kind != "rpar":
+                raise _Bail
+            return ("in", col, lits)
+        if self.word_is("IS"):
+            self.take()
+            neg = False
+            if self.word_is("NOT"):
+                self.take()
+                neg = True
+            if not self.word_is("NULL"):
+                raise _Bail
+            self.take()
+            return ("notnull", col) if neg else ("isnull", col)
+        raise _Bail
+
+    def _column(self) -> str:
+        t = self.take()
+        if t.kind != "word" or t.text.upper() in (
+            "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "IN", "IS", "BETWEEN",
+        ):
+            raise _Bail
+        return t.text.strip("`")
+
+    def _literal(self):
+        t = self.take()
+        if t.kind == "num":
+            v = float(t.text) if any(c in t.text for c in ".eE") else int(t.text)
+            return ("num", v)
+        if t.kind == "str":
+            return ("str", t.text[1:-1].replace("''", "'"))
+        raise _Bail  # NULL/TRUE/FALSE literals, functions: bail
+
+
+def _norm_op(op: str) -> str:
+    return {"==": "=", "<>": "!="}.get(op, op)
+
+
+def _mirror(op: str) -> str:
+    m = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+    return m.get(_norm_op(op), _norm_op(op))
+
+
+def _lit_for_column(lit, dtype):
+    """Check literal/column compatibility; normalize to the stats' value
+    space ((kind, value)) or raise _Bail."""
+    kind, v = lit
+    if isinstance(dtype, _NUM_TYPES):
+        if kind != "num":
+            raise _Bail
+        return ("num", v)
+    if isinstance(dtype, StringType):
+        if kind != "str":
+            raise _Bail
+        return ("str", v)
+    if isinstance(dtype, DateType):
+        # a time-suffixed literal would compare lexicographically beyond
+        # the date-only stats value while Spark CASTS it to a date — a
+        # wrong skip. Pure dates only.
+        if kind != "str" or not re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+            raise _Bail
+        return ("str", v)
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        # stats hold ISO-8601 strings; the literal must look ISO or the
+        # lexicographic comparison would not be order-faithful
+        if kind != "str" or not _ISO_DATE.match(v):
+            raise _Bail
+        return ("str", v.replace(" ", "T"))
+    raise _Bail  # decimal/binary/nested: no stats kept for these anyway
+
+
+def _term_excludes(term, stats: dict, types: dict) -> bool:
+    """True iff the file's stats PROVE no row satisfies this term (and
+    therefore the AND-conjunction). Raises _Bail when the term can't be
+    judged for this file."""
+    tag = term[0]
+    if tag == "group":
+        return any(_conj_excludes(term[1], stats, types))
+    col = term[1]
+    fs = stats.get(col.lower())
+    dtype = types.get(col.lower())
+    if fs is None or dtype is None:
+        raise _Bail
+    nulls = fs.get("nulls") or 0
+    all_null = fs.get("min") is None
+    if tag == "isnull":
+        return nulls == 0
+    if tag == "notnull":
+        return all_null
+    if all_null:
+        return True  # value comparisons never match NULL rows
+    lo, hi, k = fs["min"], fs["max"], fs.get("k")
+
+    def one(lit, op) -> bool:
+        kind, v = _lit_for_column(lit, dtype)
+        if kind != k:
+            raise _Bail
+        if op == "=":
+            return v < lo or v > hi
+        if op == "!=":
+            return lo == hi == v and nulls == 0
+        if op == "<":
+            return lo >= v
+        if op == "<=":
+            return lo > v
+        if op == ">":
+            return hi <= v
+        if op == ">=":
+            return hi < v
+        raise _Bail
+
+    if tag == "cmp":
+        return one(term[3], term[2])
+    if tag == "between":
+        return one(term[2], ">=") or one(term[3], "<=")
+    if tag == "in":
+        return all(one(lit, "=") for lit in term[2])
+    raise _Bail
+
+
+def _conj_excludes(terms, stats, types):
+    for t in terms:
+        try:
+            yield _term_excludes(t, stats, types)
+        except _Bail:
+            yield False  # unjudgeable term can't exclude; others still may
+
+
+def candidate_files(
+    predicate: str, schema_json: str, files, file_stats: dict
+) -> list:
+    """Subset of ``files`` that may contain rows matching ``predicate``.
+    Returns ``list(files)`` untouched whenever the predicate is outside
+    the supported subset — skipping is an optimization, never a filter
+    on correctness."""
+    toks = _tokenize(predicate)
+    if toks is None:
+        return list(files)
+    try:
+        terms = _Parser(toks).parse()
+    except _Bail:
+        return list(files)
+    types = {
+        f.name.lower(): f.dataType
+        for f in StructType.fromJson(json.loads(schema_json)).fields
+    }
+    out = []
+    for f in files:
+        st = file_stats.get(f)
+        if st is not None:
+            st = {k.lower(): v for k, v in st.items()}
+        if st is None or not any(_conj_excludes(terms, st, types)):
+            out.append(f)
+    return out

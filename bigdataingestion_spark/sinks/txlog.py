@@ -39,13 +39,16 @@ re-expressed minimally:
   (commits carry a wall-clock ``ts``); ``history()`` is the audit log;
   ``vacuum()`` deletes files unreachable from the latest version.
 - ``delete(spark, predicate)`` / ``update(spark, predicate, set)`` are
-  copy-on-write row-level DML with FILE-LEVEL PRUNING: one scan finds the
-  files that contain matching rows (``input_file_name``), ONLY those files
-  are rewritten, and the swap is one atomic commit. Untouched files are
-  carried over by reference — at 100 TB a DELETE hitting 0.1% of files
-  rewrites 0.1% of the table, which is exactly Delta's copy-on-write DML
-  shape. ``restore(version)`` is a metadata-only commit that points the
-  table back at an earlier version's file list (Delta RESTORE).
+  copy-on-write row-level DML with FILE-LEVEL PRUNING: log-held per-file
+  min/max stats first exclude files the predicate provably cannot match
+  (``sinks/skipping.py``, conservative subset, bails to scan), then one
+  scan over the candidates finds the files that contain matching rows
+  (``input_file_name``), ONLY those files are rewritten, and the swap is
+  one atomic commit. Untouched files are carried over by reference — at
+  100 TB a DELETE hitting 0.1% of files rewrites 0.1% of the table,
+  which is exactly Delta's copy-on-write DML shape. ``restore(version)``
+  is a metadata-only commit that points the table back at an earlier
+  version's file list (Delta RESTORE).
 - ``add_constraint(name, sql)`` is a Delta-style table CHECK: carried in
   the log like the schema, validated against existing data when added,
   enforced on every subsequent write (NULL passes, FALSE violates).
@@ -876,15 +879,27 @@ class TxLogTable:
         return os.path.relpath(local, os.path.abspath(self.path))
 
     def _touched_files(
-        self, spark: SparkSession, snap: Snapshot, pred
-    ) -> list[str]:
+        self, spark: SparkSession, snap: Snapshot, pred, predicate_str: str
+    ) -> tuple[list[str], int]:
         """Files of ``snap`` containing at least one row matching ``pred``
-        — ONE scan with ``input_file_name()``, collected driver-side. The
-        result is bounded by the table's file count (metadata scale, same
-        as the log itself); this is Delta's DML file-finding pass, and with
-        a predicate on a partition or Z-ordered column the scan itself
-        prunes via pushdown before any row is read."""
-        df = self._read_snapshot(spark, snap)
+        — log-held stats first (``sinks.skipping`` proves files whose
+        min/max cannot satisfy the predicate out of the scan, bailing to
+        "all files" on any unsupported construct), then ONE scan with
+        ``input_file_name()`` over the surviving candidates, collected
+        driver-side. The result is bounded by the table's file count
+        (metadata scale, same as the log itself); this is Delta's DML
+        file-finding pass, and with a predicate on a partition or
+        Z-ordered column the scan itself also prunes via pushdown before
+        any row is read. Returns (touched, files_stat_skipped)."""
+        from bigdataingestion_spark.sinks.skipping import candidate_files
+
+        candidates = candidate_files(
+            predicate_str, snap.schema_json, snap.files, snap.file_stats
+        )
+        skipped = len(snap.files) - len(candidates)
+        if not candidates:
+            return [], skipped
+        df = self._read_files(spark, snap, candidates)
         hits = (
             df.withColumn("_file", F.input_file_name())
             .filter(pred)
@@ -893,7 +908,7 @@ class TxLogTable:
             .collect()
         )
         touched = {self._rel_from_uri(r[0]) for r in hits}
-        return [f for f in snap.files if f in touched]
+        return [f for f in snap.files if f in touched], skipped
 
     def _read_files(self, spark: SparkSession, snap: Snapshot, files: list[str]) -> DataFrame:
         schema = StructType.fromJson(json.loads(snap.schema_json))
@@ -919,7 +934,7 @@ class TxLogTable:
         if snap is None or not snap.files:
             return snap.version if snap else -1
         pred = F.coalesce(F.expr(predicate), F.lit(False))
-        touched = self._touched_files(spark, snap, pred)
+        touched, stat_skipped = self._touched_files(spark, snap, pred, predicate)
         if not touched:
             return snap.version
         keep = self._read_files(spark, snap, touched).filter(~pred)
@@ -938,6 +953,7 @@ class TxLogTable:
                 "predicate": predicate,
                 "files_rewritten": len(touched),
                 "files_carried": len(snap.files) - len(touched),
+                "files_stat_skipped": stat_skipped,
             },
         )
 
@@ -966,7 +982,7 @@ class TxLogTable:
             if c.lower() not in by_name:
                 raise ValueError(f"UPDATE SET references unknown column: {c}")
         pred = F.coalesce(F.expr(predicate), F.lit(False))
-        touched = self._touched_files(spark, snap, pred)
+        touched, stat_skipped = self._touched_files(spark, snap, pred, predicate)
         if not touched:
             return snap.version
         df = self._read_files(spark, snap, touched)
@@ -994,6 +1010,7 @@ class TxLogTable:
                 "set": sorted(set_exprs),
                 "files_rewritten": len(touched),
                 "files_carried": len(snap.files) - len(touched),
+                "files_stat_skipped": stat_skipped,
             },
         )
 

@@ -1,0 +1,150 @@
+"""Predicate-over-stats file skipping (sinks/skipping.py): the
+conservative evaluator must only ever exclude files it can PROVE contain
+no matching row, and must bail (keep everything) on any construct
+outside its subset — plus the delete/update integration that consumes
+it."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from bigdataingestion_spark.sinks.skipping import candidate_files
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("v", StringType()),
+        StructField("dt", DateType()),
+        StructField("ts", TimestampNTZType()),
+    ]
+).json()
+
+# three files with disjoint id ranges; f2 has nulls in v; f3 all-null v
+_STATS = {
+    "f1": {
+        "id": {"k": "num", "min": 0, "max": 9, "nulls": 0},
+        "v": {"k": "str", "min": "a", "max": "m", "nulls": 0},
+        "dt": {"k": "str", "min": "2024-01-01", "max": "2024-01-31", "nulls": 0},
+        "ts": {
+            "k": "str",
+            "min": "2024-01-01T00:00:00",
+            "max": "2024-01-31T23:59:59",
+            "nulls": 0,
+        },
+    },
+    "f2": {
+        "id": {"k": "num", "min": 10, "max": 19, "nulls": 0},
+        "v": {"k": "str", "min": "n", "max": "z", "nulls": 3},
+    },
+    "f3": {
+        "id": {"k": "num", "min": 20, "max": 29, "nulls": 0},
+        "v": {"k": None, "min": None, "max": None, "nulls": 5},
+    },
+}
+_FILES = ["f1", "f2", "f3"]
+
+
+def _cand(pred):
+    return candidate_files(pred, _SCHEMA, _FILES, _STATS)
+
+
+def test_range_and_equality_skips():
+    assert _cand("id = 12") == ["f2"]
+    assert _cand("id < 5") == ["f1"]
+    assert _cand("id >= 25") == ["f3"]
+    assert _cand("id > 9 AND id < 20") == ["f2"]
+    assert _cand("id BETWEEN 8 AND 11") == ["f1", "f2"]
+    assert _cand("id IN (3, 27)") == ["f1", "f3"]
+    assert _cand("15 <= id") == ["f2", "f3"]  # mirrored literal-first form
+    assert _cand("id = 99") == []
+
+
+def test_string_date_timestamp_kinds():
+    assert _cand("v = 'q'") == ["f2"]  # f3 all-null v rows can't equal 'q'
+    assert _cand("dt > '2024-02-01'") == ["f2", "f3"]  # f1's January excluded
+    assert _cand("ts >= '2024-02-01 00:00:00'") == ["f2", "f3"]
+    # time-suffixed literal on a DATE column bails (cast semantics):
+    assert _cand("dt = '2024-01-01 00:00:00'") == _FILES
+
+
+def test_null_terms():
+    assert _cand("v IS NULL") == ["f2", "f3"]  # f1 has zero nulls
+    assert _cand("v IS NOT NULL") == ["f1", "f2"]  # f3 is all-null
+
+
+def test_unsupported_constructs_bail_to_all_files():
+    for pred in (
+        "id = 1 OR id = 25",        # OR
+        "NOT id = 1",               # NOT
+        "id + 1 = 5",               # arithmetic
+        "lower(v) = 'a'",           # function call
+        "id = other_col",           # column-column
+        "id = NULL",                # NULL literal
+        "id == ",                   # trailing junk / parse error
+        "missing_col = 5",          # unknown column -> unjudgeable term
+    ):
+        assert _cand(pred) == _FILES, pred
+
+
+def test_partial_conjunction_still_skips():
+    # a term that PARSES but cannot be judged (unknown column: no stats)
+    # does not disable the judgeable one; an unPARSEABLE term (function
+    # call, OR, arithmetic) bails the whole predicate — by design, since
+    # partial parses cannot be trusted to preserve conjunction structure
+    assert _cand("id = 12 AND missing_col = 5") == ["f2"]
+    assert _cand("(id = 12) AND (v = 'p')") == ["f2"]
+
+
+def test_files_without_stats_always_stay():
+    files = ["f1", "nostats"]
+    assert candidate_files("id = 99", _SCHEMA, files, _STATS) == ["nostats"]
+
+
+def test_delete_and_update_consume_stats(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, "old") for i in range(5)], ["id", "v"]
+            ).coalesce(1)
+        )
+    t.delete(spark, "id = 102")
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] == 2 and m["files_rewritten"] == 1
+    assert t.read(spark).count() == 14
+
+    t.update(spark, "id BETWEEN 200 AND 204", {"v": "'upd'"})
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] == 2 and m["files_rewritten"] == 1
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got[203] == "upd" and got[0] == "old"
+
+    # unsupported predicate: correctness unchanged, just no skipping
+    t.delete(spark, "id = 0 OR id = 204")
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] == 0
+    assert t.read(spark).count() == 12
+
+
+def test_json_roundtrip_of_stats_preserves_skipping(spark, tmp_path):
+    """Skip decisions must work from the stats as they come back from
+    the commit log (JSON), not just from freshly-collected footers."""
+    t = TxLogTable(str(tmp_path / "t"), checkpoint_interval=2)
+    t.append(spark.createDataFrame([(1,)], ["id"]).coalesce(1))
+    t.append(spark.createDataFrame([(100,)], ["id"]).coalesce(1))
+    t.append(spark.createDataFrame([(200,)], ["id"]).coalesce(1))  # ckpt at v2
+    snap = t.snapshot()
+    assert len(snap.file_stats) == 3
+    got = candidate_files("id > 150", json.dumps(json.loads(snap.schema_json)),
+                          snap.files, snap.file_stats)
+    assert len(got) == 1
