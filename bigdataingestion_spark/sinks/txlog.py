@@ -703,6 +703,8 @@ class TxLogTable:
         files whose range the batch plausibly touches" (on a key-ordered
         or Z-ordered layout, a narrow CDC batch keeps O(batch-span)
         files)."""
+        if not snap.file_stats:
+            return list(snap.files)  # nothing to judge: skip the agg job
         aggs = []
         for k in keys:
             aggs += [
@@ -817,43 +819,57 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
-        touched: list[str] = []
-        stat_skipped = 0
-        if snap is None or not snap.files:
-            merged = (
-                self._latest_wins(source, keys, order_cols) if order_cols else source
-            )
-        else:
-            candidates = self._stats_candidates(
-                spark, snap, source, keys, null_safe=bool(order_cols)
-            )
-            stat_skipped = len(snap.files) - len(candidates)
-            touched = self._files_with_matching_keys(
-                spark,
-                snap,
-                source,
-                keys,
-                null_safe=bool(order_cols),
-                candidates=candidates,
-            )
-            hit_rows = (
-                self._read_files(spark, snap, touched)
-                if touched
-                else self._read_snapshot(spark, snap).limit(0)
-            )
-            if order_cols:
-                union = hit_rows.unionByName(source, allowMissingColumns=True)
-                merged = self._latest_wins(union, keys, order_cols)
-            else:
-                survivors = hit_rows.join(
-                    source.select(keys), on=keys, how="left_anti"
+        # the merge consumes `source` several times (stats agg, finding
+        # semi-join, the merge itself, constraint probes); persist so an
+        # expensive upstream plan is computed once — MEMORY_AND_DISK
+        # spills rather than OOMs on a large batch
+        source = source.persist()
+        try:
+            touched: list[str] = []
+            stat_skipped = 0
+            if snap is None or not snap.files:
+                merged = (
+                    self._latest_wins(source, keys, order_cols)
+                    if order_cols
+                    else source
                 )
-                merged = survivors.unionByName(source, allowMissingColumns=True)
-        # only the incoming rows need checking: every surviving target row
-        # was validated by the commit that wrote it
-        self._check_constraints(source, snap.constraints if snap else ())
-        schema = self._next_schema(snap, source, merge_schema=True)
-        files = self._stage_files(merged)
+            else:
+                candidates = self._stats_candidates(
+                    spark, snap, source, keys, null_safe=bool(order_cols)
+                )
+                stat_skipped = len(snap.files) - len(candidates)
+                touched = self._files_with_matching_keys(
+                    spark,
+                    snap,
+                    source,
+                    keys,
+                    null_safe=bool(order_cols),
+                    candidates=candidates,
+                )
+                hit_rows = (
+                    self._read_files(spark, snap, touched)
+                    if touched
+                    else self._read_snapshot(spark, snap).limit(0)
+                )
+                if order_cols:
+                    union = hit_rows.unionByName(
+                        source, allowMissingColumns=True
+                    )
+                    merged = self._latest_wins(union, keys, order_cols)
+                else:
+                    survivors = hit_rows.join(
+                        source.select(keys), on=keys, how="left_anti"
+                    )
+                    merged = survivors.unionByName(
+                        source, allowMissingColumns=True
+                    )
+            # only the incoming rows need checking: every surviving target
+            # row was validated by the commit that wrote it
+            self._check_constraints(source, snap.constraints if snap else ())
+            schema = self._next_schema(snap, source, merge_schema=True)
+            files = self._stage_files(merged)
+        finally:
+            source.unpersist()
         return self._commit(
             files,
             touched,
