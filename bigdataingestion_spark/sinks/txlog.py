@@ -822,8 +822,11 @@ class TxLogTable:
         # the merge consumes `source` several times (stats agg, finding
         # semi-join, the merge itself, constraint probes); persist so an
         # expensive upstream plan is computed once — MEMORY_AND_DISK
-        # spills rather than OOMs on a large batch
-        source = source.persist()
+        # spills rather than OOMs on a large batch. If the CALLER already
+        # persisted it, leave their cache alone (and intact afterwards).
+        ours = not source.storageLevel.useMemory and not source.storageLevel.useDisk
+        if ours:
+            source = source.persist()
         try:
             touched: list[str] = []
             stat_skipped = 0
@@ -869,7 +872,8 @@ class TxLogTable:
             schema = self._next_schema(snap, source, merge_schema=True)
             files = self._stage_files(merged)
         finally:
-            source.unpersist()
+            if ours:
+                source.unpersist()
         return self._commit(
             files,
             touched,
