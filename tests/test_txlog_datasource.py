@@ -127,6 +127,21 @@ def test_stream_read_delivers_history_then_only_deltas(spark, tmp_path):
     assert _rows(spark.read.parquet(out)) == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_stream_read_survives_metadata_only_batches(spark, tmp_path):
+    """A version range holding only metadata commits (constraints,
+    compactions) plans a zero-partition micro-batch — the stream must
+    drain cleanly, deliver nothing, and keep its offsets advancing."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark.readStream.format("txlog").load(path), out, ckpt)
+    t.add_constraint(spark, "id_pos", "id > 0")
+    t.compact(spark)
+    _drain(spark.readStream.format("txlog").load(path), out, ckpt)
+    assert _rows(spark.read.parquet(out)) == [(1, "a")]
+
+
 def test_stream_read_starting_version_skips_history(spark, tmp_path):
     path = str(tmp_path / "t")
     t = TxLogTable(path)
