@@ -239,11 +239,20 @@ def _lit_for_column(lit, dtype):
             raise _Bail
         return ("str", v)
     if isinstance(dtype, (TimestampType, TimestampNTZType)):
-        # stats hold ISO-8601 strings; the literal must look ISO or the
-        # lexicographic comparison would not be order-faithful
+        # stats hold full ``datetime.isoformat()`` strings. A SHORT form
+        # ('2024-01-01', '... 12:30') compared raw would sort BEFORE the
+        # equivalent full form ('2024-01-01T00:00:00') and wrongly skip a
+        # file whose min is exactly that instant — Spark casts the short
+        # literal to the full timestamp. Round-trip through
+        # datetime.fromisoformat to canonicalize; unparseable bails.
         if kind != "str" or not _ISO_DATE.match(v):
             raise _Bail
-        return ("str", v.replace(" ", "T"))
+        import datetime as _dt
+
+        try:
+            return ("str", _dt.datetime.fromisoformat(v.replace(" ", "T")).isoformat())
+        except ValueError:
+            raise _Bail from None
     raise _Bail  # decimal/binary/nested: no stats kept for these anyway
 
 

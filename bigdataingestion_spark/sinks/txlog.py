@@ -353,21 +353,27 @@ class TxLogTable:
         metrics: dict | None = None,
         constraints: list | tuple | None = None,
         cleanup_on_conflict: bool = True,
+        precomputed_stats: dict | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
         # per-file data-skipping stats from the staged parquet footers —
         # driver-side metadata reads at commit time, exactly where Delta
         # writes its stats. Never load-bearing: any failure just means the
-        # file can't be skipped later.
-        stats: dict[str, dict] = {}
-        for f in add:
-            try:
-                s = _file_column_stats(os.path.join(self.path, f))
-                if s:
-                    stats[f] = s
-            except Exception:  # noqa: BLE001 - stats are best-effort
-                pass
+        # file can't be skipped later. Retrying callers (commit_files)
+        # pass the stats in: the files are immutable, so recomputing per
+        # retry would be pure waste.
+        if precomputed_stats is not None:
+            stats = precomputed_stats
+        else:
+            stats = {}
+            for f in add:
+                try:
+                    s = _file_column_stats(os.path.join(self.path, f))
+                    if s:
+                        stats[f] = s
+                except Exception:  # noqa: BLE001 - stats are best-effort
+                    pass
         entry = {
             "version": version,
             "op": op,
@@ -596,6 +602,7 @@ class TxLogTable:
         txn_id: str | None = None,
         op: str | None = None,
         max_retries: int = 10,
+        forbid_constraints: bool = False,
     ) -> int:
         """Commit EXTERNALLY STAGED data files (already renamed into the
         table root with unique names) — the entry point for writers whose
@@ -612,11 +619,31 @@ class TxLogTable:
         staged files and no-ops. Flat layout only (the data source write
         path carries no partitioning). Constraints are the CALLER's
         responsibility — this layer never sees the rows, only file names
-        — so callers must validate before staging (the data source writer
-        does; see ``sources/txlog_datasource.py``)."""
+        — so callers must validate before staging; a caller that CANNOT
+        validate passes ``forbid_constraints=True`` and the commit
+        refuses whenever the CURRENT retry snapshot carries CHECKs. The
+        flag must be enforced here, inside the retry loop: a caller-side
+        pre-check races a concurrent ``add_constraint`` — the pre-check
+        sees no constraints, the constraint commit wins the version race,
+        and the retry would land unvalidated rows into a constrained
+        table."""
         last: Exception | None = None
+        stats: dict[str, dict] = {}
+        for f in add:  # once: files are immutable across commit retries
+            try:
+                s = _file_column_stats(os.path.join(self.path, f))
+                if s:
+                    stats[f] = s
+            except Exception:  # noqa: BLE001 - stats are best-effort
+                pass
         for _ in range(max_retries):
             snap = self.snapshot()
+            if forbid_constraints and snap and snap.constraints:
+                raise ConstraintViolationError(
+                    f"table {self.path} has CHECK constraints "
+                    f"{[n for n, _ in snap.constraints]} and this writer "
+                    "cannot validate rows; write via append/merge_upsert"
+                )
             if txn_id is not None and snap and txn_id in snap.txn_ids:
                 for f in add:  # replay: the staged files will never commit
                     try:
@@ -642,6 +669,7 @@ class TxLogTable:
                     snap.version if snap else -1,
                     constraints=snap.constraints if snap else (),
                     cleanup_on_conflict=False,
+                    precomputed_stats=stats,
                 )
             except ConcurrentWriteError as e:
                 last = e  # another writer landed first: reread, retry
@@ -713,11 +741,30 @@ class TxLogTable:
                 F.sum(F.col(k).isNull().cast("long")).alias(f"_nl_{k}"),
             ]
         row = source.agg(*aggs).collect()[0]
+        # PySpark materializes TimestampType (LTZ) values via the DRIVER
+        # OS's local timezone as NAIVE datetimes, while the footer stats
+        # normalize to naive UTC — on a non-UTC driver the two sides would
+        # differ by the UTC offset and skip WRONG files. Re-anchor
+        # collected LTZ values to UTC before normalizing. TimestampNTZ and
+        # Date are wall-clock on both sides: no conversion.
+        import datetime as _dt
+
+        from pyspark.sql.types import TimestampType as _LTZ
+
+        ltz_keys = {
+            f.name.lower()
+            for f in source.schema.fields
+            if isinstance(f.dataType, _LTZ)
+        }
+
+        def _val(col: str, v):
+            if col.lower() in ltz_keys and isinstance(v, _dt.datetime) and v.tzinfo is None:
+                v = v.astimezone(_dt.timezone.utc)  # naive = driver-local
+            return _norm_stat_value(v)
+
         src = {}
         for k in keys:
-            mn, mx = _norm_stat_value(row[f"_mn_{k}"]), _norm_stat_value(
-                row[f"_mx_{k}"]
-            )
+            mn, mx = _val(k, row[f"_mn_{k}"]), _val(k, row[f"_mx_{k}"])
             src[k] = {
                 "min": mn[1] if mn else None,
                 "kind": mn[0] if mn else None,
@@ -1303,10 +1350,16 @@ class TxLogTable:
                         continue
                     full_dir = os.path.join(root, d)
                     try:
-                        mtimes = [os.path.getmtime(full_dir)] + [
-                            os.path.getmtime(os.path.join(full_dir, f))
-                            for f in os.listdir(full_dir)
-                        ]
+                        # RECURSIVE mtimes: partitioned staging nests files
+                        # under hive dirs (a=1/b=2/part-*.parquet) and a new
+                        # file only touches its leaf dir — a depth-1 check
+                        # would see stale tops and reclaim a LIVE dir
+                        mtimes = [os.path.getmtime(full_dir)]
+                        for sroot, sdirs, sfiles in os.walk(full_dir):
+                            mtimes += [
+                                os.path.getmtime(os.path.join(sroot, e))
+                                for e in sdirs + sfiles
+                            ]
                         if max(mtimes) <= cutoff:
                             shutil.rmtree(full_dir, ignore_errors=True)
                             deleted.append(

@@ -150,9 +150,18 @@ class _TxLogBatchReader(DataSourceReader):
             version = table.version_at_timestamp(float(ts))
         snap = table.snapshot(int(version) if version is not None else None)
         if snap is None:
-            raise FileNotFoundError(f"no committed version at {self._path}")
-        self._files = list(snap.files)
-        self._pcols = set(snap.partition_cols)
+            if version is not None or ts is not None:
+                raise FileNotFoundError(
+                    f"no committed version at {self._path}"
+                )
+            # uninitialized table + user-supplied .schema(...): an empty
+            # scan — the escape hatch the _table_schema error advertises.
+            # (Without a user schema, DataSource.schema() already raised.)
+            self._files: list = []
+            self._pcols: set = set()
+        else:
+            self._files = list(snap.files)
+            self._pcols = set(snap.partition_cols)
         self._schema = schema
         pf = options.get("partitionFilter")
         if pf:
@@ -202,6 +211,8 @@ class _TxLogBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _FilePartition):
+        if partition is None:  # zero-file table: Spark still calls read once
+            return
         yield from _file_batches(
             self._path, partition, _arrow_schema(self._schema)
         )
@@ -277,7 +288,10 @@ class _TxLogStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        self._committed = end["version"]
+        # Spark's checkpoint owns offset progress, and reader instances
+        # do not survive a query anyway (see the maxVersionsPerBatch
+        # note) — nothing to clean up or track here
+        pass
 
 
 # --------------------------------------------------------------- writer --
@@ -363,12 +377,25 @@ class _TxLogWriterBase:
                 )
                 add.append(final)
             if add or self._overwrite:
-                table.commit_files(
-                    add,
-                    self._schema,
-                    overwrite=self._overwrite,
-                    txn_id=txn_id,
-                )
+                try:
+                    # forbid_constraints re-checks INSIDE the commit retry
+                    # loop: the snapshot probe above races a concurrent
+                    # add_constraint, and a retry against the constrained
+                    # snapshot must refuse, not land unvalidated rows
+                    table.commit_files(
+                        add,
+                        self._schema,
+                        overwrite=self._overwrite,
+                        txn_id=txn_id,
+                        forbid_constraints=True,
+                    )
+                except Exception:
+                    for f in add:  # uncommitted: reclaim instead of orphaning
+                        try:
+                            os.remove(os.path.join(self._path, f))
+                        except OSError:
+                            pass
+                    raise
         finally:
             self._drop_staging(staged)
 

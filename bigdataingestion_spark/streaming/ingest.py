@@ -27,6 +27,20 @@ from pyspark.sql.streaming import StreamingQuery
 WATERMARK_LAG = "80 hours"  # reference ING:350 (DATEADD(hour,-80,...))
 
 
+
+def path_txn_scope(path: str) -> str:
+    """12-hex txn scope from a path's ABSOLUTE form — the one shared rule
+    for checkpoint-scoped (and mirror source-scoped) txn ids. Absolute,
+    not basename: two paths sharing a basename (.../a/ckpt, .../b/ckpt)
+    must never collide, or one query's batches are dropped as the
+    other's replays. Single definition on purpose: a divergent copy
+    would silently change txn identities and break exactly-once replay
+    dedup for that entry point."""
+    import hashlib
+    import os
+
+    return hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:12]
+
 def _normalize_event_time(df: DataFrame, ts_col: str, probe_dtypes: dict) -> DataFrame:
     """Make ``ts_col`` a TIMESTAMP (LTZ) event-time column.
 
@@ -413,16 +427,11 @@ def stream_cdc_upsert_txlog(
     txn scope hashes the checkpoint's absolute path (same rule as
     ``stream_txlog_ingest``); deleting the checkpoint to reprocess
     requires a fresh ``app_id``."""
-    import hashlib
-    import os
-
     from bigdataingestion_spark.sinks.txlog import TxLogTable
 
     probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
     table = TxLogTable(target_dir)
-    scope = app_id or hashlib.sha256(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    scope = app_id or path_txn_scope(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -476,18 +485,13 @@ def stream_txlog_ingest(
     directory changes the default scope for the same reason; pin an
     explicit ``app_id`` if the checkpoint path is not stable.
     """
-    import hashlib
-    import os
-
     from bigdataingestion_spark.sinks.txlog import TxLogTable
 
     probe, stream = _open_file_stream(
         spark, source_dir, fmt, max_files_per_trigger, schema=schema
     )
     table = TxLogTable(target_dir)
-    scope = app_id or hashlib.sha256(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    scope = app_id or path_txn_scope(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

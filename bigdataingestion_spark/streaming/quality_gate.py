@@ -188,18 +188,16 @@ def stream_quality_gate_txlog(
     needed. The txn scope hashes the checkpoint's absolute path (the
     ``stream_txlog_ingest`` rule); deleting the checkpoint to reprocess
     requires a fresh ``app_id``."""
-    import hashlib
-    import os
-
     from bigdataingestion_spark.sinks.txlog import TxLogTable
-    from bigdataingestion_spark.streaming.ingest import _open_file_stream
+    from bigdataingestion_spark.streaming.ingest import (
+        _open_file_stream,
+        path_txn_scope,
+    )
 
     _probe, stream = _open_file_stream(spark, source_dir, fmt, max_files_per_trigger)
     target = TxLogTable(target_dir)
     quarantine = TxLogTable(quarantine_dir)
-    scope = app_id or hashlib.sha256(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    scope = app_id or path_txn_scope(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         gate_batch_txlog(

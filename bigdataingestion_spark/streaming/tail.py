@@ -145,11 +145,9 @@ def txlog_mirror(
     ``.../a/events`` vs ``.../b/events`` layout and silently drop the
     second mirror's ranges as replays. Pin an explicit ``scope`` if the
     source path is not stable across runs (mounts, relocations)."""
-    import hashlib
+    from bigdataingestion_spark.streaming.ingest import path_txn_scope
 
-    scope = scope or "mirror-" + hashlib.sha256(
-        os.path.abspath(source.path).encode()
-    ).hexdigest()[:12]
+    scope = scope or "mirror-" + path_txn_scope(source.path)
 
     def _apply(changes: DataFrame, from_v: int, to_v: int) -> None:
         dest.append(changes, txn_id=f"{scope}:{from_v}-{to_v}")

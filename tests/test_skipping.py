@@ -77,6 +77,23 @@ def test_string_date_timestamp_kinds():
     assert _cand("dt = '2024-01-01 00:00:00'") == _FILES
 
 
+def test_short_iso_timestamp_literals_canonicalize_before_comparing():
+    """'2024-01-01' sorts lexicographically BEFORE '2024-01-01T00:00:00';
+    a raw comparison would wrongly skip a file whose min is exactly
+    midnight even though Spark casts the short literal to that instant.
+    The literal must round-trip through fromisoformat first."""
+    # f1.ts spans [2024-01-01T00:00:00, 2024-01-31T23:59:59]
+    assert "f1" in _cand("ts <= '2024-01-01'")     # midnight row matches
+    assert "f1" in _cand("ts = '2024-01-01'")
+    assert "f1" in _cand("ts IN ('2024-01-01')")
+    assert "f1" in _cand("ts BETWEEN '2023-12-01' AND '2024-01-01'")
+    # minute-precision literal vs full stats string
+    assert "f1" in _cand("ts <= '2024-01-01 00:00'")
+    # a genuinely-before literal still skips
+    assert "f1" not in _cand("ts < '2024-01-01'")
+    assert "f1" not in _cand("ts <= '2023-12-31 23:59:59'")
+
+
 def test_null_terms():
     assert _cand("v IS NULL") == ["f2", "f3"]  # f1 has zero nulls
     assert _cand("v IS NOT NULL") == ["f1", "f2"]  # f3 is all-null

@@ -349,6 +349,83 @@ def test_write_refuses_tables_with_check_constraints(spark, tmp_path):
     assert t.version() == 1  # nothing committed
 
 
+def test_batch_read_uninitialized_table_with_user_schema_is_empty(spark, tmp_path):
+    """The escape hatch the no-committed-version error advertises: an
+    explicit .schema(...) on an uninitialized table reads zero rows
+    instead of failing at planning time."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    df = spark.read.format("txlog").schema("id long, v string").load(path)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    # time travel into an uninitialized table is still an error
+    with pytest.raises(Exception, match="no committed version"):
+        spark.read.format("txlog").schema("id long").option(
+            "version", 0
+        ).load(path).collect()
+
+
+def test_commit_files_refuses_constrained_table_inside_retry(spark, tmp_path):
+    """forbid_constraints is enforced against each retry snapshot: a
+    concurrent add_constraint landing between the caller's pre-check and
+    the commit must abort the write, not land unvalidated rows."""
+    from bigdataingestion_spark.sinks.txlog import ConstraintViolationError
+
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    t.append(df)
+    staged = t._stage_files(spark.createDataFrame([(-2, "bad")], ["id", "v"]))
+
+    real_snapshot = t.snapshot
+    raced = {"n": 0}
+
+    def racing_snapshot(*args, **kwargs):
+        snap = real_snapshot(*args, **kwargs)
+        if raced["n"] == 0:
+            raced["n"] += 1
+            # the constraint commit lands right after our first snapshot
+            TxLogTable(path).add_constraint(spark, "id_pos", "id > 0")
+        return snap
+
+    t.snapshot = racing_snapshot
+    try:
+        with pytest.raises(ConstraintViolationError, match="id_pos"):
+            t.commit_files(staged, df.schema, forbid_constraints=True)
+    finally:
+        t.snapshot = real_snapshot
+    # the bad rows never became part of any committed version
+    assert _rows(t.read(spark)) == [(1, "a")]
+
+
+def test_vacuum_preserves_nested_staging_with_fresh_leaf_writes(spark, tmp_path):
+    """Partitioned staging nests files under hive dirs; only the leaf dir
+    mtime moves on a new write. Vacuum must check mtimes RECURSIVELY or a
+    long-running partitioned rewrite gets its staging reclaimed mid-job."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    staging = os.path.join(path, "_staging-live")
+    leaf = os.path.join(staging, "a=1", "b=2")
+    os.makedirs(leaf)
+    with open(os.path.join(leaf, "part-x.parquet"), "wb") as fh:
+        fh.write(b"live")
+    old = time.time() - 10_000
+    # everything stale EXCEPT the freshly-written leaf file
+    os.utime(staging, (old, old))
+    os.utime(os.path.join(staging, "a=1"), (old, old))
+    assert t.vacuum(retention_seconds=100) == []
+    assert os.path.isdir(staging)
+    # once the leaf goes stale too, the whole tree is an orphan
+    os.utime(os.path.join(leaf, "part-x.parquet"), (old, old))
+    os.utime(leaf, (old, old))
+    os.utime(os.path.join(staging, "a=1"), (old, old))
+    os.utime(staging, (old, old))
+    deleted = t.vacuum(retention_seconds=100)
+    assert not os.path.isdir(staging)
+    assert any(d.startswith("_staging-live") for d in deleted)
+
+
 def test_vacuum_reclaims_orphaned_staging_dirs_after_retention(spark, tmp_path):
     path = str(tmp_path / "t")
     t = TxLogTable(path)
