@@ -111,7 +111,17 @@ def _file_batches(
 
     full = os.path.join(table_path, part.rel_path)
     values = dict(part.part_values)
-    batches = pq.ParquetFile(full).iter_batches()
+    try:
+        pf = pq.ParquetFile(full)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"{part.rel_path} is gone from {table_path}: vacuum reclaimed "
+            "it. For a STREAM this means the consumer lagged past the "
+            "vacuum retention window — restart from a fresh checkpoint "
+            "(full re-read) or raise the retention; for a time-travel "
+            "read, the requested version is no longer materialized."
+        ) from None
+    batches = pf.iter_batches()
     for batch in batches:
         n = batch.num_rows
         have = {name: i for i, name in enumerate(batch.schema.names)}

@@ -279,6 +279,28 @@ def test_running_stream_picks_up_live_appends_exactly_once(spark, tmp_path):
     assert _rows(spark.read.parquet(out)) == [(0,), (1,), (2,)]
 
 
+def test_stream_lagging_past_vacuum_gets_actionable_error(spark, tmp_path):
+    """A consumer whose planned range references vacuumed files must fail
+    with a message naming the cause (lagged past retention) and the
+    remedies, not an opaque pyarrow file error."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1)
+    )
+    t.delete(spark, "id = 1")  # rewrite: v0's file becomes unreferenced
+    t.vacuum(retention_seconds=0)  # reclaims v0's original file
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="vacuum reclaimed"):
+        _drain(
+            spark.readStream.format("txlog")
+            .option("allowRewrites", "true")
+            .load(path),
+            out,
+            ckpt,
+        )
+
+
 # --------------------------------------------------------------- writers --
 
 

@@ -53,6 +53,40 @@ spark.stop()
 """
 
 
+def test_vacuum_racing_writer_never_deletes_in_flight_work(spark, tmp_path):
+    """The Delta VACUUM contract under a REAL concurrent writer: a vacuum
+    loop with the default retention runs continuously while another
+    process appends through format("txlog"). Staged and freshly-renamed
+    files are always inside the retention window, so vacuum must delete
+    NOTHING and the final table must hold every appended row."""
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    table_path = str(tmp_path / "t")
+    barrier = str(tmp_path / "go")
+    worker_py = str(tmp_path / "worker.py")
+    with open(worker_py, "w") as fh:
+        fh.write(_WORKER)
+
+    n_ops = 6
+    env = {**os.environ, "REPO_ROOT": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+    proc = subprocess.Popen(
+        [sys.executable, worker_py, table_path, "w", str(n_ops), barrier],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    open(barrier, "w").close()
+    t = TxLogTable(table_path)
+    deleted = []
+    while proc.poll() is None:
+        if os.path.isdir(table_path):
+            deleted += t.vacuum()  # default 7-day retention
+    assert proc.wait(timeout=600) == 0
+    assert deleted == []
+    got = sorted((r.proc, r.i) for r in t.read(spark).collect())
+    assert got == [("w", i) for i in range(n_ops)]
+
+
 def test_two_process_datasource_appends_no_lost_rows(spark, tmp_path):
     table_path = str(tmp_path / "t")
     barrier = str(tmp_path / "go")
