@@ -37,6 +37,7 @@ files.
 
 from __future__ import annotations
 
+import functools
 import json
 import re
 from dataclasses import dataclass
@@ -221,8 +222,15 @@ def _mirror(op: str) -> str:
 
 def _lit_for_column(lit, dtype):
     """Check literal/column compatibility; normalize to the stats' value
-    space ((kind, value)) or raise _Bail."""
-    kind, v = lit
+    space ((kind, value)) or raise _Bail. Memoized (Spark DataTypes are
+    hashable): the result is file-independent, and _term_excludes runs
+    per file — without the cache a timestamp DELETE over 100k files
+    would re-parse the same literal 100k times."""
+    return _lit_resolve(lit[0], lit[1], dtype)
+
+
+@functools.lru_cache(maxsize=1024)
+def _lit_resolve(kind, v, dtype):
     if isinstance(dtype, _NUM_TYPES):
         if kind != "num":
             raise _Bail

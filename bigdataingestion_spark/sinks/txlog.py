@@ -626,24 +626,15 @@ class TxLogTable:
         pre-check races a concurrent ``add_constraint`` — the pre-check
         sees no constraints, the constraint commit wins the version race,
         and the retry would land unvalidated rows into a constrained
-        table."""
+        table. The replay check runs FIRST: a batch whose data already
+        committed must no-op even if a constraint was added afterwards
+        (its rows predate the constraint and were validated by that
+        earlier commit's rules) — refusing a replay would crash-loop a
+        restarting exactly-once stream on already-landed data."""
         last: Exception | None = None
-        stats: dict[str, dict] = {}
-        for f in add:  # once: files are immutable across commit retries
-            try:
-                s = _file_column_stats(os.path.join(self.path, f))
-                if s:
-                    stats[f] = s
-            except Exception:  # noqa: BLE001 - stats are best-effort
-                pass
+        stats: dict[str, dict] | None = None
         for _ in range(max_retries):
             snap = self.snapshot()
-            if forbid_constraints and snap and snap.constraints:
-                raise ConstraintViolationError(
-                    f"table {self.path} has CHECK constraints "
-                    f"{[n for n, _ in snap.constraints]} and this writer "
-                    "cannot validate rows; write via append/merge_upsert"
-                )
             if txn_id is not None and snap and txn_id in snap.txn_ids:
                 for f in add:  # replay: the staged files will never commit
                     try:
@@ -651,6 +642,21 @@ class TxLogTable:
                     except OSError:
                         pass
                 return snap.version
+            if forbid_constraints and snap and snap.constraints:
+                raise ConstraintViolationError(
+                    f"table {self.path} has CHECK constraints "
+                    f"{[n for n, _ in snap.constraints]} and this writer "
+                    "cannot validate rows; write via append/merge_upsert"
+                )
+            if stats is None:  # once, lazily: replays never pay footer reads
+                stats = {}
+                for f in add:
+                    try:
+                        s = _file_column_stats(os.path.join(self.path, f))
+                        if s:
+                            stats[f] = s
+                    except Exception:  # noqa: BLE001 - stats are best-effort
+                        pass
             self._require_flat(snap)
             merged = (
                 _merge_schema(

@@ -365,19 +365,16 @@ class _TxLogWriterBase:
 
     # commit side ---------------------------------------------------------
     def _land(self, messages, txn_id: str | None) -> None:
-        from bigdataingestion_spark.sinks.txlog import TxLogTable
+        from bigdataingestion_spark.sinks.txlog import (
+            ConcurrentWriteError,
+            ConstraintViolationError,
+            SchemaEvolutionError,
+            TxLogTable,
+        )
 
         table = TxLogTable(self._path)
         staged = [p for m in messages if m is not None for p in m.rel_paths]
         try:
-            snap = table.snapshot()
-            if snap and snap.constraints:
-                raise ValueError(
-                    f"table {self._path} has CHECK constraints "
-                    f"{[n for n, _ in snap.constraints]}; the format('txlog') "
-                    "write path cannot validate them (no SparkSession in the "
-                    "commit worker) — write via TxLogTable.append/merge_upsert"
-                )
             add = []
             for rel in staged:
                 final = f"part-{uuid.uuid4().hex}.parquet"
@@ -388,10 +385,12 @@ class _TxLogWriterBase:
                 add.append(final)
             if add or self._overwrite:
                 try:
-                    # forbid_constraints re-checks INSIDE the commit retry
-                    # loop: the snapshot probe above races a concurrent
-                    # add_constraint, and a retry against the constrained
-                    # snapshot must refuse, not land unvalidated rows
+                    # forbid_constraints is enforced INSIDE commit_files'
+                    # retry loop, against each fresh snapshot, AFTER its
+                    # txn-replay no-op check — a driver-side pre-check here
+                    # would race a concurrent add_constraint, and refusing
+                    # before the replay check would crash-loop a restarted
+                    # exactly-once stream on an already-committed batch
                     table.commit_files(
                         add,
                         self._schema,
@@ -399,8 +398,20 @@ class _TxLogWriterBase:
                         txn_id=txn_id,
                         forbid_constraints=True,
                     )
-                except Exception:
-                    for f in add:  # uncommitted: reclaim instead of orphaning
+                except (
+                    ConstraintViolationError,
+                    SchemaEvolutionError,
+                    ConcurrentWriteError,
+                ):
+                    # these are raised strictly BEFORE a commit publishes
+                    # (or, for ConcurrentWriteError, when OUR commit
+                    # definitively lost) — the files are provably
+                    # uncommitted, reclaim them. Any OTHER exception may
+                    # have fired after os.link published the entry (e.g.
+                    # a failed tmp cleanup on shared storage): deleting
+                    # then would corrupt a durable version, so leave the
+                    # files for vacuum to adjudicate against the log.
+                    for f in add:
                         try:
                             os.remove(os.path.join(self._path, f))
                         except OSError:
