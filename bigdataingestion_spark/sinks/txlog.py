@@ -24,6 +24,21 @@ re-expressed minimally:
   ``ConcurrentWriteError`` and can retry on the new snapshot (optimistic
   concurrency, the Delta protocol's put-if-absent contract; an object-store
   deployment would use its conditional-put primitive here).
+- a lost version race does NOT force the loser to redo its (possibly
+  hours-long) staging work: every DataFrame op re-commits its already
+  staged files at the new version after a LOGICAL conflict check against
+  the winning commits (Delta's ConflictChecker move). A winner that
+  removed a file this op rewrites, changed the schema non-additively,
+  altered constraints or the partition layout, or added files that
+  intersect this op's read set is a true conflict and raises; anything
+  else — the overwhelmingly common case of concurrent appends — is
+  reconciled in place. Without this, a multi-minute ``compact``/``merge``
+  on an actively-ingested table would lose every race and livelock.
+  Isolation is ``write_serializable`` (Delta's default: winner BLIND
+  APPENDS are invisible to a DML op's read-set check, so a delete racing
+  an append keeps concurrently-appended rows even when they match its
+  predicate); construct with ``isolation="serializable"`` to make such
+  winners conflict too unless file stats prove them disjoint.
 - ``append(df, txn_id=...)`` records the application transaction id; a
   replayed id is a silent no-op — the idempotent-sink contract Delta gives
   ``foreachBatch`` (txn appId/version), which upgrades the streaming
@@ -189,6 +204,40 @@ def _file_column_stats(full_path: str) -> dict:
     return acc
 
 
+def _keys_disjoint(
+    src: dict, fstats: dict, keys: list[str], null_safe: bool
+) -> bool:
+    """True when log-held per-file stats PROVE the file shares no key
+    tuple with a source whose per-key bounds are ``src`` (shape:
+    ``{key: {"min","kind","max","nulls"}}``). A match needs equality on
+    ALL keys, so any single provably-disjoint column suffices.
+    Conservative by construction: a missing or incomparable stat proves
+    nothing. Shared by MERGE data skipping and the commit-time conflict
+    check (a winner-added file that is provably key-disjoint cannot have
+    been part of this merge's read set)."""
+    for k in keys:
+        fs = fstats.get(k)
+        if fs is None:
+            continue  # no stats for this column: can't judge
+        s = src[k]
+        file_has_nulls = (fs.get("nulls") or 0) > 0
+        if null_safe and s["nulls"] > 0 and file_has_nulls:
+            continue  # NULL keys can match: column not usable
+        if fs["min"] is None:  # file column is ALL null
+            # nulls never match non-null source keys; in null-safe
+            # mode a source null would have matched (handled above)
+            return True
+        if s["min"] is None:
+            # source keys all null in this column: no value match
+            # possible; null-safe null-match handled above
+            return True
+        if fs.get("k") != s["kind"]:
+            continue  # incomparable normalizations: be safe
+        if fs["max"] < s["min"] or fs["min"] > s["max"]:
+            return True
+    return False
+
+
 def _merge_schema(current: StructType, incoming: StructType) -> StructType:
     """Additive union: incoming may add columns; changing an existing
     column's type is refused."""
@@ -206,7 +255,12 @@ def _merge_schema(current: StructType, incoming: StructType) -> StructType:
 
 
 class TxLogTable:
-    def __init__(self, path: str, checkpoint_interval: int = 10):
+    def __init__(
+        self,
+        path: str,
+        checkpoint_interval: int = 10,
+        isolation: str = "write_serializable",
+    ):
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         # every N commits the full snapshot state is rolled into a .ckpt
@@ -214,6 +268,16 @@ class TxLogTable:
         # then replays only the commits SINCE the newest usable checkpoint,
         # keeping per-op log cost O(interval) instead of O(total commits)
         self.checkpoint_interval = checkpoint_interval
+        # conflict-reconciliation isolation (Delta's two levels, same
+        # defaults): under "write_serializable" a winner BLIND APPEND is
+        # exempt from a DML op's read-set conflict check — concurrent
+        # ingest never blocks delete/update/merge, at the cost of the
+        # documented anomaly that appended rows matching the predicate
+        # survive. "serializable" runs every winner add through the check
+        # (file stats can still prove an add disjoint and admit it).
+        if isolation not in ("write_serializable", "serializable"):
+            raise ValueError(f"unknown isolation level: {isolation}")
+        self.isolation = isolation
 
     # ------------------------------------------------------------- log --
 
@@ -431,6 +495,198 @@ class TxLogTable:
                 pass
         return version
 
+    def _drop_files(self, files) -> None:
+        """Best-effort removal of staged-but-never-committed data files."""
+        for f in files:
+            try:
+                os.remove(os.path.join(self.path, f))
+            except OSError:
+                pass
+
+    def _conflict_reason(
+        self,
+        winners: list[dict],
+        cur: Snapshot | None,
+        our_remove: set,
+        our_partition_cols,
+        base_cons,
+        base_pcols,
+        read_check,
+        adopt_constraints: bool,
+    ) -> str | None:
+        """Delta's ConflictChecker, reduced to this log's action set:
+        decide whether the commits that won the version race logically
+        conflict with an operation computed against the base snapshot.
+        ``None`` means every winner is reconcilable and the op may re-commit
+        its staged files at the new version; a string names the first true
+        conflict. Checks, in order:
+
+        - partition layout changed, or a partitioned commit would land on
+          a table that meanwhile gained flat commits -> conflict (the two
+          layouts cannot mix for readers);
+        - constraints changed -> conflict (this op's rows were validated
+          against the base constraint set), unless the op is
+          content-preserving and adopts the current set (compact);
+        - a winner removed a file this op also removes -> conflict
+          (Delta's "file already rewritten": our copy-on-write output was
+          derived from a file that no longer exists);
+        - a winner ADDED files intersecting this op's read set -> conflict.
+          ``read_check(added, cur)`` returns the subset it cannot prove
+          disjoint (stats-based, conservative). Ops that read nothing
+          (append, compact, overwrite) pass ``read_check=None`` and
+          tolerate every add. Under ``write_serializable`` (default, as in
+          Delta) winner BLIND APPENDS are exempt — the anomaly that a
+          concurrently-appended row matching a DELETE's predicate survives
+          is accepted so that ingest never starves DML; ``serializable``
+          checks them too.
+        """
+        cur_pcols = tuple(cur.partition_cols) if cur else ()
+        if cur_pcols != tuple(base_pcols):
+            return "partition layout changed concurrently"
+        if our_partition_cols and cur and cur.files and not cur_pcols:
+            return "table gained flat commits concurrently"
+        if not adopt_constraints:
+            cur_cons = tuple(cur.constraints) if cur else ()
+            if cur_cons != tuple(base_cons):
+                return "table constraints changed concurrently"
+        for w in winners:
+            hit = our_remove & set(w["remove"])
+            if hit:
+                return (
+                    f"concurrent {w['op']} (v{w['version']}) removed "
+                    f"file(s) this op rewrites, e.g. {sorted(hit)[0]}"
+                )
+        if read_check is not None:
+            for w in winners:
+                if (
+                    self.isolation == "write_serializable"
+                    and w["op"] == "append"
+                ):
+                    continue  # winner blind appends: exempt at this level
+                if not w["add"]:
+                    continue
+                bad = read_check(list(w["add"]), cur)
+                if bad:
+                    return (
+                        f"concurrent {w['op']} (v{w['version']}) added "
+                        f"file(s) intersecting this op's read set, "
+                        f"e.g. {bad[0]}"
+                    )
+        return None
+
+    def _commit_reconciled(
+        self,
+        add: list[str],
+        remove: list[str],
+        schema: StructType,
+        op: str,
+        txn_id: str | None,
+        base: Snapshot | None,
+        partition_cols: list[str] | None = None,
+        metrics: dict | None = None,
+        read_check=None,
+        recompute_remove=None,
+        keep_own_schema: bool = False,
+        adopt_constraints: bool = False,
+        max_reconciles: int = 50,
+    ) -> int:
+        """Commit with LOGICAL conflict reconciliation (Delta's
+        ConflictChecker + commitLarge retry shape). The op's staging work —
+        potentially hours of distributed rewrite at 100 TB — happens ONCE;
+        a lost create-exclusive race re-examines the winning commits via
+        :meth:`_conflict_reason` and, when none logically conflicts,
+        re-commits the SAME staged files at the next version. Without
+        this, any long-running ``compact``/``merge``/``delete`` on an
+        actively-appended table loses every race and livelocks.
+
+        On reconcile the entry schema is re-merged with the current
+        snapshot's (a winner's additive evolution must not be regressed by
+        our narrower entry — the snapshot schema is the LAST entry's);
+        ``keep_own_schema`` skips that for ``overwrite``, which replaces
+        the schema by design. ``recompute_remove`` rebuilds the remove
+        list from the current snapshot for overwrite-style ops whose
+        remove set is "whatever is there now"; by construction the rebuilt
+        set cannot intersect winner removes. ``adopt_constraints`` lets
+        content-preserving ops (compact) carry a concurrently-changed
+        constraint set instead of conflicting. A true conflict or
+        exhausted retries deletes the staged files (they are referenced by
+        no committed version) and raises ``ConcurrentWriteError``; the
+        caller must redo the op against a fresh snapshot."""
+        base_cons = tuple(base.constraints) if base else ()
+        base_pcols = tuple(base.partition_cols) if base else ()
+        expected = base.version if base else -1
+        constraints = base_cons
+        stats: dict[str, dict] = {}
+        for f in add:  # once: files are immutable across reconcile retries
+            try:
+                s = _file_column_stats(os.path.join(self.path, f))
+                if s:
+                    stats[f] = s
+            except Exception:  # noqa: BLE001 - stats are best-effort
+                pass
+        for _ in range(max_reconciles):
+            try:
+                return self._commit(
+                    list(add),
+                    list(remove),
+                    schema,
+                    op,
+                    txn_id,
+                    expected,
+                    partition_cols=partition_cols,
+                    metrics=metrics,
+                    constraints=constraints,
+                    cleanup_on_conflict=False,
+                    precomputed_stats=stats,
+                )
+            except ConcurrentWriteError:
+                cur = self.snapshot()
+                if cur is None or cur.version <= expected:
+                    continue  # raced a checkpointless glitch: retry as-is
+                if txn_id is not None and txn_id in cur.txn_ids:
+                    # replay landed concurrently: staged files never commit
+                    self._drop_files(add)
+                    return cur.version
+                if recompute_remove is not None:
+                    remove = recompute_remove(cur)
+                winners = self.commits_between(expected, cur.version)
+                why = self._conflict_reason(
+                    winners,
+                    cur,
+                    set(remove),
+                    partition_cols,
+                    base_cons,
+                    base_pcols,
+                    read_check,
+                    adopt_constraints,
+                )
+                if why is not None:
+                    self._drop_files(add)
+                    raise ConcurrentWriteError(
+                        f"cannot reconcile {op} with concurrent commits: "
+                        f"{why}; redo the operation on a fresh snapshot"
+                    ) from None
+                if not keep_own_schema:
+                    try:
+                        schema = _merge_schema(
+                            StructType.fromJson(json.loads(cur.schema_json)),
+                            schema,
+                        )
+                    except SchemaEvolutionError as e:
+                        self._drop_files(add)
+                        raise ConcurrentWriteError(
+                            f"cannot reconcile {op}: non-additive concurrent "
+                            f"schema change ({e})"
+                        ) from None
+                if adopt_constraints:
+                    constraints = tuple(cur.constraints)
+                expected = cur.version
+        self._drop_files(add)
+        raise ConcurrentWriteError(
+            f"{op} lost {max_reconciles} consecutive commit races on "
+            f"{self.path}"
+        )
+
     # ------------------------------------------------------------ data --
 
     def _stage_files(
@@ -446,12 +702,26 @@ class TxLogTable:
             df.write.partitionBy(*partition_cols).parquet(tmp)
         else:
             df.write.parquet(tmp)
+        import pyarrow.parquet as pq
+
         names: list[str] = []
         for root, _dirs, files in os.walk(tmp):
             rel_dir = os.path.relpath(root, tmp)
             for f in sorted(files):
                 if not f.endswith(".parquet"):
                     continue
+                try:
+                    # Spark emits one empty part per empty task partition;
+                    # committing them bloats the file list with rowless
+                    # entries that carry no stats (so nothing can ever
+                    # prove them disjoint — they'd also poison the
+                    # commit-time read-set conflict check). One driver-side
+                    # footer read drops them; the commit's schema field
+                    # preserves the table schema regardless of file count.
+                    if pq.ParquetFile(os.path.join(root, f)).metadata.num_rows == 0:
+                        continue
+                except Exception:  # noqa: BLE001 - unreadable: keep, let
+                    pass  # the commit-time stats pass decide
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
                 os.makedirs(
@@ -553,9 +823,13 @@ class TxLogTable:
     # Every op reads the log ONCE (snapshot()), derives txn ids / schema /
     # file list / version from that snapshot, and commits against the
     # snapshot's version. A writer that committed concurrently (after our
-    # snapshot, before our commit) wins the create-exclusive race and we
-    # raise ConcurrentWriteError — never a lost update, never a commit
-    # whose schema/remove-list was computed against a stale snapshot.
+    # snapshot, before our commit) wins the create-exclusive race; the
+    # loser then RECONCILES (_commit_reconciled): if no winning commit
+    # logically conflicts — removed a file we rewrite, changed metadata,
+    # added files in our read set — the already-staged files re-commit at
+    # the next version, else ConcurrentWriteError. Never a lost update,
+    # never a commit whose remove-list was computed against a snapshot a
+    # conflicting writer changed.
 
     def append(
         self, df: DataFrame, txn_id: str | None = None, merge_schema: bool = True
@@ -570,9 +844,10 @@ class TxLogTable:
         self._check_constraints(df, snap.constraints if snap else ())
         schema = self._next_schema(snap, df, merge_schema)
         files = self._stage_files(df)
-        return self._commit(
-            files, [], schema, "append", txn_id, snap.version if snap else -1,
-            constraints=snap.constraints if snap else (),
+        # blind append: reads nothing, removes nothing — reconciles over
+        # any concurrent commit short of a metadata/layout change
+        return self._commit_reconciled(
+            files, [], schema, "append", txn_id, snap
         )
 
     def overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
@@ -584,14 +859,19 @@ class TxLogTable:
         self._require_flat(snap)
         self._check_constraints(df, snap.constraints if snap else ())
         files = self._stage_files(df)
-        return self._commit(
+        # blind replace: its remove set is "whatever the table holds at
+        # commit time", so reconciling recomputes it from the current
+        # snapshot (serial order: the winner's commit, then this
+        # overwrite) and the schema is this DataFrame's by definition
+        return self._commit_reconciled(
             files,
             list(snap.files) if snap else [],
             df.schema,
             "overwrite",
             txn_id,
-            snap.version if snap else -1,
-            constraints=snap.constraints if snap else (),
+            snap,
+            keep_own_schema=True,
+            recompute_remove=lambda cur: list(cur.files) if cur else [],
         )
 
     def commit_files(
@@ -707,38 +987,31 @@ class TxLogTable:
             else []
         )
         schema = self._next_schema(snap, df, merge_schema=True)
-        return self._commit(
+        # like overwrite, the remove set is recomputed on reconcile —
+        # "whatever the touched partitions hold at commit time" — so a
+        # winner appending to an untouched partition never conflicts and
+        # one appending to a touched partition is serialized before the
+        # replace
+        return self._commit_reconciled(
             files,
             remove,
             schema,
             "overwrite_partitions",
             txn_id,
-            snap.version if snap else -1,
+            snap,
             partition_cols=partition_cols,
-            constraints=snap.constraints if snap else (),
+            recompute_remove=lambda cur: [
+                f
+                for f in (cur.files if cur else ())
+                if os.path.dirname(f) in touched
+            ],
         )
 
-    def _stats_candidates(
-        self,
-        spark: SparkSession,
-        snap: Snapshot,
-        source: DataFrame,
-        keys: list[str],
-        null_safe: bool,
-    ) -> list[str]:
-        """Data skipping for MERGE: drop files whose log-held key-column
-        [min, max] cannot intersect the source's key range (one tiny agg
-        over the source computes its per-key min/max/null-count). A file
-        can be skipped on the evidence of ANY single key column — a match
-        needs equality on all of them. Files without stats (pre-stats
-        commits, exotic column types) always remain candidates, so the
-        skip is conservative by construction; at 100 TB this is what
-        turns the finding pass from "scan every file" into "scan the
-        files whose range the batch plausibly touches" (on a key-ordered
-        or Z-ordered layout, a narrow CDC batch keeps O(batch-span)
-        files)."""
-        if not snap.file_stats:
-            return list(snap.files)  # nothing to judge: skip the agg job
+    def _source_key_bounds(self, source: DataFrame, keys: list[str]) -> dict:
+        """Per-key min/max/null-count bounds of a MERGE source — one tiny
+        agg job — in the same normalized value space as the log-held file
+        stats. Feeds both data skipping (``_stats_candidates``) and the
+        commit-time read-set conflict check."""
         aggs = []
         for k in keys:
             aggs += [
@@ -777,34 +1050,31 @@ class TxLogTable:
                 "max": mx[1] if mx else None,
                 "nulls": row[f"_nl_{k}"] or 0,
             }
+        return src
 
-        def skippable(fstats: dict) -> bool:
-            for k in keys:
-                fs = fstats.get(k)
-                if fs is None:
-                    continue  # no stats for this column: can't judge
-                s = src[k]
-                file_has_nulls = (fs.get("nulls") or 0) > 0
-                if null_safe and s["nulls"] > 0 and file_has_nulls:
-                    continue  # NULL keys can match: column not usable
-                if fs["min"] is None:  # file column is ALL null
-                    # nulls never match non-null source keys; in null-safe
-                    # mode a source null would have matched (handled above)
-                    return True
-                if s["min"] is None:
-                    # source keys all null in this column: no value match
-                    # possible; null-safe null-match handled above
-                    return True
-                if fs.get("k") != s["kind"]:
-                    continue  # incomparable normalizations: be safe
-                if fs["max"] < s["min"] or fs["min"] > s["max"]:
-                    return True
-            return False
-
+    def _stats_candidates(
+        self,
+        snap: Snapshot,
+        src: dict,
+        keys: list[str],
+        null_safe: bool,
+    ) -> list[str]:
+        """Data skipping for MERGE: drop files whose log-held key-column
+        [min, max] cannot intersect the source's bounds (``src``, from
+        :meth:`_source_key_bounds`). Files without stats (pre-stats
+        commits, exotic column types) always remain candidates, so the
+        skip is conservative by construction; at 100 TB this is what
+        turns the finding pass from "scan every file" into "scan the
+        files whose range the batch plausibly touches" (on a key-ordered
+        or Z-ordered layout, a narrow CDC batch keeps O(batch-span)
+        files)."""
         return [
             f
             for f in snap.files
-            if not (f in snap.file_stats and skippable(snap.file_stats[f]))
+            if not (
+                f in snap.file_stats
+                and _keys_disjoint(src, snap.file_stats[f], keys, null_safe)
+            )
         ]
 
     def _files_with_matching_keys(
@@ -854,7 +1124,12 @@ class TxLogTable:
         """Copy-on-write MERGE INTO with FILE-LEVEL PRUNING: source-wins
         upsert by ``keys``, or latest-wins by ``order_cols`` when
         deliveries may be out of order (the two MERGE shapes in
-        ``sinks/merge.py``, committed atomically).
+        ``sinks/merge.py``, committed atomically). Only keys present in
+        the source are affected — like Delta's MERGE, this never dedups
+        pre-existing duplicate keys the source doesn't mention, in ANY
+        mode (a whole-table dedup side effect would also be
+        layout-dependent under pruning: duplicates split across
+        touched/untouched files would dedup partially).
 
         Delta's MERGE cost shape: one finding scan locates the files that
         contain keys present in the source; ONLY those files are merged
@@ -883,6 +1158,10 @@ class TxLogTable:
         try:
             touched: list[str] = []
             stat_skipped = 0
+            # bounds are needed even when the BASE snapshot holds no stats:
+            # the commit-time conflict check judges files added by WINNING
+            # commits (which do carry stats) against the same bounds
+            src_bounds = self._source_key_bounds(source, keys)
             if snap is None or not snap.files:
                 merged = (
                     self._latest_wins(source, keys, order_cols)
@@ -891,7 +1170,7 @@ class TxLogTable:
                 )
             else:
                 candidates = self._stats_candidates(
-                    spark, snap, source, keys, null_safe=bool(order_cols)
+                    snap, src_bounds, keys, null_safe=bool(order_cols)
                 )
                 stat_skipped = len(snap.files) - len(candidates)
                 touched = self._files_with_matching_keys(
@@ -908,10 +1187,27 @@ class TxLogTable:
                     else self._read_snapshot(spark, snap).limit(0)
                 )
                 if order_cols:
-                    union = hit_rows.unionByName(
-                        source, allowMissingColumns=True
-                    )
-                    merged = self._latest_wins(union, keys, order_cols)
+                    # MERGE affects ONLY keys the source carries (Delta
+                    # semantics — it never dedups the target as a side
+                    # effect). Touched-file rows whose key is NOT in the
+                    # source must be rewritten (their file is) but pass
+                    # through VERBATIM, outside the latest-wins window:
+                    # funneling them through it would make the result
+                    # depend on which files the finding pass happened to
+                    # touch (duplicates split across touched/untouched
+                    # files would dedup partially — layout-dependent).
+                    skeys = source.select(*keys).distinct()
+                    cond = None
+                    for k in keys:
+                        c = hit_rows[k].eqNullSafe(skeys[k])
+                        cond = c if cond is None else cond & c
+                    matching = hit_rows.join(skeys, cond, "leftsemi")
+                    passthrough = hit_rows.join(skeys, cond, "leftanti")
+                    merged = self._latest_wins(
+                        matching.unionByName(source, allowMissingColumns=True),
+                        keys,
+                        order_cols,
+                    ).unionByName(passthrough, allowMissingColumns=True)
                 else:
                     survivors = hit_rows.join(
                         source.select(keys), on=keys, how="left_anti"
@@ -927,14 +1223,30 @@ class TxLogTable:
         finally:
             if ours:
                 source.unpersist()
-        return self._commit(
+
+        def read_check(added: list[str], cur: Snapshot) -> list[str]:
+            # the merge's read set is "every row whose key the source
+            # carries": a winner-added file conflicts unless its log-held
+            # key stats prove it disjoint from the source's key bounds
+            return [
+                f
+                for f in added
+                if not (
+                    f in cur.file_stats
+                    and _keys_disjoint(
+                        src_bounds, cur.file_stats[f], keys, bool(order_cols)
+                    )
+                )
+            ]
+
+        return self._commit_reconciled(
             files,
             touched,
             schema,
             "merge",
             txn_id,
-            snap.version if snap else -1,
-            constraints=snap.constraints if snap else (),
+            snap,
+            read_check=read_check,
             metrics={
                 "files_rewritten": len(touched),
                 "files_carried": (len(snap.files) - len(touched)) if snap else 0,
@@ -1013,15 +1325,15 @@ class TxLogTable:
         keep = self._read_files(spark, snap, touched).filter(~pred)
         files = self._stage_files(keep, list(snap.partition_cols) or None)
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        return self._commit(
+        return self._commit_reconciled(
             files,
             touched,
             schema,
             "delete",
             txn_id,
-            snap.version,
+            snap,
             partition_cols=list(snap.partition_cols) or None,
-            constraints=snap.constraints,
+            read_check=self._predicate_read_check(predicate),
             metrics={
                 "predicate": predicate,
                 "files_rewritten": len(touched),
@@ -1029,6 +1341,21 @@ class TxLogTable:
                 "files_stat_skipped": stat_skipped,
             },
         )
+
+    def _predicate_read_check(self, predicate: str):
+        """Read-set conflict probe for predicate DML: of the files a
+        winning commit added, return those the predicate might match —
+        ``skipping.candidate_files`` proves non-matches from log-held
+        stats and bails to "all of them" on unsupported predicates, so
+        the check is exactly as conservative as data skipping itself."""
+        from bigdataingestion_spark.sinks.skipping import candidate_files
+
+        def read_check(added: list[str], cur: Snapshot) -> list[str]:
+            return candidate_files(
+                predicate, cur.schema_json, added, cur.file_stats
+            )
+
+        return read_check
 
     def update(
         self,
@@ -1069,15 +1396,15 @@ class TxLogTable:
             )
         self._check_constraints(df, snap.constraints)  # post-SET rows
         files = self._stage_files(df, list(snap.partition_cols) or None)
-        return self._commit(
+        return self._commit_reconciled(
             files,
             touched,
             schema,
             "update",
             txn_id,
-            snap.version,
+            snap,
             partition_cols=list(snap.partition_cols) or None,
-            constraints=snap.constraints,
+            read_check=self._predicate_read_check(predicate),
             metrics={
                 "predicate": predicate,
                 "set": sorted(set_exprs),
@@ -1260,11 +1587,16 @@ class TxLogTable:
 
         Unlike ``sinks.compact.compact_path`` (directory swap — the plain
         parquet path), this goes through the commit protocol: a concurrent
-        writer that lands first wins the create-exclusive race and the
-        compaction raises ``ConcurrentWriteError`` — re-run it; compaction
-        never clobbers a commit it didn't see. A ``txn_id`` seen before is
-        a no-op (idempotent re-run for scheduled maintenance). Returns the
-        committed version (or the current one on a no-op/replay).
+        APPEND that lands first simply serializes before the compaction
+        (the rewrite re-commits at the next version, the appended files
+        carry through untouched — compaction never clobbers a commit it
+        didn't see, and ingest never starves it); a concurrent commit that
+        REMOVED one of the files being compacted (delete/update/merge/
+        another compact) is a true conflict and raises
+        ``ConcurrentWriteError`` — re-run against the new snapshot. A
+        ``txn_id`` seen before is a no-op (idempotent re-run for scheduled
+        maintenance). Returns the committed version (or the current one on
+        a no-op/replay).
         """
         snap = self.snapshot()
         if txn_id is not None and snap and txn_id in snap.txn_ids:
@@ -1305,15 +1637,22 @@ class TxLogTable:
             df = df.repartition(n_files)
         files = self._stage_files(df, list(snap.partition_cols) or None)
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        return self._commit(
+        # content-preserving: reads no predicate (its read set IS its
+        # remove set, guarded by the removed-file check) and its rows were
+        # all validated by earlier commits, so a concurrently-changed
+        # constraint set is adopted rather than conflicting. Net effect:
+        # OPTIMIZE on an actively-appended table succeeds on the first
+        # staging pass instead of livelocking — the appends serialize
+        # before it and their files carry through untouched.
+        return self._commit_reconciled(
             files,
             list(snap.files),
             schema,
             "compact",
             txn_id,
-            snap.version,
+            snap,
             partition_cols=list(snap.partition_cols) or None,
-            constraints=snap.constraints,
+            adopt_constraints=True,
         )
 
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> list[str]:

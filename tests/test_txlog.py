@@ -381,10 +381,13 @@ def test_orchestrator_with_txlog_sink_matches_parquet_lake(
     assert table.version() >= 0
 
 
-def test_concurrent_commit_during_staging_raises(spark, tmp_path, monkeypatch):
+def test_concurrent_commit_during_staging_reconciles(spark, tmp_path, monkeypatch):
     """Lost-update guard through the PUBLIC API: writer B commits while
-    writer A is staging; A's commit must fail (its snapshot is stale), not
-    silently un-remove B's files."""
+    writer A is staging an overwrite. A must NOT clobber B's commit with a
+    stale remove-list; with conflict reconciliation it re-commits in
+    serial order — B's append lands at v2, A's overwrite at v3 removes
+    EVERYTHING present at commit time (including B's file), exactly the
+    serial schedule append-then-overwrite."""
     path = str(tmp_path / "t")
     a, b = TxLogTable(path), TxLogTable(path)
     a.append(spark.createDataFrame([(1,)], ["id"]))
@@ -396,21 +399,28 @@ def test_concurrent_commit_during_staging_raises(spark, tmp_path, monkeypatch):
         # B sneaks in a commit after A read its snapshot
         if not getattr(stage_and_race, "raced", False):
             stage_and_race.raced = True
+            monkeypatch.undo()
             b.append(spark.createDataFrame([(99,)], ["id"]))
         return files
 
     monkeypatch.setattr(TxLogTable, "_stage_files", stage_and_race)
-    with pytest.raises(ConcurrentWriteError):
-        a.overwrite(spark.createDataFrame([(2,)], ["id"]))
-    monkeypatch.undo()
-    # B's append survived; A's staged files were cleaned up
-    assert _rows(a.read(spark)) == [(1,), (99,)]
+    v = a.overwrite(spark.createDataFrame([(2,)], ["id"]))
+    # serial order: v0 append(1), v1 append(99), v2 overwrite(2)
+    assert v == 2
+    assert [e["op"] for e in a.history()] == ["append", "append", "overwrite"]
+    assert _rows(a.read(spark)) == [(2,)]
+    # time travel still sees B's append — it was never lost
+    assert sorted(_rows(a.read(spark, version=1))) == [(1,), (99,)]
+    # no unreferenced-by-any-version orphan data files
+    referenced = set()
+    for ver in range(a.version() + 1):
+        referenced.update(os.path.basename(f) for f in a.snapshot(ver).files)
     live = set()
     for root, _d, fs in os.walk(path):
         if "_txlog" in root:
             continue
         live.update(f for f in fs if f.endswith(".parquet"))
-    assert live == {os.path.basename(f) for f in a.snapshot().files}
+    assert live == referenced
 
 
 def test_partitioned_overwrite_replaces_only_touched_partitions(spark, tmp_path):
@@ -719,13 +729,11 @@ def test_compact_zorder_clusters_rowgroups(spark, tmp_path):
         assert sum(s) / len(s) < 0.6 * n, (cname, s)
 
 
-def test_compact_loses_race_to_concurrent_writer(spark, tmp_path, monkeypatch):
-    """A writer landing between compact's snapshot and its commit must win;
-    the compaction raises instead of clobbering the unseen commit."""
-    import pytest
-
-    from bigdataingestion_spark.sinks import txlog as txmod
-
+def test_compact_reconciles_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append landing between compact's snapshot and its commit must
+    not force the compaction to redo its rewrite (at 100 TB that livelocks
+    OPTIMIZE against steady ingest): the compaction re-commits its staged
+    files at the next version and the appended file carries through."""
     t = TxLogTable(str(tmp_path / "t"))
     for i in range(3):
         t.append(spark.createDataFrame([(i,)], ["id"]))
@@ -743,13 +751,60 @@ def test_compact_loses_race_to_concurrent_writer(spark, tmp_path, monkeypatch):
         return files
 
     monkeypatch.setattr(TxLogTable, "_stage_files", stage_then_interleave)
-    with pytest.raises(txmod.ConcurrentWriteError):
+    v = t.compact(spark)
+    monkeypatch.undo()
+    # serial order: appends v0..v2, interloper v3, compact v4 — the
+    # interloper's row survived WITHOUT the compaction redoing its work
+    assert v == 4
+    assert [e["op"] for e in t.history()] == ["append"] * 4 + ["compact"]
+    assert sorted(_rows(t.read(spark))) == [(0,), (1,), (2,), (99,)]
+    # the compact removed only the files it actually rewrote: the
+    # interloper's file is still in the live snapshot
+    interloper_files = set(t.history()[3]["add"])
+    assert interloper_files <= set(t.snapshot().files)
+
+
+def test_compact_conflicts_with_concurrent_delete(spark, tmp_path, monkeypatch):
+    """A concurrent commit that REMOVED a file being compacted is a true
+    conflict: the compacted output contains rows the delete removed, so
+    re-committing it would resurrect them. The compaction must raise and
+    clean up its staged files."""
+    import pytest
+
+    from bigdataingestion_spark.sinks import txlog as txmod
+
+    t = TxLogTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], ["id"]))
+    real_stage = TxLogTable._stage_files
+    fired = []
+
+    def stage_then_delete(self, df, partition_cols=None):
+        files = real_stage(self, df, partition_cols)
+        if not fired:
+            fired.append(True)
+            other = TxLogTable(self.path)
+            other.delete(spark, "id = 1")  # rewrites one compacted file
+        return files
+
+    monkeypatch.setattr(TxLogTable, "_stage_files", stage_then_delete)
+    with pytest.raises(txmod.ConcurrentWriteError, match="removed"):
         t.compact(spark)
     monkeypatch.undo()
-    # the interloper's row survived; a retry now succeeds and keeps it
-    assert sorted(_rows(t.read(spark))) == [(0,), (1,), (2,), (99,)]
+    # the delete's result stands; the failed compaction left no orphans
+    assert sorted(_rows(t.read(spark))) == [(0,), (2,)]
+    referenced = set()
+    for ver in range(t.version() + 1):
+        referenced.update(os.path.basename(f) for f in t.snapshot(ver).files)
+    live = set()
+    for root, _d, fs in os.walk(str(tmp_path / "t")):
+        if "_txlog" in root:
+            continue
+        live.update(f for f in fs if f.endswith(".parquet"))
+    assert live == referenced
+    # and a fresh compact over the post-delete snapshot succeeds
     t.compact(spark)
-    assert sorted(_rows(t.read(spark))) == [(0,), (1,), (2,), (99,)]
+    assert sorted(_rows(t.read(spark))) == [(0,), (2,)]
 
 
 def test_stream_txlog_ingest_crash_between_sink_and_checkpoint(

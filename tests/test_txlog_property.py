@@ -44,12 +44,17 @@ def _apply_model(model: list, op: str, rows: list) -> list:
     if op == "merge":  # source wins: drop ALL target rows for source keys
         skeys = {r[0] for r in rows}
         return [r for r in model if r[0] not in skeys] + rows
-    # merge_latest: one survivor per key, greatest ord (globally unique)
+    # merge_latest: MERGE touches ONLY keys the source carries — one
+    # survivor per source key, greatest ord among target+source copies;
+    # rows of other keys (even pre-existing duplicates) are untouched.
+    # Deduping the whole table would make the result depend on which
+    # files the pruned finding pass happened to rewrite.
+    skeys = {r[0] for r in rows}
     best: dict = {}
-    for r in model + rows:
+    for r in [m for m in model if m[0] in skeys] + rows:
         if r[0] not in best or r[2] > best[r[0]][2]:
             best[r[0]] = r
-    return list(best.values())
+    return [r for r in model if r[0] not in skeys] + list(best.values())
 
 
 @settings(max_examples=8, deadline=None)
