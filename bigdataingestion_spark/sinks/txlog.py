@@ -121,6 +121,9 @@ class Snapshot:
     # Missing entries (pre-stats commits, unreadable footers) simply mean
     # "cannot skip this file" — stats are an optimization, never load-bearing
     file_stats: dict = field(default_factory=dict)
+    # last-seen commit wall-clock per txn id, feeding checkpoint-time txn
+    # retention; ids absent here (pre-upgrade checkpoints) never expire
+    txn_ts: dict = field(default_factory=dict)
 
 
 _STATS_MAX_COLS = 32  # Delta's default: stats on the first 32 columns
@@ -260,6 +263,7 @@ class TxLogTable:
         path: str,
         checkpoint_interval: int = 10,
         isolation: str = "write_serializable",
+        txn_retention_seconds: float | None = 30 * 24 * 3600.0,
     ):
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
@@ -278,6 +282,14 @@ class TxLogTable:
         if isolation not in ("write_serializable", "serializable"):
             raise ValueError(f"unknown isolation level: {isolation}")
         self.isolation = isolation
+        # txn ids are kept for exactly-once replay detection; on a
+        # long-lived streaming table they grow one per micro-batch
+        # forever, so checkpoints expire ids not seen for this long
+        # (Delta's setTransactionRetentionDuration). None disables
+        # expiry. Trade-off, same as Delta's: a stream that resumes
+        # after MORE than the retention window can replay its last
+        # batch undetected — size the window above any plausible outage.
+        self.txn_retention_seconds = txn_retention_seconds
 
     # ------------------------------------------------------------- log --
 
@@ -286,8 +298,45 @@ class TxLogTable:
             return []
         return sorted(f for f in os.listdir(self.log_dir) if f.endswith(".json"))
 
+    def _last_checkpoint_version(self) -> int | None:
+        """The ``_last_checkpoint`` pointer (Delta's move for object
+        stores where LIST over a million-entry log directory is the
+        bottleneck): a tiny file naming the newest checkpoint version, so
+        hot-path log resolution probes forward from there in O(delta)
+        exists-checks instead of listing O(total-commits) entries. Purely
+        an accelerator — a missing, stale, or corrupt pointer falls back
+        to the directory listing."""
+        try:
+            d = json.loads(
+                open(os.path.join(self.log_dir, "_last_checkpoint")).read()
+            )
+            v = int(d["version"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+        # validate: the named checkpoint and its commit must exist
+        if not os.path.exists(
+            os.path.join(self.log_dir, f"{v:08d}.ckpt")
+        ) or not os.path.exists(os.path.join(self.log_dir, f"{v:08d}.json")):
+            return None
+        return v
+
+    def _probe_latest(self, start: int) -> int:
+        """Latest contiguous committed version at or after ``start`` (a
+        version known to exist), by per-file existence probes — the
+        commit protocol guarantees versions are gapless."""
+        v = start
+        while os.path.exists(os.path.join(self.log_dir, f"{v + 1:08d}.json")):
+            v += 1
+        return v
+
     def version(self) -> int:
-        """Latest committed version, -1 for an absent/empty table."""
+        """Latest committed version, -1 for an absent/empty table.
+        O(commits-since-checkpoint) existence probes from the
+        ``_last_checkpoint`` pointer; falls back to a directory listing
+        when no usable pointer exists."""
+        ptr = self._last_checkpoint_version()
+        if ptr is not None:
+            return self._probe_latest(ptr)
         commits = self._commit_files()
         return int(commits[-1][:-5]) if commits else -1
 
@@ -304,12 +353,20 @@ class TxLogTable:
         streaming source, ``read_changes``) stay O(delta) per call where
         a ``history()`` replay would be O(total commits): on a long-lived
         table with 100k commits, a micro-batch that advanced 3 versions
-        reads 3 files, not 100k."""
-        return [
-            json.loads(open(os.path.join(self.log_dir, f)).read())
-            for f in self._commit_files()
-            if from_version < int(f[:-5]) <= to_version
-        ]
+        reads 3 files, not 100k. Filenames are constructed directly from
+        the version numbers (no directory listing at all — versions are
+        gapless by the commit protocol); a missing file in the range is
+        skipped, matching the old listing behavior."""
+        out = []
+        for v in range(max(from_version, -1) + 1, to_version + 1):
+            try:
+                with open(
+                    os.path.join(self.log_dir, f"{v:08d}.json")
+                ) as fh:
+                    out.append(json.loads(fh.read()))
+            except FileNotFoundError:
+                continue
+        return out
 
     def _checkpoint_files(self) -> list[str]:
         if not os.path.isdir(self.log_dir):
@@ -318,7 +375,22 @@ class TxLogTable:
 
     def _write_checkpoint(self, snap: Snapshot) -> None:
         """Roll the snapshot into a .ckpt (derived data: idempotent, and
-        published by atomic rename so readers never see a partial one)."""
+        published by atomic rename so readers never see a partial one),
+        then advance the ``_last_checkpoint`` pointer. Checkpoint time is
+        also when txn-id retention applies: ids last seen longer than
+        ``txn_retention_seconds`` ago are dropped from the rolled state
+        (Delta's setTransactionRetentionDuration), bounding what would
+        otherwise grow one id per micro-batch forever on a streaming
+        table. Ids with no recorded timestamp (pre-upgrade checkpoints)
+        are never expired."""
+        txn_ids, txn_ts = list(snap.txn_ids), dict(snap.txn_ts)
+        if self.txn_retention_seconds is not None:
+            cutoff = time.time() - self.txn_retention_seconds
+            txn_ids = [
+                t for t in txn_ids if txn_ts.get(t) is None or txn_ts[t] >= cutoff
+            ]
+            keep = set(txn_ids)
+            txn_ts = {t: ts for t, ts in txn_ts.items() if t in keep}
         target = os.path.join(self.log_dir, f"{snap.version:08d}.ckpt")
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
@@ -327,7 +399,8 @@ class TxLogTable:
                     "version": snap.version,
                     "files": list(snap.files),
                     "schema": snap.schema_json,
-                    "txn_ids": list(snap.txn_ids),
+                    "txn_ids": txn_ids,
+                    "txn_ts": txn_ts,
                     "partition_cols": list(snap.partition_cols),
                     "constraints": [list(c) for c in snap.constraints],
                     "stats": snap.file_stats,
@@ -337,6 +410,21 @@ class TxLogTable:
             fh.flush()
             os.fsync(fh.fileno())  # rename durability alone can publish a torn file
         os.replace(tmp, target)
+        # the pointer is an accelerator, not ground truth: only advance it
+        # (a concurrent writer may have checkpointed a newer version), and
+        # publish via the same fsync+rename so it is never torn
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        try:
+            cur = self._last_checkpoint_version()
+            if cur is None or cur < snap.version:
+                ptmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(ptmp, "w") as fh:
+                    json.dump({"version": snap.version}, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(ptmp, ptr)
+        except OSError:
+            pass  # a failed pointer write only costs the next reader a LIST
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
         """Resolve the table state at ``version`` (latest if None): start
@@ -345,43 +433,43 @@ class TxLogTable:
         derives version, file list, schema, and seen txn ids from the same
         snapshot, and commits against exactly that version — a concurrent
         commit in between loses the create-exclusive race instead of
-        silently clobbering it."""
-        base: Snapshot | None = None
-        for ck in reversed(self._checkpoint_files()):
-            v = int(ck.split(".")[0])
-            if version is not None and v > version:
-                continue
-            try:
-                d = json.loads(open(os.path.join(self.log_dir, ck)).read())
-            except (ValueError, OSError):
-                # checkpoints are DERIVED data: an unreadable one (torn
-                # write, bit rot) must never brick the table — fall back to
-                # the next older checkpoint, or to full log replay
-                continue
-            base = Snapshot(
-                version=d["version"],
-                files=tuple(d["files"]),
-                schema_json=d["schema"],
-                txn_ids=tuple(d["txn_ids"]),
-                partition_cols=tuple(d["partition_cols"]),
-                constraints=tuple(
-                    tuple(c) for c in d.get("constraints") or ()
-                ),
-                file_stats=d.get("stats") or {},
-            )
-            break
-        # parse only the commit files AFTER the checkpoint (filename encodes
-        # the version, so the range filter needs no file reads)
-        entries = [
-            json.loads(open(os.path.join(self.log_dir, f)).read())
-            for f in self._commit_files()
-            if (base is None or int(f[:-5]) > base.version)
-            and (version is None or int(f[:-5]) <= version)
-        ]
+        silently clobbering it.
+
+        Hot path (``version=None`` with a valid ``_last_checkpoint``
+        pointer): load that one checkpoint, then read commits FORWARD by
+        constructed filename until the first gap — O(delta) file reads
+        and existence probes, NO directory listing, which is what keeps
+        per-op log cost flat on a table with a million commits (LIST over
+        the log directory is the scaling cliff on object stores). Time
+        travel and pointer-less tables fall back to the listing."""
+        base = self._load_checkpoint_base(version)
+        if version is None and base is not None:
+            # forward probe: versions are gapless, so read until missing
+            entries = []
+            v = base.version + 1
+            while True:
+                try:
+                    with open(
+                        os.path.join(self.log_dir, f"{v:08d}.json")
+                    ) as fh:
+                        entries.append(json.loads(fh.read()))
+                except FileNotFoundError:
+                    break
+                v += 1
+        else:
+            # parse only the commit files AFTER the checkpoint (filename
+            # encodes the version, so the range filter needs no file reads)
+            entries = [
+                json.loads(open(os.path.join(self.log_dir, f)).read())
+                for f in self._commit_files()
+                if (base is None or int(f[:-5]) > base.version)
+                and (version is None or int(f[:-5]) <= version)
+            ]
         if not entries:
             return base
         files = list(base.files) if base else []
         txn_ids = list(base.txn_ids) if base else []
+        txn_ts = dict(base.txn_ts) if base else {}
         cons = list(base.constraints) if base else []
         stats = dict(base.file_stats) if base else {}
         for e in entries:
@@ -393,6 +481,7 @@ class TxLogTable:
             stats.update(e.get("stats") or {})
             if e.get("txn_id"):
                 txn_ids.append(e["txn_id"])
+                txn_ts[e["txn_id"]] = e.get("ts", 0.0)
             if "constraints" in e:  # absent only in pre-upgrade commits
                 cons = [tuple(c) for c in e["constraints"]]
         return Snapshot(
@@ -403,6 +492,50 @@ class TxLogTable:
             partition_cols=tuple(entries[-1].get("partition_cols") or ()),
             constraints=tuple(cons),
             file_stats=stats,
+            txn_ts=txn_ts,
+        )
+
+    def _load_checkpoint_base(self, version: int | None) -> Snapshot | None:
+        """Newest usable checkpoint at or below ``version`` (latest if
+        None) as a Snapshot. The ``_last_checkpoint`` pointer short-cuts
+        the latest-state case; corruption or absence falls back to the
+        directory listing, and an unreadable checkpoint falls back to the
+        next older one — checkpoints are DERIVED data and must never
+        brick the table."""
+        if version is None:
+            ptr = self._last_checkpoint_version()
+            if ptr is not None:
+                try:
+                    d = json.loads(
+                        open(
+                            os.path.join(self.log_dir, f"{ptr:08d}.ckpt")
+                        ).read()
+                    )
+                    return self._snapshot_from_checkpoint(d)
+                except (ValueError, OSError):
+                    pass  # pointer target unreadable: fall back to LIST
+        for ck in reversed(self._checkpoint_files()):
+            v = int(ck.split(".")[0])
+            if version is not None and v > version:
+                continue
+            try:
+                d = json.loads(open(os.path.join(self.log_dir, ck)).read())
+            except (ValueError, OSError):
+                continue
+            return self._snapshot_from_checkpoint(d)
+        return None
+
+    @staticmethod
+    def _snapshot_from_checkpoint(d: dict) -> Snapshot:
+        return Snapshot(
+            version=d["version"],
+            files=tuple(d["files"]),
+            schema_json=d["schema"],
+            txn_ids=tuple(d["txn_ids"]),
+            partition_cols=tuple(d["partition_cols"]),
+            constraints=tuple(tuple(c) for c in d.get("constraints") or ()),
+            file_stats=d.get("stats") or {},
+            txn_ts=d.get("txn_ts") or {},
         )
 
     def _commit(
