@@ -1708,15 +1708,25 @@ class TxLogTable:
         zorder_by: list[str] | None = None,
         zorder_bits: int = 4,
         txn_id: str | None = None,
+        min_file_bytes: int | None = None,
+        full: bool = False,
     ) -> int:
-        """Delta's OPTIMIZE (+ ZORDER BY) on the txlog: rewrite the current
-        snapshot's data files into ~``target_file_bytes`` files — optionally
-        Z-order-clustered on ``zorder_by`` so row-group min/max statistics
-        prune scans on every clustered column — and swap them in ONE atomic
-        commit (add rewritten, remove all current). Content is unchanged:
-        readers of any version, before or after, see identical rows; only
-        the physical layout moves. The old files stay on disk for time
-        travel until ``vacuum``.
+        """Delta's OPTIMIZE (+ ZORDER BY) on the txlog: bin-pack the
+        current snapshot's SMALL data files into ~``target_file_bytes``
+        files and swap them in ONE atomic commit (add rewritten, remove
+        packed). Content is unchanged: readers of any version, before or
+        after, see identical rows; only the physical layout moves. The
+        old files stay on disk for time travel until ``vacuum``.
+
+        INCREMENTAL by default, exactly like Delta's OPTIMIZE: only files
+        smaller than ``min_file_bytes`` (default: ``target_file_bytes``,
+        Delta's minFileSize) are rewritten; files already at target size
+        carry through BY REFERENCE. At 100 TB this is the difference
+        between "rewrite the 0.5% of the table that streaming ingest
+        fragmented" and "rewrite 100 TB every maintenance run". Fewer
+        than two pack candidates -> no-op, no commit. ``full=True`` (or
+        ``zorder_by``, which is a GLOBAL clustering and implies it)
+        rewrites every file.
 
         Unlike ``sinks.compact.compact_path`` (directory swap — the plain
         parquet path), this goes through the commit protocol: a concurrent
@@ -1736,10 +1746,25 @@ class TxLogTable:
             return snap.version
         if snap is None or not snap.files:
             return snap.version if snap else -1  # nothing to compact
-        df = self._read_snapshot(spark, snap)
+        full = full or bool(zorder_by)
+        if full:
+            rewrite = list(snap.files)
+        else:
+            cutoff = (
+                target_file_bytes if min_file_bytes is None else min_file_bytes
+            )
+            rewrite = [
+                f
+                for f in snap.files
+                if os.path.exists(os.path.join(self.path, f))
+                and os.path.getsize(os.path.join(self.path, f)) < cutoff
+            ]
+            if len(rewrite) < 2:
+                return snap.version  # nothing worth packing: no-op
+        df = self._read_files(spark, snap, rewrite)
         size = sum(
             os.path.getsize(os.path.join(self.path, f))
-            for f in snap.files
+            for f in rewrite
             if os.path.exists(os.path.join(self.path, f))
         )
         n_files = max(1, -(-size // target_file_bytes))
@@ -1779,13 +1804,18 @@ class TxLogTable:
         # before it and their files carry through untouched.
         return self._commit_reconciled(
             files,
-            list(snap.files),
+            rewrite,
             schema,
             "compact",
             txn_id,
             snap,
             partition_cols=list(snap.partition_cols) or None,
             adopt_constraints=True,
+            metrics={
+                "files_compacted": len(rewrite),
+                "files_carried": len(snap.files) - len(rewrite),
+                "bytes_compacted": size,
+            },
         )
 
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> list[str]:

@@ -664,11 +664,16 @@ def test_compact_is_atomic_and_content_preserving(spark, tmp_path):
     assert sorted(_rows(t.read(spark))) == before_rows
     # time travel across the compaction boundary still serves every version
     assert t.read(spark, version=3).count() == 4
-    # replay idempotence: same txn_id is a no-op
+    # an already-packed table: incremental OPTIMIZE no-ops, no commit
+    assert t.compact(spark) == 8
+    assert t.version() == 8
+    # replay idempotence: fresh fragment gives the maintenance run work,
+    # then the same txn_id is a no-op
+    t.append(spark.createDataFrame([(99, "v99")], ["id", "v"]))
     v2 = t.compact(spark, txn_id="maint:1")
-    assert v2 == 9
-    assert t.compact(spark, txn_id="maint:1") == 9
-    assert t.version() == 9
+    assert v2 == 10
+    assert t.compact(spark, txn_id="maint:1") == 10
+    assert t.version() == 10
 
 
 def test_compact_preserves_partitioned_layout(spark, tmp_path):
@@ -1091,3 +1096,41 @@ def test_constraints_survive_checkpoint_and_restore(spark, tmp_path):
     t2.restore(0)
     t2.append(spark.createDataFrame([(-1,)], "id int"))
     assert sorted(r["id"] for r in t2.read(spark).collect()) == [-1, 1]
+
+
+def test_compact_incremental_packs_only_small_files(spark, tmp_path):
+    """Delta OPTIMIZE semantics: only files below min_file_bytes are
+    bin-packed; an already-compact file carries through BY REFERENCE (the
+    identical physical file stays in the snapshot — at 100 TB that is the
+    difference between rewriting the fragmented 0.5% and the whole
+    table). Content is invariant, metrics record the split."""
+    t = TxLogTable(str(tmp_path / "t"))
+    # one "big" file and three small fragments
+    t.append(spark.createDataFrame([(i, "x" * 50) for i in range(500)], ["id", "pad"]).coalesce(1))
+    big = set(t.snapshot().files)
+    for i in range(3):
+        t.append(spark.createDataFrame([(1000 + i, "y")], ["id", "pad"]).coalesce(1))
+    before = _rows(t.read(spark))
+
+    big_size = max(
+        os.path.getsize(os.path.join(str(tmp_path / "t"), f)) for f in big
+    )
+    v = t.compact(spark, min_file_bytes=big_size)  # big file is NOT small
+    assert v == 4
+    snap = t.snapshot()
+    assert big <= set(snap.files)  # carried by reference, not rewritten
+    # the three fragments became one packed file
+    assert len(snap.files) == len(big) + 1
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_compacted"] == 3 and m["files_carried"] == len(big)
+    assert _rows(t.read(spark)) == before
+
+    # nothing left to pack: a re-run is a no-op, no new commit
+    assert t.compact(spark, min_file_bytes=big_size) == v
+    assert t.version() == v
+
+    # full=True still rewrites everything (the ZORDER path's shape)
+    v2 = t.compact(spark, full=True)
+    assert v2 == v + 1
+    assert not (big & set(t.snapshot().files))
+    assert _rows(t.read(spark)) == before

@@ -215,8 +215,10 @@ for i in range(n_ops):
     try:
         # compaction only truly conflicts with a commit that REMOVED one
         # of the files it rewrites; the appender never removes, so every
-        # compaction must reconcile-succeed on its FIRST staging pass
-        res["versions"].append(t.compact(spark))
+        # compaction must reconcile-succeed on its FIRST staging pass.
+        # full=True keeps every round committing (incremental packing
+        # would legitimately no-op once the table is one packed file)
+        res["versions"].append(t.compact(spark, full=True))
     except Exception as e:  # noqa: BLE001
         res["errors"].append(repr(e))
 with open(results_path, "w") as fh:
