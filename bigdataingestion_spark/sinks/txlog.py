@@ -124,6 +124,11 @@ class Snapshot:
     # last-seen commit wall-clock per txn id, feeding checkpoint-time txn
     # retention; ids absent here (pre-upgrade checkpoints) never expire
     txn_ts: dict = field(default_factory=dict)
+    # deletion vectors (Delta's merge-on-read DELETE): {data_rel_path:
+    # dv_rel_path}. The DV file holds row-position runs deleted from the
+    # UNCHANGED parquet file; readers apply it, copy-on-write rewrites
+    # materialize and drop it. A file absent here has no masked rows.
+    dvs: dict = field(default_factory=dict)
 
 
 _STATS_MAX_COLS = 32  # Delta's default: stats on the first 32 columns
@@ -404,6 +409,7 @@ class TxLogTable:
                     "partition_cols": list(snap.partition_cols),
                     "constraints": [list(c) for c in snap.constraints],
                     "stats": snap.file_stats,
+                    "dvs": snap.dvs,
                 },
                 fh,
             )
@@ -472,13 +478,22 @@ class TxLogTable:
         txn_ts = dict(base.txn_ts) if base else {}
         cons = list(base.constraints) if base else []
         stats = dict(base.file_stats) if base else {}
+        dvs = dict(base.dvs) if base else {}
         for e in entries:
             removed = set(e["remove"])
             files = [f for f in files if f not in removed]
             files.extend(e["add"])
             for f in removed:
                 stats.pop(f, None)
+                dvs.pop(f, None)  # a rewritten file's mask dies with it
             stats.update(e.get("stats") or {})
+            # dv entries SET the mask per file; an explicit null CLEARS it
+            # (restore uses that to re-establish an older version's state)
+            for f, dv in (e.get("dv") or {}).items():
+                if dv is None:
+                    dvs.pop(f, None)
+                else:
+                    dvs[f] = dv
             if e.get("txn_id"):
                 txn_ids.append(e["txn_id"])
                 txn_ts[e["txn_id"]] = e.get("ts", 0.0)
@@ -493,6 +508,7 @@ class TxLogTable:
             constraints=tuple(cons),
             file_stats=stats,
             txn_ts=txn_ts,
+            dvs=dvs,
         )
 
     def _load_checkpoint_base(self, version: int | None) -> Snapshot | None:
@@ -536,6 +552,7 @@ class TxLogTable:
             constraints=tuple(tuple(c) for c in d.get("constraints") or ()),
             file_stats=d.get("stats") or {},
             txn_ts=d.get("txn_ts") or {},
+            dvs=d.get("dvs") or {},
         )
 
     def _commit(
@@ -551,6 +568,7 @@ class TxLogTable:
         constraints: list | tuple | None = None,
         cleanup_on_conflict: bool = True,
         precomputed_stats: dict | None = None,
+        dv: dict | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
@@ -583,6 +601,8 @@ class TxLogTable:
             "constraints": [list(c) for c in (constraints or ())],
             "stats": stats,
         }
+        if dv:
+            entry["dv"] = dv
         if metrics:
             entry["op_metrics"] = metrics
         target = os.path.join(self.log_dir, f"{version:08d}.json")
@@ -683,11 +703,16 @@ class TxLogTable:
             if cur_cons != tuple(base_cons):
                 return "table constraints changed concurrently"
         for w in winners:
-            hit = our_remove & set(w["remove"])
+            # a deletion-vector entry MODIFIES its file as surely as a
+            # rewrite does (two DVs on one file would lose the first; a
+            # DV on a file we rewrite would be silently discarded), so
+            # both sides' touched sets include remove ∪ dv-targets
+            w_touched = set(w["remove"]) | set(w.get("dv") or {})
+            hit = our_remove & w_touched
             if hit:
                 return (
-                    f"concurrent {w['op']} (v{w['version']}) removed "
-                    f"file(s) this op rewrites, e.g. {sorted(hit)[0]}"
+                    f"concurrent {w['op']} (v{w['version']}) rewrote or "
+                    f"masked file(s) this op touches, e.g. {sorted(hit)[0]}"
                 )
         if read_check is not None:
             for w in winners:
@@ -722,6 +747,7 @@ class TxLogTable:
         keep_own_schema: bool = False,
         adopt_constraints: bool = False,
         max_reconciles: int = 50,
+        dv: dict | None = None,
     ) -> int:
         """Commit with LOGICAL conflict reconciliation (Delta's
         ConflictChecker + commitLarge retry shape). The op's staging work —
@@ -744,11 +770,16 @@ class TxLogTable:
         constraint set instead of conflicting. A true conflict or
         exhausted retries deletes the staged files (they are referenced by
         no committed version) and raises ``ConcurrentWriteError``; the
-        caller must redo the op against a fresh snapshot."""
+        caller must redo the op against a fresh snapshot. ``dv`` is a
+        deletion-vector mapping committed with the entry; its target
+        files count as touched for conflict purposes on both sides, and
+        its staged DV files are cleaned up with ``add`` on failure."""
         base_cons = tuple(base.constraints) if base else ()
         base_pcols = tuple(base.partition_cols) if base else ()
         expected = base.version if base else -1
         constraints = base_cons
+        disposable = list(add) + [f for f in (dv or {}).values() if f]
+        touched = set(remove) | set(dv or {})
         stats: dict[str, dict] = {}
         for f in add:  # once: files are immutable across reconcile retries
             try:
@@ -771,6 +802,7 @@ class TxLogTable:
                     constraints=constraints,
                     cleanup_on_conflict=False,
                     precomputed_stats=stats,
+                    dv=dv,
                 )
             except ConcurrentWriteError:
                 cur = self.snapshot()
@@ -778,15 +810,16 @@ class TxLogTable:
                     continue  # raced a checkpointless glitch: retry as-is
                 if txn_id is not None and txn_id in cur.txn_ids:
                     # replay landed concurrently: staged files never commit
-                    self._drop_files(add)
+                    self._drop_files(disposable)
                     return cur.version
                 if recompute_remove is not None:
                     remove = recompute_remove(cur)
+                    touched = set(remove) | set(dv or {})
                 winners = self.commits_between(expected, cur.version)
                 why = self._conflict_reason(
                     winners,
                     cur,
-                    set(remove),
+                    touched,
                     partition_cols,
                     base_cons,
                     base_pcols,
@@ -794,7 +827,7 @@ class TxLogTable:
                     adopt_constraints,
                 )
                 if why is not None:
-                    self._drop_files(add)
+                    self._drop_files(disposable)
                     raise ConcurrentWriteError(
                         f"cannot reconcile {op} with concurrent commits: "
                         f"{why}; redo the operation on a fresh snapshot"
@@ -806,7 +839,7 @@ class TxLogTable:
                             schema,
                         )
                     except SchemaEvolutionError as e:
-                        self._drop_files(add)
+                        self._drop_files(disposable)
                         raise ConcurrentWriteError(
                             f"cannot reconcile {op}: non-additive concurrent "
                             f"schema change ({e})"
@@ -814,7 +847,7 @@ class TxLogTable:
                 if adopt_constraints:
                     constraints = tuple(cur.constraints)
                 expected = cur.version
-        self._drop_files(add)
+        self._drop_files(disposable)
         raise ConcurrentWriteError(
             f"{op} lost {max_reconciles} consecutive commit races on "
             f"{self.path}"
@@ -1230,8 +1263,8 @@ class TxLogTable:
         scan_files = snap.files if candidates is None else candidates
         if not scan_files:
             return []
-        df = self._read_files(spark, snap, list(scan_files)).withColumn(
-            "_file", F.input_file_name()
+        df = self._read_files(
+            spark, snap, list(scan_files), with_file_col="_file"
         )
         src_keys = source.select(*keys).distinct()
         if null_safe:
@@ -1402,8 +1435,8 @@ class TxLogTable:
         """Files of ``snap`` containing at least one row matching ``pred``
         — log-held stats first (``sinks.skipping`` proves files whose
         min/max cannot satisfy the predicate out of the scan, bailing to
-        "all files" on any unsupported construct), then ONE scan with
-        ``input_file_name()`` over the surviving candidates, collected
+        "all files" on any unsupported construct), then ONE scan with a
+        file-attribution column over the surviving candidates, collected
         driver-side. The result is bounded by the table's file count
         (metadata scale, same as the log itself); this is Delta's DML
         file-finding pass, and with a predicate on a partition or
@@ -1417,35 +1450,129 @@ class TxLogTable:
         skipped = len(snap.files) - len(candidates)
         if not candidates:
             return [], skipped
-        df = self._read_files(spark, snap, candidates)
-        hits = (
-            df.withColumn("_file", F.input_file_name())
-            .filter(pred)
-            .select("_file")
-            .distinct()
-            .collect()
-        )
+        df = self._read_files(spark, snap, candidates, with_file_col="_file")
+        hits = df.filter(pred).select("_file").distinct().collect()
         touched = {self._rel_from_uri(r[0]) for r in hits}
         return [f for f in snap.files if f in touched], skipped
 
-    def _read_files(self, spark: SparkSession, snap: Snapshot, files: list[str]) -> DataFrame:
+    # ------------------------------------------------- deletion vectors --
+
+    def _write_dv(self, runs: list[tuple[int, int]]) -> str:
+        """Persist one deletion vector as ``dv-<uuid>.json`` in the table
+        root: sorted, non-overlapping [start, count] row-position runs
+        (the role Delta's roaring-bitmap DV files play). Immutable once
+        written; referenced by rel path from the commit entry."""
+        name = f"dv-{uuid.uuid4().hex}.json"
+        full = os.path.join(self.path, name)
+        tmp = full + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"runs": [[int(s), int(c)] for s, c in runs]}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, full)
+        return name
+
+    def _load_dv_runs(self, dv_rel: str) -> list[tuple[int, int]]:
+        d = json.loads(open(os.path.join(self.path, dv_rel)).read())
+        return [(int(s), int(c)) for s, c in d["runs"]]
+
+    @staticmethod
+    def _runs_from_positions(positions: list[int]) -> list[tuple[int, int]]:
+        """Sorted distinct row positions -> run-length [start, count]
+        encoding. Point deletes stay tiny; clustered deletes (the common
+        case on sorted/Z-ordered layouts) collapse to a handful of runs."""
+        runs: list[tuple[int, int]] = []
+        for p in sorted(set(positions)):
+            if runs and runs[-1][0] + runs[-1][1] == p:
+                runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+            else:
+                runs.append((p, 1))
+        return runs
+
+    def _dv_filter(
+        self, spark: SparkSession, df: DataFrame, snap: Snapshot, files: list[str]
+    ) -> DataFrame:
+        """Apply the snapshot's deletion vectors to a scan of ``files``:
+        anti-join on (file basename, physical row index) against the
+        broadcast run list. Masked rows vanish exactly as if the files
+        had been rewritten. ``df`` must carry ``_metadata`` (any parquet
+        scan does). Basenames are unique (uuid part names), so the join
+        key is layout-independent."""
+        dv_files = [f for f in files if f in snap.dvs]
+        run_rows = []
+        for f in dv_files:
+            base = os.path.basename(f)
+            for s, c in self._load_dv_runs(snap.dvs[f]):
+                run_rows.append((base, s, s + c))
+        runs_df = spark.createDataFrame(
+            run_rows, "_dv_base string, _dv_start long, _dv_end long"
+        )
+        keyed = df.withColumn(
+            "_dv_file",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        ).withColumn("_dv_idx", F.col("_metadata.row_index"))
+        cond = (
+            (keyed["_dv_file"] == runs_df["_dv_base"])
+            & (keyed["_dv_idx"] >= runs_df["_dv_start"])
+            & (keyed["_dv_idx"] < runs_df["_dv_end"])
+        )
+        return keyed.join(F.broadcast(runs_df), cond, "left_anti").drop(
+            "_dv_file", "_dv_idx"
+        )
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        files: list[str],
+        with_file_col: str | None = None,
+    ) -> DataFrame:
+        """Scan exactly ``files`` under the snapshot schema, with the
+        snapshot's deletion vectors applied. ``with_file_col`` attaches
+        each row's source file URI (from ``_metadata.file_path``, which
+        — unlike ``input_file_name()`` — is resolved at the scan and
+        survives the DV anti-join) for file-attribution passes."""
         schema = StructType.fromJson(json.loads(snap.schema_json))
         reader = spark.read.schema(schema)
         if snap.partition_cols:
             reader = reader.option("basePath", self.path)
-        return reader.parquet(*[os.path.join(self.path, f) for f in files])
+        df = reader.parquet(*[os.path.join(self.path, f) for f in files])
+        if with_file_col:
+            df = df.withColumn(with_file_col, F.col("_metadata.file_path"))
+        if any(f in snap.dvs for f in files):
+            df = self._dv_filter(spark, df, snap, files)
+        return df
 
     def delete(
-        self, spark: SparkSession, predicate: str, txn_id: str | None = None
+        self,
+        spark: SparkSession,
+        predicate: str,
+        txn_id: str | None = None,
+        deletion_vectors: bool = False,
     ) -> int:
-        """Row-level DELETE WHERE, copy-on-write (Delta DML semantics:
-        reference ING:366-415 uses MERGE/DELETE on its Delta state tables).
-        One scan finds the files containing matching rows; ONLY those are
-        rewritten without the matching rows; one atomic commit swaps them.
-        Rows where the predicate evaluates NULL are kept (SQL DELETE
-        three-valued logic). No matching rows -> no-op, no commit. Files
-        never touched are carried by reference — a DELETE hitting k files
-        costs O(k) rewrite regardless of table size."""
+        """Row-level DELETE WHERE (Delta DML semantics: reference
+        ING:366-415 uses MERGE/DELETE on its Delta state tables). One scan
+        finds the files containing matching rows. Rows where the predicate
+        evaluates NULL are kept (SQL DELETE three-valued logic). No
+        matching rows -> no-op, no commit. Files never touched are carried
+        by reference — a DELETE hitting k files costs O(k) regardless of
+        table size.
+
+        Two physical strategies, Delta's two DELETE modes:
+
+        - copy-on-write (default): touched files are rewritten without
+          the matching rows and swapped in one atomic commit. Best when
+          deletes are wide (rewrite amortizes).
+        - merge-on-read (``deletion_vectors=True``): the parquet files
+          are left UNTOUCHED; the commit records a deletion vector of row
+          positions per touched file, applied by every reader. A 3-row
+          delete in a 1 GB file costs one tiny DV file instead of a 1 GB
+          rewrite — the right trade for sparse deletes (GDPR erasure,
+          late corrections) at 100 TB. The masks disappear when a
+          copy-on-write op or ``compact`` later rewrites the file (DV'd
+          files are always compaction candidates, Delta's purge).
+          Deleted positions are collected driver-side, so this mode is
+          for SPARSE deletes; wide deletes should use copy-on-write."""
         snap = self.snapshot()
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
@@ -1455,9 +1582,57 @@ class TxLogTable:
         touched, stat_skipped = self._touched_files(spark, snap, pred, predicate)
         if not touched:
             return snap.version
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        base_metrics = {
+            "predicate": predicate,
+            "files_carried": len(snap.files) - len(touched),
+            "files_stat_skipped": stat_skipped,
+        }
+        if deletion_vectors:
+            # physical row positions of matching rows, on top of any
+            # EXISTING mask (the scan already applies it, so re-matched
+            # positions are only the still-visible ones; the new DV must
+            # carry old + new — it REPLACES the file's mask)
+            hits = (
+                self._read_files(spark, snap, touched, with_file_col="_f")
+                .filter(pred)
+                .select("_f", F.col("_metadata.row_index").alias("_i"))
+                .collect()
+            )
+            by_file: dict[str, list[int]] = {}
+            for r in hits:
+                by_file.setdefault(
+                    os.path.basename(self._rel_from_uri(r["_f"])), []
+                ).append(r["_i"])
+            dv_map: dict[str, str] = {}
+            masked = 0
+            for f in touched:
+                positions = by_file.get(os.path.basename(f), [])
+                if f in snap.dvs:
+                    for s, c in self._load_dv_runs(snap.dvs[f]):
+                        positions.extend(range(s, s + c))
+                runs = self._runs_from_positions(positions)
+                masked += sum(c for _, c in runs)
+                dv_map[f] = self._write_dv(runs)
+            return self._commit_reconciled(
+                [],
+                [],
+                schema,
+                "delete",
+                txn_id,
+                snap,
+                partition_cols=list(snap.partition_cols) or None,
+                read_check=self._predicate_read_check(predicate),
+                dv=dv_map,
+                metrics={
+                    **base_metrics,
+                    "files_rewritten": 0,
+                    "files_masked": len(dv_map),
+                    "rows_masked_total": masked,
+                },
+            )
         keep = self._read_files(spark, snap, touched).filter(~pred)
         files = self._stage_files(keep, list(snap.partition_cols) or None)
-        schema = StructType.fromJson(json.loads(snap.schema_json))
         return self._commit_reconciled(
             files,
             touched,
@@ -1467,12 +1642,7 @@ class TxLogTable:
             snap,
             partition_cols=list(snap.partition_cols) or None,
             read_check=self._predicate_read_check(predicate),
-            metrics={
-                "predicate": predicate,
-                "files_rewritten": len(touched),
-                "files_carried": len(snap.files) - len(touched),
-                "files_stat_skipped": stat_skipped,
-            },
+            metrics={**base_metrics, "files_rewritten": len(touched)},
         )
 
     def _predicate_read_check(self, predicate: str):
@@ -1562,19 +1732,29 @@ class TxLogTable:
         if old is None:
             raise ValueError(f"no commit at version {version} in {self.path}")
         missing = [
-            f for f in old.files
+            f
+            for f in list(old.files) + list(old.dvs.values())
             if not os.path.exists(os.path.join(self.path, f))
         ]
         if missing:
             raise FileNotFoundError(
-                f"cannot restore to v{version}: {len(missing)} data files "
-                f"vacuumed (first: {missing[0]})"
+                f"cannot restore to v{version}: {len(missing)} data/DV "
+                f"files vacuumed (first: {missing[0]})"
             )
         cur = self.snapshot()
         if txn_id is not None and cur and txn_id in cur.txn_ids:
             return cur.version
         cur_files = set(cur.files) if cur else set()
         old_files = set(old.files)
+        # re-establish the restored version's deletion-vector state for
+        # surviving files: set the old mask, or an explicit null to CLEAR
+        # a mask added after the restored version (replay: null -> pop)
+        cur_dvs = cur.dvs if cur else {}
+        entry_dv = {
+            f: old.dvs.get(f)
+            for f in old.files
+            if old.dvs.get(f) != cur_dvs.get(f)
+        }
         return self._commit(
             [f for f in old.files if f not in cur_files],
             [f for f in (cur.files if cur else ()) if f not in old_files],
@@ -1585,19 +1765,17 @@ class TxLogTable:
             partition_cols=list(old.partition_cols) or None,
             metrics={"restored_version": version},
             constraints=old.constraints,  # metadata restores with the data
+            dv=entry_dv or None,
         )
 
     def _read_snapshot(self, spark: SparkSession, snap: Snapshot) -> DataFrame:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if not snap.files:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f) for f in snap.files]
-        reader = spark.read.schema(schema)
-        if snap.partition_cols:
-            # explicit files + basePath: partition columns resolve from the
-            # hive-style dir names, pruning stays file-level
-            reader = reader.option("basePath", self.path)
-        return reader.parquet(*paths)
+        # explicit files (+ basePath for hive layouts: partition columns
+        # resolve from the dir names, pruning stays file-level), deletion
+        # vectors applied — every snapshot consumer sees masked rows gone
+        return self._read_files(spark, snap, list(snap.files))
 
     def version_at_timestamp(self, timestamp: float) -> int:
         """Latest committed version whose commit wall-clock ``ts`` is at or
@@ -1672,7 +1850,13 @@ class TxLogTable:
         for e in self.commits_between(from_version, to_version):
             if e["op"] == "compact":
                 continue  # layout-only: content unchanged, nothing new
-            if e["op"] not in ("append",) and e["remove"] and not allow_rewrites:
+            if (
+                e["op"] not in ("append",)
+                and (e["remove"] or e.get("dv"))
+                and not allow_rewrites
+            ):
+                # a deletion-vector commit adds no files but CHANGES rows
+                # (masks them) exactly like a rewrite — same refusal
                 raise ValueError(
                     f"v{e['version']} ({e['op']}) rewrites data; rows-added "
                     "is not rows-changed — pass allow_rewrites=True for "
@@ -1753,13 +1937,19 @@ class TxLogTable:
             cutoff = (
                 target_file_bytes if min_file_bytes is None else min_file_bytes
             )
+            # deletion-vector'd files are ALWAYS candidates regardless of
+            # size (Delta's OPTIMIZE purge: the rewrite materializes the
+            # mask and retires the DV)
             rewrite = [
                 f
                 for f in snap.files
-                if os.path.exists(os.path.join(self.path, f))
-                and os.path.getsize(os.path.join(self.path, f)) < cutoff
+                if f in snap.dvs
+                or (
+                    os.path.exists(os.path.join(self.path, f))
+                    and os.path.getsize(os.path.join(self.path, f)) < cutoff
+                )
             ]
-            if len(rewrite) < 2:
+            if len(rewrite) < 2 and not any(f in snap.dvs for f in rewrite):
                 return snap.version  # nothing worth packing: no-op
         df = self._read_files(spark, snap, rewrite)
         size = sum(
@@ -1837,6 +2027,8 @@ class TxLogTable:
         decommission); at 0, staging dirs are preserved outright."""
         snap = self.snapshot()
         live = set(snap.files) if snap else set()
+        if snap:  # deletion vectors referenced by the latest snapshot
+            live |= set(snap.dvs.values())
         cutoff = time.time() - retention_seconds
         deleted = []
         for root, dirs, files in os.walk(self.path):
@@ -1880,7 +2072,14 @@ class TxLogTable:
             dirs[:] = keep
             for f in files:
                 rel = os.path.relpath(os.path.join(root, f), self.path)
-                if not rel.endswith(".parquet") or rel in live:
+                reclaimable = rel.endswith(".parquet") or (
+                    # superseded/orphaned deletion-vector files: same
+                    # contract as data files (unreferenced + aged out)
+                    os.sep not in rel
+                    and rel.startswith("dv-")
+                    and rel.endswith(".json")
+                )
+                if not reclaimable or rel in live:
                     continue
                 full = os.path.join(self.path, rel)
                 try:

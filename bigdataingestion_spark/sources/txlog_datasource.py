@@ -93,6 +93,10 @@ def _parse_hive_values(rel_path: str) -> tuple[tuple[str, str | None], ...]:
 class _FilePartition(InputPartition):
     rel_path: str
     part_values: tuple  # (("col", "raw-string-or-None"), ...)
+    # deletion-vector runs ((start, count), ...) masking physical row
+    # positions of this file; () = nothing masked. Shipped in the
+    # partition so the executor-side Arrow read needs no log access.
+    dv_runs: tuple = ()
 
 
 def _file_batches(
@@ -122,7 +126,23 @@ def _file_batches(
             "read, the requested version is no longer materialized."
         ) from None
     batches = pf.iter_batches()
+    offset = 0  # physical row position of the batch's first row
     for batch in batches:
+        raw_rows = batch.num_rows
+        if part.dv_runs:
+            # apply the deletion vector (merge-on-read DELETE): mask rows
+            # whose PHYSICAL position falls in a deleted run — positions
+            # advance by the pre-filter row count
+            import numpy as np
+
+            keep = np.ones(raw_rows, dtype=bool)
+            for s, c in part.dv_runs:
+                lo, hi = max(s - offset, 0), min(s + c - offset, raw_rows)
+                if lo < hi:
+                    keep[lo:hi] = False
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+        offset += raw_rows
         n = batch.num_rows
         have = {name: i for i, name in enumerate(batch.schema.names)}
         cols = []
@@ -169,9 +189,19 @@ class _TxLogBatchReader(DataSourceReader):
             # (Without a user schema, DataSource.schema() already raised.)
             self._files: list = []
             self._pcols: set = set()
+            self._dv_runs: dict = {}
         else:
             self._files = list(snap.files)
             self._pcols = set(snap.partition_cols)
+            # resolve deletion vectors DRIVER-side (the log is driver
+            # territory); executors get plain (start, count) runs in
+            # their partition descriptors
+            self._dv_runs = {
+                rel: tuple(
+                    (int(s), int(c)) for s, c in table._load_dv_runs(dv)
+                )
+                for rel, dv in snap.dvs.items()
+            }
         self._schema = schema
         pf = options.get("partitionFilter")
         if pf:
@@ -217,7 +247,10 @@ class _TxLogBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         return [
-            _FilePartition(rel, _parse_hive_values(rel)) for rel in self._files
+            _FilePartition(
+                rel, _parse_hive_values(rel), self._dv_runs.get(rel, ())
+            )
+            for rel in self._files
         ]
 
     def read(self, partition: _FilePartition):
@@ -280,7 +313,13 @@ class _TxLogStreamReader(DataSourceStreamReader):
         for e in self._table.commits_between(lo, hi):
             if e["op"] == "compact":
                 continue  # layout-only: content already delivered
-            if e["op"] != "append" and e["remove"] and not self._allow_rewrites:
+            if (
+                e["op"] != "append"
+                and (e["remove"] or e.get("dv"))
+                and not self._allow_rewrites
+            ):
+                # a deletion-vector commit (merge-on-read DELETE) adds no
+                # files but masks rows — rewrite semantics, same refusal
                 raise ValueError(
                     f"txlog stream hit v{e['version']} ({e['op']}): rewrite "
                     "commits break rows-added semantics; set allowRewrites "

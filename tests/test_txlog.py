@@ -793,7 +793,7 @@ def test_compact_conflicts_with_concurrent_delete(spark, tmp_path, monkeypatch):
         return files
 
     monkeypatch.setattr(TxLogTable, "_stage_files", stage_then_delete)
-    with pytest.raises(txmod.ConcurrentWriteError, match="removed"):
+    with pytest.raises(txmod.ConcurrentWriteError, match="rewrote or masked"):
         t.compact(spark)
     monkeypatch.undo()
     # the delete's result stands; the failed compaction left no orphans

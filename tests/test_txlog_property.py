@@ -27,7 +27,7 @@ _op = st.one_of(
     ),
     # row-level DML / restore: payload is a key (restore: an index seed)
     st.tuples(
-        st.sampled_from(["delete", "update", "restore"]),
+        st.sampled_from(["delete", "delete_dv", "update", "restore"]),
         st.integers(min_value=1, max_value=6),
     ),
 )
@@ -73,11 +73,18 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
                 snapshots.append((version, sorted(model)))
                 by_version[version] = sorted(model)
             continue
-        if op in ("delete", "update", "restore"):
+        if op in ("delete", "delete_dv", "update", "restore"):
             if t.version() < 0:
                 continue  # DML on a never-written table: nothing to do
             if op == "delete":
                 version = t.delete(spark, f"k = {payload}")
+                model = [r for r in model if r[0] != payload]
+            elif op == "delete_dv":
+                # merge-on-read DELETE: visible state identical to the
+                # copy-on-write path, only the physical strategy differs
+                version = t.delete(
+                    spark, f"k = {payload}", deletion_vectors=True
+                )
                 model = [r for r in model if r[0] != payload]
             elif op == "update":
                 version = t.update(spark, f"k = {payload}", {"v": "'z'"})
