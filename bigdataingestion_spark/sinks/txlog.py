@@ -129,6 +129,10 @@ class Snapshot:
     # UNCHANGED parquet file; readers apply it, copy-on-write rewrites
     # materialize and drop it. A file absent here has no masked rows.
     dvs: dict = field(default_factory=dict)
+    # table properties (Delta TBLPROPERTIES): log-carried, so they bind
+    # to the TABLE, not to whichever writer instance touches it —
+    # recognized keys: "txn.retention.seconds", "isolation.level".
+    properties: dict = field(default_factory=dict)
 
 
 _STATS_MAX_COLS = 32  # Delta's default: stats on the first 32 columns
@@ -163,7 +167,14 @@ def _file_column_stats(full_path: str) -> dict:
     appear with min/max None."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(full_path).metadata
+    return _stats_from_metadata(pq.ParquetFile(full_path).metadata)
+
+
+def _stats_from_metadata(md) -> dict:
+    """Stats extraction from an already-parsed footer — lets staging
+    compute them in the same pass as its empty-part check instead of
+    re-opening every footer at commit time (2x driver metadata I/O, and
+    2x GET-range requests on object stores)."""
     acc: dict[str, dict] = {}
     dropped: set[str] = set()
     for rg in range(md.num_row_groups):
@@ -389,8 +400,12 @@ class TxLogTable:
         table. Ids with no recorded timestamp (pre-upgrade checkpoints)
         are never expired."""
         txn_ids, txn_ts = list(snap.txn_ids), dict(snap.txn_ts)
-        if self.txn_retention_seconds is not None:
-            cutoff = time.time() - self.txn_retention_seconds
+        retention = self.txn_retention_seconds
+        prop = snap.properties.get("txn.retention.seconds")
+        if prop is not None:  # log-carried table property beats the
+            retention = None if prop == "none" else float(prop)  # writer arg
+        if retention is not None:
+            cutoff = time.time() - retention
             txn_ids = [
                 t for t in txn_ids if txn_ts.get(t) is None or txn_ts[t] >= cutoff
             ]
@@ -410,6 +425,7 @@ class TxLogTable:
                     "constraints": [list(c) for c in snap.constraints],
                     "stats": snap.file_stats,
                     "dvs": snap.dvs,
+                    "properties": snap.properties,
                 },
                 fh,
             )
@@ -449,11 +465,14 @@ class TxLogTable:
         the log directory is the scaling cliff on object stores). Time
         travel and pointer-less tables fall back to the listing."""
         base = self._load_checkpoint_base(version)
-        if version is None and base is not None:
-            # forward probe: versions are gapless, so read until missing
+        if base is not None:
+            # forward probe by constructed filename: versions are gapless,
+            # so read until missing (or until the requested version) —
+            # works for time travel too, keeping the CHECKPOINT WRITE
+            # path (snapshot(version=just-committed)) list-free as well
             entries = []
             v = base.version + 1
-            while True:
+            while version is None or v <= version:
                 try:
                     with open(
                         os.path.join(self.log_dir, f"{v:08d}.json")
@@ -463,13 +482,12 @@ class TxLogTable:
                     break
                 v += 1
         else:
-            # parse only the commit files AFTER the checkpoint (filename
-            # encodes the version, so the range filter needs no file reads)
+            # no usable checkpoint: parse the listed commit files (young
+            # or checkpoint-less tables — the listing is small)
             entries = [
                 json.loads(open(os.path.join(self.log_dir, f)).read())
                 for f in self._commit_files()
-                if (base is None or int(f[:-5]) > base.version)
-                and (version is None or int(f[:-5]) <= version)
+                if (version is None or int(f[:-5]) <= version)
             ]
         if not entries:
             return base
@@ -479,6 +497,7 @@ class TxLogTable:
         cons = list(base.constraints) if base else []
         stats = dict(base.file_stats) if base else {}
         dvs = dict(base.dvs) if base else {}
+        props = dict(base.properties) if base else {}
         for e in entries:
             removed = set(e["remove"])
             files = [f for f in files if f not in removed]
@@ -499,6 +518,8 @@ class TxLogTable:
                 txn_ts[e["txn_id"]] = e.get("ts", 0.0)
             if "constraints" in e:  # absent only in pre-upgrade commits
                 cons = [tuple(c) for c in e["constraints"]]
+            if "properties" in e:  # only set_properties commits carry it
+                props = dict(e["properties"])
         return Snapshot(
             version=entries[-1]["version"],
             files=tuple(files),
@@ -509,6 +530,7 @@ class TxLogTable:
             file_stats=stats,
             txn_ts=txn_ts,
             dvs=dvs,
+            properties=props,
         )
 
     def _load_checkpoint_base(self, version: int | None) -> Snapshot | None:
@@ -518,18 +540,19 @@ class TxLogTable:
         directory listing, and an unreadable checkpoint falls back to the
         next older one — checkpoints are DERIVED data and must never
         brick the table."""
-        if version is None:
-            ptr = self._last_checkpoint_version()
-            if ptr is not None:
-                try:
-                    d = json.loads(
-                        open(
-                            os.path.join(self.log_dir, f"{ptr:08d}.ckpt")
-                        ).read()
-                    )
-                    return self._snapshot_from_checkpoint(d)
-                except (ValueError, OSError):
-                    pass  # pointer target unreadable: fall back to LIST
+        ptr = self._last_checkpoint_version()
+        if ptr is not None and (version is None or ptr <= version):
+            # the pointer serves time travel too whenever its checkpoint
+            # is at or below the target — resolution stays list-free
+            try:
+                d = json.loads(
+                    open(
+                        os.path.join(self.log_dir, f"{ptr:08d}.ckpt")
+                    ).read()
+                )
+                return self._snapshot_from_checkpoint(d)
+            except (ValueError, OSError):
+                pass  # pointer target unreadable: fall back to LIST
         for ck in reversed(self._checkpoint_files()):
             v = int(ck.split(".")[0])
             if version is not None and v > version:
@@ -553,6 +576,7 @@ class TxLogTable:
             file_stats=d.get("stats") or {},
             txn_ts=d.get("txn_ts") or {},
             dvs=d.get("dvs") or {},
+            properties=d.get("properties") or {},
         )
 
     def _commit(
@@ -569,6 +593,7 @@ class TxLogTable:
         cleanup_on_conflict: bool = True,
         precomputed_stats: dict | None = None,
         dv: dict | None = None,
+        properties: dict | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
@@ -603,6 +628,8 @@ class TxLogTable:
         }
         if dv:
             entry["dv"] = dv
+        if properties is not None:
+            entry["properties"] = properties
         if metrics:
             entry["op_metrics"] = metrics
         target = os.path.join(self.log_dir, f"{version:08d}.json")
@@ -664,8 +691,10 @@ class TxLogTable:
         our_partition_cols,
         base_cons,
         base_pcols,
+        base_props,
         read_check,
         adopt_constraints: bool,
+        blind_replace: bool = False,
     ) -> str | None:
         """Delta's ConflictChecker, reduced to this log's action set:
         decide whether the commits that won the version race logically
@@ -702,22 +731,35 @@ class TxLogTable:
             cur_cons = tuple(cur.constraints) if cur else ()
             if cur_cons != tuple(base_cons):
                 return "table constraints changed concurrently"
-        for w in winners:
-            # a deletion-vector entry MODIFIES its file as surely as a
-            # rewrite does (two DVs on one file would lose the first; a
-            # DV on a file we rewrite would be silently discarded), so
-            # both sides' touched sets include remove ∪ dv-targets
-            w_touched = set(w["remove"]) | set(w.get("dv") or {})
-            hit = our_remove & w_touched
-            if hit:
-                return (
-                    f"concurrent {w['op']} (v{w['version']}) rewrote or "
-                    f"masked file(s) this op touches, e.g. {sorted(hit)[0]}"
-                )
+        if (dict(cur.properties) if cur else {}) != dict(base_props):
+            return "table properties changed concurrently"
+        if not blind_replace:
+            for w in winners:
+                # a deletion-vector entry MODIFIES its file as surely as a
+                # rewrite does (two DVs on one file would lose the first; a
+                # DV on a file we rewrite would be silently discarded), so
+                # both sides' touched sets include remove ∪ dv-targets.
+                # Blind-replace ops (overwrite-style, recomputed remove)
+                # skip this check entirely: their output derives from
+                # NOTHING in the table, their recomputed remove cannot
+                # intersect winner removes (it is drawn from cur.files),
+                # and a winner's mask on a file they fully remove is
+                # subsumed by the replacement — serial order holds.
+                w_touched = set(w["remove"]) | set(w.get("dv") or {})
+                hit = our_remove & w_touched
+                if hit:
+                    return (
+                        f"concurrent {w['op']} (v{w['version']}) rewrote or "
+                        f"masked file(s) this op touches, e.g. {sorted(hit)[0]}"
+                    )
         if read_check is not None:
+            isolation = (
+                (cur.properties.get("isolation.level") if cur else None)
+                or self.isolation
+            )
             for w in winners:
                 if (
-                    self.isolation == "write_serializable"
+                    isolation == "write_serializable"
                     and w["op"] == "append"
                 ):
                     continue  # winner blind appends: exempt at this level
@@ -748,6 +790,7 @@ class TxLogTable:
         adopt_constraints: bool = False,
         max_reconciles: int = 50,
         dv: dict | None = None,
+        precomputed_stats: dict | None = None,
     ) -> int:
         """Commit with LOGICAL conflict reconciliation (Delta's
         ConflictChecker + commitLarge retry shape). The op's staging work —
@@ -776,18 +819,22 @@ class TxLogTable:
         its staged DV files are cleaned up with ``add`` on failure."""
         base_cons = tuple(base.constraints) if base else ()
         base_pcols = tuple(base.partition_cols) if base else ()
+        base_props = dict(base.properties) if base else {}
         expected = base.version if base else -1
         constraints = base_cons
         disposable = list(add) + [f for f in (dv or {}).values() if f]
         touched = set(remove) | set(dv or {})
-        stats: dict[str, dict] = {}
-        for f in add:  # once: files are immutable across reconcile retries
-            try:
-                s = _file_column_stats(os.path.join(self.path, f))
-                if s:
-                    stats[f] = s
-            except Exception:  # noqa: BLE001 - stats are best-effort
-                pass
+        if precomputed_stats is not None:  # staging already read footers
+            stats = precomputed_stats
+        else:
+            stats = {}
+            for f in add:  # once: files are immutable across reconciles
+                try:
+                    s = _file_column_stats(os.path.join(self.path, f))
+                    if s:
+                        stats[f] = s
+                except Exception:  # noqa: BLE001 - stats are best-effort
+                    pass
         for _ in range(max_reconciles):
             try:
                 return self._commit(
@@ -823,8 +870,10 @@ class TxLogTable:
                     partition_cols,
                     base_cons,
                     base_pcols,
+                    base_props,
                     read_check,
                     adopt_constraints,
+                    blind_replace=recompute_remove is not None,
                 )
                 if why is not None:
                     self._drop_files(disposable)
@@ -859,9 +908,11 @@ class TxLogTable:
         self, df: DataFrame, partition_cols: list[str] | None = None
     ) -> list[str]:
         """Write df as immutable parts under the table root (staged dir,
-        then renamed with unique names — invisible until the commit lands).
-        With ``partition_cols`` the parts land in hive-style partition
-        subdirs and the returned names are root-relative paths."""
+        then renamed with unique names — invisible until the commit
+        lands). With ``partition_cols`` the parts land in hive-style
+        partition subdirs. Returns ``(root-relative names, per-file
+        data-skipping stats)`` — stats come from the same footer pass
+        that drops empty parts, so commits need no second read."""
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f"_staging-{uuid.uuid4().hex[:8]}")
         if partition_cols:
@@ -871,23 +922,27 @@ class TxLogTable:
         import pyarrow.parquet as pq
 
         names: list[str] = []
+        stats: dict[str, dict] = {}
         for root, _dirs, files in os.walk(tmp):
             rel_dir = os.path.relpath(root, tmp)
             for f in sorted(files):
                 if not f.endswith(".parquet"):
                     continue
+                st: dict = {}
                 try:
-                    # Spark emits one empty part per empty task partition;
-                    # committing them bloats the file list with rowless
-                    # entries that carry no stats (so nothing can ever
-                    # prove them disjoint — they'd also poison the
-                    # commit-time read-set conflict check). One driver-side
-                    # footer read drops them; the commit's schema field
-                    # preserves the table schema regardless of file count.
-                    if pq.ParquetFile(os.path.join(root, f)).metadata.num_rows == 0:
+                    # ONE footer read per staged part serves two purposes:
+                    # drop Spark's empty parts (rowless entries carry no
+                    # stats, so nothing could ever prove them disjoint —
+                    # they'd also poison the commit-time read-set conflict
+                    # check) and extract the data-skipping stats the
+                    # commit will record — re-reading the footer at
+                    # commit time would double the driver metadata I/O.
+                    md = pq.ParquetFile(os.path.join(root, f)).metadata
+                    if md.num_rows == 0:
                         continue
-                except Exception:  # noqa: BLE001 - unreadable: keep, let
-                    pass  # the commit-time stats pass decide
+                    st = _stats_from_metadata(md)
+                except Exception:  # noqa: BLE001 - unreadable: keep the
+                    pass  # file, just without skipping stats
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
                 os.makedirs(
@@ -896,8 +951,10 @@ class TxLogTable:
                 )
                 os.rename(os.path.join(root, f), os.path.join(self.path, rel))
                 names.append(rel)
+                if st:
+                    stats[rel] = st
         shutil.rmtree(tmp)
-        return sorted(names)
+        return sorted(names), stats
 
     @staticmethod
     def _next_schema(
@@ -963,6 +1020,58 @@ class TxLogTable:
             constraints=cons + [(name, expr)],
         )
 
+    def alter_properties(self, updates: dict) -> int:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES: a metadata-only commit
+        merging ``updates`` into the table's log-carried property map
+        (a ``None`` value unsets the key). Properties bind to the TABLE —
+        every writer instance, including the ``format("txlog")`` commit
+        worker's internally-constructed ones, consults the snapshot's
+        properties, so choices like disabling txn-id expiry cannot be
+        silently lost to a code path that constructed ``TxLogTable(path)``
+        with defaults. Recognized keys:
+
+        - ``txn.retention.seconds``: float seconds, or ``"none"`` to
+          never expire replay-detection ids (overrides the constructor's
+          ``txn_retention_seconds`` on every checkpoint roll);
+        - ``isolation.level``: ``write_serializable`` | ``serializable``
+          (overrides the constructor's ``isolation`` in every conflict
+          check against this table).
+
+        Unknown keys are stored verbatim (Delta does the same). A
+        concurrent property change conflicts with in-flight ops — their
+        validation ran under the old properties."""
+        for k, v in updates.items():
+            if v is None:
+                continue
+            if k == "isolation.level" and v not in (
+                "write_serializable",
+                "serializable",
+            ):
+                raise ValueError(f"unknown isolation level: {v}")
+            if k == "txn.retention.seconds" and v != "none":
+                float(v)  # raises on garbage before it reaches the log
+        snap = self.snapshot()
+        props = dict(snap.properties) if snap else {}
+        for k, v in updates.items():
+            if v is None:
+                props.pop(k, None)
+            else:
+                props[k] = str(v)
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap
+            else StructType([])
+        )
+        return self._commit(
+            [], [], schema, "set_properties", None,
+            snap.version if snap else -1,
+            partition_cols=list(snap.partition_cols) if snap else None,
+            metrics={"set": sorted(k for k, v in updates.items() if v is not None),
+                     "unset": sorted(k for k, v in updates.items() if v is None)},
+            constraints=snap.constraints if snap else (),
+            properties=props,
+        )
+
     def drop_constraint(self, name: str) -> int:
         snap = self.snapshot()
         cons = list(snap.constraints) if snap else []
@@ -1009,11 +1118,12 @@ class TxLogTable:
         self._require_flat(snap)
         self._check_constraints(df, snap.constraints if snap else ())
         schema = self._next_schema(snap, df, merge_schema)
-        files = self._stage_files(df)
+        files, fstats = self._stage_files(df)
         # blind append: reads nothing, removes nothing — reconciles over
         # any concurrent commit short of a metadata/layout change
         return self._commit_reconciled(
-            files, [], schema, "append", txn_id, snap
+            files, [], schema, "append", txn_id, snap,
+            precomputed_stats=fstats,
         )
 
     def overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
@@ -1024,7 +1134,7 @@ class TxLogTable:
             return snap.version
         self._require_flat(snap)
         self._check_constraints(df, snap.constraints if snap else ())
-        files = self._stage_files(df)
+        files, fstats = self._stage_files(df)
         # blind replace: its remove set is "whatever the table holds at
         # commit time", so reconciling recomputes it from the current
         # snapshot (serial order: the winner's commit, then this
@@ -1038,6 +1148,7 @@ class TxLogTable:
             snap,
             keep_own_schema=True,
             recompute_remove=lambda cur: list(cur.files) if cur else [],
+            precomputed_stats=fstats,
         )
 
     def commit_files(
@@ -1082,11 +1193,8 @@ class TxLogTable:
         for _ in range(max_retries):
             snap = self.snapshot()
             if txn_id is not None and snap and txn_id in snap.txn_ids:
-                for f in add:  # replay: the staged files will never commit
-                    try:
-                        os.remove(os.path.join(self.path, f))
-                    except OSError:
-                        pass
+                # replay: the staged files will never commit
+                self._drop_files(add)
                 return snap.version
             if forbid_constraints and snap and snap.constraints:
                 raise ConstraintViolationError(
@@ -1145,7 +1253,7 @@ class TxLogTable:
         if snap and snap.files and not snap.partition_cols:
             raise ValueError("table has flat commits; cannot mix layouts")
         self._check_constraints(df, snap.constraints if snap else ())
-        files = self._stage_files(df, partition_cols)
+        files, fstats = self._stage_files(df, partition_cols)
         touched = {os.path.dirname(f) for f in files}
         remove = (
             [f for f in snap.files if os.path.dirname(f) in touched]
@@ -1171,6 +1279,7 @@ class TxLogTable:
                 for f in (cur.files if cur else ())
                 if os.path.dirname(f) in touched
             ],
+            precomputed_stats=fstats,
         )
 
     def _source_key_bounds(self, source: DataFrame, keys: list[str]) -> dict:
@@ -1263,8 +1372,15 @@ class TxLogTable:
         scan_files = snap.files if candidates is None else candidates
         if not scan_files:
             return []
+        fc = self._fresh_col(
+            "_file",
+            [
+                f.name
+                for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+            ],
+        )
         df = self._read_files(
-            spark, snap, list(scan_files), with_file_col="_file"
+            spark, snap, list(scan_files), with_file_col=fc
         )
         src_keys = source.select(*keys).distinct()
         if null_safe:
@@ -1275,7 +1391,7 @@ class TxLogTable:
             hit_df = df.join(src_keys, cond, "leftsemi")
         else:
             hit_df = df.join(src_keys, on=keys, how="leftsemi")
-        hits = hit_df.select("_file").distinct().collect()
+        hits = hit_df.select(fc).distinct().collect()
         touched = {self._rel_from_uri(r[0]) for r in hits}
         return [f for f in snap.files if f in touched]
 
@@ -1385,7 +1501,7 @@ class TxLogTable:
             # row was validated by the commit that wrote it
             self._check_constraints(source, snap.constraints if snap else ())
             schema = self._next_schema(snap, source, merge_schema=True)
-            files = self._stage_files(merged)
+            files, fstats = self._stage_files(merged)
         finally:
             if ours:
                 source.unpersist()
@@ -1413,6 +1529,7 @@ class TxLogTable:
             txn_id,
             snap,
             read_check=read_check,
+            precomputed_stats=fstats,
             metrics={
                 "files_rewritten": len(touched),
                 "files_carried": (len(snap.files) - len(touched)) if snap else 0,
@@ -1450,12 +1567,29 @@ class TxLogTable:
         skipped = len(snap.files) - len(candidates)
         if not candidates:
             return [], skipped
-        df = self._read_files(spark, snap, candidates, with_file_col="_file")
-        hits = df.filter(pred).select("_file").distinct().collect()
+        schema_cols = [
+            f.name
+            for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+        ]
+        fc = self._fresh_col("_file", schema_cols)
+        df = self._read_files(spark, snap, candidates, with_file_col=fc)
+        hits = df.filter(pred).select(fc).distinct().collect()
         touched = {self._rel_from_uri(r[0]) for r in hits}
         return [f for f in snap.files if f in touched], skipped
 
     # ------------------------------------------------- deletion vectors --
+
+    @staticmethod
+    def _fresh_col(base: str, taken) -> str:
+        """An internal column name that cannot collide with user columns
+        (``withColumn`` silently REPLACES an existing column, so a table
+        whose schema contains e.g. ``_file`` would otherwise lose it —
+        or worse, mis-key the DV anti-join on user data)."""
+        lowered = {str(t).lower() for t in taken}
+        name = base
+        while name.lower() in lowered:
+            name += "_x"
+        return name
 
     def _write_dv(self, runs: list[tuple[int, int]]) -> str:
         """Persist one deletion vector as ``dv-<uuid>.json`` in the table
@@ -1507,17 +1641,21 @@ class TxLogTable:
         runs_df = spark.createDataFrame(
             run_rows, "_dv_base string, _dv_start long, _dv_end long"
         )
+        # collision-proof helper columns (a user column named _dv_file
+        # would otherwise be clobbered by withColumn and then dropped)
+        fcol = self._fresh_col("_dv_file", df.columns)
+        icol = self._fresh_col("_dv_idx", list(df.columns) + [fcol])
         keyed = df.withColumn(
-            "_dv_file",
+            fcol,
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        ).withColumn("_dv_idx", F.col("_metadata.row_index"))
+        ).withColumn(icol, F.col("_metadata.row_index"))
         cond = (
-            (keyed["_dv_file"] == runs_df["_dv_base"])
-            & (keyed["_dv_idx"] >= runs_df["_dv_start"])
-            & (keyed["_dv_idx"] < runs_df["_dv_end"])
+            (keyed[fcol] == runs_df["_dv_base"])
+            & (keyed[icol] >= runs_df["_dv_start"])
+            & (keyed[icol] < runs_df["_dv_end"])
         )
         return keyed.join(F.broadcast(runs_df), cond, "left_anti").drop(
-            "_dv_file", "_dv_idx"
+            fcol, icol
         )
 
     def _read_files(
@@ -1593,16 +1731,17 @@ class TxLogTable:
             # EXISTING mask (the scan already applies it, so re-matched
             # positions are only the still-visible ones; the new DV must
             # carry old + new — it REPLACES the file's mask)
+            fc = self._fresh_col("_f", [f.name for f in schema.fields])
             hits = (
-                self._read_files(spark, snap, touched, with_file_col="_f")
+                self._read_files(spark, snap, touched, with_file_col=fc)
                 .filter(pred)
-                .select("_f", F.col("_metadata.row_index").alias("_i"))
+                .select(fc, F.col("_metadata.row_index").alias("_i"))
                 .collect()
             )
             by_file: dict[str, list[int]] = {}
             for r in hits:
                 by_file.setdefault(
-                    os.path.basename(self._rel_from_uri(r["_f"])), []
+                    os.path.basename(self._rel_from_uri(r[fc])), []
                 ).append(r["_i"])
             dv_map: dict[str, str] = {}
             masked = 0
@@ -1632,7 +1771,7 @@ class TxLogTable:
                 },
             )
         keep = self._read_files(spark, snap, touched).filter(~pred)
-        files = self._stage_files(keep, list(snap.partition_cols) or None)
+        files, fstats = self._stage_files(keep, list(snap.partition_cols) or None)
         return self._commit_reconciled(
             files,
             touched,
@@ -1642,6 +1781,7 @@ class TxLogTable:
             snap,
             partition_cols=list(snap.partition_cols) or None,
             read_check=self._predicate_read_check(predicate),
+            precomputed_stats=fstats,
             metrics={**base_metrics, "files_rewritten": len(touched)},
         )
 
@@ -1698,7 +1838,7 @@ class TxLogTable:
                 ),
             )
         self._check_constraints(df, snap.constraints)  # post-SET rows
-        files = self._stage_files(df, list(snap.partition_cols) or None)
+        files, fstats = self._stage_files(df, list(snap.partition_cols) or None)
         return self._commit_reconciled(
             files,
             touched,
@@ -1708,6 +1848,7 @@ class TxLogTable:
             snap,
             partition_cols=list(snap.partition_cols) or None,
             read_check=self._predicate_read_check(predicate),
+            precomputed_stats=fstats,
             metrics={
                 "predicate": predicate,
                 "set": sorted(set_exprs),
@@ -1717,13 +1858,23 @@ class TxLogTable:
             },
         )
 
-    def restore(self, version: int, txn_id: str | None = None) -> int:
+    def restore(
+        self, version: int, txn_id: str | None = None, max_retries: int = 10
+    ) -> int:
         """Delta RESTORE: a METADATA-ONLY commit that points the table back
         at ``version``'s file list and schema. History is preserved (the
         restore is itself a new commit you can time-travel across); the
         restored version's data files must still exist — a vacuum that
         already reclaimed them makes the restore refuse up front rather
-        than commit an unreadable table."""
+        than commit an unreadable table.
+
+        A lost commit race recomputes the whole diff against the fresh
+        snapshot and retries (the diff is cheap driver-side metadata).
+        CRITICAL: the commit must run with ``cleanup_on_conflict=False`` —
+        a restore's "add" list is COMMITTED HISTORICAL files referenced
+        by older versions, not disposable staged output, and the default
+        conflict cleanup would delete them from disk, corrupting every
+        version that references them."""
         if version > self.version():
             raise ValueError(
                 f"cannot restore to v{version}: latest is v{self.version()}"
@@ -1741,32 +1892,39 @@ class TxLogTable:
                 f"cannot restore to v{version}: {len(missing)} data/DV "
                 f"files vacuumed (first: {missing[0]})"
             )
-        cur = self.snapshot()
-        if txn_id is not None and cur and txn_id in cur.txn_ids:
-            return cur.version
-        cur_files = set(cur.files) if cur else set()
-        old_files = set(old.files)
-        # re-establish the restored version's deletion-vector state for
-        # surviving files: set the old mask, or an explicit null to CLEAR
-        # a mask added after the restored version (replay: null -> pop)
-        cur_dvs = cur.dvs if cur else {}
-        entry_dv = {
-            f: old.dvs.get(f)
-            for f in old.files
-            if old.dvs.get(f) != cur_dvs.get(f)
-        }
-        return self._commit(
-            [f for f in old.files if f not in cur_files],
-            [f for f in (cur.files if cur else ()) if f not in old_files],
-            StructType.fromJson(json.loads(old.schema_json)),
-            "restore",
-            txn_id,
-            cur.version if cur else -1,
-            partition_cols=list(old.partition_cols) or None,
-            metrics={"restored_version": version},
-            constraints=old.constraints,  # metadata restores with the data
-            dv=entry_dv or None,
-        )
+        last: Exception | None = None
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            if txn_id is not None and cur and txn_id in cur.txn_ids:
+                return cur.version
+            cur_files = set(cur.files) if cur else set()
+            old_files = set(old.files)
+            # re-establish the restored version's deletion-vector state
+            # for surviving files: set the old mask, or an explicit null
+            # to CLEAR a mask added after it (replay: null -> pop)
+            cur_dvs = cur.dvs if cur else {}
+            entry_dv = {
+                f: old.dvs.get(f)
+                for f in old.files
+                if old.dvs.get(f) != cur_dvs.get(f)
+            }
+            try:
+                return self._commit(
+                    [f for f in old.files if f not in cur_files],
+                    [f for f in (cur.files if cur else ()) if f not in old_files],
+                    StructType.fromJson(json.loads(old.schema_json)),
+                    "restore",
+                    txn_id,
+                    cur.version if cur else -1,
+                    partition_cols=list(old.partition_cols) or None,
+                    metrics={"restored_version": version},
+                    constraints=old.constraints,  # metadata travels with data
+                    dv=entry_dv or None,
+                    cleanup_on_conflict=False,  # adds are HISTORY, not staging
+                )
+            except ConcurrentWriteError as e:
+                last = e  # recompute the diff on the fresh snapshot, retry
+        raise last  # type: ignore[misc]
 
     def _read_snapshot(self, spark: SparkSession, snap: Snapshot) -> DataFrame:
         schema = StructType.fromJson(json.loads(snap.schema_json))
@@ -1983,7 +2141,7 @@ class TxLogTable:
             df = df.repartition(n_files, *pcols)
         else:
             df = df.repartition(n_files)
-        files = self._stage_files(df, list(snap.partition_cols) or None)
+        files, fstats = self._stage_files(df, list(snap.partition_cols) or None)
         schema = StructType.fromJson(json.loads(snap.schema_json))
         # content-preserving: reads no predicate (its read set IS its
         # remove set, guarded by the removed-file check) and its rows were
@@ -2001,6 +2159,7 @@ class TxLogTable:
             snap,
             partition_cols=list(snap.partition_cols) or None,
             adopt_constraints=True,
+            precomputed_stats=fstats,
             metrics={
                 "files_compacted": len(rewrite),
                 "files_carried": len(snap.files) - len(rewrite),
@@ -2073,11 +2232,12 @@ class TxLogTable:
             for f in files:
                 rel = os.path.relpath(os.path.join(root, f), self.path)
                 reclaimable = rel.endswith(".parquet") or (
-                    # superseded/orphaned deletion-vector files: same
-                    # contract as data files (unreferenced + aged out)
+                    # superseded/orphaned deletion-vector files — same
+                    # contract as data files (unreferenced + aged out) —
+                    # including a .tmp orphaned by a crash mid-_write_dv
                     os.sep not in rel
                     and rel.startswith("dv-")
-                    and rel.endswith(".json")
+                    and (rel.endswith(".json") or rel.endswith(".json.tmp"))
                 )
                 if not reclaimable or rel in live:
                     continue

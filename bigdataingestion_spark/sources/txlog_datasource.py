@@ -450,11 +450,7 @@ class _TxLogWriterBase:
                     # a failed tmp cleanup on shared storage): deleting
                     # then would corrupt a durable version, so leave the
                     # files for vacuum to adjudicate against the log.
-                    for f in add:
-                        try:
-                            os.remove(os.path.join(self._path, f))
-                        except OSError:
-                            pass
+                    table._drop_files(add)
                     raise
         finally:
             self._drop_staging(staged)

@@ -267,10 +267,10 @@ def test_concurrent_writer_conflict(spark, tmp_path):
     t1.append(spark.createDataFrame([(1,)], ["id"]))
     # both see version 0; t2 commits first, t1 must fail (not overwrite)
     df = spark.createDataFrame([(2,)], ["id"])
-    files2 = t2._stage_files(df)
+    files2, _ = t2._stage_files(df)
     t2._commit(files2, [], df.schema, "append", None, 0)
     with pytest.raises(ConcurrentWriteError):
-        files1 = t1._stage_files(df)
+        files1, _ = t1._stage_files(df)
         t1._commit(files1, [], df.schema, "append", None, 0)
     # the losing writer's data files were cleaned up; table state is t2's
     assert t1.read(spark).count() == 2

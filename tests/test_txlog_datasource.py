@@ -397,7 +397,7 @@ def test_commit_files_refuses_constrained_table_inside_retry(spark, tmp_path):
     t = TxLogTable(path)
     df = spark.createDataFrame([(1, "a")], ["id", "v"])
     t.append(df)
-    staged = t._stage_files(spark.createDataFrame([(-2, "bad")], ["id", "v"]))
+    staged, _ = t._stage_files(spark.createDataFrame([(-2, "bad")], ["id", "v"]))
 
     real_snapshot = t.snapshot
     raced = {"n": 0}
@@ -478,9 +478,9 @@ def test_commit_files_txn_replay_noops_and_removes_staged(spark, tmp_path):
     path = str(tmp_path / "t")
     t = TxLogTable(path)
     df = spark.createDataFrame([(1, "a")], ["id", "v"])
-    first = t._stage_files(df)
+    first, _ = t._stage_files(df)
     assert t.commit_files(first, df.schema, txn_id="x:1") == 0
-    replay = t._stage_files(df)
+    replay, _ = t._stage_files(df)
     assert t.commit_files(replay, df.schema, txn_id="x:1") == 0  # no-op
     for rel in replay:  # replayed files deleted, not orphaned
         assert not os.path.exists(os.path.join(path, rel))
@@ -493,7 +493,7 @@ def test_commit_files_retries_through_concurrent_commits(spark, tmp_path):
     path = str(tmp_path / "t")
     t = TxLogTable(path)
     df = spark.createDataFrame([(1, "a")], ["id", "v"])
-    staged = t._stage_files(df)
+    staged, _ = t._stage_files(df)
 
     real_commit = t._commit
     raced = {"n": 0}
