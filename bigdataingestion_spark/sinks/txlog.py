@@ -1020,6 +1020,82 @@ class TxLogTable:
             constraints=cons + [(name, expr)],
         )
 
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_cols: list[str] | None = None,
+    ) -> "TxLogTable":
+        """Delta's CONVERT TO DELTA: adopt an EXISTING plain-parquet
+        directory as a txlog table with a single metadata-only commit —
+        no data is read, moved, or rewritten, so converting a 100 TB
+        directory costs a directory walk plus footer reads. The commit
+        (op ``convert``) references the files in place; from then on the
+        directory has ACID appends/DML/time-travel like any txlog table,
+        and the pre-existing files participate in data skipping via the
+        stats harvested from their footers (best-effort, never
+        load-bearing).
+
+        Hive-partitioned layouts (``col=value`` directories) are
+        detected automatically; ``partition_cols`` overrides/asserts the
+        expectation. The schema is Spark's own parquet inference over
+        the directory (including typed partition columns), so readers
+        see exactly what ``spark.read.parquet`` saw before conversion.
+        Refuses a directory that is already a txlog table."""
+        t = cls(path)
+        if t.version() >= 0:
+            raise ValueError(f"{path} is already a txlog table")
+        rels: list[str] = []
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [
+                d
+                for d in dirs
+                if d != _LOG_DIR and not d.startswith("_staging")
+            ]
+            for f in files:
+                if f.endswith(".parquet"):
+                    rels.append(
+                        os.path.relpath(os.path.join(root, f), path)
+                    )
+        if not rels:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        detected = sorted(
+            {
+                seg.partition("=")[0]
+                for rel in rels
+                for seg in rel.split(os.sep)[:-1]
+                if "=" in seg
+            }
+        )
+        if partition_cols is not None and sorted(partition_cols) != detected:
+            raise ValueError(
+                f"partition_cols {sorted(partition_cols)} != detected "
+                f"hive layout {detected}"
+            )
+        pcols = partition_cols or detected or None
+        schema = spark.read.parquet(path).schema
+        stats: dict[str, dict] = {}
+        for rel in rels:
+            try:
+                s = _file_column_stats(os.path.join(path, rel))
+                if s:
+                    stats[rel] = s
+            except Exception:  # noqa: BLE001 - stats are best-effort
+                pass
+        t._commit(
+            sorted(rels),
+            [],
+            schema,
+            "convert",
+            None,
+            -1,
+            partition_cols=list(pcols) if pcols else None,
+            metrics={"files_converted": len(rels)},
+            precomputed_stats=stats,
+        )
+        return t
+
     def alter_properties(self, updates: dict) -> int:
         """ALTER TABLE SET/UNSET TBLPROPERTIES: a metadata-only commit
         merging ``updates`` into the table's log-carried property map

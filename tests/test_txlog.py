@@ -1134,3 +1134,63 @@ def test_compact_incremental_packs_only_small_files(spark, tmp_path):
     assert v2 == v + 1
     assert not (big & set(t.snapshot().files))
     assert _rows(t.read(spark)) == before
+
+
+def test_convert_from_parquet_flat(spark, tmp_path):
+    """CONVERT TO DELTA shape: adopt an existing plain-parquet dir with a
+    metadata-only commit — files referenced in place, footer stats
+    harvested, full ACID surface afterwards."""
+    src = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], ["id", "v"]
+    ).repartition(2).write.parquet(src)
+    before = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+
+    t = TxLogTable.convert_from_parquet(spark, src)
+    assert t.version() == 0
+    assert t.history()[0]["op"] == "convert"
+    assert sorted(t.snapshot().files) == before  # in place, no rewrite
+    assert t.snapshot().file_stats  # footer stats harvested
+    assert _rows(t.read(spark).select("id")) == [(i,) for i in range(10)]
+
+    # the adopted table is fully transactional from here on
+    t.append(spark.createDataFrame([(99, "z")], ["id", "v"]))
+    t.delete(spark, "id = 0")
+    assert t.read(spark).count() == 10
+    assert t.read(spark, version=0).count() == 10  # time travel to adoption
+
+    with pytest.raises(ValueError, match="already a txlog table"):
+        TxLogTable.convert_from_parquet(spark, src)
+
+
+def test_convert_from_parquet_partitioned(spark, tmp_path):
+    src = str(tmp_path / "hive")
+    spark.createDataFrame(
+        [(i, 2024 + i % 2, f"v{i}") for i in range(8)], ["id", "yr", "v"]
+    ).write.partitionBy("yr").parquet(src)
+
+    t = TxLogTable.convert_from_parquet(spark, src)
+    snap = t.snapshot()
+    assert snap.partition_cols == ("yr",)
+    assert t.read(spark).count() == 8
+    assert set(r.yr for r in t.read(spark).collect()) == {2024, 2025}
+    # partition-aware DML keeps working on the adopted layout (cast to
+    # the inferred partition type — Spark infers yr as int)
+    t.overwrite_partitions(
+        spark.createDataFrame([(100, 2024, "new")], ["id", "yr", "v"])
+        .selectExpr("id", "cast(yr as int) yr", "v"),
+        ["yr"],
+    )
+    got = _rows(t.read(spark).select("id", "yr"))
+    assert (100, 2024) in got
+    assert all(yr != 2024 or i == 100 for i, yr in got)
+
+    # explicit partition_cols must match the detected hive layout
+    src2 = str(tmp_path / "hive2")
+    spark.createDataFrame([(1, 2024, "a")], ["id", "yr", "v"]).write.partitionBy(
+        "yr"
+    ).parquet(src2)
+    with pytest.raises(ValueError, match="detected"):
+        TxLogTable.convert_from_parquet(spark, src2, partition_cols=["nope"])
