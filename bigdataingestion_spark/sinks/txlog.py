@@ -594,6 +594,7 @@ class TxLogTable:
         precomputed_stats: dict | None = None,
         dv: dict | None = None,
         properties: dict | None = None,
+        cdf: dict | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
@@ -630,6 +631,8 @@ class TxLogTable:
             entry["dv"] = dv
         if properties is not None:
             entry["properties"] = properties
+        if cdf:
+            entry["cdf"] = cdf
         if metrics:
             entry["op_metrics"] = metrics
         target = os.path.join(self.log_dir, f"{version:08d}.json")
@@ -791,6 +794,7 @@ class TxLogTable:
         max_reconciles: int = 50,
         dv: dict | None = None,
         precomputed_stats: dict | None = None,
+        cdf: dict | None = None,
     ) -> int:
         """Commit with LOGICAL conflict reconciliation (Delta's
         ConflictChecker + commitLarge retry shape). The op's staging work —
@@ -823,6 +827,8 @@ class TxLogTable:
         expected = base.version if base else -1
         constraints = base_cons
         disposable = list(add) + [f for f in (dv or {}).values() if f]
+        for paths in (cdf or {}).values():
+            disposable.extend(paths)  # change files are staged output too
         touched = set(remove) | set(dv or {})
         if precomputed_stats is not None:  # staging already read footers
             stats = precomputed_stats
@@ -850,6 +856,7 @@ class TxLogTable:
                     cleanup_on_conflict=False,
                     precomputed_stats=stats,
                     dv=dv,
+                    cdf=cdf,
                 )
             except ConcurrentWriteError:
                 cur = self.snapshot()
@@ -1577,6 +1584,15 @@ class TxLogTable:
             # row was validated by the commit that wrote it
             self._check_constraints(source, snap.constraints if snap else ())
             schema = self._next_schema(snap, source, merge_schema=True)
+            cdf_map = None
+            if self._cdf_enabled(snap):
+                cdf_map = self._merge_cdf(
+                    source,
+                    keys,
+                    order_cols,
+                    hit_rows if (snap is not None and snap.files) else None,
+                    merged,
+                )
             files, fstats = self._stage_files(merged)
         finally:
             if ours:
@@ -1606,12 +1622,67 @@ class TxLogTable:
             snap,
             read_check=read_check,
             precomputed_stats=fstats,
+            cdf=cdf_map,
             metrics={
                 "files_rewritten": len(touched),
                 "files_carried": (len(snap.files) - len(touched)) if snap else 0,
                 "files_stat_skipped": stat_skipped,
             },
         )
+
+    def _merge_cdf(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        order_cols: list[str] | None,
+        hit_rows: DataFrame | None,
+        merged: DataFrame,
+    ) -> dict | None:
+        """Materialize MERGE change rows (Delta CDF's merge classes):
+        matched target rows as ``update_preimage``, their resolved new
+        state as ``update_postimage``, source rows for previously-absent
+        keys as ``insert``. In latest-wins mode a matched key whose
+        source row LOST the ordering appears with identical pre/post
+        images (the merge made no logical change to it — documented)."""
+        if hit_rows is None:  # empty table: everything the merge wrote
+            paths = self._stage_cdf(merged)  # is an insert
+            return {"insert": paths} if paths else None
+        null_safe = bool(order_cols)
+        skeys = source.select(*keys).distinct()
+        hkeys = hit_rows.select(*keys).distinct()
+
+        def _join(df, other, anti=False):
+            how = "leftanti" if anti else "leftsemi"
+            if null_safe:
+                cond = None
+                for k in keys:
+                    c = df[k].eqNullSafe(other[k])
+                    cond = c if cond is None else cond & c
+                return df.join(other, cond, how)
+            return df.join(other, on=keys, how=how)
+
+        pre = _join(hit_rows, skeys)
+        if order_cols:
+            winners = self._latest_wins(
+                pre.unionByName(source, allowMissingColumns=True),
+                keys,
+                order_cols,
+            )
+            post = _join(winners, hkeys)
+            ins = _join(winners, hkeys, anti=True)
+        else:
+            post = _join(source, hkeys)
+            ins = _join(source, hkeys, anti=True)
+        out = {}
+        for name, df in (
+            ("update_preimage", pre),
+            ("update_postimage", post),
+            ("insert", ins),
+        ):
+            paths = self._stage_cdf(df)
+            if paths:
+                out[name] = paths
+        return out or None
 
     def _rel_from_uri(self, uri: str) -> str:
         """Normalize an ``input_file_name()`` URI to a root-relative name
@@ -1654,6 +1725,44 @@ class TxLogTable:
         return [f for f in snap.files if f in touched], skipped
 
     # ------------------------------------------------- deletion vectors --
+
+    # ------------------------------------------------- change data feed --
+
+    @staticmethod
+    def _cdf_enabled(snap: Snapshot | None) -> bool:
+        """Change Data Feed is OPT-IN per table (Delta's
+        ``delta.enableChangeDataFeed``): row-level change materialization
+        costs extra writes per DML, so it only happens when the
+        log-carried property says so."""
+        return bool(snap) and snap.properties.get("cdf.enabled") == "true"
+
+    def _stage_cdf(self, df: DataFrame) -> list[str]:
+        """Write change rows as parquet under ``_cdf/`` (underscore dir:
+        invisible to plain parquet readers of the table root and never
+        part of the snapshot file list). Returns root-relative paths.
+        Like data files, CDF files are retained inside the vacuum window
+        and reclaimed after it — ``read_cdf`` over a vacuumed range fails
+        with the same contract as time travel."""
+        tmp = os.path.join(self.path, f"_staging-cdf-{uuid.uuid4().hex[:8]}")
+        df.write.parquet(tmp)
+        os.makedirs(os.path.join(self.path, "_cdf"), exist_ok=True)
+        rels: list[str] = []
+        for root, _dirs, files in os.walk(tmp):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                try:
+                    import pyarrow.parquet as pq
+
+                    if pq.ParquetFile(os.path.join(root, f)).metadata.num_rows == 0:
+                        continue
+                except Exception:  # noqa: BLE001 - unreadable: keep
+                    pass
+                rel = os.path.join("_cdf", f"cdf-{uuid.uuid4().hex}.parquet")
+                os.rename(os.path.join(root, f), os.path.join(self.path, rel))
+                rels.append(rel)
+        shutil.rmtree(tmp)
+        return sorted(rels)
 
     @staticmethod
     def _fresh_col(base: str, taken) -> str:
@@ -1802,6 +1911,10 @@ class TxLogTable:
             "files_carried": len(snap.files) - len(touched),
             "files_stat_skipped": stat_skipped,
         }
+        cdf_map = None
+        if self._cdf_enabled(snap):
+            deleted_rows = self._read_files(spark, snap, touched).filter(pred)
+            cdf_map = {"delete": self._stage_cdf(deleted_rows)}
         if deletion_vectors:
             # physical row positions of matching rows, on top of any
             # EXISTING mask (the scan already applies it, so re-matched
@@ -1839,6 +1952,7 @@ class TxLogTable:
                 partition_cols=list(snap.partition_cols) or None,
                 read_check=self._predicate_read_check(predicate),
                 dv=dv_map,
+                cdf=cdf_map,
                 metrics={
                     **base_metrics,
                     "files_rewritten": 0,
@@ -1858,6 +1972,7 @@ class TxLogTable:
             partition_cols=list(snap.partition_cols) or None,
             read_check=self._predicate_read_check(predicate),
             precomputed_stats=fstats,
+            cdf=cdf_map,
             metrics={**base_metrics, "files_rewritten": len(touched)},
         )
 
@@ -1905,6 +2020,7 @@ class TxLogTable:
         if not touched:
             return snap.version
         df = self._read_files(spark, snap, touched)
+        pre_image = df.filter(pred) if self._cdf_enabled(snap) else None
         for c, expr in set_exprs.items():
             field = by_name[c.lower()]
             df = df.withColumn(
@@ -1914,6 +2030,12 @@ class TxLogTable:
                 ),
             )
         self._check_constraints(df, snap.constraints)  # post-SET rows
+        cdf_map = None
+        if pre_image is not None:
+            cdf_map = {
+                "update_preimage": self._stage_cdf(pre_image),
+                "update_postimage": self._stage_cdf(df.filter(pred)),
+            }
         files, fstats = self._stage_files(df, list(snap.partition_cols) or None)
         return self._commit_reconciled(
             files,
@@ -1925,6 +2047,7 @@ class TxLogTable:
             partition_cols=list(snap.partition_cols) or None,
             read_check=self._predicate_read_check(predicate),
             precomputed_stats=fstats,
+            cdf=cdf_map,
             metrics={
                 "predicate": predicate,
                 "set": sorted(set_exprs),
@@ -2118,6 +2241,127 @@ class TxLogTable:
             partition_cols=pcols,
         )
         return self._read_snapshot(spark, fake)
+
+    def read_cdf(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change Data Feed read (Delta's ``table_changes``): ROW-LEVEL
+        changes committed in ``(from_version, to_version]``, each tagged
+        with ``_change_type`` (``insert`` / ``delete`` /
+        ``update_preimage`` / ``update_postimage``) and
+        ``_commit_version``. Requires the ``cdf.enabled=true`` table
+        property (``alter_properties``) to have been set BEFORE any
+        delete/update/merge commit in the range — those ops materialize
+        their change rows under ``_cdf/`` at commit time (reconstructing
+        them after the fact is impossible once the rewritten files
+        diverge). Appends, conversions, and overwrites are synthesized
+        from the commit's own file lists (an overwrite's removed files
+        are read under the PRE-commit deletion-vector state, so masked
+        rows don't reappear as deletes). ``compact`` and metadata-only
+        commits contribute nothing; ``restore`` is refused (its logical
+        diff spans arbitrary history — read the two snapshots instead).
+        CDF files age out with ``vacuum`` exactly like time travel."""
+        to_version = self.version() if to_version is None else to_version
+        if to_version > self.version():
+            raise ValueError(
+                f"cannot read changes to v{to_version}: latest is "
+                f"v{self.version()}"
+            )
+        parts: list[DataFrame] = []
+        last_schema: str | None = None
+        for e in self.commits_between(from_version, to_version):
+            op, v = e["op"], e["version"]
+            schema = StructType.fromJson(json.loads(e["schema"]))
+            last_schema = e["schema"]
+            pcols = tuple(e.get("partition_cols") or ())
+
+            def _tag(df: DataFrame, ctype: str, _v=v) -> DataFrame:
+                return df.withColumn(
+                    "_change_type", F.lit(ctype)
+                ).withColumn("_commit_version", F.lit(_v))
+
+            def _read_table_files(rels, dvs=None, _schema=schema, _pcols=pcols):
+                fake = Snapshot(
+                    version=v,
+                    files=tuple(rels),
+                    schema_json=_schema.json(),
+                    partition_cols=_pcols,
+                    dvs=dvs or {},
+                )
+                return self._read_snapshot(spark, fake)
+
+            if op in (
+                "compact",
+                "add_constraint",
+                "drop_constraint",
+                "set_properties",
+            ):
+                continue
+            if op == "restore":
+                raise ValueError(
+                    f"v{v} is a restore; its logical diff spans arbitrary "
+                    "history — compare read(version=...) snapshots instead"
+                )
+            if op in ("append", "convert"):
+                if e["add"]:
+                    parts.append(_tag(_read_table_files(e["add"]), "insert"))
+                continue
+            if op in ("overwrite", "overwrite_partitions"):
+                if e["remove"]:
+                    prior = self.snapshot(v - 1)
+                    dvs = {
+                        f: prior.dvs[f]
+                        for f in e["remove"]
+                        if prior and f in prior.dvs
+                    }
+                    parts.append(
+                        _tag(_read_table_files(e["remove"], dvs), "delete")
+                    )
+                if e["add"]:
+                    parts.append(_tag(_read_table_files(e["add"]), "insert"))
+                continue
+            # delete / update / merge: materialized at commit time
+            cdf = e.get("cdf")
+            if cdf is None:
+                raise ValueError(
+                    f"v{v} ({op}) carries no change data — set the "
+                    "cdf.enabled=true table property via alter_properties "
+                    "BEFORE DML commits, or use read_changes/snapshot "
+                    "diffs for this range"
+                )
+            for ctype, rels in cdf.items():
+                missing = [
+                    r
+                    for r in rels
+                    if not os.path.exists(os.path.join(self.path, r))
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change files of v{v} were vacuumed "
+                        f"(first: {missing[0]}); CDF reads are bounded by "
+                        "the vacuum retention window"
+                    )
+                df = spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, r) for r in rels]
+                )
+                parts.append(_tag(df, ctype))
+        if not parts:
+            if last_schema is None:
+                snap = self.snapshot(to_version)
+                last_schema = (
+                    snap.schema_json if snap else StructType([]).json()
+                )
+            empty = StructType.fromJson(json.loads(last_schema))
+            out = spark.createDataFrame([], empty)
+            return out.withColumn("_change_type", F.lit(None).cast("string")) \
+                .withColumn("_commit_version", F.lit(None).cast("long"))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p, allowMissingColumns=True)
+        return result
 
     def compact(
         self,

@@ -1,0 +1,175 @@
+"""Change Data Feed (Delta's enableChangeDataFeed / table_changes):
+row-level _change_type-tagged deltas per commit range. DML commits
+materialize their change rows at commit time under _cdf/ (gated by the
+log-carried cdf.enabled property); appends/overwrites synthesize from
+the commit's own file lists."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+
+def _changes(df):
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in df.collect()
+    )
+
+
+def _mk(spark, path, cdf=True):
+    t = TxLogTable(path)
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    )
+    if cdf:
+        t.alter_properties({"cdf.enabled": "true"})
+    return t
+
+
+def test_cdf_across_all_dml_classes(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))  # v0 append, v1 property
+    t.delete(spark, "id = 1")  # v2 copy-on-write
+    t.update(spark, "id = 2", {"v": "'B'"})  # v3
+    t.merge_upsert(  # v4: update id=3, insert id=4
+        spark,
+        spark.createDataFrame([(3, "C"), (4, "d")], ["id", "v"]),
+        keys=["id"],
+    )
+    t.delete(spark, "id = 4", deletion_vectors=True)  # v5 merge-on-read
+    t.append(spark.createDataFrame([(9, "z")], ["id", "v"]))  # v6
+
+    assert _changes(t.read_cdf(spark, from_version=1)) == [
+        (2, "delete", 1, "a"),
+        (3, "update_postimage", 2, "B"),
+        (3, "update_preimage", 2, "b"),
+        (4, "insert", 4, "d"),
+        (4, "update_postimage", 3, "C"),
+        (4, "update_preimage", 3, "c"),
+        (5, "delete", 4, "d"),
+        (6, "insert", 9, "z"),
+    ]
+    # sub-ranges slice cleanly
+    assert _changes(t.read_cdf(spark, 2, 3)) == [
+        (3, "update_postimage", 2, "B"),
+        (3, "update_preimage", 2, "b"),
+    ]
+    # the pre-enablement append synthesizes from its add list
+    assert t.read_cdf(spark, -1, 0).count() == 3
+
+
+def test_cdf_overwrite_synthesis_respects_prior_dv(spark, tmp_path):
+    """An overwrite's removed files are read under the PRE-commit mask:
+    rows a deletion vector already removed must not reappear as CDF
+    deletes."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete(spark, "id = 2", deletion_vectors=True)  # v2: mask (CDF delete)
+    t.overwrite(spark.createDataFrame([(7, "x")], ["id", "v"]))  # v3
+
+    got = _changes(t.read_cdf(spark, 2, 3))
+    assert got == [
+        (3, "delete", 1, "a"),
+        (3, "delete", 3, "c"),  # id=2 was already masked: NOT re-deleted
+        (3, "insert", 7, "x"),
+    ]
+
+
+def test_cdf_refuses_unmaterialized_dml_and_restore(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), cdf=False)
+    t.delete(spark, "id = 1")  # v1, no cdf materialized
+    with pytest.raises(ValueError, match="cdf.enabled"):
+        t.read_cdf(spark, from_version=0)
+    # ranges that avoid the unmaterialized commit still work
+    assert t.read_cdf(spark, -1, 0).count() == 3
+
+    t.restore(0)  # v2
+    with pytest.raises(ValueError, match="restore"):
+        t.read_cdf(spark, 1, 2)
+
+
+def test_cdf_latest_wins_merge_stale_source(spark, tmp_path):
+    """Latest-wins: a stale source row loses — the matched key appears
+    with IDENTICAL pre/postimage (no logical change), the fresh key
+    upserts normally."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(
+        spark.createDataFrame(
+            [(1, "new", 100), (2, "old", 10)], ["id", "v", "ts"]
+        )
+    )
+    t.alter_properties({"cdf.enabled": "true"})
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "stale", 5), (2, "fresh", 50)], ["id", "v", "ts"]
+        ),
+        keys=["id"],
+        order_cols=["ts"],
+    )
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"])
+        for r in t.read_cdf(spark, 1).collect()
+    )
+    assert got == [
+        ("update_postimage", 1, "new"),  # stale source lost: post == pre
+        ("update_postimage", 2, "fresh"),
+        ("update_preimage", 1, "new"),
+        ("update_preimage", 2, "old"),
+    ]
+
+
+def test_cdf_files_cleaned_on_conflict_and_vacuumed_after_retention(
+    spark, tmp_path, monkeypatch
+):
+    from bigdataingestion_spark.sinks.txlog import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(  # ONE file so both deletes must rewrite the same file
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+        ).coalesce(1)
+    )
+    t.alter_properties({"cdf.enabled": "true"})
+    t2 = TxLogTable(path)
+
+    # force a TERMINAL conflict: two deletes rewriting the same file
+    real_stage = TxLogTable._stage_files
+    fired = []
+
+    def stage_then_race(self, df, partition_cols=None):
+        out = real_stage(self, df, partition_cols)
+        if not fired:
+            fired.append(True)
+            t2.delete(spark, "id = 2")
+        return out
+
+    monkeypatch.setattr(TxLogTable, "_stage_files", stage_then_race)
+    with pytest.raises(ConcurrentWriteError):
+        t.delete(spark, "id = 1")
+    monkeypatch.undo()
+    # the loser's staged CDF files were reclaimed with its data files
+    live_cdf = set()
+    cdf_dir = os.path.join(path, "_cdf")
+    if os.path.isdir(cdf_dir):
+        live_cdf = set(os.listdir(cdf_dir))
+    referenced = {
+        os.path.basename(p)
+        for e in t.history()
+        for paths in (e.get("cdf") or {}).values()
+        for p in paths
+    }
+    assert live_cdf == referenced
+
+    # vacuum: CDF files inside retention survive, aged ones reclaimed
+    assert all(not f.startswith("_cdf") for f in t.vacuum())
+    for f in list(live_cdf):
+        os.utime(os.path.join(cdf_dir, f), (1, 1))
+    gone = t.vacuum(retention_seconds=60.0)
+    assert {os.path.basename(g) for g in gone} >= live_cdf
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read_cdf(spark, 1).collect()
