@@ -97,6 +97,11 @@ class _FilePartition(InputPartition):
     # positions of this file; () = nothing masked. Shipped in the
     # partition so the executor-side Arrow read needs no log access.
     dv_runs: tuple = ()
+    # change-data-feed reads: the _change_type every row of this file
+    # carries, and the commit version that produced it (None = a plain
+    # snapshot/stream read, no tagging)
+    ctype: str | None = None
+    commit_version: int = -1
 
 
 def _file_batches(
@@ -280,6 +285,19 @@ class _TxLogStreamReader(DataSourceStreamReader):
             options.get("allowRewrites", "false")
         ).lower() in ("true", "1")
         self._start = int(options.get("startingVersion", 0)) - 1
+        self._cdf = str(
+            options.get("readChangeFeed", "false")
+        ).lower() in ("true", "1")
+        if self._cdf:
+            # the declared schema carries the two CDF columns; files are
+            # projected to the TABLE part and the tags appended per batch
+            self._data_schema = StructType(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name not in ("_change_type", "_commit_version")
+                ]
+            )
         if "maxVersionsPerBatch" in options:
             # DELIBERATELY unsupported. latestOffset() gets no start
             # offset from this API, so a batch-size cap needs state that
@@ -307,6 +325,8 @@ class _TxLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["version"], end["version"]
+        if self._cdf:
+            return self._cdf_partitions(lo, hi)
         parts: list[InputPartition] = []
         # commits_between reads only the (lo, hi] commit files: a
         # micro-batch costs O(versions advanced), not O(table history)
@@ -331,10 +351,92 @@ class _TxLogStreamReader(DataSourceStreamReader):
             )
         return parts
 
+    def _cdf_partitions(self, lo: int, hi: int) -> Sequence[InputPartition]:
+        """Streaming change feed (Delta's readChangeFeed): each commit in
+        (lo, hi] contributes its change rows. Appends/overwrites are
+        synthesized from the commit's file lists (removed files read
+        under the PRE-commit deletion-vector state); DML commits deliver
+        the change files materialized under _cdf/ when the cdf.enabled
+        property was set — without it the stream fails actionably rather
+        than fabricating changes it cannot know."""
+        parts: list[InputPartition] = []
+        for e in self._table.commits_between(lo, hi):
+            op, v = e["op"], e["version"]
+            if op in (
+                "compact",
+                "add_constraint",
+                "drop_constraint",
+                "set_properties",
+            ):
+                continue
+            if op == "restore":
+                raise ValueError(
+                    f"txlog CDF stream hit v{v} (restore): its logical "
+                    "diff spans arbitrary history; restart the consumer "
+                    "from a snapshot instead"
+                )
+            if op in ("append", "convert"):
+                parts.extend(
+                    _FilePartition(
+                        rel, _parse_hive_values(rel), (), "insert", v
+                    )
+                    for rel in e["add"]
+                )
+                continue
+            if op in ("overwrite", "overwrite_partitions"):
+                prior = self._table.snapshot(v - 1)
+                for rel in e["remove"]:
+                    runs: tuple = ()
+                    if prior and rel in prior.dvs:
+                        runs = tuple(
+                            (int(a), int(c))
+                            for a, c in self._table._load_dv_runs(
+                                prior.dvs[rel]
+                            )
+                        )
+                    parts.append(
+                        _FilePartition(
+                            rel, _parse_hive_values(rel), runs, "delete", v
+                        )
+                    )
+                parts.extend(
+                    _FilePartition(
+                        rel, _parse_hive_values(rel), (), "insert", v
+                    )
+                    for rel in e["add"]
+                )
+                continue
+            cdf = e.get("cdf")  # delete / update / merge
+            if cdf is None:
+                raise ValueError(
+                    f"txlog CDF stream hit v{v} ({op}) with no "
+                    "materialized change data — set the cdf.enabled=true "
+                    "table property (alter_properties) BEFORE DML commits"
+                )
+            for ctype, rels in cdf.items():
+                parts.extend(
+                    _FilePartition(rel, (), (), ctype, v) for rel in rels
+                )
+        return parts
+
     def read(self, partition: _FilePartition):
-        yield from _file_batches(
-            self._path, partition, _arrow_schema(self._schema)
-        )
+        if partition.ctype is None:
+            yield from _file_batches(
+                self._path, partition, _arrow_schema(self._schema)
+            )
+            return
+        import pyarrow as pa
+
+        out_schema = _arrow_schema(self._schema)
+        for batch in _file_batches(
+            self._path, partition, _arrow_schema(self._data_schema)
+        ):
+            n = batch.num_rows
+            arrays = list(batch.columns) + [
+                pa.array([partition.ctype] * n, pa.string()),
+                pa.array([partition.commit_version] * n, pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     def commit(self, end: dict) -> None:
         # Spark's checkpoint owns offset progress, and reader instances
@@ -518,9 +620,32 @@ class TxLogDataSource(DataSource):
         return StructType.fromJson(json.loads(snap.schema_json))
 
     def schema(self) -> StructType:
-        return self._table_schema()
+        base = self._table_schema()
+        if str(self.options.get("readChangeFeed", "false")).lower() in (
+            "true",
+            "1",
+        ):
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("readChangeFeed", "false")).lower() in (
+            "true",
+            "1",
+        ):
+            raise ValueError(
+                "batch readChangeFeed is served by TxLogTable.read_cdf "
+                "(native JVM scan); the data-source option applies to "
+                "readStream only"
+            )
         return _TxLogBatchReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -173,3 +173,89 @@ def test_cdf_files_cleaned_on_conflict_and_vacuumed_after_retention(
     assert {os.path.basename(g) for g in gone} >= live_cdf
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.read_cdf(spark, 1).collect()
+
+
+def test_streaming_cdf_source_end_to_end(spark, tmp_path):
+    """readStream.format('txlog').option('readChangeFeed','true'): the
+    stream delivers exactly the native read_cdf rows, incrementally
+    across restarts (commit versions are the offsets)."""
+    from bigdataingestion_spark.sources import txlog_datasource
+
+    txlog_datasource.register(spark)
+    path = str(tmp_path / "t")
+    t = _mk(spark, path)  # v0 append, v1 property
+    t.delete(spark, "id = 1")  # v2
+    t.update(spark, "id = 2", {"v": "'B'"})  # v3
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("txlog")
+            .option("readChangeFeed", "true")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_batch()
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in t.read_cdf(spark, from_version=-1).collect()
+    )
+    assert got == want and len(got) == 6  # 3 inserts + delete + pre/post
+
+    # restart after more commits: only the NEW changes are appended
+    t.merge_upsert(
+        spark, spark.createDataFrame([(8, "h")], ["id", "v"]), keys=["id"]
+    )  # v4: pure insert
+    run_batch()
+    got2 = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(got2) == 7
+    assert (4, "insert", 8, "h") in got2
+
+
+def test_streaming_cdf_refuses_unmaterialized_dml(spark, tmp_path):
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from bigdataingestion_spark.sources import txlog_datasource
+
+    txlog_datasource.register(spark)
+    path = str(tmp_path / "t")
+    t = _mk(spark, path, cdf=False)
+    t.delete(spark, "id = 1")  # no change data materialized
+    q = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="cdf.enabled"):
+        q.awaitTermination(180)
+
+
+def test_batch_datasource_refuses_read_change_feed(spark, tmp_path):
+    from bigdataingestion_spark.sources import txlog_datasource
+
+    txlog_datasource.register(spark)
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    with pytest.raises(Exception, match="read_cdf"):
+        spark.read.format("txlog").option("readChangeFeed", "true").load(
+            path
+        ).collect()
