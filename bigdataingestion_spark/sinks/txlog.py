@@ -913,7 +913,7 @@ class TxLogTable:
 
     def _stage_files(
         self, df: DataFrame, partition_cols: list[str] | None = None
-    ) -> list[str]:
+    ) -> tuple[list[str], dict]:
         """Write df as immutable parts under the table root (staged dir,
         then renamed with unique names — invisible until the commit
         lands). With ``partition_cols`` the parts land in hive-style
@@ -1100,6 +1100,12 @@ class TxLogTable:
             partition_cols=list(pcols) if pcols else None,
             metrics={"files_converted": len(rels)},
             precomputed_stats=stats,
+            # CRITICAL, same hazard restore() had: the 'add' list is the
+            # user's PRE-EXISTING dataset, not disposable staged output —
+            # the default conflict cleanup would DELETE the whole source
+            # directory when two converters (or a converter and a writer)
+            # race to version 0
+            cleanup_on_conflict=False,
         )
         return t
 
@@ -1123,8 +1129,10 @@ class TxLogTable:
         Unknown keys are stored verbatim (Delta does the same). A
         concurrent property change conflicts with in-flight ops — their
         validation ran under the old properties."""
+        normalized: dict = {}
         for k, v in updates.items():
             if v is None:
+                normalized[k] = None
                 continue
             if k == "isolation.level" and v not in (
                 "write_serializable",
@@ -1133,13 +1141,26 @@ class TxLogTable:
                 raise ValueError(f"unknown isolation level: {v}")
             if k == "txn.retention.seconds" and v != "none":
                 float(v)  # raises on garbage before it reaches the log
+            if k == "cdf.enabled":
+                # normalize booleans/case: Python True or 'TRUE' must not
+                # silently store a value _cdf_enabled's exact 'true'
+                # comparison rejects — change rows skipped that way are
+                # IRRECOVERABLE (they can't be reconstructed later)
+                sv = str(v).lower()
+                if sv not in ("true", "false"):
+                    raise ValueError(
+                        f"cdf.enabled must be true or false, got {v!r}"
+                    )
+                normalized[k] = sv
+                continue
+            normalized[k] = str(v)
         snap = self.snapshot()
         props = dict(snap.properties) if snap else {}
-        for k, v in updates.items():
+        for k, v in normalized.items():
             if v is None:
                 props.pop(k, None)
             else:
-                props[k] = str(v)
+                props[k] = v
         schema = (
             StructType.fromJson(json.loads(snap.schema_json))
             if snap
@@ -1911,27 +1932,38 @@ class TxLogTable:
             "files_carried": len(snap.files) - len(touched),
             "files_stat_skipped": stat_skipped,
         }
-        cdf_map = None
-        if self._cdf_enabled(snap):
-            deleted_rows = self._read_files(spark, snap, touched).filter(pred)
-            cdf_map = {"delete": self._stage_cdf(deleted_rows)}
+        cdf_on = self._cdf_enabled(snap)
         if deletion_vectors:
-            # physical row positions of matching rows, on top of any
-            # EXISTING mask (the scan already applies it, so re-matched
-            # positions are only the still-visible ones; the new DV must
-            # carry old + new — it REPLACES the file's mask)
+            # ONE scan of the touched files (file + physical row position
+            # attached) feeds both the position collect and, when CDF is
+            # on, the materialized delete rows. Matching happens on the
+            # DV-filtered view, so re-matched positions are only the
+            # still-visible ones; the new DV carries old ∪ new (it
+            # REPLACES the file's mask).
             fc = self._fresh_col("_f", [f.name for f in schema.fields])
-            hits = (
+            ic = self._fresh_col("_i", [f.name for f in schema.fields] + [fc])
+            matched = (
                 self._read_files(spark, snap, touched, with_file_col=fc)
+                .withColumn(ic, F.col("_metadata.row_index"))
                 .filter(pred)
-                .select(fc, F.col("_metadata.row_index").alias("_i"))
-                .collect()
             )
+            cdf_map = None
+            if cdf_on:
+                matched = matched.persist()
+            try:
+                hits = matched.select(fc, ic).collect()
+                if cdf_on:
+                    cdf_map = {
+                        "delete": self._stage_cdf(matched.drop(fc, ic))
+                    }
+            finally:
+                if cdf_on:
+                    matched.unpersist()
             by_file: dict[str, list[int]] = {}
             for r in hits:
                 by_file.setdefault(
                     os.path.basename(self._rel_from_uri(r[fc])), []
-                ).append(r["_i"])
+                ).append(r[ic])
             dv_map: dict[str, str] = {}
             masked = 0
             for f in touched:
@@ -1960,8 +1992,22 @@ class TxLogTable:
                     "rows_masked_total": masked,
                 },
             )
-        keep = self._read_files(spark, snap, touched).filter(~pred)
-        files, fstats = self._stage_files(keep, list(snap.partition_cols) or None)
+        # copy-on-write: one cached scan feeds the change rows (when CDF
+        # is on) and the kept-rows rewrite
+        base = self._read_files(spark, snap, touched)
+        cdf_map = None
+        if cdf_on:
+            base = base.persist()
+        try:
+            if cdf_on:
+                cdf_map = {"delete": self._stage_cdf(base.filter(pred))}
+            keep = base.filter(~pred)
+            files, fstats = self._stage_files(
+                keep, list(snap.partition_cols) or None
+            )
+        finally:
+            if cdf_on:
+                base.unpersist()
         return self._commit_reconciled(
             files,
             touched,
@@ -2001,10 +2047,15 @@ class TxLogTable:
         """Row-level UPDATE ... SET, copy-on-write with the same file-level
         pruning as ``delete``. ``set_exprs`` maps existing column names to
         SQL expressions; each assignment is cast to the column's committed
-        type (UPDATE never changes the schema — Delta's contract). Updating
-        a partition column is allowed: the partitionBy re-stage moves the
-        rewritten rows into their new hive partitions. Rows where the
-        predicate is NULL are untouched."""
+        type (UPDATE never changes the schema — Delta's contract). SQL
+        pre-image semantics: the predicate AND every SET expression
+        evaluate against the row's ORIGINAL values (all assignments in
+        one ``select``, never a sequential ``withColumn`` chain — so
+        ``SET a = b, b = a`` swaps, and an assignment that changes a
+        predicate column cannot hide the row from later assignments).
+        Updating a partition column is allowed: the partitionBy re-stage
+        moves the rewritten rows into their new hive partitions. Rows
+        where the predicate is NULL are untouched."""
         snap = self.snapshot()
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
@@ -2012,31 +2063,65 @@ class TxLogTable:
             return snap.version if snap else -1
         schema = StructType.fromJson(json.loads(snap.schema_json))
         by_name = {f.name.lower(): f for f in schema.fields}
-        for c in set_exprs:
+        assigns = {}
+        for c, expr in set_exprs.items():
             if c.lower() not in by_name:
                 raise ValueError(f"UPDATE SET references unknown column: {c}")
+            assigns[c.lower()] = expr
         pred = F.coalesce(F.expr(predicate), F.lit(False))
         touched, stat_skipped = self._touched_files(spark, snap, pred, predicate)
         if not touched:
             return snap.version
         df = self._read_files(spark, snap, touched)
-        pre_image = df.filter(pred) if self._cdf_enabled(snap) else None
-        for c, expr in set_exprs.items():
-            field = by_name[c.lower()]
-            df = df.withColumn(
-                field.name,
-                F.when(pred, F.expr(expr).cast(field.dataType)).otherwise(
-                    F.col(field.name)
-                ),
+        # ONE pass over the touched rows feeds the rewrite, the
+        # constraint probe, and (when enabled) both CDF images
+        df = df.persist()
+        try:
+            updated = df.select(
+                *[
+                    (
+                        F.when(
+                            pred,
+                            F.expr(assigns[f.name.lower()]).cast(f.dataType),
+                        )
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name.lower() in assigns
+                        else F.col(f.name)
+                    )
+                    for f in schema.fields
+                ]
             )
-        self._check_constraints(df, snap.constraints)  # post-SET rows
-        cdf_map = None
-        if pre_image is not None:
-            cdf_map = {
-                "update_preimage": self._stage_cdf(pre_image),
-                "update_postimage": self._stage_cdf(df.filter(pred)),
-            }
-        files, fstats = self._stage_files(df, list(snap.partition_cols) or None)
+            self._check_constraints(updated, snap.constraints)  # post-SET
+            cdf_map = None
+            if self._cdf_enabled(snap):
+                pre_image = df.filter(pred)
+                # postimage = the assignments applied UNCONDITIONALLY to
+                # the matched pre-image rows: filtering the updated rows
+                # by the predicate instead would lose every row whose SET
+                # changed a predicate column (post-SET it no longer
+                # matches), leaving a preimage with no postimage
+                post_image = pre_image.select(
+                    *[
+                        (
+                            F.expr(assigns[f.name.lower()])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            if f.name.lower() in assigns
+                            else F.col(f.name)
+                        )
+                        for f in schema.fields
+                    ]
+                )
+                cdf_map = {
+                    "update_preimage": self._stage_cdf(pre_image),
+                    "update_postimage": self._stage_cdf(post_image),
+                }
+            files, fstats = self._stage_files(
+                updated, list(snap.partition_cols) or None
+            )
+        finally:
+            df.unpersist()
         return self._commit_reconciled(
             files,
             touched,
@@ -2317,8 +2402,26 @@ class TxLogTable:
                         for f in e["remove"]
                         if prior and f in prior.dvs
                     }
+                    # the removed files were written under the PRE-commit
+                    # schema — an overwrite may have replaced it wholesale
+                    # (int -> string), and reading old parquet under the
+                    # new schema would fail or silently null columns
+                    prior_schema = (
+                        StructType.fromJson(json.loads(prior.schema_json))
+                        if prior
+                        else schema
+                    )
+                    prior_pcols = tuple(prior.partition_cols) if prior else ()
                     parts.append(
-                        _tag(_read_table_files(e["remove"], dvs), "delete")
+                        _tag(
+                            _read_table_files(
+                                e["remove"],
+                                dvs,
+                                _schema=prior_schema,
+                                _pcols=prior_pcols,
+                            ),
+                            "delete",
+                        )
                     )
                 if e["add"]:
                     parts.append(_tag(_read_table_files(e["add"]), "insert"))

@@ -191,3 +191,77 @@ def test_dv_filter_survives_user_column_named_like_helpers(spark, tmp_path):
     out2 = t.read(spark)
     assert sorted(out2.columns) == ["_dv_file", "_file", "id"]
     assert sorted(r["id"] for r in out2.collect()) == [0, 1, 3, 5]
+
+
+def test_update_evaluates_all_sets_against_preimage(spark, tmp_path):
+    """SQL UPDATE semantics: predicate AND every SET expression see the
+    row's ORIGINAL values — SET a=b, b=a swaps, and a SET that changes a
+    predicate column cannot hide the row from other assignments."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "p", 10), (2, "q", 20)], ["id", "status", "n"]
+        )
+    )
+    # the first assignment rewrites the predicate column; the second must
+    # still fire (a sequential withColumn chain would skip it)
+    t.update(spark, "status = 'p'", {"status": "'d'", "n": "n + 1"})
+    got = {r["id"]: (r["status"], r["n"]) for r in t.read(spark).collect()}
+    assert got == {1: ("d", 11), 2: ("q", 20)}
+
+    # swap: both expressions read pre-image values
+    t2 = TxLogTable(str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, "A", "B")], ["id", "a", "b"]))
+    t2.update(spark, "id = 1", {"a": "b", "b": "a"})
+    r = t2.read(spark).collect()[0]
+    assert (r["a"], r["b"]) == ("B", "A")
+
+
+def test_update_cdf_postimage_survives_predicate_column_set(spark, tmp_path):
+    """CDF: a SET that changes the predicate column must still emit the
+    postimage rows (filtering post-SET rows by the predicate would lose
+    them all, leaving a preimage that looks like a delete)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "pending"), (2, "other")], ["id", "v"])
+    )
+    t.alter_properties({"cdf.enabled": "true"})
+    t.update(spark, "v = 'pending'", {"v": "'done'"})
+    got = sorted(
+        (r["_change_type"], r["id"], r["v"])
+        for r in t.read_cdf(spark, 1).collect()
+    )
+    assert got == [
+        ("update_postimage", 1, "done"),
+        ("update_preimage", 1, "pending"),
+    ]
+
+
+def test_cdf_enabled_property_normalizes_and_validates(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.alter_properties({"cdf.enabled": True})  # Python bool, not "true"
+    assert t.snapshot().properties["cdf.enabled"] == "true"
+    t.delete(spark, "id = 1")  # must materialize change rows
+    assert t.read_cdf(spark, 1).count() == 1
+    with pytest.raises(ValueError, match="cdf.enabled"):
+        t.alter_properties({"cdf.enabled": "maybe"})
+
+
+def test_read_cdf_overwrite_after_schema_replacement(spark, tmp_path):
+    """The overwrite's removed files are read under the PRE-commit
+    schema: an overwrite that replaced the schema wholesale must not make
+    the synthesized delete rows unreadable."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.alter_properties({"cdf.enabled": "true"})
+    t.overwrite(
+        spark.createDataFrame([("one", 1.5)], ["name", "score"])
+    )  # completely different schema
+    rows = t.read_cdf(spark, 1).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["delete"]) == 1 and by_type["delete"][0]["id"] == 1
+    assert len(by_type["insert"]) == 1
+    assert by_type["insert"][0]["name"] == "one"
