@@ -1705,6 +1705,96 @@ class TxLogTable:
                 out[name] = paths
         return out or None
 
+    def delete_matching(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        txn_id: str | None = None,
+    ) -> int:
+        """DELETE WHERE (keys) IN (SELECT keys FROM source) — the
+        key-set twin of :meth:`merge_upsert` and the missing half of a
+        CDC apply (a replicated DELETE arrives as a key batch, not a SQL
+        predicate). Same cost shape as MERGE: data-skipping stats drop
+        files whose key range cannot intersect the source's, one finding
+        scan locates the files that DO hold matching keys, only those
+        are rewritten without the matching rows, everything else carries
+        by reference. NULL keys never match (SQL IN semantics). No
+        matching files -> no-op without a commit. CDF materializes the
+        removed rows when enabled."""
+        snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        self._require_flat(snap)
+        if snap is None or not snap.files:
+            return snap.version if snap else -1
+        ours = not source.storageLevel.useMemory and not source.storageLevel.useDisk
+        if ours:
+            source = source.persist()
+        try:
+            src_bounds = self._source_key_bounds(source, keys)
+            candidates = self._stats_candidates(
+                snap, src_bounds, keys, null_safe=False
+            )
+            stat_skipped = len(snap.files) - len(candidates)
+            touched = self._files_with_matching_keys(
+                spark, snap, source, keys, null_safe=False,
+                candidates=candidates,
+            )
+            if not touched:
+                return snap.version
+            base = self._read_files(spark, snap, touched)
+            cdf_on = self._cdf_enabled(snap)
+            if cdf_on:
+                base = base.persist()
+            try:
+                cdf_map = None
+                if cdf_on:
+                    removed = base.join(
+                        source.select(*keys).distinct(), on=keys, how="leftsemi"
+                    )
+                    cdf_map = {"delete": self._stage_cdf(removed)}
+                keep = base.join(
+                    source.select(*keys).distinct(), on=keys, how="left_anti"
+                )
+                files, fstats = self._stage_files(keep)
+            finally:
+                if cdf_on:
+                    base.unpersist()
+        finally:
+            if ours:
+                source.unpersist()
+
+        def read_check(added: list[str], cur: Snapshot) -> list[str]:
+            return [
+                f
+                for f in added
+                if not (
+                    f in cur.file_stats
+                    and _keys_disjoint(
+                        src_bounds, cur.file_stats[f], keys, False
+                    )
+                )
+            ]
+
+        return self._commit_reconciled(
+            files,
+            touched,
+            StructType.fromJson(json.loads(snap.schema_json)),
+            "delete",
+            txn_id,
+            snap,
+            read_check=read_check,
+            precomputed_stats=fstats,
+            cdf=cdf_map,
+            metrics={
+                "keys": list(keys),
+                "files_rewritten": len(touched),
+                "files_carried": len(snap.files) - len(touched),
+                "files_stat_skipped": stat_skipped,
+            },
+        )
+
     def _rel_from_uri(self, uri: str) -> str:
         """Normalize an ``input_file_name()`` URI to a root-relative name
         matching the snapshot's file list."""

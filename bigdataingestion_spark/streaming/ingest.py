@@ -504,3 +504,87 @@ def stream_txlog_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cdf_replicate(
+    spark: SparkSession,
+    source_table: str,
+    target_table: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Follow one txlog table's CHANGE DATA FEED and converge a replica —
+    the canonical Delta CDC-replication pipeline, deletes included,
+    which plain rows-added streaming cannot express.
+
+    ``readStream.format("txlog").option("readChangeFeed", "true")``
+    delivers each commit's change rows; per micro-batch the changes are
+    applied IN COMMIT ORDER (one batch may span several source
+    versions, and applying v5's delete before v4's insert of the same
+    key would resurrect it): ``insert``/``update_postimage`` rows
+    upsert via ``merge_upsert`` (source-wins — the feed already
+    resolved ordering), ``delete`` rows remove by key via
+    ``delete_matching``. Preimages are skipped (their postimage
+    carries the new state). Every applied step commits under a txn id
+    scoped to (checkpoint path, source version, step), so a replayed
+    micro-batch is a true no-op on the replica — exactly-once
+    end-to-end on top of Spark's at-least-once foreachBatch.
+
+    Requires ``cdf.enabled=true`` on the source BEFORE any DML the
+    stream will cross (the source fails the batch otherwise), and the
+    source's vacuum retention must cover the replica's maximum lag.
+    The replica converges to the source snapshot after each drained
+    batch; it is NOT bit-identical history (compactions and file
+    layouts differ — content equality is the contract)."""
+    from pyspark.sql import functions as F
+
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    from bigdataingestion_spark.sources import txlog_datasource
+
+    txlog_datasource.register(spark)
+    target = TxLogTable(target_table)
+    scope = app_id or path_txn_scope(checkpoint_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            versions = sorted(
+                r[0]
+                for r in batch_df.select("_commit_version").distinct().collect()
+            )
+            for v in versions:
+                chunk = batch_df.filter(F.col("_commit_version") == v)
+                # deletes FIRST within a version: an overwrite commit
+                # synthesizes delete(old rows) AND insert(new rows) in
+                # the same version, possibly for the same key — upserting
+                # first would let the delete erase the new row
+                deletes = chunk.filter(
+                    F.col("_change_type") == "delete"
+                ).drop("_change_type", "_commit_version")
+                if not deletes.isEmpty():
+                    target.delete_matching(
+                        spark, deletes, keys, txn_id=f"{scope}:v{v}:del"
+                    )
+                upserts = chunk.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).drop("_change_type", "_commit_version")
+                if not upserts.isEmpty():
+                    target.merge_upsert(
+                        spark, upserts, keys, txn_id=f"{scope}:v{v}:up"
+                    )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(source_table)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

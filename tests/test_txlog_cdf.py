@@ -259,3 +259,105 @@ def test_batch_datasource_refuses_read_change_feed(spark, tmp_path):
         spark.read.format("txlog").option("readChangeFeed", "true").load(
             path
         ).collect()
+
+
+def test_delete_matching_removes_by_key_set(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    for lo in (0, 10, 20):  # three files, disjoint key ranges
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(3)], ["id", "v"]
+            ).coalesce(1)
+        )
+    v = t.delete_matching(
+        spark,
+        spark.createDataFrame([(11,), (12,), (99,)], ["id"]),  # 99 absent
+        keys=["id"],
+    )
+    assert v == 3
+    m = t.history()[-1]["op_metrics"]
+    # stats exclude the [0,2] file; only the [10,12] file actually holds
+    # matching keys and is rewritten
+    assert m["files_rewritten"] == 1 and m["files_stat_skipped"] >= 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 10, 20, 21, 22]
+    # absent keys + NULL keys are no-ops (no commit without a match)
+    assert (
+        t.delete_matching(
+            spark, spark.createDataFrame([(None,)], "id int"), keys=["id"]
+        )
+        == 3
+    )
+    # replay no-ops
+    assert (
+        t.delete_matching(
+            spark,
+            spark.createDataFrame([(10,)], ["id"]),
+            keys=["id"],
+            txn_id="x",
+        )
+        == 4
+    )
+    assert (
+        t.delete_matching(
+            spark,
+            spark.createDataFrame([(20,)], ["id"]),
+            keys=["id"],
+            txn_id="x",
+        )
+        == 4
+    )
+
+
+def test_stream_cdf_replicate_converges_with_deletes(spark, tmp_path):
+    """The flagship CDC pipeline: a replica follows the source's change
+    feed and converges to the source snapshot after every drained batch
+    — upserts AND deletes, across both physical delete modes and an
+    overwrite, exactly-once under replay."""
+    from bigdataingestion_spark.streaming.ingest import stream_cdf_replicate
+
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+
+    src = TxLogTable(src_path)
+    src.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], ["id", "v"]
+        )
+    )
+    src.alter_properties({"cdf.enabled": "true"})
+    src.delete(spark, "id = 3")  # CoW delete
+    src.update(spark, "id = 4", {"v": "'UP'"})
+    src.merge_upsert(
+        spark,
+        spark.createDataFrame([(5, "M"), (100, "new")], ["id", "v"]),
+        keys=["id"],
+    )
+    src.delete(spark, "id = 6", deletion_vectors=True)  # merge-on-read
+
+    def sync():
+        q = stream_cdf_replicate(
+            spark, src_path, dst_path, ck, keys=["id"]
+        )
+        q.awaitTermination(240)
+
+    def snap_rows(t):
+        return sorted((r.id, r.v) for r in t.read(spark).collect())
+
+    sync()
+    dst = TxLogTable(dst_path)
+    assert snap_rows(dst) == snap_rows(src)
+
+    # more churn incl. an overwrite (same-version delete+insert of
+    # overlapping keys) — the replica must still converge
+    src.overwrite(
+        spark.createDataFrame([(0, "OW"), (200, "x")], ["id", "v"])
+    )
+    src.delete(spark, "id = 200")
+    sync()
+    assert snap_rows(dst) == snap_rows(src) == [(0, "OW")]
+
+    # idle re-run: nothing new, replica unchanged, no extra commits
+    before = dst.version()
+    sync()
+    assert dst.version() == before
