@@ -513,6 +513,8 @@ def stream_cdf_replicate(
     checkpoint_dir: str,
     keys: list[str],
     app_id: str | None = None,
+    starting_version: int | None = None,
+    bootstrap: bool = False,
 ) -> StreamingQuery:
     """Follow one txlog table's CHANGE DATA FEED and converge a replica —
     the canonical Delta CDC-replication pipeline, deletes included,
@@ -522,23 +524,39 @@ def stream_cdf_replicate(
     delivers each commit's change rows; per micro-batch the changes are
     applied IN COMMIT ORDER (one batch may span several source
     versions, and applying v5's delete before v4's insert of the same
-    key would resurrect it): ``insert``/``update_postimage`` rows
-    upsert via ``merge_upsert`` (source-wins — the feed already
-    resolved ordering), ``delete`` rows remove by key via
-    ``delete_matching``. Preimages are skipped (their postimage
-    carries the new state). Every applied step commits under a txn id
-    scoped to (checkpoint path, source version, step), so a replayed
-    micro-batch is a true no-op on the replica — exactly-once
-    end-to-end on top of Spark's at-least-once foreachBatch.
+    key would resurrect it). Within a version, four steps:
+
+    1. feed ``delete`` rows remove by key (``delete_matching``) —
+       BEFORE the upserts, because an overwrite commit synthesizes
+       delete(old)+insert(new) of possibly-overlapping keys in ONE
+       version;
+    2. VANISHED keys — ``update_preimage`` keys absent from the
+       version's postimage/insert key set — are removed too: a source
+       UPDATE may legally rewrite a KEY column, and skipping its
+       preimage would orphan the old key on the replica forever;
+    3. ``update_postimage`` rows upsert via ``merge_upsert``;
+    4. ``insert`` rows APPEND (not upsert): an insert's key was absent
+       (merge inserts, overwrite after its deletes) or the source
+       legitimately holds duplicate keys (plain appends never merge) —
+       appending preserves that multiplicity where an upsert would
+       silently collapse it.
+
+    Every step commits under a txn id scoped to (checkpoint path,
+    source version, step), so a replayed micro-batch — or a crash
+    between steps — re-applies as no-ops: exactly-once end-to-end on
+    top of Spark's at-least-once foreachBatch.
 
     Requires ``cdf.enabled=true`` on the source BEFORE any DML the
     stream will cross (the source fails the batch otherwise), and the
-    source's vacuum retention must cover the replica's maximum lag.
-    The replica converges to the source snapshot after each drained
-    batch; it is NOT bit-identical history (compactions and file
-    layouts differ — content equality is the contract)."""
-    from pyspark.sql import functions as F
-
+    source's vacuum retention must cover the replica's maximum lag —
+    for a NEW replica that lag is the entire history, so bootstrap
+    instead of replaying from v0: ``bootstrap=True`` copies the
+    current source snapshot into an empty target in one idempotent
+    overwrite and starts the feed AFTER the copied version (or pass an
+    explicit ``starting_version`` with your own seeded target). The
+    replica converges to the source snapshot after each drained batch;
+    it is NOT bit-identical history (compactions and file layouts
+    differ — content equality is the contract)."""
     from bigdataingestion_spark.sinks.txlog import TxLogTable
 
     from bigdataingestion_spark.sources import txlog_datasource
@@ -546,6 +564,32 @@ def stream_cdf_replicate(
     txlog_datasource.register(spark)
     target = TxLogTable(target_table)
     scope = app_id or path_txn_scope(checkpoint_dir)
+
+    if bootstrap:
+        if starting_version is not None:
+            raise ValueError("pass bootstrap=True or starting_version, not both")
+        # the bootstrap point is STICKY: the txn id recorded in the
+        # target names the copied source version, so a re-run (or a
+        # crash between the copy and the stream's first checkpoint)
+        # resumes from the SAME point instead of re-copying a newer
+        # snapshot under a fresh txn id and double-applying the commits
+        # in between. With a live checkpoint, startingVersion is
+        # ignored anyway (the checkpoint owns the offset); with a lost
+        # checkpoint, re-reading from the bootstrap point re-applies
+        # steps whose per-version txn ids no-op.
+        marker = f"{scope}:bootstrap:"
+        tsnap = target.snapshot()
+        prior = [
+            t for t in (tsnap.txn_ids if tsnap else ()) if t.startswith(marker)
+        ]
+        if prior:
+            v0 = max(int(t.rsplit(":", 1)[1]) for t in prior)
+        else:
+            src = TxLogTable(source_table)
+            v0 = src.version()
+            if v0 >= 0:
+                target.overwrite(src.read(spark), txn_id=f"{marker}{v0}")
+        starting_version = v0 + 1
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -558,10 +602,6 @@ def stream_cdf_replicate(
             )
             for v in versions:
                 chunk = batch_df.filter(F.col("_commit_version") == v)
-                # deletes FIRST within a version: an overwrite commit
-                # synthesizes delete(old rows) AND insert(new rows) in
-                # the same version, possibly for the same key — upserting
-                # first would let the delete erase the new row
                 deletes = chunk.filter(
                     F.col("_change_type") == "delete"
                 ).drop("_change_type", "_commit_version")
@@ -569,20 +609,48 @@ def stream_cdf_replicate(
                     target.delete_matching(
                         spark, deletes, keys, txn_id=f"{scope}:v{v}:del"
                     )
-                upserts = chunk.filter(
-                    F.col("_change_type").isin("insert", "update_postimage")
+                post = chunk.filter(
+                    F.col("_change_type") == "update_postimage"
                 ).drop("_change_type", "_commit_version")
-                if not upserts.isEmpty():
-                    target.merge_upsert(
-                        spark, upserts, keys, txn_id=f"{scope}:v{v}:up"
+                ins = chunk.filter(
+                    F.col("_change_type") == "insert"
+                ).drop("_change_type", "_commit_version")
+                # a key-mutating UPDATE leaves its OLD key in no
+                # postimage: those preimage keys must be deleted or the
+                # replica orphans them forever
+                vanished = (
+                    chunk.filter(F.col("_change_type") == "update_preimage")
+                    .select(*keys)
+                    .distinct()
+                    .join(
+                        post.select(*keys)
+                        .unionByName(ins.select(*keys))
+                        .distinct(),
+                        on=keys,
+                        how="left_anti",
                     )
+                )
+                if not vanished.isEmpty():
+                    target.delete_matching(
+                        spark, vanished, keys, txn_id=f"{scope}:v{v}:pre"
+                    )
+                if not post.isEmpty():
+                    target.merge_upsert(
+                        spark, post, keys, txn_id=f"{scope}:v{v}:up"
+                    )
+                if not ins.isEmpty():
+                    target.append(ins, txn_id=f"{scope}:v{v}:ins")
         finally:
             batch_df.unpersist()
 
-    return (
+    reader = (
         spark.readStream.format("txlog")
         .option("readChangeFeed", "true")
-        .load(source_table)
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    return (
+        reader.load(source_table)
         .writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -339,7 +339,7 @@ def test_stream_cdf_replicate_converges_with_deletes(spark, tmp_path):
         q = stream_cdf_replicate(
             spark, src_path, dst_path, ck, keys=["id"]
         )
-        q.awaitTermination(240)
+        assert q.awaitTermination(240), "replication batch timed out"
 
     def snap_rows(t):
         return sorted((r.id, r.v) for r in t.read(spark).collect())
@@ -361,3 +361,68 @@ def test_stream_cdf_replicate_converges_with_deletes(spark, tmp_path):
     before = dst.version()
     sync()
     assert dst.version() == before
+
+
+def test_stream_cdf_replicate_key_mutating_update_and_duplicates(
+    spark, tmp_path
+):
+    """Two divergence traps: a source UPDATE that rewrites a KEY column
+    must delete the old key on the replica (its preimage key vanishes
+    from the postimage set), and a source that legitimately holds
+    duplicate keys (plain appends never merge) must keep its
+    multiplicity on the replica (inserts APPEND, not upsert)."""
+    from bigdataingestion_spark.streaming.ingest import stream_cdf_replicate
+
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+
+    src = TxLogTable(src_path)
+    src.append(spark.createDataFrame([(4, "d"), (7, "g")], ["id", "v"]))
+    src.alter_properties({"cdf.enabled": "true"})
+    src.update(spark, "id = 4", {"id": "999"})  # KEY-mutating update
+    src.append(spark.createDataFrame([(7, "g2")], ["id", "v"]))  # dup key
+
+    q = stream_cdf_replicate(spark, src_path, dst_path, ck, keys=["id"])
+    assert q.awaitTermination(240)
+    dst = TxLogTable(dst_path)
+    want = sorted((r.id, r.v) for r in src.read(spark).collect())
+    got = sorted((r.id, r.v) for r in dst.read(spark).collect())
+    assert got == want == [(7, "g"), (7, "g2"), (999, "d")]
+
+
+def test_stream_cdf_replicate_bootstrap_skips_vacuumed_history(
+    spark, tmp_path
+):
+    """A NEW replica of a table whose early history was vacuumed cannot
+    replay from v0; bootstrap=True copies the current snapshot and
+    follows the feed from there."""
+    from bigdataingestion_spark.streaming.ingest import stream_cdf_replicate
+
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+
+    src = TxLogTable(src_path)
+    src.append(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    src.alter_properties({"cdf.enabled": "true"})
+    src.overwrite(spark.createDataFrame([(3, "c")], ["id", "v"]))
+    src.vacuum(retention_seconds=0.0)  # v0's files are GONE
+
+    q = stream_cdf_replicate(
+        spark, src_path, dst_path, ck, keys=["id"], bootstrap=True
+    )
+    assert q.awaitTermination(240)
+    dst = TxLogTable(dst_path)
+    assert sorted((r.id, r.v) for r in dst.read(spark).collect()) == [(3, "c")]
+
+    # the feed continues from the bootstrap point
+    src.append(spark.createDataFrame([(9, "z")], ["id", "v"]))
+    q = stream_cdf_replicate(
+        spark, src_path, dst_path, ck, keys=["id"], bootstrap=True
+    )  # bootstrap re-run: overwrite replays as txn no-op, feed advances
+    assert q.awaitTermination(240)
+    assert sorted((r.id, r.v) for r in dst.read(spark).collect()) == [
+        (3, "c"),
+        (9, "z"),
+    ]
