@@ -4616,68 +4616,65 @@ def events_dow_hour_profile(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # Round-6 window (precomputed in COVERAGE.md r5 notes): evidence ages
-    # entering r6 are 50 @ r5, 31 @ r3, 44 @ r4. Take the 31 r3-evidence
-    # queries first (oldest evidence in the union), then 19 r4-evidence
-    # fillers prioritizing modules r6 touches (streaming, dedup) and the
-    # bench headliners among them.
-    # --- 31 r3-evidence queries ---
-    "customer_order_moving_avg",
-    "customer_order_timeline",
-    "customer_top_order",
-    "docs_repetition_stats",
-    "docs_source_mix_weights",
-    "docs_stratified_sample",
-    "docs_train_test_split",
-    "embedding_knn_vote",
-    "embedding_label_centroids",
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "event_type_daily",
-    "lineitem_cube_stats",
-    "part_best_supplier",
-    "q10_returned_items",
-    "q11_major_part_types",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_customers",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "similar_part_names",
-    "streaming_hourly_counts",
-    "user_funnel_set_ops",
-    "user_purchase_error_overlap",
-    # --- 19 r4-evidence fillers: r6-touched modules first (streaming
-    # ingest/quality-gate -> streaming_user_sessions; dedup crossover work
-    # -> the minhash/ngram/simhash family), then bench headliners.
-    "streaming_user_sessions",
-    "minhash_lsh_pairs",
-    "minhash_incremental_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_hamming_pairs",
-    "asof_last_purchase",
-    "training_data_pipeline",
-    "text_quality_stats",
-    "lang_histogram",
-    "user_sessions",
-    "user_sessions_native",
-    "multimodal_features",
-    "events_latest_state",
-    "events_range_pairs",
-    "events_hourly_gapfill",
-    "events_retention_cohorts",
-    "events_window_funnel",
-    "customer_cohort_ltv",
-    "docs_bigram_quality",
-    # Exactly 50 names. After this round's gate the oldest evidence in the
-    # union is r4 (25 queries); the r7 queue is those 25 + the 25 oldest
-    # r5 entries.
+    # Round-7 window: evidence ages entering r7 are 50 @ r6, 50 @ r5,
+    # 25 @ r4. Take the 25 r4-evidence queries first (oldest evidence),
+    # then the 25 head entries of the r5 window (they sat at the head of
+    # the r5 gate, i.e. oldest pre-r5 evidence in the r5 cohort). After a
+    # green r7 gate no query's driver evidence is older than r5.
+    # --- 25 r4-evidence queries ---
+    "docs_boilerplate_ngrams",
+    "docs_length_profile",
+    "docs_pack_sequences",
+    "docs_pii_redacted",
+    "docs_temperature_sample",
+    "docs_tfidf_top_terms",
+    "docs_vocab_coverage",
+    "docs_weighted_sample",
+    "embedding_quantize_int8",
+    "events_approx_stats",
+    "events_error_runs",
+    "events_markov_transitions",
+    "events_scd2_intervals",
+    "events_value_histogram",
+    "events_zscore_outliers",
+    "lineitem_column_profile",
+    "orders_in_flight_daily",
+    "orders_quality_report",
+    "orders_salted_totals",
+    "orders_yoy_growth",
+    "q12_priority_by_returnflag",
+    "q15_top_supplier",
+    "q20_bulk_part_suppliers",
+    "q2_min_cost_supplier",
+    "q4_priority_late_ship",
+    # --- 25 oldest r5-evidence fillers ---
+    "streaming_cdc_latest_state",
+    "streaming_click_attribution",
+    "streaming_nation_purchases",
+    "user_value_ewma",
+    "orders_benford_digits",
+    "events_dow_hour_profile",
+    "lineitem_price_quantity_stats",
+    "customer_rfm_segments",
+    "customer_spend_quartiles",
+    "corpus_zipf_fit",
+    "supplier_pagerank",
+    "embedding_kmeans_cells",
+    "embedding_pq_codes",
+    "embedding_pq_topk",
+    "embedding_ivf_topk",
+    "events_props_map",
+    "events_json_avg",
+    "orders_with_late_lineitems",
+    "customers_without_orders",
+    "lineitem_rollup_by_year_month",
+    "events_value_percentiles",
+    "orders_status_pivot",
+    "orders_status_unpivot",
+    "top_parts_by_revenue",
+    "small_quantity_revenue",
+    # Exactly 50 names. r8 queue: the remaining 25 r5-evidence queries
+    # + the 25 head entries of the r6 window.
 ]
 
 

@@ -322,12 +322,26 @@ def _conj_excludes(terms, stats, types):
 
 
 def candidate_files(
-    predicate: str, schema_json: str, files, file_stats: dict
+    predicate: str,
+    schema_json: str,
+    files,
+    file_stats: dict,
+    session_tz: str | None = None,
 ) -> list:
     """Subset of ``files`` that may contain rows matching ``predicate``.
     Returns ``list(files)`` untouched whenever the predicate is outside
     the supported subset — skipping is an optimization, never a filter
-    on correctness."""
+    on correctness.
+
+    ``session_tz`` is ``spark.sql.session.timeZone`` of the session that
+    will EVALUATE the predicate. File stats for TIMESTAMP (LTZ) columns
+    are normalized to naive UTC, but Spark casts a predicate's string
+    literal in the session timezone — under a non-UTC session the same
+    literal names a different instant than the stats assume, and a skip
+    could silently exclude matching files. LTZ-literal terms are
+    therefore judged only when the session is known to be UTC (the
+    default ``None`` = unknown = disabled). TIMESTAMP_NTZ and DATE
+    stats are timezone-free and stay enabled regardless."""
     toks = _tokenize(predicate)
     if toks is None:
         return list(files)
@@ -335,9 +349,17 @@ def candidate_files(
         terms = _Parser(toks).parse()
     except _Bail:
         return list(files)
+    utc = session_tz is not None and session_tz.upper() in (
+        "UTC",
+        "ETC/UTC",
+        "GMT",
+        "Z",
+        "+00:00",
+    )
     types = {
         f.name.lower(): f.dataType
         for f in StructType.fromJson(json.loads(schema_json)).fields
+        if utc or not isinstance(f.dataType, TimestampType)
     }
     out = []
     for f in files:

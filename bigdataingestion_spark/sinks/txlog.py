@@ -1820,7 +1820,11 @@ class TxLogTable:
         from bigdataingestion_spark.sinks.skipping import candidate_files
 
         candidates = candidate_files(
-            predicate_str, snap.schema_json, snap.files, snap.file_stats
+            predicate_str,
+            snap.schema_json,
+            snap.files,
+            snap.file_stats,
+            session_tz=spark.conf.get("spark.sql.session.timeZone"),
         )
         skipped = len(snap.files) - len(candidates)
         if not candidates:
@@ -2072,7 +2076,9 @@ class TxLogTable:
                 txn_id,
                 snap,
                 partition_cols=list(snap.partition_cols) or None,
-                read_check=self._predicate_read_check(predicate),
+                read_check=self._predicate_read_check(
+                predicate, spark.conf.get("spark.sql.session.timeZone")
+            ),
                 dv=dv_map,
                 cdf=cdf_map,
                 metrics={
@@ -2106,13 +2112,15 @@ class TxLogTable:
             txn_id,
             snap,
             partition_cols=list(snap.partition_cols) or None,
-            read_check=self._predicate_read_check(predicate),
+            read_check=self._predicate_read_check(
+                predicate, spark.conf.get("spark.sql.session.timeZone")
+            ),
             precomputed_stats=fstats,
             cdf=cdf_map,
             metrics={**base_metrics, "files_rewritten": len(touched)},
         )
 
-    def _predicate_read_check(self, predicate: str):
+    def _predicate_read_check(self, predicate: str, session_tz: str | None = None):
         """Read-set conflict probe for predicate DML: of the files a
         winning commit added, return those the predicate might match —
         ``skipping.candidate_files`` proves non-matches from log-held
@@ -2122,7 +2130,11 @@ class TxLogTable:
 
         def read_check(added: list[str], cur: Snapshot) -> list[str]:
             return candidate_files(
-                predicate, cur.schema_json, added, cur.file_stats
+                predicate,
+                cur.schema_json,
+                added,
+                cur.file_stats,
+                session_tz=session_tz,
             )
 
         return read_check
@@ -2220,7 +2232,9 @@ class TxLogTable:
             txn_id,
             snap,
             partition_cols=list(snap.partition_cols) or None,
-            read_check=self._predicate_read_check(predicate),
+            read_check=self._predicate_read_check(
+                predicate, spark.conf.get("spark.sql.session.timeZone")
+            ),
             precomputed_stats=fstats,
             cdf=cdf_map,
             metrics={

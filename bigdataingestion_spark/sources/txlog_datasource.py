@@ -183,6 +183,15 @@ class _TxLogBatchReader(DataSourceReader):
             raise ValueError("pass version or timestamp, not both")
         if ts is not None:
             version = table.version_at_timestamp(float(ts))
+        elif version is not None and 0 <= table.version() < int(version):
+            # mirror TxLogTable.read: time travel beyond the latest commit
+            # is an error, not a silent clamp to HEAD — the two read paths
+            # must agree on the contract. An UNINITIALIZED table keeps its
+            # own distinct "no committed version" error below.
+            raise ValueError(
+                f"cannot time travel to v{int(version)}: "
+                f"latest is v{table.version()}"
+            )
         snap = table.snapshot(int(version) if version is not None else None)
         if snap is None:
             if version is not None or ts is not None:

@@ -541,6 +541,13 @@ def stream_cdf_replicate(
        appending preserves that multiplicity where an upsert would
        silently collapse it.
 
+    ``keys`` must uniquely identify rows for any DML the stream
+    crosses: deletes/updates apply BY KEY, so a source change touching
+    only SOME rows of a duplicated key group is inexpressible by key
+    and the batch FAILS (loudly, before applying anything) when a
+    version's DML keys intersect keys duplicated on the replica.
+    Duplicate keys remain fully supported on insert-only feeds.
+
     Every step commits under a txn id scoped to (checkpoint path,
     source version, step), so a replayed micro-batch — or a crash
     between steps — re-applies as no-ops: exactly-once end-to-end on
@@ -588,7 +595,14 @@ def stream_cdf_replicate(
             src = TxLogTable(source_table)
             v0 = src.version()
             if v0 >= 0:
-                target.overwrite(src.read(spark), txn_id=f"{marker}{v0}")
+                # read PINNED at v0: a source commit landing between
+                # version() and read() must not be both copied into the
+                # bootstrap AND re-delivered by the feed (which starts at
+                # v0+1) — an unpinned read of the latest snapshot would
+                # double-apply exactly those racing commits
+                target.overwrite(
+                    src.read(spark, version=v0), txn_id=f"{marker}{v0}"
+                )
         starting_version = v0 + 1
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -605,16 +619,51 @@ def stream_cdf_replicate(
                 deletes = chunk.filter(
                     F.col("_change_type") == "delete"
                 ).drop("_change_type", "_commit_version")
-                if not deletes.isEmpty():
-                    target.delete_matching(
-                        spark, deletes, keys, txn_id=f"{scope}:v{v}:del"
-                    )
                 post = chunk.filter(
                     F.col("_change_type") == "update_postimage"
                 ).drop("_change_type", "_commit_version")
                 ins = chunk.filter(
                     F.col("_change_type") == "insert"
                 ).drop("_change_type", "_commit_version")
+                pre_keys = chunk.filter(
+                    F.col("_change_type") == "update_preimage"
+                ).select(*keys)
+                # deletes and updates apply BY KEY — if the replica holds
+                # DUPLICATED keys among the keys this version's DML
+                # touches, key-application would remove/collapse ALL rows
+                # of the group where the source changed only some, and the
+                # replica diverges silently forever. Fail the batch loudly
+                # instead: keys must uniquely identify rows for any DML
+                # the stream crosses (duplicate keys remain fine on
+                # insert-only feeds, where appends preserve multiplicity).
+                dml_keys = (
+                    deletes.select(*keys)
+                    .unionByName(pre_keys)
+                    .unionByName(post.select(*keys))
+                    .distinct()
+                )
+                if target.version() >= 0 and not dml_keys.isEmpty():
+                    dup = (
+                        target.read(spark)
+                        .join(dml_keys, on=keys, how="left_semi")
+                        .groupBy(*keys)
+                        .count()
+                        .filter(F.col("count") > 1)
+                        .limit(1)
+                    )
+                    if not dup.isEmpty():
+                        raise ValueError(
+                            f"stream_cdf_replicate: source v{v} applies "
+                            f"DML to key(s) duplicated on the replica "
+                            f"{target_table!r} (keys={keys}); key-based "
+                            "delete/update cannot tell which of the "
+                            "duplicate rows changed. Use a unique key, "
+                            "or keep the feed insert-only."
+                        )
+                if not deletes.isEmpty():
+                    target.delete_matching(
+                        spark, deletes, keys, txn_id=f"{scope}:v{v}:del"
+                    )
                 # a key-mutating UPDATE leaves its OLD key in no
                 # postimage: those preimage keys must be deleted or the
                 # replica orphans them forever
