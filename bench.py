@@ -80,11 +80,48 @@ def _bench_pipeline(spark, sf_dir: str) -> float:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _load_gate() -> dict:
+    """Attribution gate for the recorded number: a run started on a busy
+    box (r6: 14.28 s at loadavg 5.13 vs 11.28 s controlled) reads as a
+    phantom regression. If the 1-minute load average exceeds the gate
+    (default 2.0, env SPARK_GRAFT_BENCH_LOAD_GATE), wait up to 90 s for
+    it to drain — one bounded retry, not a loop — and record the verdict
+    either way so the JSON line is attributable without archaeology."""
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
+    waited = 0
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        return {"threshold": gate, "start_loadavg": None, "verdict": "unknown", "waited_sec": 0}
+    while load > gate and waited < 90:
+        print(
+            f"LOAD GATE: loadavg {load:.2f} > {gate}; waiting for the box to drain",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    verdict = "clean" if load <= gate else "loaded"
+    if verdict == "loaded":
+        print(
+            f"LOAD GATE: still loaded ({load:.2f} > {gate}) after {waited}s — "
+            "treat this run's timings as upper bounds",
+            file=sys.stderr,
+        )
+    return {
+        "threshold": gate,
+        "start_loadavg": round(load, 2),
+        "verdict": verdict,
+        "waited_sec": waited,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    load_gate = _load_gate()
     spark = get_spark(app_name="bdi-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -153,6 +190,10 @@ def main() -> None:
                 # machine-state context: r4's +26% "regression" was noise;
                 # load average before/after lets a reader attribute deltas
                 "loadavg_1m": loadavg,
+                # start-of-run gate: "clean" = started below threshold
+                # (possibly after a bounded wait), "loaded" = box was busy
+                # the whole grace window and timings are upper bounds
+                "load_gate": load_gate,
             }
         )
     )

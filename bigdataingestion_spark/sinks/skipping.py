@@ -365,7 +365,11 @@ def candidate_files(
     for f in files:
         st = file_stats.get(f)
         if st is not None:
-            st = {k.lower(): v for k, v in st.items()}
+            # non-dict entries are file-level annotations (e.g. the
+            # "__bloom__" sidecar ref), not per-column stats
+            st = {
+                k.lower(): v for k, v in st.items() if isinstance(v, dict)
+            }
         if st is None or not any(_conj_excludes(terms, st, types)):
             out.append(f)
     return out

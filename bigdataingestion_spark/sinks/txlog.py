@@ -961,6 +961,19 @@ class TxLogTable:
                 if st:
                     stats[rel] = st
         shutil.rmtree(tmp)
+        # opt-in bloom indexes: one extra pass over the NEW files only
+        # (commit-time cost, Delta's bloom-filter index shape); partition
+        # columns are excluded — partition pruning already covers them
+        bloom_cols = [
+            c
+            for c in self._bloom_columns(self.snapshot())
+            if c not in (partition_cols or [])
+        ]
+        if bloom_cols and names:
+            for rel, bref in self._build_blooms(
+                df.sparkSession, names, bloom_cols
+            ).items():
+                stats.setdefault(rel, {})["__bloom__"] = bref
         return sorted(names), stats
 
     @staticmethod
@@ -1558,6 +1571,15 @@ class TxLogTable:
                 candidates = self._stats_candidates(
                     snap, src_bounds, keys, null_safe=bool(order_cols)
                 )
+                candidates = self._bloom_candidates(
+                    spark,
+                    snap,
+                    source,
+                    keys,
+                    candidates,
+                    src_bounds,
+                    null_safe=bool(order_cols),
+                )
                 stat_skipped = len(snap.files) - len(candidates)
                 touched = self._files_with_matching_keys(
                     spark,
@@ -1736,6 +1758,10 @@ class TxLogTable:
             candidates = self._stats_candidates(
                 snap, src_bounds, keys, null_safe=False
             )
+            candidates = self._bloom_candidates(
+                spark, snap, source, keys, candidates, src_bounds,
+                null_safe=False,
+            )
             stat_skipped = len(snap.files) - len(candidates)
             touched = self._files_with_matching_keys(
                 spark, snap, source, keys, null_safe=False,
@@ -1825,6 +1851,9 @@ class TxLogTable:
             snap.files,
             snap.file_stats,
             session_tz=spark.conf.get("spark.sql.session.timeZone"),
+        )
+        candidates = self._bloom_candidates_for_predicate(
+            spark, snap, predicate_str, candidates
         )
         skipped = len(snap.files) - len(candidates)
         if not candidates:
@@ -1923,6 +1952,387 @@ class TxLogTable:
                 runs.append((p, 1))
         return runs
 
+    @staticmethod
+    def _rle_runs_expr(col: str):
+        """JVM-side run-length encoding of a SORTED bigint array column:
+        one ``aggregate`` pass -> ``array<struct<s,c>>`` of [start, count]
+        runs. This is what keeps DV construction off the driver — the
+        positions never leave the executors, only the (much smaller) runs
+        do. Duplicate positions collapse; produces the same runs as
+        :meth:`_runs_from_positions` (property-tested)."""
+        return F.expr(
+            f"""
+            aggregate(
+              {col},
+              named_struct(
+                'rs', cast(array() as array<struct<s: bigint, c: bigint>>),
+                'st', cast(null as bigint),
+                'pr', cast(null as bigint)
+              ),
+              (acc, x) -> CASE
+                WHEN acc.st IS NULL
+                  THEN named_struct('rs', acc.rs, 'st', x, 'pr', x)
+                WHEN x = acc.pr THEN acc
+                WHEN x = acc.pr + 1
+                  THEN named_struct('rs', acc.rs, 'st', acc.st, 'pr', x)
+                ELSE named_struct(
+                  'rs', array_append(
+                    acc.rs,
+                    named_struct('s', acc.st, 'c', acc.pr - acc.st + 1)
+                  ),
+                  'st', x, 'pr', x)
+              END,
+              acc -> CASE
+                WHEN acc.st IS NULL THEN acc.rs
+                ELSE array_append(
+                  acc.rs,
+                  named_struct('s', acc.st, 'c', acc.pr - acc.st + 1)
+                )
+              END
+            )
+            """
+        )
+
+    @staticmethod
+    def _merge_runs(
+        a: list[tuple[int, int]], b: list[tuple[int, int]]
+    ) -> list[tuple[int, int]]:
+        """Union of two run lists -> sorted, coalesced, non-overlapping
+        runs. Merging RUNS (not re-expanded positions) keeps combining a
+        file's existing DV with a new delete's runs O(runs), never
+        O(masked rows)."""
+        out: list[tuple[int, int]] = []
+        for s, c in sorted(a + b):
+            if out and s <= out[-1][0] + out[-1][1]:
+                end = max(out[-1][0] + out[-1][1], s + c)
+                out[-1] = (out[-1][0], end - out[-1][0])
+            else:
+                out.append((s, c))
+        return out
+
+    # ------------------------------------------------- bloom indexes --
+    #
+    # Point-lookup skipping where min/max is blind (Delta's per-column
+    # bloom filter index): on a high-cardinality UNCLUSTERED key
+    # (uuid-ish), every file's [min, max] spans the whole key space and
+    # range stats skip nothing — but a per-file bloom answers "could this
+    # file hold ANY of the batch's keys" directly. Opt-in via the
+    # ``bloom.columns`` table property (comma-separated column names);
+    # filters are built at commit time from the staged files (one extra
+    # executor-side pass over the new files only), stored as sidecar
+    # ``bloom-<uuid>.json`` blobs referenced from the file's stats entry,
+    # and consulted by merge_upsert/delete_matching BEFORE the finding
+    # scan. Hashing is Kirsch-Mitzenmacher double hashing over Spark's
+    # xxhash64 (JVM-side, stable across sessions); ~9.6 bits/row ≈ 1%
+    # false positives, which only costs a wasted scan — never a wrong
+    # skip (absence proof is exact for the hashed value set).
+
+    _BLOOM_K = 7
+    _BLOOM_MAX_BITS = 1 << 24  # 2 MB per (file, column): sizing ceiling
+    _BLOOM_MAX_PROBE_KEYS = 1_000_000  # beyond this, a batch plausibly
+    # touches most files anyway and the driver-side probe set stops
+    # paying for itself — fall back to range stats only
+
+    def _bloom_columns(self, snap: "Snapshot | None") -> list[str]:
+        prop = (snap.properties.get("bloom.columns") if snap else None) or ""
+        return [c.strip() for c in prop.split(",") if c.strip()]
+
+    def _write_bloom(self, cols: dict) -> str:
+        """``{col: {"m": bits, "k": hashes, "b64": bitmap}}`` -> sidecar
+        name. Same durability dance as deletion vectors."""
+        name = f"bloom-{uuid.uuid4().hex}.json"
+        full = os.path.join(self.path, name)
+        tmp = full + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"cols": cols}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, full)
+        return name
+
+    def _load_bloom(self, rel: str) -> dict:
+        return json.loads(open(os.path.join(self.path, rel)).read())["cols"]
+
+    def _build_blooms(
+        self, spark: SparkSession, rel_names: list[str], cols: list[str]
+    ) -> dict[str, str]:
+        """One Arrow-batched pass over the freshly staged files: per file,
+        xxhash64 each indexed column JVM-side, set k positions per value
+        executor-side (numpy bitmap in applyInPandas), return {data file
+        -> sidecar rel}. The driver sees only the finished bitmaps —
+        O(files x columns) blobs, never row-proportional traffic."""
+        import base64
+
+        paths = [os.path.join(self.path, r) for r in rel_names]
+        df = spark.read.parquet(*paths)
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        cols = [c for c in cols if c in have]
+        if not cols:
+            return {}
+        fc = self._fresh_col("_bf_file", list(have))
+        hashed = df.select(
+            F.col("_metadata.file_path").alias(fc),
+            *[F.xxhash64(c).alias(f"_h_{i}") for i, c in enumerate(cols)],
+        )
+        k_hashes = self._BLOOM_K
+        max_bits = self._BLOOM_MAX_BITS
+        colnames = list(cols)
+
+        def build(pdf):
+            import numpy as np
+            import pandas as pd
+
+            n = len(pdf)
+            m = min(max(1024, ((int(n * 9.585) + 63) // 64) * 64), max_bits)
+            out = []
+            for i, c in enumerate(colnames):
+                h = pdf[f"_h_{i}"].to_numpy(dtype=np.uint64)
+                h1 = h & np.uint64(0xFFFFFFFF)
+                h2 = h >> np.uint64(32)
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                for j in range(k_hashes):
+                    pos = (h1 + np.uint64(j) * h2) % np.uint64(m)
+                    np.bitwise_or.at(
+                        bits,
+                        (pos >> np.uint64(3)).astype(np.int64),
+                        (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                    )
+                out.append(
+                    (
+                        pdf[fc].iloc[0],
+                        c,
+                        int(m),
+                        base64.b64encode(bits.tobytes()).decode(),
+                    )
+                )
+            return pd.DataFrame(out, columns=["file", "col", "m", "b64"])
+
+        rows = (
+            hashed.groupBy(fc)
+            .applyInPandas(build, "file string, col string, m long, b64 string")
+            .collect()
+        )
+        per_file: dict[str, dict] = {}
+        for r in rows:
+            rel = self._rel_from_uri(r["file"])
+            per_file.setdefault(rel, {})[r["col"]] = {
+                "m": int(r["m"]),
+                "k": k_hashes,
+                # the HASHED type: xxhash64 is physical-type-sensitive
+                # (hash(int 5) != hash(bigint 5)), so a probe may only
+                # consult this bloom when its column type matches exactly
+                "t": have[r["col"]],
+                "b64": r["b64"],
+            }
+        return {rel: self._write_bloom(cols_) for rel, cols_ in per_file.items()}
+
+    def _bloom_candidates(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        source: DataFrame,
+        keys: list[str],
+        candidates: list[str],
+        src_bounds: dict,
+        null_safe: bool,
+    ) -> list[str]:
+        """Drop candidate files whose bloom PROVES no source key value of
+        some key column occurs in them (a composite match needs equality
+        on every column, so one provably-absent column suffices — the
+        same logic as ``_keys_disjoint``). Files without a bloom, columns
+        without one, and null-matchable columns (null-safe mode with
+        nulls on both sides) stay conservative. The probe set is the
+        source's DISTINCT xxhash64 per indexed column — O(batch keys)
+        longs to the driver, capped at _BLOOM_MAX_PROBE_KEYS."""
+        import base64
+
+        import numpy as np
+
+        refs = [
+            (f, snap.file_stats.get(f, {}).get("__bloom__"))
+            for f in candidates
+        ]
+        if not any(b for _, b in refs):
+            return candidates
+        src_types = dict(source.dtypes)
+        probe: dict[str, np.ndarray] = {}
+        for key in keys:
+            if null_safe and (src_bounds.get(key) or {}).get("nulls", 0) > 0:
+                continue  # source nulls can match file nulls: unusable
+            hs = [
+                r[0]
+                for r in source.filter(F.col(key).isNotNull())
+                .select(F.xxhash64(key))
+                .distinct()
+                .limit(self._BLOOM_MAX_PROBE_KEYS + 1)
+                .collect()
+            ]
+            if 0 < len(hs) <= self._BLOOM_MAX_PROBE_KEYS:
+                probe[key] = np.array(hs, dtype=np.int64).astype(np.uint64)
+        if not probe:
+            return candidates
+        kept: list[str] = []
+        for f, bloom_rel in refs:
+            if bloom_rel is None:
+                kept.append(f)
+                continue
+            try:
+                blooms = self._load_bloom(bloom_rel)
+            except OSError:
+                kept.append(f)  # sidecar vacuumed/unreadable: no proof
+                continue
+            excluded = False
+            for key, hashes in probe.items():
+                spec = blooms.get(key)
+                if spec is None or spec.get("t") != src_types.get(key):
+                    # absent, or hashed under a different physical type
+                    # (xxhash64 is type-sensitive): no sound proof
+                    continue
+                if not self._bloom_hits_any(spec, hashes):
+                    # NO source value of `key` occurs in the file
+                    excluded = True
+                    break
+            if not excluded:
+                kept.append(f)
+        return kept
+
+    @staticmethod
+    def _bloom_hits_any(spec: dict, hashes) -> bool:
+        """True when at least one xxhash64 value MAY be in the filter
+        (i.e. all k positions set for some hash). Vectorized, chunked
+        with early exit — a hit on a true match is found fast; a full
+        miss (the skip case) scans every chunk once."""
+        import base64
+
+        import numpy as np
+
+        m = np.uint64(spec["m"])
+        kk = int(spec["k"])
+        bits = np.frombuffer(base64.b64decode(spec["b64"]), dtype=np.uint8)
+        h1 = hashes & np.uint64(0xFFFFFFFF)
+        h2 = hashes >> np.uint64(32)
+        for lo in range(0, len(hashes), 65536):
+            a, b = h1[lo : lo + 65536], h2[lo : lo + 65536]
+            ok = np.ones(len(a), dtype=bool)
+            for j in range(kk):
+                pos = (a + np.uint64(j) * b) % m
+                byte = (pos >> np.uint64(3)).astype(np.int64)
+                bit = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+                ok &= (bits[byte] & bit) != 0
+                if not ok.any():
+                    break
+            if ok.any():
+                return True
+        return False
+
+    def _bloom_candidates_for_predicate(
+        self,
+        spark: SparkSession,
+        snap: Snapshot,
+        predicate: str,
+        candidates: list[str],
+    ) -> list[str]:
+        """Bloom consult for PREDICATE DML (delete/update WHERE): a
+        top-level ``col = lit`` or ``col IN (...)`` term on a
+        bloom-indexed column excludes files provably holding none of the
+        literals — the point-lookup (GDPR-erasure) shape where min/max
+        stats are blind on unclustered keys. Literals are hashed by
+        Spark itself, CAST to each bloom's recorded physical type, so
+        the probe hash agrees with the committed one by construction;
+        a literal that casts to NULL proves nothing (kept). Everything
+        outside the supported term shapes is ignored — skipping stays an
+        optimization, never a correctness filter."""
+        import numpy as np
+
+        from bigdataingestion_spark.sinks.skipping import (
+            _Bail,
+            _Parser,
+            _tokenize,
+        )
+
+        refs = [
+            (f, snap.file_stats.get(f, {}).get("__bloom__"))
+            for f in candidates
+        ]
+        if not any(b for _, b in refs):
+            return candidates
+        toks = _tokenize(predicate)
+        if toks is None:
+            return candidates
+        try:
+            terms = _Parser(toks).parse()
+        except _Bail:
+            return candidates
+        # top-level AND conjunction only: each eq/IN term may exclude
+        wanted: dict[str, list] = {}
+        for t in terms:
+            if t[0] == "cmp" and t[2] == "=":
+                wanted.setdefault(t[1].lower(), []).append(t[3][1])
+            elif t[0] == "in":
+                wanted.setdefault(t[1].lower(), []).extend(
+                    lit[1] for lit in t[2]
+                )
+        if not wanted:
+            return candidates
+        # hash each literal set once per (column, recorded type) — one
+        # tiny driver-side Spark job per pair, reusing Spark's own CAST
+        types_needed: dict[tuple[str, str], np.ndarray | None] = {}
+        loaded: dict[str, dict] = {}
+        for _f, rel in refs:
+            if rel is None or rel in loaded:
+                continue
+            try:
+                loaded[rel] = self._load_bloom(rel)
+            except OSError:
+                loaded[rel] = {}
+        for blooms in loaded.values():
+            for col, vals in wanted.items():
+                spec = blooms.get(col) or next(
+                    (v for k, v in blooms.items() if k.lower() == col), None
+                )
+                if spec is not None:
+                    types_needed.setdefault((col, spec["t"]), None)
+        for col, t in list(types_needed):
+            vals = wanted[col]
+            try:
+                lit_df = spark.createDataFrame([(v,) for v in vals], ["x"])
+                rows = lit_df.select(
+                    F.xxhash64(F.col("x").cast(t)).alias("h"),
+                    F.col("x").cast(t).isNull().alias("isnull"),
+                ).collect()
+            except Exception:  # noqa: BLE001 - mixed/unmappable literal
+                types_needed[(col, t)] = None  # types: prove nothing
+                continue
+            if any(r["isnull"] for r in rows):
+                # a literal that casts to NULL under the hashed type:
+                # Spark's own comparison semantics are out of this
+                # helper's subset — prove nothing for this pair
+                # (xxhash64 of NULL is the seed, so check the CAST)
+                types_needed[(col, t)] = None
+                continue
+            types_needed[(col, t)] = np.array(
+                [r["h"] for r in rows], dtype=np.int64
+            ).astype(np.uint64)
+        kept: list[str] = []
+        for f, rel in refs:
+            blooms = loaded.get(rel) if rel else None
+            excluded = False
+            for col in wanted if blooms else ():
+                spec = blooms.get(col) or next(
+                    (v for k, v in blooms.items() if k.lower() == col), None
+                )
+                if spec is None:
+                    continue
+                hashes = types_needed.get((col, spec["t"]))
+                if hashes is None:
+                    continue
+                if not self._bloom_hits_any(spec, hashes):
+                    excluded = True
+                    break
+            if not excluded:
+                kept.append(f)
+        return kept
+
     def _dv_filter(
         self, spark: SparkSession, df: DataFrame, snap: Snapshot, files: list[str]
     ) -> DataFrame:
@@ -2009,8 +2419,13 @@ class TxLogTable:
           late corrections) at 100 TB. The masks disappear when a
           copy-on-write op or ``compact`` later rewrites the file (DV'd
           files are always compaction candidates, Delta's purge).
-          Deleted positions are collected driver-side, so this mode is
-          for SPARSE deletes; wide deletes should use copy-on-write."""
+          Row positions are RLE-compressed executor-side; the driver
+          holds only O(runs per touched file) — a 10M-row id-list
+          delete whose hits cluster into k ranges costs the driver k
+          (start, count) pairs, not 10M positions. The worst case
+          (alternating matched rows) still yields ~rows/2 runs, so
+          pathologically scattered WIDE deletes should prefer
+          copy-on-write, whose cost is the rewrite itself."""
         snap = self.snapshot()
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
@@ -2045,7 +2460,16 @@ class TxLogTable:
             if cdf_on:
                 matched = matched.persist()
             try:
-                hits = matched.select(fc, ic).collect()
+                # positions are sorted + RLE'd PER FILE on the executors;
+                # the driver collects only (file, runs) — O(runs), the
+                # same metadata scale as the commit log, never O(rows)
+                run_rows = (
+                    matched.select(fc, ic)
+                    .groupBy(fc)
+                    .agg(F.sort_array(F.collect_list(ic)).alias("_ps"))
+                    .select(fc, self._rle_runs_expr("_ps").alias("_rs"))
+                    .collect()
+                )
                 if cdf_on:
                     cdf_map = {
                         "delete": self._stage_cdf(matched.drop(fc, ic))
@@ -2053,19 +2477,20 @@ class TxLogTable:
             finally:
                 if cdf_on:
                     matched.unpersist()
-            by_file: dict[str, list[int]] = {}
-            for r in hits:
-                by_file.setdefault(
-                    os.path.basename(self._rel_from_uri(r[fc])), []
-                ).append(r[ic])
+            by_file: dict[str, list[tuple[int, int]]] = {
+                os.path.basename(self._rel_from_uri(r[fc])): [
+                    (int(run["s"]), int(run["c"])) for run in r["_rs"]
+                ]
+                for r in run_rows
+            }
             dv_map: dict[str, str] = {}
             masked = 0
             for f in touched:
-                positions = by_file.get(os.path.basename(f), [])
+                runs = by_file.get(os.path.basename(f), [])
                 if f in snap.dvs:
-                    for s, c in self._load_dv_runs(snap.dvs[f]):
-                        positions.extend(range(s, s + c))
-                runs = self._runs_from_positions(positions)
+                    runs = self._merge_runs(
+                        runs, self._load_dv_runs(snap.dvs[f])
+                    )
                 masked += sum(c for _, c in runs)
                 dv_map[f] = self._write_dv(runs)
             return self._commit_reconciled(
@@ -2077,8 +2502,8 @@ class TxLogTable:
                 snap,
                 partition_cols=list(snap.partition_cols) or None,
                 read_check=self._predicate_read_check(
-                predicate, spark.conf.get("spark.sql.session.timeZone")
-            ),
+                    predicate, spark.conf.get("spark.sql.session.timeZone")
+                ),
                 dv=dv_map,
                 cdf=cdf_map,
                 metrics={
@@ -2715,6 +3140,13 @@ class TxLogTable:
         live = set(snap.files) if snap else set()
         if snap:  # deletion vectors referenced by the latest snapshot
             live |= set(snap.dvs.values())
+            # bloom sidecars referenced by live files' stats (resolution
+            # pops a removed file's stats, so this set IS the live set)
+            live |= {
+                st["__bloom__"]
+                for st in snap.file_stats.values()
+                if isinstance(st, dict) and st.get("__bloom__")
+            }
         cutoff = time.time() - retention_seconds
         deleted = []
         for root, dirs, files in os.walk(self.path):
@@ -2759,11 +3191,12 @@ class TxLogTable:
             for f in files:
                 rel = os.path.relpath(os.path.join(root, f), self.path)
                 reclaimable = rel.endswith(".parquet") or (
-                    # superseded/orphaned deletion-vector files — same
-                    # contract as data files (unreferenced + aged out) —
-                    # including a .tmp orphaned by a crash mid-_write_dv
+                    # superseded/orphaned deletion-vector and bloom-index
+                    # sidecars — same contract as data files (unreferenced
+                    # + aged out) — including a .tmp orphaned by a crash
+                    # mid-write
                     os.sep not in rel
-                    and rel.startswith("dv-")
+                    and (rel.startswith("dv-") or rel.startswith("bloom-"))
                     and (rel.endswith(".json") or rel.endswith(".json.tmp"))
                 )
                 if not reclaimable or rel in live:

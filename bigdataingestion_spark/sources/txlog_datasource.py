@@ -297,6 +297,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         self._cdf = str(
             options.get("readChangeFeed", "false")
         ).lower() in ("true", "1")
+        self._schemas_seen_ok: set = set()
         if self._cdf:
             # the declared schema carries the two CDF columns; files are
             # projected to the TABLE part and the tags appended per batch
@@ -332,6 +333,40 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # the commit log's version only grows -> monotonic by construction
         return {"version": self._table.version()}
 
+    def _check_commit_schema(self, e: dict) -> None:
+        """Delta's streaming contract under source schema evolution: a
+        commit whose schema carries a column this stream's fixed schema
+        lacks (or retypes) would be silently PROJECTED AWAY by the
+        per-file read — new-column values dropped on the floor. Fail the
+        batch actionably instead; a RESTARTED stream re-resolves
+        ``DataSource.schema()`` to the evolved schema, resumes from the
+        checkpointed offset, and re-reads the same commits completely
+        (older, narrower commits project under the wider schema with
+        nulls). Memoized per schema-json: O(1) per commit after the
+        first sighting."""
+        sj = e.get("schema")
+        if sj is None or sj in self._schemas_seen_ok:
+            return
+        declared = {
+            f.name.lower(): f.dataType
+            for f in (
+                self._data_schema if self._cdf else self._schema
+            ).fields
+        }
+        import json as _json
+
+        for f in StructType.fromJson(_json.loads(sj)).fields:
+            have = declared.get(f.name.lower())
+            if have is None or have != f.dataType:
+                why = "added" if have is None else "retyped"
+                raise ValueError(
+                    f"txlog stream: source schema changed at "
+                    f"v{e['version']} (column {f.name!r} {why}); restart "
+                    "the stream — a fresh start resolves the evolved "
+                    "schema and resumes from the checkpoint"
+                )
+        self._schemas_seen_ok.add(sj)
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["version"], end["version"]
         if self._cdf:
@@ -340,6 +375,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # commits_between reads only the (lo, hi] commit files: a
         # micro-batch costs O(versions advanced), not O(table history)
         for e in self._table.commits_between(lo, hi):
+            self._check_commit_schema(e)
             if e["op"] == "compact":
                 continue  # layout-only: content already delivered
             if (
@@ -371,6 +407,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for e in self._table.commits_between(lo, hi):
             op, v = e["op"], e["version"]
+            self._check_commit_schema(e)
             if op in (
                 "compact",
                 "add_constraint",

@@ -705,3 +705,54 @@ def stream_cdf_replicate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def recover_cdf_replica(
+    spark: SparkSession,
+    source_table: str,
+    target_table: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """The snapshot-restart path the CDF stream's ``restore`` refusal
+    prescribes: a source RESTORE's logical diff spans arbitrary history,
+    so :func:`stream_cdf_replicate` fails its batch rather than invent
+    change rows. Recovery re-BASES the replica instead of replaying:
+
+    1. overwrite the replica with the source snapshot PINNED at the
+       probed version (idempotent — the same sticky ``bootstrap:<v>``
+       txn-id machinery as ``bootstrap=True``, so a crash/re-run
+       resumes the same point instead of double-applying);
+    2. forget the pre-restore stream offset (the checkpoint would
+       otherwise re-deliver the refused restore commit forever);
+    3. resume the feed AFTER the copied version.
+
+    Re-running the helper converges (every step is idempotent or
+    re-based), and the ordinary ``stream_cdf_replicate`` call keeps
+    working afterwards against the same checkpoint dir. Commits the
+    pre-restore stream already applied are never re-delivered (the feed
+    starts past the copied snapshot), so exactly-once holds across the
+    recovery."""
+    import shutil
+
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    src = TxLogTable(source_table)
+    v0 = src.version()
+    if v0 < 0:
+        raise ValueError(f"source {source_table!r} has no commits")
+    scope = app_id or path_txn_scope(checkpoint_dir)
+    TxLogTable(target_table).overwrite(
+        src.read(spark, version=v0), txn_id=f"{scope}:bootstrap:{v0}"
+    )
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    return stream_cdf_replicate(
+        spark,
+        source_table,
+        target_table,
+        checkpoint_dir,
+        keys,
+        app_id=app_id,
+        starting_version=v0 + 1,
+    )

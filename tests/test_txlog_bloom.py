@@ -1,0 +1,176 @@
+"""Per-file bloom indexes (Delta's bloom-filter index): point-lookup data
+skipping for merge_upsert/delete_matching finding scans on
+high-cardinality UNCLUSTERED keys, where every file's [min, max] spans
+the key space and range stats prove nothing."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+
+def _uuidish(i: int) -> str:
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+def _seed(spark, path, n_files=4, rows_per_file=200, bloom=True):
+    """Every file's keys are md5 hexes — uniform over the hex space, so
+    each file's [min, max] covers ~the whole range and min/max skipping
+    is provably blind."""
+    t = TxLogTable(path)
+    t.append(
+        spark.createDataFrame([("8seed", 0)], ["key", "n"]).coalesce(1)
+    )  # v0: pre-index file (NO bloom: must stay candidate), key chosen
+    # INSIDE the md5-hex range so min/max can't skip it either
+    if bloom:
+        t.alter_properties({"bloom.columns": "key"})
+    groups = []
+    for g in range(n_files):
+        rows = [
+            (_uuidish(g * rows_per_file + i), g)
+            for i in range(rows_per_file)
+        ]
+        t.append(spark.createDataFrame(rows, ["key", "n"]).coalesce(1))
+        groups.append(rows)
+    return t, groups
+
+
+def test_minmax_is_blind_but_bloom_skips(spark, tmp_path):
+    t, groups = _seed(spark, str(tmp_path / "t"))
+    # control first: WITHOUT blooms, range stats skip nothing (the seed
+    # file can't be judged and every indexed file's range overlaps)
+    ctl, cgroups = _seed(spark, str(tmp_path / "ctl"), bloom=False)
+    batch = spark.createDataFrame(cgroups[1][:20], ["key", "n"])
+    ctl.delete_matching(spark, batch, keys=["key"])
+    assert ctl.history()[-1]["op_metrics"]["files_stat_skipped"] == 0
+
+    # with blooms: the same narrow batch proves the other files disjoint
+    batch = spark.createDataFrame(groups[1][:20], ["key", "n"])
+    before = sorted(r.key for r in t.read(spark).collect())
+    t.delete_matching(spark, batch, keys=["key"])
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] >= 2, m  # 3 foreign files minus ~1% fpp
+    assert m["files_rewritten"] == 1
+    gone = {k for k, _ in groups[1][:20]}
+    assert sorted(r.key for r in t.read(spark).collect()) == sorted(
+        k for k in before if k not in gone
+    )
+
+
+def test_bloom_skips_merge_and_result_is_exact(spark, tmp_path):
+    t, groups = _seed(spark, str(tmp_path / "t"))
+    ups = [(k, 999) for k, _ in groups[2][:10]] + [(_uuidish(10**6), 777)]
+    t.merge_upsert(
+        spark, spark.createDataFrame(ups, ["key", "n"]), keys=["key"]
+    )
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] >= 2, m
+    got = {r.key: r.n for r in t.read(spark).collect()}
+    for k, _ in groups[2][:10]:
+        assert got[k] == 999
+    assert got[_uuidish(10**6)] == 777
+    # untouched groups intact
+    for k, g in groups[0]:
+        assert got[k] == g
+
+
+def test_bloom_never_wrongly_skips_a_match(spark, tmp_path):
+    """Absence proofs must be exact for hashed values: deleting EVERY
+    seeded key (across all files) leaves only the pre-index seed row."""
+    t, groups = _seed(spark, str(tmp_path / "t"), rows_per_file=50)
+    allrows = [r for g in groups for r in g]
+    t.delete_matching(
+        spark, spark.createDataFrame(allrows, ["key", "n"]), keys=["key"]
+    )
+    assert [r.key for r in t.read(spark).collect()] == ["8seed"]
+
+
+def test_bloom_type_mismatch_is_conservative(spark, tmp_path):
+    """xxhash64 is physical-type-sensitive; a probe whose column dtype
+    differs from the hashed type must not consult the bloom (no skip),
+    and the operation still applies correctly."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]).coalesce(1))
+    t.alter_properties({"bloom.columns": "id"})
+    t.append(
+        spark.createDataFrame([(10, "x"), (11, "y")], ["id", "v"]).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(20, "p"), (21, "q")], ["id", "v"]).coalesce(1)
+    )
+    batch = spark.createDataFrame([(10,)], "id int")  # int, table is bigint
+    t.delete_matching(spark, batch, keys=["id"])
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 11, 20, 21]
+
+
+def test_vacuum_keeps_live_blooms_reclaims_superseded(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t, groups = _seed(spark, path, n_files=2, rows_per_file=30)
+
+    def blooms_on_disk():
+        return {f for f in os.listdir(path) if f.startswith("bloom-")}
+
+    live_before = blooms_on_disk()
+    assert len(live_before) == 2
+    # rewrite one file (delete a key from it): its bloom is superseded by
+    # the rewritten file's fresh bloom
+    t.delete_matching(
+        spark,
+        spark.createDataFrame(groups[0][:1], ["key", "n"]),
+        keys=["key"],
+    )
+    reclaimed = t.vacuum(retention_seconds=0.0)
+    live = {
+        st["__bloom__"]
+        for st in t.snapshot().file_stats.values()
+        if isinstance(st, dict) and st.get("__bloom__")
+    }
+    assert len(live) == 2  # untouched file's + the rewrite's fresh bloom
+    assert live <= blooms_on_disk()
+    assert any(f.startswith("bloom-") for f in reclaimed)
+    # the surviving blooms still skip
+    t.delete_matching(
+        spark,
+        spark.createDataFrame(groups[1][:5], ["key", "n"]),
+        keys=["key"],
+    )
+    assert t.history()[-1]["op_metrics"]["files_stat_skipped"] >= 1
+
+
+def test_bloom_skips_predicate_point_deletes(spark, tmp_path):
+    """DELETE/UPDATE WHERE key = '<uuid>' — the predicate twin of the
+    key-batch path: eq/IN literals hashed under each bloom's recorded
+    type (by Spark's own cast) prove foreign files disjoint where
+    min/max cannot."""
+    t, groups = _seed(spark, str(tmp_path / "t"))
+    k0 = groups[3][7][0]
+    t.delete(spark, f"key = '{k0}'")
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] >= 2, m
+    assert m["files_rewritten"] == 1
+    assert k0 not in {r.key for r in t.read(spark).collect()}
+
+    # IN-list across two files: both kept, others skipped
+    k1, k2 = groups[0][0][0], groups[2][3][0]
+    t.delete(spark, f"key IN ('{k1}', '{k2}')", deletion_vectors=True)
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] >= 1, m
+    assert m["files_masked"] == 2
+    got = {r.key for r in t.read(spark).collect()}
+    assert k1 not in got and k2 not in got
+
+    # UPDATE point-lookup goes through the same finding pass
+    k3 = groups[1][5][0]
+    t.update(spark, f"key = '{k3}'", {"n": "777"})
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] >= 2, m
+    assert {r.n for r in t.read(spark).filter(f"key = '{k3}'").collect()} == {777}
+
+
+def test_bloom_predicate_absent_key_is_noop_without_commit(spark, tmp_path):
+    t, _groups = _seed(spark, str(tmp_path / "t"), n_files=2)
+    v = t.version()
+    t.delete(spark, f"key = '{'0' * 32}'")
+    assert t.version() == v  # no matching rows -> no commit

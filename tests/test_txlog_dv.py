@@ -221,3 +221,80 @@ def test_datasource_stream_refuses_dv_commit(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="rewrite"):
         q.awaitTermination(120)
+
+
+def test_wide_dv_delete_runs_built_executor_side(spark, tmp_path):
+    """Wide-delete regression for the executor-side RLE path: a delete
+    matching thousands of scattered + clustered rows must produce exactly
+    the runs the reference Python encoder produces, and the replaced-mask
+    merge must stay run-based (old ∪ new), never re-expanding positions."""
+    t = TxLogTable(str(tmp_path / "t"))
+    n = 5000
+    t.append(
+        spark.range(n).selectExpr("id", "cast(id % 7 as long) as m").coalesce(1)
+    )
+    # scattered (every 3rd row) AND one dense range -> mixed run shapes
+    t.delete(spark, f"id % 3 = 0 OR (id >= 1000 AND id < 1200)", deletion_vectors=True)
+    snap = t.snapshot()
+    assert len(snap.dvs) == 1
+    dv_rel = next(iter(snap.dvs.values()))
+    got_runs = t._load_dv_runs(dv_rel)
+    expected_pos = [
+        i for i in range(n) if i % 3 == 0 or (1000 <= i < 1200)
+    ]
+    assert got_runs == t._runs_from_positions(expected_pos)
+    assert _ids(t.read(spark)) == [i for i in range(n) if i not in set(expected_pos)]
+    m = t.history()[-1]["op_metrics"]
+    assert m["rows_masked_total"] == len(expected_pos)
+
+    # layer a second DV delete on the same file: mask becomes old ∪ new
+    t.delete(spark, "id % 5 = 1 AND id % 3 != 0", deletion_vectors=True)
+    snap2 = t.snapshot()
+    union_pos = set(expected_pos) | {
+        i
+        for i in range(n)
+        if i % 5 == 1 and i % 3 != 0 and not (1000 <= i < 1200)
+    }
+    got2 = t._load_dv_runs(next(iter(snap2.dvs.values())))
+    assert got2 == t._runs_from_positions(sorted(union_pos))
+    assert _ids(t.read(spark)) == [i for i in range(n) if i not in union_pos]
+
+
+def test_rle_expr_and_merge_runs_match_reference_encoder(spark):
+    """The JVM-side aggregate RLE and the run-merge must agree with the
+    reference driver-side encoder on adversarial position sets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    cases = [
+        [],
+        [0],
+        [5, 6, 7],
+        [0, 2, 4, 6],
+        list(range(100)),
+        sorted(rng.sample(range(300), 120)),
+        [1, 1, 2, 2, 3, 10, 10],  # duplicates collapse
+    ]
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in sorted(ps)]) for i, ps in enumerate(cases)],
+        "i int, ps array<bigint>",
+    )
+    rows = {
+        r["i"]: [(int(x["s"]), int(x["c"])) for x in r["rs"]]
+        for r in df.select(
+            "i", TxLogTable._rle_runs_expr("ps").alias("rs")
+        ).collect()
+    }
+    for i, ps in enumerate(cases):
+        assert rows[i] == TxLogTable._runs_from_positions(ps), f"case {i}"
+
+    # run-merge == expand-positions-and-re-encode, including overlaps
+    for _ in range(25):
+        a = TxLogTable._runs_from_positions(rng.sample(range(200), rng.randint(0, 40)))
+        b = TxLogTable._runs_from_positions(rng.sample(range(200), rng.randint(0, 40)))
+        expand = lambda runs: [p for s, c in runs for p in range(s, s + c)]
+        assert TxLogTable._merge_runs(a, b) == TxLogTable._runs_from_positions(
+            expand(a) + expand(b)
+        )

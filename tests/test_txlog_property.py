@@ -25,9 +25,12 @@ _op = st.one_of(
         st.sampled_from(["append", "overwrite", "merge", "merge_latest", "compact"]),
         st.lists(_row, min_size=1, max_size=4),
     ),
-    # row-level DML / restore: payload is a key (restore: an index seed)
+    # row-level DML / restore / property flip: payload is a key
+    # (restore: an index seed; cdf_toggle ignores it)
     st.tuples(
-        st.sampled_from(["delete", "delete_dv", "update", "restore"]),
+        st.sampled_from(
+            ["delete", "delete_dv", "update", "restore", "cdf_toggle"]
+        ),
         st.integers(min_value=1, max_value=6),
     ),
 )
@@ -66,6 +69,12 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
     snapshots: list[tuple[int, list]] = []
     by_version: dict[int, list] = {}
     ordc = 0
+    # CDF co-testing state: which DML commits landed while the feed was
+    # off (read_cdf must refuse those ranges), and where restores sit
+    # (read_cdf refuses them — reconstruction stops short)
+    cdf_on = False
+    dml_off: list[int] = []
+    restore_versions: list[int] = []
     for op, payload in ops:
         if op == "compact":
             version = t.compact(spark)
@@ -73,9 +82,18 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
                 snapshots.append((version, sorted(model)))
                 by_version[version] = sorted(model)
             continue
+        if op == "cdf_toggle":
+            cdf_on = not cdf_on
+            version = t.alter_properties(
+                {"cdf.enabled": "true" if cdf_on else "false"}
+            )
+            snapshots.append((version, sorted(model)))
+            by_version[version] = sorted(model)
+            continue
         if op in ("delete", "delete_dv", "update", "restore"):
             if t.version() < 0:
                 continue  # DML on a never-written table: nothing to do
+            pv = t.version()
             if op == "delete":
                 version = t.delete(spark, f"k = {payload}")
                 model = [r for r in model if r[0] != payload]
@@ -96,6 +114,11 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
                 target = versions[payload % len(versions)]
                 version = t.restore(target)
                 model = list(by_version[target])
+            if version > pv:
+                if op == "restore":
+                    restore_versions.append(version)
+                elif not cdf_on:
+                    dml_off.append(version)
             snapshots.append((version, sorted(model)))
             by_version[version] = sorted(model)
             continue
@@ -112,6 +135,8 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
             version = t.merge_upsert(spark, df, keys=["k"])
         else:
             version = t.merge_upsert(spark, df, keys=["k"], order_cols=["ord"])
+        if op in ("merge", "merge_latest") and not cdf_on:
+            dml_off.append(version)
         model = _apply_model(model, op, stamped)
         snapshots.append((version, sorted(model)))
         by_version[version] = sorted(model)
@@ -121,6 +146,39 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
     for version, expect in snapshots:
         got = sorted(tuple(r) for r in t.read(spark, version=version).collect())
         assert got == expect, (version, got, expect)
+
+    # CDF-reconstruction invariant (DV deletes, cdf flips, and every other
+    # arm co-tested): replaying the change feed from v0 must rebuild each
+    # committed snapshot. read_cdf refuses restores — reconstruct up to
+    # just before the first one — and refuses ranges holding a DML commit
+    # made while the feed was off.
+    last = t.version()
+    hi = min(restore_versions) - 1 if restore_versions else last
+    if hi < 0:
+        return
+    if any(v <= hi for v in dml_off):
+        import pytest
+
+        with pytest.raises(ValueError, match="no change data"):
+            t.read_cdf(spark, -1, hi).collect()
+        return
+    by_commit: dict[int, list] = {}
+    for r in t.read_cdf(spark, -1, hi).collect():
+        if r["_commit_version"] is not None:  # empty-feed sentinel frame
+            by_commit.setdefault(int(r["_commit_version"]), []).append(r)
+    state: set = set()
+    for version in sorted(v for v in by_version if v <= hi):
+        for r in by_commit.get(version, []):
+            row = (r["k"], r["v"], r["ord"])
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state.add(row)
+            else:  # delete / update_preimage
+                state.discard(row)
+        assert sorted(state) == by_version[version], (
+            version,
+            sorted(state),
+            by_version[version],
+        )
 
 
 _prow = st.tuples(
