@@ -1512,6 +1512,33 @@ class TxLogTable:
         touched = {self._rel_from_uri(r[0]) for r in hits}
         return [f for f in snap.files if f in touched]
 
+    def read_matching_candidates(
+        self, spark: SparkSession, source: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """Rows of the files that MAY hold keys present in ``source`` —
+        the stats+bloom-pruned scan underlying the DML finding pass,
+        exposed for callers that need their own key-level probe (e.g.
+        the CDC replicator's duplicate-key guard) at O(plausibly-touched
+        files) cost instead of a full-table scan. Deletion vectors are
+        applied; strictly a SUPERSET of the rows whose keys appear in
+        ``source`` (skipping only ever drops provably-disjoint files)."""
+        snap = self.snapshot()
+        if snap is None or not snap.files:
+            schema = (
+                StructType.fromJson(json.loads(snap.schema_json))
+                if snap
+                else source.schema
+            )
+            return spark.createDataFrame([], schema)
+        bounds = self._source_key_bounds(source, keys)
+        cands = self._stats_candidates(snap, bounds, keys, null_safe=False)
+        cands = self._bloom_candidates(
+            spark, snap, source, keys, cands, bounds, null_safe=False
+        )
+        if not cands:
+            return self._read_snapshot(spark, snap).limit(0)
+        return self._read_files(spark, snap, cands)
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -1557,6 +1584,7 @@ class TxLogTable:
         try:
             touched: list[str] = []
             stat_skipped = 0
+            bloom_skipped = 0
             # bounds are needed even when the BASE snapshot holds no stats:
             # the commit-time conflict check judges files added by WINNING
             # commits (which do carry stats) against the same bounds
@@ -1571,6 +1599,7 @@ class TxLogTable:
                 candidates = self._stats_candidates(
                     snap, src_bounds, keys, null_safe=bool(order_cols)
                 )
+                range_kept = len(candidates)
                 candidates = self._bloom_candidates(
                     spark,
                     snap,
@@ -1580,6 +1609,7 @@ class TxLogTable:
                     src_bounds,
                     null_safe=bool(order_cols),
                 )
+                bloom_skipped = range_kept - len(candidates)
                 stat_skipped = len(snap.files) - len(candidates)
                 touched = self._files_with_matching_keys(
                     spark,
@@ -1670,6 +1700,7 @@ class TxLogTable:
                 "files_rewritten": len(touched),
                 "files_carried": (len(snap.files) - len(touched)) if snap else 0,
                 "files_stat_skipped": stat_skipped,
+                "files_bloom_skipped": bloom_skipped,
             },
         )
 
@@ -1758,10 +1789,12 @@ class TxLogTable:
             candidates = self._stats_candidates(
                 snap, src_bounds, keys, null_safe=False
             )
+            range_kept = len(candidates)
             candidates = self._bloom_candidates(
                 spark, snap, source, keys, candidates, src_bounds,
                 null_safe=False,
             )
+            bloom_skipped = range_kept - len(candidates)
             stat_skipped = len(snap.files) - len(candidates)
             touched = self._files_with_matching_keys(
                 spark, snap, source, keys, null_safe=False,
@@ -1818,6 +1851,7 @@ class TxLogTable:
                 "files_rewritten": len(touched),
                 "files_carried": len(snap.files) - len(touched),
                 "files_stat_skipped": stat_skipped,
+                "files_bloom_skipped": bloom_skipped,
             },
         )
 
@@ -1842,7 +1876,9 @@ class TxLogTable:
         (metadata scale, same as the log itself); this is Delta's DML
         file-finding pass, and with a predicate on a partition or
         Z-ordered column the scan itself also prunes via pushdown before
-        any row is read. Returns (touched, files_stat_skipped)."""
+        any row is read. Returns (touched, files_stat_skipped,
+        files_bloom_skipped) — bloom_skipped is the subset of stat_skipped
+        proven out by bloom sidecars rather than min/max ranges."""
         from bigdataingestion_spark.sinks.skipping import candidate_files
 
         candidates = candidate_files(
@@ -1852,12 +1888,14 @@ class TxLogTable:
             snap.file_stats,
             session_tz=spark.conf.get("spark.sql.session.timeZone"),
         )
+        range_kept = len(candidates)
         candidates = self._bloom_candidates_for_predicate(
             spark, snap, predicate_str, candidates
         )
+        bloom_skipped = range_kept - len(candidates)
         skipped = len(snap.files) - len(candidates)
         if not candidates:
-            return [], skipped
+            return [], skipped, bloom_skipped
         schema_cols = [
             f.name
             for f in StructType.fromJson(json.loads(snap.schema_json)).fields
@@ -1866,7 +1904,7 @@ class TxLogTable:
         df = self._read_files(spark, snap, candidates, with_file_col=fc)
         hits = df.filter(pred).select(fc).distinct().collect()
         touched = {self._rel_from_uri(r[0]) for r in hits}
-        return [f for f in snap.files if f in touched], skipped
+        return [f for f in snap.files if f in touched], skipped, bloom_skipped
 
     # ------------------------------------------------- deletion vectors --
 
@@ -2432,7 +2470,9 @@ class TxLogTable:
         if snap is None or not snap.files:
             return snap.version if snap else -1
         pred = F.coalesce(F.expr(predicate), F.lit(False))
-        touched, stat_skipped = self._touched_files(spark, snap, pred, predicate)
+        touched, stat_skipped, bloom_skipped = self._touched_files(
+            spark, snap, pred, predicate
+        )
         if not touched:
             return snap.version
         schema = StructType.fromJson(json.loads(snap.schema_json))
@@ -2440,6 +2480,7 @@ class TxLogTable:
             "predicate": predicate,
             "files_carried": len(snap.files) - len(touched),
             "files_stat_skipped": stat_skipped,
+            "files_bloom_skipped": bloom_skipped,
         }
         cdf_on = self._cdf_enabled(snap)
         if deletion_vectors:
@@ -2596,7 +2637,9 @@ class TxLogTable:
                 raise ValueError(f"UPDATE SET references unknown column: {c}")
             assigns[c.lower()] = expr
         pred = F.coalesce(F.expr(predicate), F.lit(False))
-        touched, stat_skipped = self._touched_files(spark, snap, pred, predicate)
+        touched, stat_skipped, bloom_skipped = self._touched_files(
+            spark, snap, pred, predicate
+        )
         if not touched:
             return snap.version
         df = self._read_files(spark, snap, touched)
@@ -2668,6 +2711,7 @@ class TxLogTable:
                 "files_rewritten": len(touched),
                 "files_carried": len(snap.files) - len(touched),
                 "files_stat_skipped": stat_skipped,
+                "files_bloom_skipped": bloom_skipped,
             },
         )
 

@@ -643,8 +643,16 @@ def stream_cdf_replicate(
                     .distinct()
                 )
                 if target.version() >= 0 and not dml_keys.isEmpty():
+                    # stats+bloom-pruned probe: the guard scans only the
+                    # files that may hold the DML's keys (a duplicated
+                    # key's files can never be proven disjoint, so the
+                    # pruned scan keeps the guard exact) — O(plausibly
+                    # touched files) per DML version, the same cost
+                    # class as applying the DML itself
                     dup = (
-                        target.read(spark)
+                        target.read_matching_candidates(
+                            spark, dml_keys, keys
+                        )
                         .join(dml_keys, on=keys, how="left_semi")
                         .groupBy(*keys)
                         .count()

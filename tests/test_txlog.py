@@ -116,6 +116,7 @@ def test_merge_upsert_rewrites_only_files_with_matching_keys(spark, tmp_path):
         "files_rewritten": 1,
         "files_carried": 2,
         "files_stat_skipped": 1,
+        "files_bloom_skipped": 0,
     }
     # the two untouched files are carried by reference
     assert len(set(t.snapshot().files) & before) == 2

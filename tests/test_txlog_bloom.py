@@ -45,6 +45,7 @@ def test_minmax_is_blind_but_bloom_skips(spark, tmp_path):
     batch = spark.createDataFrame(cgroups[1][:20], ["key", "n"])
     ctl.delete_matching(spark, batch, keys=["key"])
     assert ctl.history()[-1]["op_metrics"]["files_stat_skipped"] == 0
+    assert ctl.history()[-1]["op_metrics"]["files_bloom_skipped"] == 0
 
     # with blooms: the same narrow batch proves the other files disjoint
     batch = spark.createDataFrame(groups[1][:20], ["key", "n"])
@@ -52,6 +53,7 @@ def test_minmax_is_blind_but_bloom_skips(spark, tmp_path):
     t.delete_matching(spark, batch, keys=["key"])
     m = t.history()[-1]["op_metrics"]
     assert m["files_stat_skipped"] >= 2, m  # 3 foreign files minus ~1% fpp
+    assert m["files_bloom_skipped"] == m["files_stat_skipped"]  # all bloom-proven
     assert m["files_rewritten"] == 1
     gone = {k for k, _ in groups[1][:20]}
     assert sorted(r.key for r in t.read(spark).collect()) == sorted(

@@ -29,7 +29,14 @@ _op = st.one_of(
     # (restore: an index seed; cdf_toggle ignores it)
     st.tuples(
         st.sampled_from(
-            ["delete", "delete_dv", "update", "restore", "cdf_toggle"]
+            [
+                "delete",
+                "delete_dv",
+                "update",
+                "restore",
+                "cdf_toggle",
+                "bloom_toggle",
+            ]
         ),
         st.integers(min_value=1, max_value=6),
     ),
@@ -73,6 +80,7 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
     # off (read_cdf must refuse those ranges), and where restores sit
     # (read_cdf refuses them — reconstruction stops short)
     cdf_on = False
+    bloom_on = False
     dml_off: list[int] = []
     restore_versions: list[int] = []
     for op, payload in ops:
@@ -81,6 +89,18 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
             if version >= 0:  # no-op on a never-written table
                 snapshots.append((version, sorted(model)))
                 by_version[version] = sorted(model)
+            continue
+        if op == "bloom_toggle":
+            # flips per-file bloom indexing mid-sequence: later staged
+            # files gain sidecars, and every DML path must stay
+            # model-exact whether its finding pass consulted blooms,
+            # ranges, or nothing
+            bloom_on = not bloom_on
+            version = t.alter_properties(
+                {"bloom.columns": "k" if bloom_on else ""}
+            )
+            snapshots.append((version, sorted(model)))
+            by_version[version] = sorted(model)
             continue
         if op == "cdf_toggle":
             cdf_on = not cdf_on
