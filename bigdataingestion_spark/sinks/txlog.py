@@ -1991,44 +1991,33 @@ class TxLogTable:
         return runs
 
     @staticmethod
-    def _rle_runs_expr(col: str):
-        """JVM-side run-length encoding of a SORTED bigint array column:
-        one ``aggregate`` pass -> ``array<struct<s,c>>`` of [start, count]
-        runs. This is what keeps DV construction off the driver — the
-        positions never leave the executors, only the (much smaller) runs
-        do. Duplicate positions collapse; produces the same runs as
+    def _rle_runs_df(df: DataFrame, fc: str, ic: str) -> DataFrame:
+        """``(file, row_position)`` rows -> FLAT ``(file, s, c)`` run rows
+        — executor-side run-length encoding via the gaps-and-islands
+        idiom: consecutive positions share ``pos - row_number()``, so one
+        window pass + one groupBy yields the runs in LINEAR time and one
+        shuffle. (A fold with ``array_append`` is O(n²) — the append
+        copies the accumulator array per element; measured 303 s for a
+        272k-row scattered delete vs ~2 s here.) Positions never leave
+        the executors; the caller collects the flat run rows via Arrow
+        (``toPandas`` — nested-struct ``collect()`` materializes
+        millions of Row objects and was the next bottleneck at the
+        ~rows/2-runs worst case). Same runs as
         :meth:`_runs_from_positions` (property-tested)."""
-        return F.expr(
-            f"""
-            aggregate(
-              {col},
-              named_struct(
-                'rs', cast(array() as array<struct<s: bigint, c: bigint>>),
-                'st', cast(null as bigint),
-                'pr', cast(null as bigint)
-              ),
-              (acc, x) -> CASE
-                WHEN acc.st IS NULL
-                  THEN named_struct('rs', acc.rs, 'st', x, 'pr', x)
-                WHEN x = acc.pr THEN acc
-                WHEN x = acc.pr + 1
-                  THEN named_struct('rs', acc.rs, 'st', acc.st, 'pr', x)
-                ELSE named_struct(
-                  'rs', array_append(
-                    acc.rs,
-                    named_struct('s', acc.st, 'c', acc.pr - acc.st + 1)
-                  ),
-                  'st', x, 'pr', x)
-              END,
-              acc -> CASE
-                WHEN acc.st IS NULL THEN acc.rs
-                ELSE array_append(
-                  acc.rs,
-                  named_struct('s', acc.st, 'c', acc.pr - acc.st + 1)
-                )
-              END
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(fc).orderBy(ic)
+        return (
+            df.select(fc, ic)
+            .distinct()  # defensive: duplicate positions collapse
+            .withColumn("_rle_rn", F.row_number().over(w))
+            .withColumn("_rle_isl", F.col(ic) - F.col("_rle_rn"))
+            .groupBy(fc, "_rle_isl")
+            .agg(
+                F.min(ic).alias("s"),
+                F.count(F.lit(1)).alias("c"),
             )
-            """
+            .select(F.col(fc).alias("_rle_f"), "s", "c")
         )
 
     @staticmethod
@@ -2061,15 +2050,27 @@ class TxLogTable:
     # ``bloom-<uuid>.json`` blobs referenced from the file's stats entry,
     # and consulted by merge_upsert/delete_matching BEFORE the finding
     # scan. Hashing is Kirsch-Mitzenmacher double hashing over Spark's
-    # xxhash64 (JVM-side, stable across sessions); ~9.6 bits/row ≈ 1%
-    # false positives, which only costs a wasted scan — never a wrong
-    # skip (absence proof is exact for the hashed value set).
+    # xxhash64 (JVM-side, stable across sessions); false positives only
+    # cost a wasted scan — never a wrong skip (the absence proof is
+    # exact for the hashed value set). Sizing below.
 
-    _BLOOM_K = 7
-    _BLOOM_MAX_BITS = 1 << 24  # 2 MB per (file, column): sizing ceiling
-    _BLOOM_MAX_PROBE_KEYS = 1_000_000  # beyond this, a batch plausibly
-    # touches most files anyway and the driver-side probe set stops
-    # paying for itself — fall back to range stats only
+    # Sizing is driven by BATCH probing, not point lookups: a K-key batch
+    # falsely keeps a disjoint file with probability 1-(1-p)^K, so the
+    # per-key false-positive rate p must absorb the batch width. At
+    # p ~= 1e-4 (19.2 bits/row, k=13): a 100-key CDC batch falsely keeps
+    # ~1% of disjoint files, 1k keys ~10% — still a near-total skip.
+    # Past ~10k keys dilution washes the filter out (63%+ false-keep),
+    # and a batch that wide plausibly touches most files anyway: the
+    # probe cap turns blooms off rather than pay for nothing. Index cost
+    # ~2.4 bytes/row ~= 0.25% of typical parquet size (Delta's bloom
+    # index defaults are the same order).
+    _BLOOM_BITS_PER_ROW = 19.17  # -ln(1e-4)/ln(2)^2
+    _BLOOM_K = 13
+    _BLOOM_MAX_BITS = 1 << 26  # 8 MB per (file, column): sizing ceiling
+    _BLOOM_MAX_PROBE_KEYS = 10_000
+    _BLOOM_DRIVER_PROBE_MAX = 256  # more bloom-bearing candidates than
+    # this -> probe as a Spark job (sidecars read where they live); a
+    # driver loop over 100k sidecars would serialize metadata I/O
 
     def _bloom_columns(self, snap: "Snapshot | None") -> list[str]:
         prop = (snap.properties.get("bloom.columns") if snap else None) or ""
@@ -2116,12 +2117,17 @@ class TxLogTable:
         max_bits = self._BLOOM_MAX_BITS
         colnames = list(cols)
 
+        bits_per_row = self._BLOOM_BITS_PER_ROW
+
         def build(pdf):
             import numpy as np
             import pandas as pd
 
             n = len(pdf)
-            m = min(max(1024, ((int(n * 9.585) + 63) // 64) * 64), max_bits)
+            m = min(
+                max(1024, ((int(n * bits_per_row) + 63) // 64) * 64),
+                max_bits,
+            )
             out = []
             for i, c in enumerate(colnames):
                 h = pdf[f"_h_{i}"].to_numpy(dtype=np.uint64)
@@ -2209,6 +2215,45 @@ class TxLogTable:
                 probe[key] = np.array(hs, dtype=np.int64).astype(np.uint64)
         if not probe:
             return candidates
+        with_bloom = [(f, b) for f, b in refs if b is not None]
+        if len(with_bloom) > self._BLOOM_DRIVER_PROBE_MAX:
+            # big tables: probe as a Spark job — each task reads its
+            # sidecars where they live (shared table storage) and ships
+            # back one boolean per file; the driver never serializes
+            # 100k metadata reads
+            path, st, pr = self.path, dict(src_types), dict(probe)
+            hits_any = self._bloom_hits_any
+
+            def part(it):
+                for f, rel in it:
+                    try:
+                        blooms = json.loads(
+                            open(os.path.join(path, rel)).read()
+                        )["cols"]
+                    except OSError:
+                        yield (f, False)
+                        continue
+                    excluded = False
+                    for col, hashes in pr.items():
+                        spec = blooms.get(col)
+                        if spec is None or spec.get("t") != st.get(col):
+                            continue
+                        if not hits_any(spec, hashes):
+                            excluded = True
+                            break
+                    yield (f, excluded)
+
+            n_slices = max(8, len(with_bloom) // 64)
+            excluded_map = dict(
+                spark.sparkContext.parallelize(with_bloom, n_slices)
+                .mapPartitions(part)
+                .collect()
+            )
+            return [
+                f
+                for f, b in refs
+                if b is None or not excluded_map.get(f, False)
+            ]
         kept: list[str] = []
         for f, bloom_rel in refs:
             if bloom_rel is None:
@@ -2374,21 +2419,29 @@ class TxLogTable:
     def _dv_filter(
         self, spark: SparkSession, df: DataFrame, snap: Snapshot, files: list[str]
     ) -> DataFrame:
-        """Apply the snapshot's deletion vectors to a scan of ``files``:
-        anti-join on (file basename, physical row index) against the
-        broadcast run list. Masked rows vanish exactly as if the files
-        had been rewritten. ``df`` must carry ``_metadata`` (any parquet
-        scan does). Basenames are unique (uuid part names), so the join
-        key is layout-independent."""
+        """Apply the snapshot's deletion vectors to a scan of ``files``.
+        Masked rows vanish exactly as if the files had been rewritten.
+        ``df`` must carry ``_metadata`` (any parquet scan does).
+        Basenames are unique (uuid part names), so the key is
+        layout-independent.
+
+        Two physical strategies by TOTAL run count:
+
+        - sparse masks (the Delta-typical case): broadcast anti-join of
+          (basename, position-in-run-range) — pure JVM, no Python hop.
+          Its per-row probe cost is O(runs of that file), fine for
+          point deletes but quadratic-feeling for wide scattered masks;
+        - wide masks: a vectorized pandas-UDF filter — per Arrow batch,
+          ``np.searchsorted`` against the file's sorted run starts,
+          O(log runs) per row, with only (basename, position) crossing
+          the Python boundary. The run arrays ship once per executor
+          via broadcast (16 bytes/run)."""
         dv_files = [f for f in files if f in snap.dvs]
-        run_rows = []
-        for f in dv_files:
-            base = os.path.basename(f)
-            for s, c in self._load_dv_runs(snap.dvs[f]):
-                run_rows.append((base, s, s + c))
-        runs_df = spark.createDataFrame(
-            run_rows, "_dv_base string, _dv_start long, _dv_end long"
-        )
+        per_file: dict[str, list[tuple[int, int]]] = {
+            os.path.basename(f): self._load_dv_runs(snap.dvs[f])
+            for f in dv_files
+        }
+        total_runs = sum(len(r) for r in per_file.values())
         # collision-proof helper columns (a user column named _dv_file
         # would otherwise be clobbered by withColumn and then dropped)
         fcol = self._fresh_col("_dv_file", df.columns)
@@ -2397,12 +2450,58 @@ class TxLogTable:
             fcol,
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
         ).withColumn(icol, F.col("_metadata.row_index"))
-        cond = (
-            (keyed[fcol] == runs_df["_dv_base"])
-            & (keyed[icol] >= runs_df["_dv_start"])
-            & (keyed[icol] < runs_df["_dv_end"])
+        if total_runs <= 4096:
+            run_rows = [
+                (base, s, s + c)
+                for base, runs in per_file.items()
+                for s, c in runs
+            ]
+            runs_df = spark.createDataFrame(
+                run_rows, "_dv_base string, _dv_start long, _dv_end long"
+            )
+            cond = (
+                (keyed[fcol] == runs_df["_dv_base"])
+                & (keyed[icol] >= runs_df["_dv_start"])
+                & (keyed[icol] < runs_df["_dv_end"])
+            )
+            return keyed.join(F.broadcast(runs_df), cond, "left_anti").drop(
+                fcol, icol
+            )
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        bc = spark.sparkContext.broadcast(
+            {
+                base: (
+                    np.array([s for s, _ in runs], dtype=np.int64),
+                    np.array([s + c for s, c in runs], dtype=np.int64),
+                )
+                for base, runs in per_file.items()
+            }
         )
-        return keyed.join(F.broadcast(runs_df), cond, "left_anti").drop(
+
+        @pandas_udf("boolean")
+        def _dv_masked(bases, positions):
+            import numpy as _np
+            import pandas as _pd
+
+            arr_b = bases.to_numpy()
+            arr_p = positions.to_numpy(dtype=_np.int64)
+            out = _np.zeros(len(arr_p), dtype=bool)
+            dvs = bc.value
+            for base in _pd.unique(arr_b):
+                rt = dvs.get(base)
+                if rt is None:
+                    continue
+                starts, ends = rt
+                sel = arr_b == base
+                pos = arr_p[sel]
+                j = _np.searchsorted(starts, pos, side="right") - 1
+                jj = _np.clip(j, 0, None)
+                out[sel] = (j >= 0) & (pos < ends[jj])
+            return _pd.Series(out)
+
+        return keyed.filter(~_dv_masked(F.col(fcol), F.col(icol))).drop(
             fcol, icol
         )
 
@@ -2501,16 +2600,12 @@ class TxLogTable:
             if cdf_on:
                 matched = matched.persist()
             try:
-                # positions are sorted + RLE'd PER FILE on the executors;
-                # the driver collects only (file, runs) — O(runs), the
-                # same metadata scale as the commit log, never O(rows)
-                run_rows = (
-                    matched.select(fc, ic)
-                    .groupBy(fc)
-                    .agg(F.sort_array(F.collect_list(ic)).alias("_ps"))
-                    .select(fc, self._rle_runs_expr("_ps").alias("_rs"))
-                    .collect()
-                )
+                # positions are RLE'd PER FILE on the executors
+                # (gaps-and-islands: linear, one shuffle); the driver
+                # pulls only flat (file, start, count) run rows over
+                # Arrow — O(runs), the same metadata scale as the commit
+                # log, never O(rows), and no per-Row Python objects
+                run_pdf = self._rle_runs_df(matched, fc, ic).toPandas()
                 if cdf_on:
                     cdf_map = {
                         "delete": self._stage_cdf(matched.drop(fc, ic))
@@ -2518,12 +2613,13 @@ class TxLogTable:
             finally:
                 if cdf_on:
                     matched.unpersist()
-            by_file: dict[str, list[tuple[int, int]]] = {
-                os.path.basename(self._rel_from_uri(r[fc])): [
-                    (int(run["s"]), int(run["c"])) for run in r["_rs"]
-                ]
-                for r in run_rows
-            }
+            by_file: dict[str, list[tuple[int, int]]] = {}
+            for fname, s, c in run_pdf.itertuples(index=False):
+                by_file.setdefault(
+                    os.path.basename(self._rel_from_uri(fname)), []
+                ).append((int(s), int(c)))
+            for runs_ in by_file.values():
+                runs_.sort()
             dv_map: dict[str, str] = {}
             masked = 0
             for f in touched:

@@ -176,3 +176,21 @@ def test_bloom_predicate_absent_key_is_noop_without_commit(spark, tmp_path):
     v = t.version()
     t.delete(spark, f"key = '{'0' * 32}'")
     assert t.version() == v  # no matching rows -> no commit
+
+
+def test_distributed_probe_path_matches_driver_path(spark, tmp_path, monkeypatch):
+    """Above _BLOOM_DRIVER_PROBE_MAX candidates the probe runs as a Spark
+    job (sidecars read executor-side); forcing the threshold to 0 must
+    give identical skipping and identical results."""
+    monkeypatch.setattr(TxLogTable, "_BLOOM_DRIVER_PROBE_MAX", 0)
+    t, groups = _seed(spark, str(tmp_path / "t"))
+    batch = spark.createDataFrame(groups[1][:20], ["key", "n"])
+    before = sorted(r.key for r in t.read(spark).collect())
+    t.delete_matching(spark, batch, keys=["key"])
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_bloom_skipped"] >= 2, m
+    assert m["files_rewritten"] == 1
+    gone = {k for k, _ in groups[1][:20]}
+    assert sorted(r.key for r in t.read(spark).collect()) == sorted(
+        k for k in before if k not in gone
+    )

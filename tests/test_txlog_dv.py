@@ -260,16 +260,14 @@ def test_wide_dv_delete_runs_built_executor_side(spark, tmp_path):
     assert _ids(t.read(spark)) == [i for i in range(n) if i not in union_pos]
 
 
-def test_rle_expr_and_merge_runs_match_reference_encoder(spark):
-    """The JVM-side aggregate RLE and the run-merge must agree with the
-    reference driver-side encoder on adversarial position sets."""
+def test_rle_df_and_merge_runs_match_reference_encoder(spark):
+    """The executor-side gaps-and-islands RLE and the run-merge must
+    agree with the reference driver-side encoder on adversarial position
+    sets."""
     import random
-
-    from pyspark.sql import functions as F
 
     rng = random.Random(7)
     cases = [
-        [],
         [0],
         [5, 6, 7],
         [0, 2, 4, 6],
@@ -278,17 +276,18 @@ def test_rle_expr_and_merge_runs_match_reference_encoder(spark):
         [1, 1, 2, 2, 3, 10, 10],  # duplicates collapse
     ]
     df = spark.createDataFrame(
-        [(i, [int(x) for x in sorted(ps)]) for i, ps in enumerate(cases)],
-        "i int, ps array<bigint>",
+        [(str(i), int(x)) for i, ps in enumerate(cases) for x in ps],
+        "f string, p bigint",
     )
-    rows = {
-        r["i"]: [(int(x["s"]), int(x["c"])) for x in r["rs"]]
-        for r in df.select(
-            "i", TxLogTable._rle_runs_expr("ps").alias("rs")
-        ).collect()
-    }
+    rows: dict = {}
+    for fname, s, c in TxLogTable._rle_runs_df(df, "f", "p").toPandas().itertuples(
+        index=False
+    ):
+        rows.setdefault(fname, []).append((int(s), int(c)))
     for i, ps in enumerate(cases):
-        assert rows[i] == TxLogTable._runs_from_positions(ps), f"case {i}"
+        assert sorted(rows[str(i)]) == TxLogTable._runs_from_positions(
+            ps
+        ), f"case {i}"
 
     # run-merge == expand-positions-and-re-encode, including overlaps
     for _ in range(25):
@@ -298,3 +297,22 @@ def test_rle_expr_and_merge_runs_match_reference_encoder(spark):
         assert TxLogTable._merge_runs(a, b) == TxLogTable._runs_from_positions(
             expand(a) + expand(b)
         )
+
+
+def test_wide_mask_read_uses_searchsorted_path(spark, tmp_path):
+    """Above 4096 total runs the DV read switches from the JVM anti-join
+    to the vectorized searchsorted filter — results must be identical,
+    including layering and time travel."""
+    t = TxLogTable(str(tmp_path / "t"))
+    n = 20_000
+    t.append(spark.range(n).selectExpr("id", "id % 2 as par").coalesce(2))
+    t.delete(spark, "par = 0", deletion_vectors=True)  # ~10k runs: wide
+    snap = t.snapshot()
+    assert sum(len(t._load_dv_runs(d)) for d in snap.dvs.values()) > 4096
+    assert t.read(spark).count() == n // 2
+    assert _ids(t.read(spark)) == [i for i in range(n) if i % 2 == 1]
+    # layering on the wide mask still converges
+    t.delete(spark, "id = 1", deletion_vectors=True)
+    assert t.read(spark).count() == n // 2 - 1
+    # time travel to before the delete sees everything (sparse path)
+    assert t.read(spark, version=0).count() == n
