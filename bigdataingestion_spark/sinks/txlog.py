@@ -2215,15 +2215,50 @@ class TxLogTable:
                 probe[key] = np.array(hs, dtype=np.int64).astype(np.uint64)
         if not probe:
             return candidates
-        with_bloom = [(f, b) for f, b in refs if b is not None]
-        if len(with_bloom) > self._BLOOM_DRIVER_PROBE_MAX:
-            # big tables: probe as a Spark job — each task reads its
-            # sidecars where they live (shared table storage) and ships
-            # back one boolean per file; the driver never serializes
-            # 100k metadata reads
-            path, st, pr = self.path, dict(src_types), dict(probe)
-            hits_any = self._bloom_hits_any
+        typed = {
+            col: (src_types.get(col), hashes)
+            for col, hashes in probe.items()
+        }
+        return self._bloom_filter_refs(spark, refs, typed)
 
+    def _bloom_filter_refs(
+        self, spark: SparkSession, refs: list, probe: dict
+    ) -> list[str]:
+        """Shared bloom evaluation for the key-batch and predicate DML
+        paths. ``refs`` is [(file, bloom_rel|None)]; ``probe`` maps a
+        column name to (required hashed type, xxhash64 ndarray). A file
+        is dropped when some probed column's bloom — recorded under
+        EXACTLY the required type (xxhash64 is physical-type-sensitive)
+        — proves every probe hash absent; everything else keeps the
+        file. Above _BLOOM_DRIVER_PROBE_MAX bloom-bearing refs the
+        evaluation runs as a Spark job reading sidecars executor-side,
+        so 100k-file tables never serialize metadata reads through the
+        driver."""
+        with_bloom = [(f, b) for f, b in refs if b is not None]
+        if not with_bloom:
+            return [f for f, _ in refs]
+        path = self.path
+        hits_any = self._bloom_hits_any
+
+        def excluded_by(blooms: dict) -> bool:
+            for col, (want_t, hashes) in probe.items():
+                spec = blooms.get(col) or next(
+                    (
+                        v
+                        for k, v in blooms.items()
+                        if k.lower() == col.lower()
+                    ),
+                    None,
+                )
+                if spec is None or spec.get("t") != want_t:
+                    # absent, or hashed under a different physical type:
+                    # no sound proof
+                    continue
+                if not hits_any(spec, hashes):
+                    return True  # NO probed value of `col` in the file
+            return False
+
+        if len(with_bloom) > self._BLOOM_DRIVER_PROBE_MAX:
             def part(it):
                 for f, rel in it:
                     try:
@@ -2233,15 +2268,7 @@ class TxLogTable:
                     except OSError:
                         yield (f, False)
                         continue
-                    excluded = False
-                    for col, hashes in pr.items():
-                        spec = blooms.get(col)
-                        if spec is None or spec.get("t") != st.get(col):
-                            continue
-                        if not hits_any(spec, hashes):
-                            excluded = True
-                            break
-                    yield (f, excluded)
+                    yield (f, excluded_by(blooms))
 
             n_slices = max(8, len(with_bloom) // 64)
             excluded_map = dict(
@@ -2264,18 +2291,7 @@ class TxLogTable:
             except OSError:
                 kept.append(f)  # sidecar vacuumed/unreadable: no proof
                 continue
-            excluded = False
-            for key, hashes in probe.items():
-                spec = blooms.get(key)
-                if spec is None or spec.get("t") != src_types.get(key):
-                    # absent, or hashed under a different physical type
-                    # (xxhash64 is type-sensitive): no sound proof
-                    continue
-                if not self._bloom_hits_any(spec, hashes):
-                    # NO source value of `key` occurs in the file
-                    excluded = True
-                    break
-            if not excluded:
+            if not excluded_by(blooms):
                 kept.append(f)
         return kept
 
@@ -2320,11 +2336,14 @@ class TxLogTable:
         bloom-indexed column excludes files provably holding none of the
         literals — the point-lookup (GDPR-erasure) shape where min/max
         stats are blind on unclustered keys. Literals are hashed by
-        Spark itself, CAST to each bloom's recorded physical type, so
-        the probe hash agrees with the committed one by construction;
-        a literal that casts to NULL proves nothing (kept). Everything
-        outside the supported term shapes is ignored — skipping stays an
-        optimization, never a correctness filter."""
+        Spark itself, CAST to the column's CURRENT table-schema type, so
+        the probe hash agrees by construction with blooms recorded under
+        that type; files whose bloom was hashed under an older schema
+        type simply aren't consulted (conservative), and no sidecar is
+        opened before the probe runs — the shared evaluator handles the
+        driver/distributed split. A literal that casts to NULL proves
+        nothing. Everything outside the supported term shapes is ignored
+        — skipping stays an optimization, never a correctness filter."""
         import numpy as np
 
         from bigdataingestion_spark.sinks.skipping import (
@@ -2357,64 +2376,38 @@ class TxLogTable:
                 )
         if not wanted:
             return candidates
-        # hash each literal set once per (column, recorded type) — one
-        # tiny driver-side Spark job per pair, reusing Spark's own CAST
-        types_needed: dict[tuple[str, str], np.ndarray | None] = {}
-        loaded: dict[str, dict] = {}
-        for _f, rel in refs:
-            if rel is None or rel in loaded:
+        schema_types = {
+            f.name.lower(): f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+        }
+        probe: dict = {}
+        for col, vals in wanted.items():
+            t = schema_types.get(col)
+            if t is None:
                 continue
-            try:
-                loaded[rel] = self._load_bloom(rel)
-            except OSError:
-                loaded[rel] = {}
-        for blooms in loaded.values():
-            for col, vals in wanted.items():
-                spec = blooms.get(col) or next(
-                    (v for k, v in blooms.items() if k.lower() == col), None
-                )
-                if spec is not None:
-                    types_needed.setdefault((col, spec["t"]), None)
-        for col, t in list(types_needed):
-            vals = wanted[col]
             try:
                 lit_df = spark.createDataFrame([(v,) for v in vals], ["x"])
                 rows = lit_df.select(
                     F.xxhash64(F.col("x").cast(t)).alias("h"),
                     F.col("x").cast(t).isNull().alias("isnull"),
                 ).collect()
-            except Exception:  # noqa: BLE001 - mixed/unmappable literal
-                types_needed[(col, t)] = None  # types: prove nothing
-                continue
+            except Exception:  # noqa: BLE001 - mixed/unmappable literals
+                continue  # prove nothing for this column
             if any(r["isnull"] for r in rows):
                 # a literal that casts to NULL under the hashed type:
                 # Spark's own comparison semantics are out of this
-                # helper's subset — prove nothing for this pair
+                # helper's subset — prove nothing for this column
                 # (xxhash64 of NULL is the seed, so check the CAST)
-                types_needed[(col, t)] = None
                 continue
-            types_needed[(col, t)] = np.array(
-                [r["h"] for r in rows], dtype=np.int64
-            ).astype(np.uint64)
-        kept: list[str] = []
-        for f, rel in refs:
-            blooms = loaded.get(rel) if rel else None
-            excluded = False
-            for col in wanted if blooms else ():
-                spec = blooms.get(col) or next(
-                    (v for k, v in blooms.items() if k.lower() == col), None
-                )
-                if spec is None:
-                    continue
-                hashes = types_needed.get((col, spec["t"]))
-                if hashes is None:
-                    continue
-                if not self._bloom_hits_any(spec, hashes):
-                    excluded = True
-                    break
-            if not excluded:
-                kept.append(f)
-        return kept
+            probe[col] = (
+                t,
+                np.array([r["h"] for r in rows], dtype=np.int64).astype(
+                    np.uint64
+                ),
+            )
+        if not probe:
+            return candidates
+        return self._bloom_filter_refs(spark, refs, probe)
 
     def _dv_filter(
         self, spark: SparkSession, df: DataFrame, snap: Snapshot, files: list[str]

@@ -194,3 +194,13 @@ def test_distributed_probe_path_matches_driver_path(spark, tmp_path, monkeypatch
     assert sorted(r.key for r in t.read(spark).collect()) == sorted(
         k for k in before if k not in gone
     )
+
+
+def test_distributed_probe_path_for_predicates(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(TxLogTable, "_BLOOM_DRIVER_PROBE_MAX", 0)
+    t, groups = _seed(spark, str(tmp_path / "t"))
+    k0 = groups[2][9][0]
+    t.delete(spark, f"key = '{k0}'")
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_bloom_skipped"] >= 2, m
+    assert k0 not in {r.key for r in t.read(spark).collect()}
