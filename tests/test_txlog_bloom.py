@@ -204,3 +204,123 @@ def test_distributed_probe_path_for_predicates(spark, tmp_path, monkeypatch):
     m = t.history()[-1]["op_metrics"]
     assert m["files_bloom_skipped"] >= 2, m
     assert k0 not in {r.key for r in t.read(spark).collect()}
+
+
+def test_bloom_refs_survive_commit_race_reconciliation(
+    spark, tmp_path, monkeypatch
+):
+    """A merge racing a disjoint append reconciles by re-committing its
+    already-staged files; the staged files' bloom sidecar refs must ride
+    the retry into the final snapshot, and skipping must keep working."""
+    path = str(tmp_path / "t")
+    t, groups = _seed(spark, path, n_files=2, rows_per_file=40)
+
+    real_write = TxLogTable._write_bloom
+    fired = []
+
+    def write_then_race(self, cols):
+        out = real_write(self, cols)
+        if not fired and os.path.abspath(self.path) == os.path.abspath(path):
+            fired.append(True)
+            # a DISJOINT writer wins the version first
+            TxLogTable(path).append(
+                spark.createDataFrame(
+                    [("zzz-disjoint", 1)], ["key", "n"]
+                ).coalesce(1)
+            )
+        return out
+
+    monkeypatch.setattr(TxLogTable, "_write_bloom", write_then_race)
+    ups = [(groups[0][0][0], 999)]
+    v = t.merge_upsert(
+        spark, spark.createDataFrame(ups, ["key", "n"]), keys=["key"]
+    )
+    monkeypatch.undo()
+    assert fired and v == t.version()
+    got = {r.key: r.n for r in t.read(spark).collect()}
+    assert got[groups[0][0][0]] == 999 and got["zzz-disjoint"] == 1
+    # every data file staged under the bloom property still references a
+    # live sidecar (the racing append's file included)
+    snap = t.snapshot()
+    blooms = {
+        f: st.get("__bloom__")
+        for f, st in snap.file_stats.items()
+        if isinstance(st, dict)
+    }
+    assert sum(1 for b in blooms.values() if b) >= 3
+    for b in blooms.values():
+        if b:
+            assert os.path.exists(os.path.join(path, b))
+    # and skipping still fires on the reconciled table
+    t.delete_matching(
+        spark,
+        spark.createDataFrame(groups[1][:3], ["key", "n"]),
+        keys=["key"],
+    )
+    assert t.history()[-1]["op_metrics"]["files_bloom_skipped"] >= 1
+
+
+def test_compact_refreshes_blooms(spark, tmp_path):
+    """OPTIMIZE rewrites files through the same staging path, so a table
+    that enables bloom.columns AFTER its data landed gets backfilled by
+    the next compact."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    for g in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(_uuidish(g * 50 + i), g) for i in range(50)], ["key", "n"]
+            ).coalesce(1)
+        )
+    # no blooms yet: property enabled after the fact
+    t.alter_properties({"bloom.columns": "key"})
+    assert not any(
+        isinstance(st, dict) and st.get("__bloom__")
+        for st in t.snapshot().file_stats.values()
+    )
+    t.compact(spark)
+    snap = t.snapshot()
+    assert all(
+        snap.file_stats.get(f, {}).get("__bloom__") for f in snap.files
+    )
+    # and the backfilled index skips (single compacted file: probe keeps
+    # it only when it genuinely holds the key)
+    probe = spark.createDataFrame([(_uuidish(10**7), 0)], ["key", "n"])
+    v = t.version()
+    t.delete_matching(spark, probe, keys=["key"])
+    assert t.version() == v  # absent key: no matching file, no commit
+
+
+def test_cdf_replica_with_bloom_index_converges_and_skips(spark, tmp_path):
+    """Composition: a bloom-indexed REPLICA followed over the change feed
+    — DML applies through the bloom-pruned finding pass and the replica
+    still converges exactly."""
+    from bigdataingestion_spark.streaming.ingest import stream_cdf_replicate
+
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+
+    src = TxLogTable(src_path)
+    src.append(
+        spark.createDataFrame(
+            [(_uuidish(i), "a") for i in range(60)], ["key", "v"]
+        )
+    )
+    src.alter_properties({"cdf.enabled": "true"})
+
+    dst = TxLogTable(dst_path)
+    dst.alter_properties({"bloom.columns": "key"})
+
+    q = stream_cdf_replicate(spark, src_path, dst_path, ck, keys=["key"])
+    assert q.awaitTermination(240)
+    assert dst.read(spark).count() == 60
+
+    src.delete(spark, f"key = '{_uuidish(7)}'")
+    src.update(spark, f"key = '{_uuidish(8)}'", {"v": "'UP'"})
+    q = stream_cdf_replicate(spark, src_path, dst_path, ck, keys=["key"])
+    assert q.awaitTermination(240)
+    want = sorted((r.key, r.v) for r in src.read(spark).collect())
+    got = sorted((r.key, r.v) for r in dst.read(spark).collect())
+    assert got == want
+    assert len(got) == 59
