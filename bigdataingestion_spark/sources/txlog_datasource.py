@@ -220,6 +220,25 @@ class _TxLogBatchReader(DataSourceReader):
         pf = options.get("partitionFilter")
         if pf:
             self._apply_partition_filter(pf)
+        sf = options.get("statsFilter")
+        if sf and snap is not None:
+            # stateless file PRUNING via the same conservative evaluator
+            # the DML paths use (sinks/skipping.py): drops only files the
+            # log-held min/max stats PROVE hold no matching row. This is
+            # a pruning hint, NOT a row filter — the scan still returns
+            # every row of the surviving files, so pair it with the same
+            # .filter(...) for exact results (partitionFilter's
+            # contract). Unsupported predicate shapes keep all files.
+            # session_tz is unknown in the data-source worker, so
+            # TIMESTAMP(LTZ) literal terms never prune here (NTZ/DATE
+            # do) — strictly conservative either way.
+            from bigdataingestion_spark.sinks.skipping import (
+                candidate_files,
+            )
+
+            self._files = candidate_files(
+                sf, snap.schema_json, self._files, snap.file_stats
+            )
 
     # NOTE deliberately NO pushFilters(): Spark 4.1's Python-data-source
     # filter pushdown caches the planned scan on the relation object, and

@@ -513,3 +513,40 @@ def test_commit_files_retries_through_concurrent_commits(spark, tmp_path):
         t._commit = real_commit
     assert version == t.version()
     assert _rows(t.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_batch_reader_stats_filter_prunes_files(spark, tmp_path):
+    """option("statsFilter", ...) is stateless file PRUNING through the
+    log-held min/max stats — a conservative superset of matching rows,
+    paired with .filter(...) for exact results; unsupported shapes keep
+    everything; LTZ terms never prune in the session-TZ-less worker."""
+    path = str(tmp_path / "t")
+    t = TxLogTable(path)
+    t.append(spark.createDataFrame([(i, "a") for i in range(10)], ["id", "v"]).coalesce(1))
+    t.append(spark.createDataFrame([(i, "b") for i in range(100, 110)], ["id", "v"]).coalesce(1))
+    t.append(spark.createDataFrame([(i, "c") for i in range(200, 210)], ["id", "v"]).coalesce(1))
+
+    base = spark.read.format("txlog")
+    # prunes to the one file whose range covers the point
+    pruned = base.option("statsFilter", "id = 105").load(path)
+    assert sorted(r.id for r in pruned.collect()) == list(range(100, 110))
+    # exact result: pair with the real filter
+    assert [
+        r.id for r in pruned.filter("id = 105").collect()
+    ] == [105]
+    # range predicate across two files
+    two = (
+        spark.read.format("txlog")
+        .option("statsFilter", "id >= 100")
+        .load(path)
+    )
+    assert two.count() == 20
+    # unsupported shape: keeps all files (pruning never filters rows)
+    allrows = (
+        spark.read.format("txlog")
+        .option("statsFilter", "id % 2 = 0")
+        .load(path)
+    )
+    assert allrows.count() == 30
+    # fresh reader without the option is unaffected (stateless)
+    assert spark.read.format("txlog").load(path).count() == 30
