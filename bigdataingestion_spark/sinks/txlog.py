@@ -930,12 +930,14 @@ class TxLogTable:
 
         names: list[str] = []
         stats: dict[str, dict] = {}
+        nrows: dict[str, int] = {}
         for root, _dirs, files in os.walk(tmp):
             rel_dir = os.path.relpath(root, tmp)
             for f in sorted(files):
                 if not f.endswith(".parquet"):
                     continue
                 st: dict = {}
+                n_in_file = 0
                 try:
                     # ONE footer read per staged part serves two purposes:
                     # drop Spark's empty parts (rowless entries carry no
@@ -947,9 +949,10 @@ class TxLogTable:
                     md = pq.ParquetFile(os.path.join(root, f)).metadata
                     if md.num_rows == 0:
                         continue
+                    n_in_file = md.num_rows
                     st = _stats_from_metadata(md)
                 except Exception:  # noqa: BLE001 - unreadable: keep the
-                    pass  # file, just without skipping stats
+                    pass  # file, just without skipping stats (or blooms)
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
                 os.makedirs(
@@ -960,6 +963,8 @@ class TxLogTable:
                 names.append(rel)
                 if st:
                     stats[rel] = st
+                if n_in_file:
+                    nrows[rel] = n_in_file
         shutil.rmtree(tmp)
         # opt-in bloom indexes: one extra pass over the NEW files only
         # (commit-time cost, Delta's bloom-filter index shape); partition
@@ -971,7 +976,7 @@ class TxLogTable:
         ]
         if bloom_cols and names:
             for rel, bref in self._build_blooms(
-                df.sparkSession, names, bloom_cols
+                df.sparkSession, names, bloom_cols, nrows
             ).items():
                 stats.setdefault(rel, {})["__bloom__"] = bref
         return sorted(names), stats
@@ -2093,14 +2098,25 @@ class TxLogTable:
         return json.loads(open(os.path.join(self.path, rel)).read())["cols"]
 
     def _build_blooms(
-        self, spark: SparkSession, rel_names: list[str], cols: list[str]
+        self,
+        spark: SparkSession,
+        rel_names: list[str],
+        cols: list[str],
+        nrows: dict[str, int],
     ) -> dict[str, str]:
-        """One Arrow-batched pass over the freshly staged files: per file,
-        xxhash64 each indexed column JVM-side, set k positions per value
-        executor-side (numpy bitmap in applyInPandas), return {data file
-        -> sidecar rel}. The driver sees only the finished bitmaps —
-        O(files x columns) blobs, never row-proportional traffic."""
+        """One SHUFFLE-FREE Arrow pass over the freshly staged files:
+        xxhash64 each indexed column JVM-side, then ``mapInPandas`` sets
+        k positions per value into a PARTIAL numpy bitmap per (file,
+        column) accumulated across the partition's Arrow batches — no
+        groupBy (which would shuffle every row's ~100-byte path string;
+        a 10M-row commit ~1 GB for nothing). The driver OR-combines the
+        O(scan partitions x columns) partial blobs and writes the
+        sidecars; bitmap SIZE per file is fixed up front from the footer
+        row counts (``nrows``) so partials from different partitions of
+        one file agree. Returns {data file -> sidecar rel}."""
         import base64
+
+        import numpy as np
 
         paths = [os.path.join(self.path, r) for r in rel_names]
         df = spark.read.parquet(*paths)
@@ -2108,65 +2124,98 @@ class TxLogTable:
         cols = [c for c in cols if c in have]
         if not cols:
             return {}
+        m_by_base = {
+            os.path.basename(rel): min(
+                max(
+                    1024,
+                    ((int(n * self._BLOOM_BITS_PER_ROW) + 63) // 64) * 64,
+                ),
+                self._BLOOM_MAX_BITS,
+            )
+            for rel, n in nrows.items()
+            if n > 0
+        }
+        if not m_by_base:
+            return {}
         fc = self._fresh_col("_bf_file", list(have))
         hashed = df.select(
             F.col("_metadata.file_path").alias(fc),
             *[F.xxhash64(c).alias(f"_h_{i}") for i, c in enumerate(cols)],
         )
         k_hashes = self._BLOOM_K
-        max_bits = self._BLOOM_MAX_BITS
         colnames = list(cols)
 
-        bits_per_row = self._BLOOM_BITS_PER_ROW
+        def build(batches):
+            import base64 as _b64
+            from urllib.parse import unquote, urlparse
 
-        def build(pdf):
-            import numpy as np
-            import pandas as pd
+            import numpy as _np
+            import pandas as _pd
 
-            n = len(pdf)
-            m = min(
-                max(1024, ((int(n * bits_per_row) + 63) // 64) * 64),
-                max_bits,
-            )
-            out = []
-            for i, c in enumerate(colnames):
-                h = pdf[f"_h_{i}"].to_numpy(dtype=np.uint64)
-                h1 = h & np.uint64(0xFFFFFFFF)
-                h2 = h >> np.uint64(32)
-                bits = np.zeros(m // 8, dtype=np.uint8)
-                for j in range(k_hashes):
-                    pos = (h1 + np.uint64(j) * h2) % np.uint64(m)
-                    np.bitwise_or.at(
-                        bits,
-                        (pos >> np.uint64(3)).astype(np.int64),
-                        (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+            acc: dict = {}
+            for pdf in batches:
+                for fname, grp in pdf.groupby(fc, sort=False):
+                    p = urlparse(fname)
+                    base = os.path.basename(
+                        unquote(p.path) if p.scheme else fname
                     )
-                out.append(
-                    (
-                        pdf[fc].iloc[0],
-                        c,
-                        int(m),
-                        base64.b64encode(bits.tobytes()).decode(),
-                    )
+                    m = m_by_base.get(base)
+                    if m is None:  # footer-unreadable file: no bloom
+                        continue
+                    for i, c in enumerate(colnames):
+                        key = (fname, c, m)
+                        bits = acc.get(key)
+                        if bits is None:
+                            bits = acc[key] = _np.zeros(
+                                m // 8, dtype=_np.uint8
+                            )
+                        h = grp[f"_h_{i}"].to_numpy(dtype=_np.uint64)
+                        h1 = h & _np.uint64(0xFFFFFFFF)
+                        h2 = h >> _np.uint64(32)
+                        for j in range(k_hashes):
+                            pos = (h1 + _np.uint64(j) * h2) % _np.uint64(m)
+                            _np.bitwise_or.at(
+                                bits,
+                                (pos >> _np.uint64(3)).astype(_np.int64),
+                                (
+                                    _np.uint8(1)
+                                    << (pos & _np.uint64(7)).astype(
+                                        _np.uint8
+                                    )
+                                ),
+                            )
+            out = [
+                (fname, c, int(m), _b64.b64encode(bits.tobytes()).decode())
+                for (fname, c, m), bits in acc.items()
+            ]
+            if out:
+                yield _pd.DataFrame(
+                    out, columns=["file", "col", "m", "b64"]
                 )
-            return pd.DataFrame(out, columns=["file", "col", "m", "b64"])
 
-        rows = (
-            hashed.groupBy(fc)
-            .applyInPandas(build, "file string, col string, m long, b64 string")
-            .collect()
-        )
-        per_file: dict[str, dict] = {}
+        rows = hashed.mapInPandas(
+            build, "file string, col string, m long, b64 string"
+        ).collect()
+        merged: dict[tuple[str, str], np.ndarray] = {}
+        m_of: dict[tuple[str, str], int] = {}
         for r in rows:
-            rel = self._rel_from_uri(r["file"])
-            per_file.setdefault(rel, {})[r["col"]] = {
-                "m": int(r["m"]),
+            key = (self._rel_from_uri(r["file"]), r["col"])
+            bits = np.frombuffer(base64.b64decode(r["b64"]), dtype=np.uint8)
+            if key in merged:
+                merged[key] = merged[key] | bits
+            else:
+                merged[key] = bits.copy()
+                m_of[key] = int(r["m"])
+        per_file: dict[str, dict] = {}
+        for (rel, col), bits in merged.items():
+            per_file.setdefault(rel, {})[col] = {
+                "m": m_of[(rel, col)],
                 "k": k_hashes,
                 # the HASHED type: xxhash64 is physical-type-sensitive
                 # (hash(int 5) != hash(bigint 5)), so a probe may only
                 # consult this bloom when its column type matches exactly
-                "t": have[r["col"]],
-                "b64": r["b64"],
+                "t": have[col],
+                "b64": base64.b64encode(bits.tobytes()).decode(),
             }
         return {rel: self._write_bloom(cols_) for rel, cols_ in per_file.items()}
 
