@@ -324,3 +324,42 @@ def test_cdf_replica_with_bloom_index_converges_and_skips(spark, tmp_path):
     got = sorted((r.key, r.v) for r in dst.read(spark).collect())
     assert got == want
     assert len(got) == 59
+
+
+def test_multi_column_bloom_index(spark, tmp_path):
+    """bloom.columns with two UNCLUSTERED columns (both md5-scattered so
+    min/max proves nothing): either column's bloom can prove a file
+    disjoint on its own — the one-disjoint-column logic — including a
+    probe whose first column matches real values but whose second pairs
+    them with values no file holds."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([("8seed", "8seed", 0)], ["ka", "kb", "n"]).coalesce(1)
+    )
+    t.alter_properties({"bloom.columns": "ka, kb"})
+    groups = []
+    for g in range(3):
+        rows = [
+            (_uuidish(g * 100 + i), _uuidish(10_000 + g * 100 + i), i)
+            for i in range(60)
+        ]
+        t.append(spark.createDataFrame(rows, ["ka", "kb", "n"]).coalesce(1))
+        groups.append(rows)
+
+    # real (ka, kb) pairs from ONE file: both columns' blooms exclude the
+    # two foreign indexed files
+    batch = spark.createDataFrame(groups[1][:5], ["ka", "kb", "n"])
+    t.delete_matching(spark, batch, keys=["ka", "kb"])
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_bloom_skipped"] >= 2, m
+    assert m["files_rewritten"] == 1
+
+    # real ka values paired with ABSENT kb values: kb's bloom alone
+    # proves every file disjoint -> no matching file, no commit
+    v = t.version()
+    wrong_kb = spark.createDataFrame(
+        [(ka, _uuidish(777_000 + i), 0) for i, (ka, _kb, _n) in enumerate(groups[2][:5])],
+        ["ka", "kb", "n"],
+    )
+    t.delete_matching(spark, wrong_kb, keys=["ka", "kb"])
+    assert t.version() == v
