@@ -2300,6 +2300,53 @@ def q19_disjunctive_revenue(spark, sf_dir):
 
 
 @register(
+    "q17_small_quantity_revenue",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY 1
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size <= 15
+      AND l_quantity < qty_threshold
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-style correlated-average subquery: yearly revenue from
+    orders whose quantity is below 20% of that part's average quantity
+    (p_container doesn't exist in the fixture schema; p_brand+p_size stand
+    in as the selective part filter). Spark-first shape: the correlated
+    subquery is de-correlated into one groupBy over lineitem SEMI-JOINED to
+    the filtered parts first — at 100 TB the per-part average is computed
+    only for the ~1/25th of parts that survive the brand filter, and both
+    the part keys and the per-part thresholds broadcast (they are bounded
+    by |part filter|, not |lineitem|). avg(l_quantity) is exact: integer
+    sums are exact in doubles and one IEEE division is deterministic across
+    engines, so the threshold comparison can't flap between Spark and the
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15)
+    )
+    pk = F.broadcast(p.select("p_partkey"))
+    thresholds = (
+        li.join(pk, li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+        .withColumnRenamed("l_partkey", "pk")
+    )
+    return (
+        li.join(pk, li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
     "q22_idle_customers",
     """
     SELECT c_mktsegment, count(*) AS numcust,
