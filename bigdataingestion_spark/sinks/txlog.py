@@ -1127,6 +1127,114 @@ class TxLogTable:
         )
         return t
 
+    def clone_to(
+        self, spark: SparkSession, target_path: str, shallow: bool = True
+    ) -> "TxLogTable":
+        """Delta CLONE: create an independent txlog table at
+        ``target_path`` from this table's LATEST snapshot, in one commit
+        (op ``clone``). The reference's platform exposes exactly this for
+        dev/test forks of production Delta tables; rebuilt here on the
+        same two modes:
+
+        - **shallow** (default): the clone's commit references the
+          source's data files (and deletion vectors / bloom sidecars) BY
+          ABSOLUTE PATH — zero data copied, so forking a 100 TB table
+          costs one metadata commit. Writes to the clone land under the
+          clone's own root and never touch the source; copy-on-write DML
+          and ``compact`` progressively localize data into the clone.
+          The one Delta-documented caveat carries over: ``vacuum`` on
+          the SOURCE can delete files a shallow clone still references
+          (the clone's own vacuum walks only its root and cannot touch
+          them). Deep-clone or ``compact`` the clone first if the source
+          will be vacuumed.
+        - **deep**: data files, deletion vectors, and bloom sidecars are
+          physically copied (relative names preserved, so harvested
+          stats stay valid) — an independent backup at full copy cost.
+
+        Carried over: schema, partition columns (deep only — a shallow
+        clone of a hive-partitioned table would need two ``basePath``
+        roots in one scan, which Spark's parquet reader cannot express;
+        refused with this explanation), CHECK constraints, table
+        properties (including ``cdf.enabled`` and ``bloom.columns``),
+        per-file skipping stats, and deletion vectors. NOT carried:
+        ``txn_ids`` — the clone is a new application surface, so an
+        idempotent writer replaying against it delivers (Delta's clones
+        likewise start fresh streaming transaction identity), and the
+        commit HISTORY — time travel on the clone starts at its v0.
+
+        The clone commit reads in CDF/streaming exactly like ``convert``
+        (its adds are the bootstrap inserts), with the source's deletion
+        vectors applied so masked rows don't resurrect downstream."""
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"{self.path} has no commits to clone")
+        if shallow and snap.partition_cols:
+            raise ValueError(
+                "shallow clone of a hive-partitioned table is unsupported: "
+                "one scan cannot carry two basePath roots (source layout + "
+                "clone-local writes); use shallow=False"
+            )
+        target = TxLogTable(target_path)
+        if target.version() >= 0:
+            raise ValueError(f"{target_path} is already a txlog table")
+        os.makedirs(target_path, exist_ok=True)
+        src_root = os.path.abspath(self.path)
+
+        def _src_abs(rel: str) -> str:
+            return os.path.abspath(os.path.join(src_root, rel))
+
+        if shallow:
+            name_of = {f: _src_abs(f) for f in snap.files}
+            dvs = {
+                name_of[f]: _src_abs(dv) for f, dv in snap.dvs.items()
+            }
+            stats: dict[str, dict] = {}
+            for f, st in snap.file_stats.items():
+                if f not in name_of:
+                    continue
+                st = dict(st)
+                if st.get("__bloom__"):
+                    st["__bloom__"] = _src_abs(st["__bloom__"])
+                stats[name_of[f]] = st
+            add = sorted(name_of.values())
+        else:
+            sidecars = set(snap.dvs.values()) | {
+                st["__bloom__"]
+                for st in snap.file_stats.values()
+                if isinstance(st, dict) and st.get("__bloom__")
+            }
+            for rel in list(snap.files) + sorted(sidecars):
+                dst = os.path.join(target_path, rel)
+                os.makedirs(os.path.dirname(dst) or target_path, exist_ok=True)
+                shutil.copyfile(_src_abs(rel), dst)
+            dvs = dict(snap.dvs)
+            stats = {f: dict(st) for f, st in snap.file_stats.items()}
+            add = sorted(snap.files)
+        target._commit(
+            add,
+            [],
+            StructType.fromJson(json.loads(snap.schema_json)),
+            "clone",
+            None,
+            -1,
+            partition_cols=list(snap.partition_cols) or None,
+            metrics={
+                "source": src_root,
+                "source_version": snap.version,
+                "mode": "shallow" if shallow else "deep",
+                "files_referenced" if shallow else "files_copied": len(add),
+            },
+            constraints=list(snap.constraints) or None,
+            precomputed_stats=stats,
+            dv=dvs or None,
+            properties=dict(snap.properties) or None,
+            # the add list is the SOURCE's live dataset (shallow) or the
+            # just-copied backup — same data-destruction hazard convert()
+            # documents: a lost v0 race must never delete these files
+            cleanup_on_conflict=False,
+        )
+        return target
+
     def alter_properties(self, updates: dict) -> int:
         """ALTER TABLE SET/UNSET TBLPROPERTIES: a metadata-only commit
         merging ``updates`` into the table's log-carried property map
@@ -1867,7 +1975,13 @@ class TxLogTable:
 
         p = urlparse(uri)
         local = unquote(p.path) if p.scheme else uri
-        return os.path.relpath(local, os.path.abspath(self.path))
+        root = os.path.abspath(self.path)
+        local = os.path.abspath(local)
+        if local == root or local.startswith(root + os.sep):
+            return os.path.relpath(local, root)
+        # outside the table root: a shallow clone's externally-referenced
+        # file — the snapshot lists it by absolute path, so match that
+        return local
 
     def _touched_files(
         self, spark: SparkSession, snap: Snapshot, pred, predicate_str: str
@@ -3101,9 +3215,16 @@ class TxLogTable:
                     f"v{v} is a restore; its logical diff spans arbitrary "
                     "history — compare read(version=...) snapshots instead"
                 )
-            if op in ("append", "convert"):
+            if op in ("append", "convert", "clone"):
                 if e["add"]:
-                    parts.append(_tag(_read_table_files(e["add"]), "insert"))
+                    # a clone commit may carry the source's deletion
+                    # vectors — its bootstrap inserts are the UNMASKED rows
+                    parts.append(
+                        _tag(
+                            _read_table_files(e["add"], e.get("dv")),
+                            "insert",
+                        )
+                    )
                 continue
             if op in ("overwrite", "overwrite_partitions"):
                 if e["remove"]:

@@ -440,10 +440,22 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     "diff spans arbitrary history; restart the consumer "
                     "from a snapshot instead"
                 )
-            if op in ("append", "convert"):
+            if op in ("append", "convert", "clone"):
+                # a clone commit may carry the source's deletion vectors:
+                # its bootstrap inserts are the unmasked rows only
+                dv = e.get("dv") or {}
                 parts.extend(
                     _FilePartition(
-                        rel, _parse_hive_values(rel), (), "insert", v
+                        rel,
+                        _parse_hive_values(rel),
+                        tuple(
+                            (int(a), int(c))
+                            for a, c in self._table._load_dv_runs(dv[rel])
+                        )
+                        if rel in dv
+                        else (),
+                        "insert",
+                        v,
                     )
                     for rel in e["add"]
                 )
