@@ -2967,6 +2967,110 @@ class TxLogTable:
             },
         )
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        predicate: str,
+        txn_id: str | None = None,
+        validate: bool = True,
+    ) -> int:
+        """Selective overwrite (Delta's arbitrary ``replaceWhere``): ONE
+        atomic commit deletes every row matching ``predicate`` and inserts
+        ``df``'s rows. Readers see the table before or after the swap,
+        never a half-replaced range — the idempotent-backfill primitive
+        ("recompute March") that plain ``overwrite`` (whole table) and
+        ``overwrite_partitions`` (hive layout only) cannot express on an
+        unpartitioned or differently-partitioned table.
+
+        Cost shape is DELETE's, not OVERWRITE's: log-held stats (min/max,
+        blooms) prove files disjoint from the predicate out of the scan,
+        one finding pass locates the files that DO hold matching rows,
+        only those are rewritten without them, and everything else
+        carries by reference — a backfill touching 3 of 10 000 files
+        rewrites 3. By default every inserted row must satisfy the
+        predicate (Delta's replaceWhere constraint check): a backfill
+        that writes outside its declared range is corrupting data, not
+        replacing it; ``validate=False`` skips the probe for callers that
+        guarantee it upstream. Rows where the predicate evaluates NULL
+        are kept, matching DELETE's three-valued logic, and the inserted
+        rows are schema-merged additively like ``append``. With
+        ``cdf.enabled`` the commit materializes delete + insert change
+        rows; the CDF readers then deliver it like any other DML. A
+        ``txn_id`` seen before is a no-op (exactly-once replays).
+        Matching nothing degrades to a plain insert; an empty ``df``
+        degrades to DELETE; both at once is a no-op without a commit.
+        """
+        snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        if validate:
+            bad = df.filter(~pred).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"replace_where: inserted row violates the replacement "
+                    f"predicate ({predicate}), e.g. {bad[0].asDict()} — "
+                    "rows outside the replaced range would corrupt, not "
+                    "replace; fix the source or pass validate=False"
+                )
+        self._check_constraints(df, snap.constraints if snap else ())
+        pcols = list(snap.partition_cols) if snap else []
+        touched: list[str] = []
+        stat_skipped = bloom_skipped = 0
+        if snap and snap.files:
+            touched, stat_skipped, bloom_skipped = self._touched_files(
+                spark, snap, pred, predicate
+            )
+        schema = self._next_schema(snap, df, True)
+        cdf_on = self._cdf_enabled(snap)
+        cdf_map: dict[str, list[str]] = {}
+        files_new, fstats = self._stage_files(df, pcols or None)
+        if cdf_on and files_new:
+            cdf_map["insert"] = self._stage_cdf(df)
+        if touched:
+            base = self._read_files(spark, snap, touched)
+            if cdf_on:
+                base = base.persist()
+            try:
+                if cdf_on:
+                    staged = self._stage_cdf(base.filter(pred))
+                    if staged:
+                        cdf_map["delete"] = staged
+                keep = base.filter(~pred)
+                files_keep, fstats_keep = self._stage_files(
+                    keep, pcols or None
+                )
+            finally:
+                if cdf_on:
+                    base.unpersist()
+            files_new = files_new + files_keep
+            fstats = {**fstats, **fstats_keep}
+        if not files_new and not touched:
+            return snap.version if snap else -1  # nothing in, nothing out
+        return self._commit_reconciled(
+            files_new,
+            touched,
+            schema,
+            "replace_where",
+            txn_id,
+            snap,
+            partition_cols=pcols or None,
+            read_check=self._predicate_read_check(
+                predicate, spark.conf.get("spark.sql.session.timeZone")
+            ),
+            precomputed_stats=fstats,
+            cdf=cdf_map or None,
+            metrics={
+                "predicate": predicate,
+                "files_rewritten": len(touched),
+                "files_carried": (len(snap.files) if snap else 0)
+                - len(touched),
+                "files_stat_skipped": stat_skipped,
+                "files_bloom_skipped": bloom_skipped,
+            },
+        )
+
     def restore(
         self, version: int, txn_id: str | None = None, max_retries: int = 10
     ) -> int:
