@@ -108,6 +108,34 @@ class ConstraintViolationError(ValueError):
     """A write contained rows failing a table CHECK constraint."""
 
 
+class UnsupportedTableFeatureError(RuntimeError):
+    """The table's log requires a feature this build does not implement.
+
+    The Delta protocol's reader/writer-features contract: commits record
+    which features a correct reader (``deletionVectors``: masked rows must
+    be skipped; ``externalFiles``: the file list holds absolute paths
+    outside the root; ``columnMapping``: parquet columns carry physical
+    names) or writer (``changeDataFeed``: DML must materialize change
+    rows; ``checkConstraints``: rows must be validated) MUST implement to
+    interpret the table correctly. A build that does not know a required
+    reader feature would silently return WRONG ROWS (e.g. deleted rows
+    resurrected by ignoring deletion vectors), so it must refuse the read;
+    an unknown writer-only feature still permits reads but refuses writes
+    (which would corrupt the invariant the feature maintains). That
+    failure mode is exactly what this error makes loud."""
+
+
+# features THIS build implements. A future build that adds a new
+# reader-required feature bumps these; tables it writes then refuse loudly
+# under the present build instead of misreading.
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "externalFiles", "columnMapping"}
+)
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
+    {"changeDataFeed", "checkConstraints"}
+)
+
+
 @dataclass(frozen=True)
 class Snapshot:
     version: int
@@ -133,6 +161,12 @@ class Snapshot:
     # to the TABLE, not to whichever writer instance touches it —
     # recognized keys: "txn.retention.seconds", "isolation.level".
     properties: dict = field(default_factory=dict)
+    # required table features (Delta's reader/writer features): the UNION
+    # of every commit's "features" deltas up to this version — monotone,
+    # so concurrent enables merge without conflict. snapshot() refuses
+    # unknown reader features; commits refuse unknown writer features.
+    reader_features: tuple = ()
+    writer_features: tuple = ()
 
 
 _STATS_MAX_COLS = 32  # Delta's default: stats on the first 32 columns
@@ -426,6 +460,8 @@ class TxLogTable:
                     "stats": snap.file_stats,
                     "dvs": snap.dvs,
                     "properties": snap.properties,
+                    "reader_features": list(snap.reader_features),
+                    "writer_features": list(snap.writer_features),
                 },
                 fh,
             )
@@ -490,6 +526,7 @@ class TxLogTable:
                 if (version is None or int(f[:-5]) <= version)
             ]
         if not entries:
+            self._check_reader_features(base)
             return base
         files = list(base.files) if base else []
         txn_ids = list(base.txn_ids) if base else []
@@ -498,6 +535,8 @@ class TxLogTable:
         stats = dict(base.file_stats) if base else {}
         dvs = dict(base.dvs) if base else {}
         props = dict(base.properties) if base else {}
+        r_feat = set(base.reader_features) if base else set()
+        w_feat = set(base.writer_features) if base else set()
         for e in entries:
             removed = set(e["remove"])
             files = [f for f in files if f not in removed]
@@ -520,7 +559,11 @@ class TxLogTable:
                 cons = [tuple(c) for c in e["constraints"]]
             if "properties" in e:  # only set_properties commits carry it
                 props = dict(e["properties"])
-        return Snapshot(
+            feat = e.get("features")
+            if feat:  # monotone union of per-commit feature deltas
+                r_feat |= set(feat.get("reader") or ())
+                w_feat |= set(feat.get("writer") or ())
+        snap = Snapshot(
             version=entries[-1]["version"],
             files=tuple(files),
             schema_json=entries[-1]["schema"],
@@ -531,7 +574,11 @@ class TxLogTable:
             txn_ts=txn_ts,
             dvs=dvs,
             properties=props,
+            reader_features=tuple(sorted(r_feat)),
+            writer_features=tuple(sorted(w_feat)),
         )
+        self._check_reader_features(snap)
+        return snap
 
     def _load_checkpoint_base(self, version: int | None) -> Snapshot | None:
         """Newest usable checkpoint at or below ``version`` (latest if
@@ -577,7 +624,42 @@ class TxLogTable:
             txn_ts=d.get("txn_ts") or {},
             dvs=d.get("dvs") or {},
             properties=d.get("properties") or {},
+            reader_features=tuple(d.get("reader_features") or ()),
+            writer_features=tuple(d.get("writer_features") or ()),
         )
+
+    @staticmethod
+    def _check_reader_features(snap: Snapshot | None) -> None:
+        """Refuse to interpret a table requiring reader features this
+        build lacks — proceeding would silently return wrong rows (the
+        whole point of the features contract). Runs on every snapshot
+        resolution, which is the single chokepoint every read AND write
+        path (and the ``format("txlog")`` data source) goes through."""
+        if snap is None:
+            return
+        unknown = set(snap.reader_features) - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise UnsupportedTableFeatureError(
+                f"table requires reader feature(s) {sorted(unknown)} this "
+                "build does not implement; reading would return incorrect "
+                "rows — upgrade the library to a build that lists them in "
+                "SUPPORTED_READER_FEATURES"
+            )
+
+    def _check_writer_features(self, snap: Snapshot | None) -> None:
+        """Refuse to COMMIT to a table requiring writer features this
+        build lacks (reads stay allowed — Delta's asymmetry): an ignorant
+        writer would break the invariant the feature maintains, e.g. land
+        DML without materializing its change rows."""
+        if snap is None:
+            return
+        unknown = set(snap.writer_features) - SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise UnsupportedTableFeatureError(
+                f"table requires writer feature(s) {sorted(unknown)} this "
+                "build does not implement; writing would corrupt the "
+                "invariant those features maintain (reads remain allowed)"
+            )
 
     def _commit(
         self,
@@ -595,6 +677,7 @@ class TxLogTable:
         dv: dict | None = None,
         properties: dict | None = None,
         cdf: dict | None = None,
+        feature_delta: dict | None = None,
     ) -> int:
         os.makedirs(self.log_dir, exist_ok=True)
         version = expected_version + 1
@@ -635,6 +718,27 @@ class TxLogTable:
             entry["cdf"] = cdf
         if metrics:
             entry["op_metrics"] = metrics
+        # required-feature DELTAS implied by this entry's own content
+        # (resolution UNIONS them — monotone, so no base state is needed
+        # here and concurrent enables merge instead of conflicting).
+        # Listing a feature the entry uses is what lets a FUTURE build's
+        # tables fail loudly under an older reader instead of misreading.
+        r_feat = set((feature_delta or {}).get("reader") or ())
+        w_feat = set((feature_delta or {}).get("writer") or ())
+        if any(v is not None for v in (dv or {}).values()):
+            r_feat.add("deletionVectors")  # ignoring masks resurrects rows
+        if any(os.path.isabs(f) for f in add):
+            r_feat.add("externalFiles")  # shallow clone: refs outside root
+        if cdf or (properties or {}).get("cdf.enabled") == "true":
+            w_feat.add("changeDataFeed")  # writers must materialize changes
+        if constraints:
+            w_feat.add("checkConstraints")  # writers must validate rows
+        w_feat |= r_feat  # a reader-required feature binds writers too
+        if r_feat or w_feat:
+            entry["features"] = {
+                "reader": sorted(r_feat),
+                "writer": sorted(w_feat),
+            }
         target = os.path.join(self.log_dir, f"{version:08d}.json")
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         # write + fsync the FULL entry to a hidden tmp file, then publish
@@ -821,6 +925,7 @@ class TxLogTable:
         deletion-vector mapping committed with the entry; its target
         files count as touched for conflict purposes on both sides, and
         its staged DV files are cleaned up with ``add`` on failure."""
+        self._check_writer_features(base)
         base_cons = tuple(base.constraints) if base else ()
         base_pcols = tuple(base.partition_cols) if base else ()
         base_props = dict(base.properties) if base else {}
@@ -1027,6 +1132,7 @@ class TxLogTable:
         update rows). Existing data is validated first — a table already
         violating the CHECK refuses the constraint."""
         snap = self.snapshot()
+        self._check_writer_features(snap)
         cons = list(snap.constraints) if snap else []
         if any(n == name for n, _ in cons):
             raise ValueError(f"constraint {name} already exists")
@@ -1281,6 +1387,7 @@ class TxLogTable:
                 continue
             normalized[k] = str(v)
         snap = self.snapshot()
+        self._check_writer_features(snap)
         props = dict(snap.properties) if snap else {}
         for k, v in normalized.items():
             if v is None:
@@ -1302,8 +1409,50 @@ class TxLogTable:
             properties=props,
         )
 
+    def enable_feature(self, name: str, reader: bool = False) -> int:
+        """Explicitly mark a table as requiring ``name`` (Delta's ALTER
+        TABLE ... SET TBLPROPERTIES delta.feature.X=supported): a
+        metadata-only commit recording the feature in the log so every
+        later reader/writer is held to it — use it to pre-gate a table
+        before the first commit that actually exercises the feature
+        (ordinary use auto-records features at first use). ``reader=True``
+        marks it reader-required (implies writer-required). Refuses a
+        feature THIS build does not itself implement: enabling a flag you
+        cannot honor would brick your own next write. Features are
+        monotone — there is deliberately no drop (Delta's drop-feature
+        needs history truncation; restore/clone to a fresh table
+        instead)."""
+        supported = (
+            SUPPORTED_READER_FEATURES if reader else SUPPORTED_WRITER_FEATURES
+        )
+        if name not in supported:
+            raise UnsupportedTableFeatureError(
+                f"this build does not implement "
+                f"{'reader' if reader else 'writer'} feature {name!r}; "
+                f"known: {sorted(supported)}"
+            )
+        snap = self.snapshot()
+        self._check_writer_features(snap)
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap
+            else StructType([])
+        )
+        return self._commit(
+            [], [], schema, "enable_feature", None,
+            snap.version if snap else -1,
+            partition_cols=list(snap.partition_cols) if snap else None,
+            metrics={"feature": name, "reader": reader},
+            constraints=snap.constraints if snap else (),
+            feature_delta={
+                "reader": [name] if reader else [],
+                "writer": [name],
+            },
+        )
+
     def drop_constraint(self, name: str) -> int:
         snap = self.snapshot()
+        self._check_writer_features(snap)
         cons = list(snap.constraints) if snap else []
         if not any(n == name for n, _ in cons):
             raise ValueError(f"no constraint named {name}")
@@ -1426,6 +1575,7 @@ class TxLogTable:
                 # replay: the staged files will never commit
                 self._drop_files(add)
                 return snap.version
+            self._check_writer_features(snap)
             if forbid_constraints and snap and snap.constraints:
                 raise ConstraintViolationError(
                     f"table {self.path} has CHECK constraints "
@@ -3108,6 +3258,7 @@ class TxLogTable:
         last: Exception | None = None
         for _ in range(max_retries):
             cur = self.snapshot()
+            self._check_writer_features(cur)
             if txn_id is not None and cur and txn_id in cur.txn_ids:
                 return cur.version
             cur_files = set(cur.files) if cur else set()
@@ -3312,6 +3463,7 @@ class TxLogTable:
                 "add_constraint",
                 "drop_constraint",
                 "set_properties",
+                "enable_feature",
             ):
                 continue
             if op == "restore":

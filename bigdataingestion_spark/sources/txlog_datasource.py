@@ -432,6 +432,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 "add_constraint",
                 "drop_constraint",
                 "set_properties",
+                "enable_feature",
             ):
                 continue
             if op == "restore":
