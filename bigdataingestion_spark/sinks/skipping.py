@@ -356,10 +356,20 @@ def candidate_files(
         "Z",
         "+00:00",
     )
+    schema = StructType.fromJson(json.loads(schema_json))
     types = {
         f.name.lower(): f.dataType
-        for f in StructType.fromJson(json.loads(schema_json)).fields
+        for f in schema.fields
         if utc or not isinstance(f.dataType, TimestampType)
+    }
+    # column mapping: footer stats are keyed by the PHYSICAL parquet
+    # column names, while predicate terms use logical names — translate
+    # through the schema's mapping metadata (identity on unmapped tables;
+    # stats of dropped physical columns simply never match a term)
+    p2l = {
+        (f.metadata or {}).get("txlog.physicalName", f.name).lower():
+            f.name.lower()
+        for f in schema.fields
     }
     out = []
     for f in files:
@@ -368,7 +378,9 @@ def candidate_files(
             # non-dict entries are file-level annotations (e.g. the
             # "__bloom__" sidecar ref), not per-column stats
             st = {
-                k.lower(): v for k, v in st.items() if isinstance(v, dict)
+                p2l.get(k.lower(), k.lower()): v
+                for k, v in st.items()
+                if isinstance(v, dict)
             }
         if st is None or not any(_conj_excludes(terms, st, types)):
             out.append(f)

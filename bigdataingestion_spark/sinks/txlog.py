@@ -83,6 +83,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -90,7 +91,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 _LOG_DIR = "_txlog"
@@ -291,14 +292,62 @@ def _keys_disjoint(
     return False
 
 
+# column mapping (Delta's "name" mode): when enabled, each field's
+# StructField metadata carries the PHYSICAL parquet column name under this
+# key. Logical names become pure metadata — rename/drop are one-commit
+# metadata ops, no 100 TB rewrite. Physical names are frozen at enable
+# time (= the then-current logical names, so existing files stay valid);
+# columns added afterwards get fresh uuid names, which is what stops a
+# drop+re-add of the same logical name resurrecting the old column's data.
+_PHYS_KEY = "txlog.physicalName"
+
+
+def _l2p(schema: StructType) -> dict[str, str]:
+    """logical -> physical column names (identity without mapping)."""
+    return {
+        f.name: (f.metadata or {}).get(_PHYS_KEY, f.name)
+        for f in schema.fields
+    }
+
+
+def _schema_is_mapped(schema: StructType) -> bool:
+    return any(_PHYS_KEY in (f.metadata or {}) for f in schema.fields)
+
+
+def _physical_struct(schema: StructType) -> StructType:
+    """The schema as written to / read from parquet: physical names,
+    same types and nullability."""
+    return StructType(
+        [
+            StructField(
+                (f.metadata or {}).get(_PHYS_KEY, f.name),
+                f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def _merge_schema(current: StructType, incoming: StructType) -> StructType:
     """Additive union: incoming may add columns; changing an existing
-    column's type is refused."""
+    column's type is refused. On a column-mapped table, appended fields
+    are assigned a fresh uuid physical name HERE — the single place new
+    columns enter the schema — so the staged write and the commit agree
+    on it."""
     by_name = {f.name.lower(): f for f in current.fields}
+    mapped = _schema_is_mapped(current)
     out = list(current.fields)
     for f in incoming.fields:
         have = by_name.get(f.name.lower())
         if have is None:
+            if mapped and _PHYS_KEY not in (f.metadata or {}):
+                f = StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}), _PHYS_KEY: f"col-{uuid.uuid4().hex[:12]}"},
+                )
             out.append(f)
         elif have.dataType != f.dataType:
             raise SchemaEvolutionError(
@@ -802,6 +851,7 @@ class TxLogTable:
         read_check,
         adopt_constraints: bool,
         blind_replace: bool = False,
+        base_schema_json: str | None = None,
     ) -> str | None:
         """Delta's ConflictChecker, reduced to this log's action set:
         decide whether the commits that won the version race logically
@@ -832,6 +882,22 @@ class TxLogTable:
         cur_pcols = tuple(cur.partition_cols) if cur else ()
         if cur_pcols != tuple(base_pcols):
             return "partition layout changed concurrently"
+        if base_schema_json is not None and cur is not None:
+            # a concurrent rename/drop invalidates this op's staged output
+            # (its physical columns were derived from the base mapping);
+            # additive winners only ADD physical names, which is fine
+            base_p2l = self._p2l_of(base_schema_json)
+            cur_p2l = self._p2l_of(cur.schema_json)
+            moved = [
+                p
+                for p, logical in base_p2l.items()
+                if cur_p2l.get(p) != logical
+            ]
+            if moved:
+                return (
+                    "column mapping changed concurrently "
+                    f"(physical column(s) {sorted(moved)} renamed/dropped)"
+                )
         if our_partition_cols and cur and cur.files and not cur_pcols:
             return "table gained flat commits concurrently"
         if not adopt_constraints:
@@ -986,6 +1052,7 @@ class TxLogTable:
                     read_check,
                     adopt_constraints,
                     blind_replace=recompute_remove is not None,
+                    base_schema_json=base.schema_json if base else None,
                 )
                 if why is not None:
                     self._drop_files(disposable)
@@ -1017,14 +1084,29 @@ class TxLogTable:
     # ------------------------------------------------------------ data --
 
     def _stage_files(
-        self, df: DataFrame, partition_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_cols: list[str] | None = None,
+        write_schema: StructType | None = None,
     ) -> tuple[list[str], dict]:
         """Write df as immutable parts under the table root (staged dir,
         then renamed with unique names — invisible until the commit
         lands). With ``partition_cols`` the parts land in hive-style
         partition subdirs. Returns ``(root-relative names, per-file
         data-skipping stats)`` — stats come from the same footer pass
-        that drops empty parts, so commits need no second read."""
+        that drops empty parts, so commits need no second read.
+
+        ``write_schema`` is the schema the caller will COMMIT: on a
+        column-mapped table its field metadata names the physical parquet
+        columns, and the df (always in logical space) is renamed to them
+        before the write — the ONLY place logical becomes physical on the
+        write path. Stats harvested from the footers are therefore keyed
+        by physical names; consults translate back through the schema."""
+        l2p = _l2p(write_schema) if write_schema is not None else {}
+        if any(l2p.get(c, c) != c for c in df.columns):
+            df = df.select(
+                [F.col(c).alias(l2p.get(c, c)) for c in df.columns]
+            )
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f"_staging-{uuid.uuid4().hex[:8]}")
         if partition_cols:
@@ -1075,7 +1157,9 @@ class TxLogTable:
         # (commit-time cost, Delta's bloom-filter index shape); partition
         # columns are excluded — partition pruning already covers them
         bloom_cols = [
-            c
+            # bloom.columns holds LOGICAL names; sidecars (like footer
+            # stats) key by what is physically in the staged files
+            l2p.get(c, c)
             for c in self._bloom_columns(self.snapshot())
             if c not in (partition_cols or [])
         ]
@@ -1085,6 +1169,30 @@ class TxLogTable:
             ).items():
                 stats.setdefault(rel, {})["__bloom__"] = bref
         return sorted(names), stats
+
+    @staticmethod
+    def _carry_mapping(snap: Snapshot, new_schema: StructType) -> StructType:
+        """Overwrite's schema-replacement under column mapping: fields
+        whose logical name survives inherit their physical name (their
+        pre-overwrite history stays time-travelable under one identity);
+        genuinely new fields get fresh uuid physical names."""
+        cur = StructType.fromJson(json.loads(snap.schema_json))
+        phys = {
+            f.name.lower(): (f.metadata or {}).get(_PHYS_KEY)
+            for f in cur.fields
+        }
+        out = []
+        for f in new_schema.fields:
+            p = phys.get(f.name.lower()) or f"col-{uuid.uuid4().hex[:12]}"
+            out.append(
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}), _PHYS_KEY: p},
+                )
+            )
+        return StructType(out)
 
     @staticmethod
     def _next_schema(
@@ -1450,6 +1558,192 @@ class TxLogTable:
             },
         )
 
+    # --------------------------------------------------- column mapping --
+
+    def enable_column_mapping(self) -> int:
+        """Delta's column mapping ("name" mode): one metadata commit
+        freezes every column's CURRENT name as its physical parquet name
+        (field metadata ``txlog.physicalName``), sets the
+        ``column.mapping=name`` table property, and records the
+        ``columnMapping`` reader feature. From then on logical names are
+        pure metadata: :meth:`rename_column` and :meth:`drop_column` are
+        one-commit metadata ops — no rewrite of 100 TB of parquet — and
+        columns added later get fresh uuid physical names (which is what
+        stops a drop + re-add of the same name resurrecting the dropped
+        column's data). Existing files need no migration: their columns
+        already carry the frozen names.
+
+        Flat tables only: hive partition directories encode column names
+        in PATHS, which a metadata-only rename cannot reach. Idempotent
+        (enabling twice is a no-op returning the current version)."""
+        snap = self.snapshot()
+        self._check_writer_features(snap)
+        if snap is None:
+            raise ValueError(
+                f"{self.path} has no commits; enable mapping after the "
+                "first write (physical names freeze the then-current "
+                "schema)"
+            )
+        if snap.partition_cols:
+            raise ValueError(
+                "column mapping on a hive-partitioned table is "
+                "unsupported: partition directory names are physical "
+                "paths a metadata rename cannot reach"
+            )
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if snap.properties.get(
+            "column.mapping"
+        ) == "name" and _schema_is_mapped(schema):
+            return snap.version  # idempotent re-enable
+        # (a restore to a pre-mapping version leaves the property set but
+        # the schema unmapped — re-enabling re-freezes, which is correct)
+        mapped = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}), _PHYS_KEY: f.name},
+                )
+                for f in schema.fields
+            ]
+        )
+        props = dict(snap.properties)
+        props["column.mapping"] = "name"
+        return self._commit(
+            [], [], mapped, "enable_mapping", None, snap.version,
+            metrics={"columns_frozen": len(mapped.fields)},
+            constraints=snap.constraints,
+            properties=props,
+            feature_delta={"reader": ["columnMapping"], "writer": []},
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit: the
+        logical name changes, the physical parquet name stays, zero data
+        files move — the whole point of column mapping at 100 TB. Time
+        travel to pre-rename versions sees the old name (each commit
+        carries its era's schema). Refused while any CHECK constraint's
+        expression mentions the column (the stored SQL text would
+        silently stop binding — drop and re-add the constraint around
+        the rename); a bloom-indexed column's ``bloom.columns`` entry is
+        updated in the same commit, so its sidecars (keyed by the
+        unchanged physical name) keep pruning."""
+        snap = self.snapshot()
+        self._check_writer_features(snap)
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap
+            else StructType([])
+        )
+        if (
+            snap is None
+            or snap.properties.get("column.mapping") != "name"
+            or not _schema_is_mapped(schema)
+        ):
+            # the schema check also catches a restore to a pre-mapping
+            # version (property survives, metadata does not): renaming
+            # then would silently orphan the files' physical columns
+            raise ValueError(
+                "rename_column requires column mapping; call "
+                "enable_column_mapping() first (a rename without it would "
+                "need a full data rewrite)"
+            )
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (has: {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        mentioned = [
+            n
+            for n, expr in snap.constraints
+            if re.search(rf"\b{re.escape(old)}\b", expr, re.IGNORECASE)
+        ]
+        if mentioned:
+            raise ValueError(
+                f"constraint(s) {mentioned} reference column {old!r}; "
+                "drop them, rename, then re-add with the new name"
+            )
+        renamed = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        props = None
+        bloom_cols = self._bloom_columns(snap)
+        if old in bloom_cols:
+            props = dict(snap.properties)
+            props["bloom.columns"] = ",".join(
+                new if c == old else c for c in bloom_cols
+            )
+        return self._commit(
+            [], [], renamed, "rename_column", None, snap.version,
+            metrics={"from": old, "to": new},
+            constraints=snap.constraints,
+            properties=props,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field
+        leaves the schema; the physical column stays in the files but no
+        reader projects it (and stats/blooms for it simply never match).
+        Time travel to pre-drop versions still sees it. Re-adding the
+        same logical name later allocates a FRESH physical name, so the
+        dropped data never resurrects. Requires column mapping; refuses
+        dropping the last column or one referenced by a CHECK."""
+        snap = self.snapshot()
+        self._check_writer_features(snap)
+        schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap
+            else StructType([])
+        )
+        if (
+            snap is None
+            or snap.properties.get("column.mapping") != "name"
+            or not _schema_is_mapped(schema)
+        ):
+            raise ValueError(
+                "drop_column requires column mapping; call "
+                "enable_column_mapping() first"
+            )
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (has: {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        mentioned = [
+            n
+            for n, expr in snap.constraints
+            if re.search(rf"\b{re.escape(name)}\b", expr, re.IGNORECASE)
+        ]
+        if mentioned:
+            raise ValueError(
+                f"constraint(s) {mentioned} reference column {name!r}; "
+                "drop them first"
+            )
+        remaining = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        props = None
+        bloom_cols = self._bloom_columns(snap)
+        if name in bloom_cols:
+            props = dict(snap.properties)
+            kept = [c for c in bloom_cols if c != name]
+            if kept:
+                props["bloom.columns"] = ",".join(kept)
+            else:
+                props.pop("bloom.columns", None)
+        return self._commit(
+            [], [], remaining, "drop_column", None, snap.version,
+            metrics={"dropped": name},
+            constraints=snap.constraints,
+            properties=props,
+        )
+
     def drop_constraint(self, name: str) -> int:
         snap = self.snapshot()
         self._check_writer_features(snap)
@@ -1497,7 +1791,7 @@ class TxLogTable:
         self._require_flat(snap)
         self._check_constraints(df, snap.constraints if snap else ())
         schema = self._next_schema(snap, df, merge_schema)
-        files, fstats = self._stage_files(df)
+        files, fstats = self._stage_files(df, write_schema=schema)
         # blind append: reads nothing, removes nothing — reconciles over
         # any concurrent commit short of a metadata/layout change
         return self._commit_reconciled(
@@ -1513,7 +1807,17 @@ class TxLogTable:
             return snap.version
         self._require_flat(snap)
         self._check_constraints(df, snap.constraints if snap else ())
-        files, fstats = self._stage_files(df)
+        # an overwrite replaces the schema wholesale, but on a mapped
+        # table same-named columns keep their physical identity (their
+        # history is still time-travelable) and new ones get fresh names
+        schema = (
+            self._carry_mapping(snap, df.schema)
+            if snap and _schema_is_mapped(
+                StructType.fromJson(json.loads(snap.schema_json))
+            )
+            else df.schema
+        )
+        files, fstats = self._stage_files(df, write_schema=schema)
         # blind replace: its remove set is "whatever the table holds at
         # commit time", so reconciling recomputes it from the current
         # snapshot (serial order: the winner's commit, then this
@@ -1521,7 +1825,7 @@ class TxLogTable:
         return self._commit_reconciled(
             files,
             list(snap.files) if snap else [],
-            df.schema,
+            schema,
             "overwrite",
             txn_id,
             snap,
@@ -1632,6 +1936,12 @@ class TxLogTable:
             return snap.version
         if snap and snap.files and not snap.partition_cols:
             raise ValueError("table has flat commits; cannot mix layouts")
+        if snap and snap.properties.get("column.mapping") == "name":
+            raise ValueError(
+                "column-mapped tables are flat-only (partition dirs "
+                "encode physical names in paths); overwrite_partitions "
+                "is unavailable"
+            )
         self._check_constraints(df, snap.constraints if snap else ())
         files, fstats = self._stage_files(df, partition_cols)
         touched = {os.path.dirname(f) for f in files}
@@ -1723,14 +2033,33 @@ class TxLogTable:
         files whose range the batch plausibly touches" (on a key-ordered
         or Z-ordered layout, a narrow CDC batch keeps O(batch-span)
         files)."""
+        p2l = self._p2l_of(snap.schema_json)
         return [
             f
             for f in snap.files
             if not (
                 f in snap.file_stats
-                and _keys_disjoint(src, snap.file_stats[f], keys, null_safe)
+                and _keys_disjoint(
+                    src,
+                    {p2l.get(k, k): v for k, v in snap.file_stats[f].items()},
+                    keys,
+                    null_safe,
+                )
             )
         ]
+
+    @staticmethod
+    def _p2l_of(schema_json: str) -> dict[str, str]:
+        """physical -> logical stat-key translation for column-mapped
+        tables (identity otherwise). Footer-harvested stats key by what
+        is physically in the parquet; every consult comparing them
+        against logical-name predicates or key bounds goes through
+        this."""
+        sch = StructType.fromJson(json.loads(schema_json))
+        return {
+            (f.metadata or {}).get(_PHYS_KEY, f.name): f.name
+            for f in sch.fields
+        }
 
     def _files_with_matching_keys(
         self,
@@ -1929,7 +2258,7 @@ class TxLogTable:
                     hit_rows if (snap is not None and snap.files) else None,
                     merged,
                 )
-            files, fstats = self._stage_files(merged)
+            files, fstats = self._stage_files(merged, write_schema=schema)
         finally:
             if ours:
                 source.unpersist()
@@ -1938,13 +2267,20 @@ class TxLogTable:
             # the merge's read set is "every row whose key the source
             # carries": a winner-added file conflicts unless its log-held
             # key stats prove it disjoint from the source's key bounds
+            p2l = self._p2l_of(cur.schema_json)
             return [
                 f
                 for f in added
                 if not (
                     f in cur.file_stats
                     and _keys_disjoint(
-                        src_bounds, cur.file_stats[f], keys, bool(order_cols)
+                        src_bounds,
+                        {
+                            p2l.get(k, k): v
+                            for k, v in cur.file_stats[f].items()
+                        },
+                        keys,
+                        bool(order_cols),
                     )
                 )
             ]
@@ -2079,7 +2415,12 @@ class TxLogTable:
                 keep = base.join(
                     source.select(*keys).distinct(), on=keys, how="left_anti"
                 )
-                files, fstats = self._stage_files(keep)
+                files, fstats = self._stage_files(
+                    keep,
+                    write_schema=StructType.fromJson(
+                        json.loads(snap.schema_json)
+                    ),
+                )
             finally:
                 if cdf_on:
                     base.unpersist()
@@ -2088,13 +2429,20 @@ class TxLogTable:
                 source.unpersist()
 
         def read_check(added: list[str], cur: Snapshot) -> list[str]:
+            p2l = self._p2l_of(cur.schema_json)
             return [
                 f
                 for f in added
                 if not (
                     f in cur.file_stats
                     and _keys_disjoint(
-                        src_bounds, cur.file_stats[f], keys, False
+                        src_bounds,
+                        {
+                            p2l.get(k, k): v
+                            for k, v in cur.file_stats[f].items()
+                        },
+                        keys,
+                        False,
                     )
                 )
             ]
@@ -2528,8 +2876,11 @@ class TxLogTable:
                 probe[key] = np.array(hs, dtype=np.int64).astype(np.uint64)
         if not probe:
             return candidates
+        # sidecar bitmaps key by PHYSICAL column names (what was staged);
+        # probe keys arrive logical — translate via the snapshot schema
+        l2p = _l2p(StructType.fromJson(json.loads(snap.schema_json)))
         typed = {
-            col: (src_types.get(col), hashes)
+            l2p.get(col, col): (src_types.get(col), hashes)
             for col, hashes in probe.items()
         }
         return self._bloom_filter_refs(spark, refs, typed)
@@ -2689,9 +3040,14 @@ class TxLogTable:
                 )
         if not wanted:
             return candidates
+        sch = StructType.fromJson(json.loads(snap.schema_json))
         schema_types = {
-            f.name.lower(): f.dataType.simpleString()
-            for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+            f.name.lower(): f.dataType.simpleString() for f in sch.fields
+        }
+        # sidecars key by PHYSICAL names; predicate terms are logical
+        l2p_low = {
+            f.name.lower(): (f.metadata or {}).get(_PHYS_KEY, f.name)
+            for f in sch.fields
         }
         probe: dict = {}
         for col, vals in wanted.items():
@@ -2712,7 +3068,7 @@ class TxLogTable:
                 # helper's subset — prove nothing for this column
                 # (xxhash64 of NULL is the seed, so check the CAST)
                 continue
-            probe[col] = (
+            probe[l2p_low.get(col, col)] = (
                 t,
                 np.array([r["h"] for r in rows], dtype=np.int64).astype(
                     np.uint64
@@ -2824,7 +3180,14 @@ class TxLogTable:
         — unlike ``input_file_name()`` — is resolved at the scan and
         survives the DV anti-join) for file-attribution passes."""
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        reader = spark.read.schema(schema)
+        mapped = _schema_is_mapped(schema)
+        # column mapping: the files hold PHYSICAL column names; scan under
+        # them, then alias back to logical — the ONLY place physical
+        # becomes logical on the read path. Everything downstream of this
+        # method (DML, constraints, CDF, predicates) lives in logical space.
+        reader = spark.read.schema(
+            _physical_struct(schema) if mapped else schema
+        )
         if snap.partition_cols:
             reader = reader.option("basePath", self.path)
         df = reader.parquet(*[os.path.join(self.path, f) for f in files])
@@ -2832,6 +3195,14 @@ class TxLogTable:
             df = df.withColumn(with_file_col, F.col("_metadata.file_path"))
         if any(f in snap.dvs for f in files):
             df = self._dv_filter(spark, df, snap, files)
+        if mapped:
+            l2p = _l2p(schema)
+            keep = [
+                F.col(l2p[f.name]).alias(f.name) for f in schema.fields
+            ]
+            if with_file_col:
+                keep.append(F.col(with_file_col))
+            df = df.select(keep)
         return df
 
     def delete(
@@ -2967,7 +3338,8 @@ class TxLogTable:
                 cdf_map = {"delete": self._stage_cdf(base.filter(pred))}
             keep = base.filter(~pred)
             files, fstats = self._stage_files(
-                keep, list(snap.partition_cols) or None
+                keep, list(snap.partition_cols) or None,
+                write_schema=schema,
             )
         finally:
             if cdf_on:
@@ -3090,7 +3462,8 @@ class TxLogTable:
                     "update_postimage": self._stage_cdf(post_image),
                 }
             files, fstats = self._stage_files(
-                updated, list(snap.partition_cols) or None
+                updated, list(snap.partition_cols) or None,
+                write_schema=schema,
             )
         finally:
             df.unpersist()
@@ -3175,7 +3548,9 @@ class TxLogTable:
         schema = self._next_schema(snap, df, True)
         cdf_on = self._cdf_enabled(snap)
         cdf_map: dict[str, list[str]] = {}
-        files_new, fstats = self._stage_files(df, pcols or None)
+        files_new, fstats = self._stage_files(
+            df, pcols or None, write_schema=schema
+        )
         if cdf_on and files_new:
             cdf_map["insert"] = self._stage_cdf(df)
         if touched:
@@ -3189,7 +3564,7 @@ class TxLogTable:
                         cdf_map["delete"] = staged
                 keep = base.filter(~pred)
                 files_keep, fstats_keep = self._stage_files(
-                    keep, pcols or None
+                    keep, pcols or None, write_schema=schema
                 )
             finally:
                 if cdf_on:
@@ -3464,6 +3839,9 @@ class TxLogTable:
                 "drop_constraint",
                 "set_properties",
                 "enable_feature",
+                "enable_mapping",
+                "rename_column",
+                "drop_column",
             ):
                 continue
             if op == "restore":
@@ -3652,8 +4030,10 @@ class TxLogTable:
             df = df.repartition(n_files, *pcols)
         else:
             df = df.repartition(n_files)
-        files, fstats = self._stage_files(df, list(snap.partition_cols) or None)
         schema = StructType.fromJson(json.loads(snap.schema_json))
+        files, fstats = self._stage_files(
+            df, list(snap.partition_cols) or None, write_schema=schema
+        )
         # content-preserving: reads no predicate (its read set IS its
         # remove set, guarded by the removed-file check) and its rows were
         # all validated by earlier commits, so a concurrently-changed

@@ -78,6 +78,28 @@ def _arrow_schema(schema: StructType) -> "pa.Schema":
     return to_arrow_schema(schema)
 
 
+def _phys_names_for(
+    schema: StructType, table_schema_json: str | None
+) -> tuple | None:
+    """Physical parquet column names aligned to ``schema``'s fields for a
+    column-mapped table (None when the table is unmapped — the common
+    case pays nothing). Mapping metadata lives on the TABLE's log-held
+    schema; the reader's ``schema`` param may have been rebuilt without
+    metadata, so resolve through the log's copy by logical name."""
+    if not table_schema_json:
+        return None
+    import json as _json
+
+    table_schema = StructType.fromJson(_json.loads(table_schema_json))
+    l2p = {
+        f.name: (f.metadata or {}).get("txlog.physicalName", f.name)
+        for f in table_schema.fields
+    }
+    if all(k == v for k, v in l2p.items()):
+        return None
+    return tuple(l2p.get(f.name, f.name) for f in schema.fields)
+
+
 def _parse_hive_values(rel_path: str) -> tuple[tuple[str, str | None], ...]:
     """``a=1/b=x/part-..parquet`` -> (("a","1"), ("b","x")); hive NULL
     markers decode to None."""
@@ -108,12 +130,16 @@ def _file_batches(
     table_path: str,
     part: _FilePartition,
     target: "pa.Schema",
+    phys_names: tuple | None = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Read one committed parquet file and project it to the TARGET arrow
     schema: present columns are cast, hive partition values become
     constant columns, columns the file predates (additive schema
     evolution) read as nulls — the same semantics the native snapshot
-    reader gets from Spark's parquet scan."""
+    reader gets from Spark's parquet scan. ``phys_names`` (aligned to
+    ``target``'s fields) names the PHYSICAL parquet columns of a
+    column-mapped table; the yielded batches always carry the logical
+    ``target`` schema."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -151,9 +177,10 @@ def _file_batches(
         n = batch.num_rows
         have = {name: i for i, name in enumerate(batch.schema.names)}
         cols = []
-        for field in target:
-            if field.name in have:
-                arr = batch.column(have[field.name])
+        for fi, field in enumerate(target):
+            src = phys_names[fi] if phys_names else field.name
+            if src in have:
+                arr = batch.column(have[src])
                 if arr.type != field.type:
                     arr = pc.cast(arr, field.type)
             elif field.name in values:
@@ -217,6 +244,9 @@ class _TxLogBatchReader(DataSourceReader):
                 for rel, dv in snap.dvs.items()
             }
         self._schema = schema
+        self._phys_names = _phys_names_for(
+            schema, snap.schema_json if snap else None
+        )
         pf = options.get("partitionFilter")
         if pf:
             self._apply_partition_filter(pf)
@@ -290,7 +320,10 @@ class _TxLogBatchReader(DataSourceReader):
         if partition is None:  # zero-file table: Spark still calls read once
             return
         yield from _file_batches(
-            self._path, partition, _arrow_schema(self._schema)
+            self._path,
+            partition,
+            _arrow_schema(self._schema),
+            self._phys_names,
         )
 
 
@@ -309,6 +342,13 @@ class _TxLogStreamReader(DataSourceStreamReader):
         self._path = options["path"]
         self._table = TxLogTable(self._path)
         self._schema = schema
+        snap0 = self._table.snapshot()
+        # column mapping is static for a stream's lifetime: rename/drop
+        # commits change the schema, which _check_commit_schema already
+        # refuses mid-stream (restart re-resolves)
+        self._phys_names = _phys_names_for(
+            schema, snap0.schema_json if snap0 else None
+        )
         self._allow_rewrites = str(
             options.get("allowRewrites", "false")
         ).lower() in ("true", "1")
@@ -326,6 +366,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     for f in schema.fields
                     if f.name not in ("_change_type", "_commit_version")
                 ]
+            )
+            self._data_phys_names = _phys_names_for(
+                self._data_schema, snap0.schema_json if snap0 else None
             )
         if "maxVersionsPerBatch" in options:
             # DELIBERATELY unsupported. latestOffset() gets no start
@@ -433,6 +476,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 "drop_constraint",
                 "set_properties",
                 "enable_feature",
+                "enable_mapping",
+                "rename_column",
+                "drop_column",
             ):
                 continue
             if op == "restore":
@@ -500,14 +546,25 @@ class _TxLogStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if partition.ctype is None:
             yield from _file_batches(
-                self._path, partition, _arrow_schema(self._schema)
+                self._path,
+                partition,
+                _arrow_schema(self._schema),
+                self._phys_names,
             )
             return
         import pyarrow as pa
 
+        # change files under _cdf/ are written in LOGICAL names (the DML
+        # ops stage them pre-mapping); only TABLE data files carry
+        # physical names
+        phys = (
+            None
+            if partition.rel_path.startswith("_cdf")
+            else self._data_phys_names
+        )
         out_schema = _arrow_schema(self._schema)
         for batch in _file_batches(
-            self._path, partition, _arrow_schema(self._data_schema)
+            self._path, partition, _arrow_schema(self._data_schema), phys
         ):
             n = batch.num_rows
             arrays = list(batch.columns) + [
@@ -559,6 +616,21 @@ class _TxLogWriterBase:
         self._schema = schema
         self._overwrite = overwrite
         self._txn_app = options.get("txnAppId")
+        from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+        snap = TxLogTable(self._path).snapshot()
+        if snap and snap.properties.get("column.mapping") == "name":
+            # this data plane streams Arrow batches verbatim (LOGICAL
+            # column names) into parquet; on a mapped table the files
+            # must carry PHYSICAL names or a post-rename append's data
+            # silently vanishes from every read. Runs driver-side at
+            # writer construction, before any task stages a byte.
+            raise ValueError(
+                "format('txlog') writes to a column-mapped table are "
+                "unsupported (the Arrow data plane cannot apply "
+                "logical->physical renames); write via TxLogTable."
+                "append/merge_upsert instead"
+            )
         os.makedirs(self._path, exist_ok=True)
 
     # executor side -------------------------------------------------------

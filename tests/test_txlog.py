@@ -395,8 +395,8 @@ def test_concurrent_commit_during_staging_reconciles(spark, tmp_path, monkeypatc
 
     real_stage = TxLogTable._stage_files
 
-    def stage_and_race(self, df, partition_cols=None):
-        files = real_stage(self, df, partition_cols)
+    def stage_and_race(self, df, partition_cols=None, **kw):
+        files = real_stage(self, df, partition_cols, **kw)
         # B sneaks in a commit after A read its snapshot
         if not getattr(stage_and_race, "raced", False):
             stage_and_race.raced = True
@@ -746,8 +746,8 @@ def test_compact_reconciles_over_concurrent_append(spark, tmp_path, monkeypatch)
     real_stage = TxLogTable._stage_files
     fired = []  # the interloper's own append re-enters _stage_files: fire once
 
-    def stage_then_interleave(self, df, partition_cols=None):
-        files = real_stage(self, df, partition_cols)
+    def stage_then_interleave(self, df, partition_cols=None, **kw):
+        files = real_stage(self, df, partition_cols, **kw)
         if not fired:
             fired.append(True)
             # another writer commits AFTER compact snapshotted, BEFORE it
@@ -785,8 +785,8 @@ def test_compact_conflicts_with_concurrent_delete(spark, tmp_path, monkeypatch):
     real_stage = TxLogTable._stage_files
     fired = []
 
-    def stage_then_delete(self, df, partition_cols=None):
-        files = real_stage(self, df, partition_cols)
+    def stage_then_delete(self, df, partition_cols=None, **kw):
+        files = real_stage(self, df, partition_cols, **kw)
         if not fired:
             fired.append(True)
             other = TxLogTable(self.path)

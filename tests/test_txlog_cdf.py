@@ -141,8 +141,8 @@ def test_cdf_files_cleaned_on_conflict_and_vacuumed_after_retention(
     real_stage = TxLogTable._stage_files
     fired = []
 
-    def stage_then_race(self, df, partition_cols=None):
-        out = real_stage(self, df, partition_cols)
+    def stage_then_race(self, df, partition_cols=None, **kw):
+        out = real_stage(self, df, partition_cols, **kw)
         if not fired:
             fired.append(True)
             t2.delete(spark, "id = 2")

@@ -1,10 +1,10 @@
 """Model-based property test for the txlog table format: an arbitrary
 sequence of append / overwrite / source-wins-merge / latest-wins-merge /
-compact / delete / update / restore operations must leave the table equal
-to a plain-Python model of the same semantics, and every intermediate
-version must remain time-travelable to exactly the rows the model held at
-that point. Hypothesis drives the op sequence; Spark jobs are tiny, so
-examples are capped for runtime."""
+compact / delete / update / restore / replace_where / column-mapping
+operations must leave the table equal to a plain-Python model of the same
+semantics, and every intermediate version must remain time-travelable to
+exactly the rows the model held at that point. Hypothesis drives the op
+sequence; Spark jobs are tiny, so examples are capped for runtime."""
 
 from __future__ import annotations
 
@@ -25,8 +25,9 @@ _op = st.one_of(
         st.sampled_from(["append", "overwrite", "merge", "merge_latest", "compact"]),
         st.lists(_row, min_size=1, max_size=4),
     ),
-    # row-level DML / restore / property flip: payload is a key
-    # (restore: an index seed; cdf_toggle ignores it)
+    # row-level DML / restore / property flip / column mapping: payload
+    # is a key (restore: an index seed; the toggles and mapping arms
+    # ignore it; replace_where: the replaced key AND the new rows' key)
     st.tuples(
         st.sampled_from(
             [
@@ -36,6 +37,9 @@ _op = st.one_of(
                 "restore",
                 "cdf_toggle",
                 "bloom_toggle",
+                "replace_where",
+                "mapping_enable",
+                "rename_roundtrip",
             ]
         ),
         st.integers(min_value=1, max_value=6),
@@ -107,6 +111,49 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
             version = t.alter_properties(
                 {"cdf.enabled": "true" if cdf_on else "false"}
             )
+            snapshots.append((version, sorted(model)))
+            by_version[version] = sorted(model)
+            continue
+        if op == "mapping_enable":
+            # column mapping mid-sequence: later appends/merges stage
+            # under physical names, every read/DML arm must stay
+            # model-exact, and restore may later cross the enable
+            # boundary (enable_column_mapping re-freezes idempotently)
+            if t.version() < 0:
+                continue
+            version = t.enable_column_mapping()
+            snapshots.append((version, sorted(model)))
+            by_version[version] = sorted(model)
+            continue
+        if op == "rename_roundtrip":
+            # metadata-only rename v->w->v: content invariant at BOTH
+            # intermediate versions (collect() tuples are positional),
+            # and no DML lands between the two renames so the CDF
+            # reconstruction never sees the transient schema
+            if t.version() < 0:
+                continue
+            try:
+                v1 = t.rename_column("v", "w")
+            except ValueError:
+                continue  # unmapped (or restored pre-mapping): arm no-ops
+            # the transient "w" version is time-travel-checked but NOT a
+            # restore target (by_version) — restoring into the middle of
+            # the roundtrip would leave the model's column names stale
+            snapshots.append((v1, sorted(model)))
+            v2 = t.rename_column("w", "v")
+            snapshots.append((v2, sorted(model)))
+            by_version[v2] = sorted(model)
+            continue
+        if op == "replace_where":
+            if t.version() < 0:
+                continue
+            stamped = [(payload, "r", ordc)]
+            ordc += 1
+            df = spark.createDataFrame(stamped, ["k", "v", "ord"])
+            version = t.replace_where(spark, df, f"k = {payload}")
+            model = [r for r in model if r[0] != payload] + stamped
+            if not cdf_on:
+                dml_off.append(version)
             snapshots.append((version, sorted(model)))
             by_version[version] = sorted(model)
             continue

@@ -31,8 +31,8 @@ def _interleave(monkeypatch, action):
     real = TxLogTable._stage_files
     fired = []
 
-    def hook(self, df, partition_cols=None):
-        files = real(self, df, partition_cols)
+    def hook(self, df, partition_cols=None, **kw):
+        files = real(self, df, partition_cols, **kw)
         if not fired:
             fired.append(True)
             action()

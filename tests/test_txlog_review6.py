@@ -61,8 +61,8 @@ def test_overwrite_reconciles_over_concurrent_dv_delete(
     real_stage = TxLogTable._stage_files
     fired = []
 
-    def stage_then_dv(self, df, partition_cols=None):
-        out = real_stage(self, df, partition_cols)
+    def stage_then_dv(self, df, partition_cols=None, **kw):
+        out = real_stage(self, df, partition_cols, **kw)
         if not fired:
             fired.append(True)
             TxLogTable(path).delete(spark, "id = 2", deletion_vectors=True)
@@ -121,8 +121,8 @@ def test_isolation_property_overrides_writer_default(
     real_stage = TxLogTable._stage_files
     fired = []
 
-    def stage_then_append(self, df, partition_cols=None):
-        out = real_stage(self, df, partition_cols)
+    def stage_then_append(self, df, partition_cols=None, **kw):
+        out = real_stage(self, df, partition_cols, **kw)
         if not fired:
             fired.append(True)
             TxLogTable(path).append(spark.createDataFrame([(3,)], ["id"]))
@@ -143,8 +143,8 @@ def test_property_change_conflicts_with_inflight_op(spark, tmp_path, monkeypatch
     real_stage = TxLogTable._stage_files
     fired = []
 
-    def stage_then_alter(self, df, partition_cols=None):
-        out = real_stage(self, df, partition_cols)
+    def stage_then_alter(self, df, partition_cols=None, **kw):
+        out = real_stage(self, df, partition_cols, **kw)
         if not fired:
             fired.append(True)
             TxLogTable(path).alter_properties({"isolation.level": "serializable"})
