@@ -4653,6 +4653,139 @@ def events_dow_hour_profile(spark, sf_dir):
     )
 
 
+def _fresh_txlog():
+    """A txlog table under a fresh system temp dir for the lake-DML
+    queries below: they BUILD a transactional table from fixture data,
+    run DML against it, and return the read-back state (the oracle
+    expresses the same final state relationally over the raw fixture).
+    The dir is left for the OS tmp reaper — the returned DataFrame is
+    lazy, so the files must outlive this function."""
+    import tempfile
+
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    return TxLogTable(
+        os.path.join(tempfile.mkdtemp(prefix="txlog-q-"), "t")
+    )
+
+
+@register(
+    "txlog_backfill_replace",
+    """
+    WITH repriced AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * 0.9 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(price), 2) AS total_price
+    FROM repriced GROUP BY o_orderpriority
+    """,
+)
+def txlog_backfill_replace(spark, sf_dir):
+    """[EXT] The idempotent-backfill pipeline on the txlog lake format:
+    land orders into a transactional table, then ``replace_where``
+    re-prices every URGENT order at 90% in ONE atomic commit — the
+    "recompute March" shape where only files holding matching rows are
+    rewritten (min/max-pruned finding scan) and a reader never sees a
+    half-replaced range. Returns the post-backfill per-priority totals;
+    the oracle computes the same final state relationally."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = _fresh_txlog()
+    t.append(orders)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    t.replace_where(
+        spark,
+        urgent.withColumn("o_totalprice", F.col("o_totalprice") * 0.9),
+        "o_orderpriority = '1-URGENT'",
+    )
+    return (
+        t.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "txlog_rename_migration",
+    """
+    WITH unioned AS (
+      SELECT l_returnflag AS flag, l_quantity FROM lineitem
+      UNION ALL
+      SELECT l_returnflag AS flag, l_quantity FROM lineitem
+      WHERE l_linenumber = 1
+    )
+    SELECT flag, count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+    FROM unioned GROUP BY flag
+    """,
+)
+def txlog_rename_migration(spark, sf_dir):
+    """[EXT] Schema migration under column mapping: land lineitem, enable
+    mapping, RENAME l_returnflag -> flag as a METADATA-ONLY commit (zero
+    files rewritten — the 100 TB rename story), then append a second
+    batch that already uses the new name. Both eras of files — written
+    under different logical names, same frozen physical name — aggregate
+    together under the post-rename schema."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    t = _fresh_txlog()
+    t.append(li.drop("l_linenumber"))
+    t.enable_column_mapping()
+    t.rename_column("l_returnflag", "flag")
+    batch2 = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_quantity",
+        F.col("l_returnflag").alias("flag"),
+    )
+    t.append(batch2)
+    return (
+        t.read(spark)
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "txlog_dv_point_delete",
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    WHERE user_id IS NULL OR user_id % 97 <> 13
+    GROUP BY event_type
+    """,
+)
+def txlog_dv_point_delete(spark, sf_dir):
+    """[EXT] GDPR-erasure shape on the lake format: land events with a
+    bloom index on the (unclustered, high-cardinality) user_id, then
+    DELETE one user cohort via DELETION VECTORS — merge-on-read masks
+    recorded per file instead of rewriting gigabytes for a sparse
+    delete. The read-back applies the masks; rows where the predicate
+    is NULL are kept (SQL three-valued DELETE), which the oracle
+    mirrors explicitly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    t = _fresh_txlog()
+    t.alter_properties({"bloom.columns": "user_id"})
+    t.append(ev)
+    t.delete(spark, "user_id % 97 = 13", deletion_vectors=True)
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
@@ -4663,6 +4796,12 @@ def events_dow_hour_profile(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
+    # Queries NEW this round lead (no driver evidence at all yet): the
+    # txlog lake-DML trio exercising replace_where, column mapping, and
+    # deletion vectors through the correctness gate.
+    "txlog_backfill_replace",
+    "txlog_rename_migration",
+    "txlog_dv_point_delete",
     # Round-7 window: evidence ages entering r7 are 50 @ r6, 50 @ r5,
     # 25 @ r4. Take the 25 r4-evidence queries first (oldest evidence),
     # then the 25 head entries of the r5 window (they sat at the head of
