@@ -3892,9 +3892,21 @@ class TxLogTable:
                 if e["add"]:
                     parts.append(_tag(_read_table_files(e["add"]), "insert"))
                 continue
-            # delete / update / merge: materialized at commit time
+            # delete / update / merge / replace_where: materialized at
+            # commit time
             cdf = e.get("cdf")
             if cdf is None:
+                if not e["remove"] and not e.get("dv"):
+                    # no cdf map, but the commit removed and masked
+                    # NOTHING: it is insert-only regardless of op (e.g. a
+                    # replace_where that matched no rows), so its changes
+                    # are its added files — synthesizable exactly like an
+                    # append, no materialization needed
+                    if e["add"]:
+                        parts.append(
+                            _tag(_read_table_files(e["add"]), "insert")
+                        )
+                    continue
                 raise ValueError(
                     f"v{v} ({op}) carries no change data — set the "
                     "cdf.enabled=true table property via alter_properties "

@@ -530,8 +530,18 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     for rel in e["add"]
                 )
                 continue
-            cdf = e.get("cdf")  # delete / update / merge
+            cdf = e.get("cdf")  # delete / update / merge / replace_where
             if cdf is None:
+                if not e["remove"] and not e.get("dv"):
+                    # removed and masked nothing: insert-only commit —
+                    # its adds ARE the change set (append semantics)
+                    parts.extend(
+                        _FilePartition(
+                            rel, _parse_hive_values(rel), (), "insert", v
+                        )
+                        for rel in e["add"]
+                    )
+                    continue
                 raise ValueError(
                     f"txlog CDF stream hit v{v} ({op}) with no "
                     "materialized change data — set the cdf.enabled=true "

@@ -276,6 +276,28 @@ def test_rename_refused_while_constraint_references(spark, tmp_path):
     assert t.read(spark).columns == ["id", "name"]
 
 
+def test_zorder_compact_on_renamed_column(spark, tmp_path):
+    """OPTIMIZE ZORDER BY a RENAMED column: the cluster key is logical,
+    the rewrite stages under physical names, and post-compact skipping
+    on the renamed key still prunes (stats translate through the
+    mapping)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    for lo in range(0, 400, 100):
+        t.append(
+            spark.range(lo, lo + 100).select(F.col("id")).coalesce(1)
+        )
+    t.enable_column_mapping()
+    t.rename_column("id", "key")
+    t.compact(spark, target_file_bytes=1024, zorder_by=["key"])
+    assert t.read(spark).count() == 400
+    assert len(t.snapshot().files) >= 2  # the skip assert needs >1 file
+    t.delete(spark, "key = 7")
+    e = t.history()[-1]
+    # z-ordered layout: most files provably exclude key=7
+    assert e["op_metrics"]["files_stat_skipped"] >= 1
+    assert t.read(spark).count() == 399
+
+
 def test_merge_upsert_on_renamed_key(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.rename_column("id", "pk")

@@ -47,6 +47,15 @@ _op = st.one_of(
 )
 
 
+def _commit_rewrites(t: TxLogTable, version: int) -> bool:
+    """True when the commit removed or masked files — only those DML
+    commits need materialized change rows; an insert-only DML (merge or
+    replace_where that touched nothing) is synthesized from its adds by
+    read_cdf even with the feed off."""
+    es = t.commits_between(version - 1, version)
+    return bool(es and (es[0]["remove"] or es[0].get("dv")))
+
+
 def _apply_model(model: list, op: str, rows: list) -> list:
     """The reference semantics in plain Python over (k, v, ord) tuples."""
     if op == "compact":  # layout-only: content is invariant
@@ -152,7 +161,7 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
             df = spark.createDataFrame(stamped, ["k", "v", "ord"])
             version = t.replace_where(spark, df, f"k = {payload}")
             model = [r for r in model if r[0] != payload] + stamped
-            if not cdf_on:
+            if not cdf_on and _commit_rewrites(t, version):
                 dml_off.append(version)
             snapshots.append((version, sorted(model)))
             by_version[version] = sorted(model)
@@ -202,7 +211,11 @@ def test_txlog_matches_model_at_every_version(spark, tmp_path_factory, ops):
             version = t.merge_upsert(spark, df, keys=["k"])
         else:
             version = t.merge_upsert(spark, df, keys=["k"], order_cols=["ord"])
-        if op in ("merge", "merge_latest") and not cdf_on:
+        if (
+            op in ("merge", "merge_latest")
+            and not cdf_on
+            and _commit_rewrites(t, version)
+        ):
             dml_off.append(version)
         model = _apply_model(model, op, stamped)
         snapshots.append((version, sorted(model)))

@@ -173,6 +173,20 @@ def test_cdf_disabled_range_refuses_cdf_read(spark, tmp_path):
         t.read_cdf(spark, from_version=v - 1, to_version=v)
 
 
+def test_insert_only_replace_synthesized_in_cdf_without_feed(spark, tmp_path):
+    """A replace_where that matched NOTHING removed no files, so even
+    with the feed off its changes are derivable from the adds — read_cdf
+    synthesizes inserts instead of refusing (append semantics)."""
+    t = _mk(spark, tmp_path)
+    fresh = spark.createDataFrame([(300, 99)], ["id", "day"]).withColumn(
+        "day", F.col("day").cast("bigint")
+    )
+    v = t.replace_where(spark, fresh, "day = 99")
+    cdf = t.read_cdf(spark, from_version=v - 1, to_version=v)
+    got = [(r["_change_type"], r["id"]) for r in cdf.collect()]
+    assert got == [("insert", 300)]
+
+
 def test_partitioned_table_replace(spark, tmp_path):
     t = TxLogTable(str(tmp_path / "t"))
     df = spark.range(0, 20).select(
