@@ -371,16 +371,26 @@ def candidate_files(
             f.name.lower()
         for f in schema.fields
     }
+    logical_names = set(p2l.values())
     out = []
     for f in files:
         st = file_stats.get(f)
         if st is not None:
             # non-dict entries are file-level annotations (e.g. the
-            # "__bloom__" sidecar ref), not per-column stats
+            # "__bloom__" sidecar ref), not per-column stats. A key
+            # absent from the mapping that COLLIDES with a current
+            # logical name is a stale physical column shadowing a
+            # dropped+re-added logical — consulting it would be unsound
+            # (the old column's range says nothing about the new one),
+            # so it is dropped; non-colliding unknowns pass through.
             st = {
                 p2l.get(k.lower(), k.lower()): v
                 for k, v in st.items()
                 if isinstance(v, dict)
+                and (
+                    k.lower() in p2l
+                    or k.lower() not in logical_names
+                )
             }
         if st is None or not any(_conj_excludes(terms, st, types)):
             out.append(f)

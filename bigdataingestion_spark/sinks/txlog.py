@@ -882,10 +882,19 @@ class TxLogTable:
         cur_pcols = tuple(cur.partition_cols) if cur else ()
         if cur_pcols != tuple(base_pcols):
             return "partition layout changed concurrently"
-        if base_schema_json is not None and cur is not None:
-            # a concurrent rename/drop invalidates this op's staged output
-            # (its physical columns were derived from the base mapping);
-            # additive winners only ADD physical names, which is fine
+        if (
+            base_schema_json is not None
+            and cur is not None
+            and _schema_is_mapped(
+                StructType.fromJson(json.loads(base_schema_json))
+            )
+        ):
+            # MAPPED tables only: a concurrent rename/drop invalidates
+            # this op's staged output (its physical columns were derived
+            # from the base mapping); additive winners only ADD physical
+            # names, which is fine. Unmapped tables keep the pre-mapping
+            # reconcile semantics — a schema-replacing overwrite winner
+            # is not a "mapping change".
             base_p2l = self._p2l_of(base_schema_json)
             cur_p2l = self._p2l_of(cur.schema_json)
             moved = [
@@ -1062,7 +1071,7 @@ class TxLogTable:
                     ) from None
                 if not keep_own_schema:
                     try:
-                        schema = _merge_schema(
+                        merged = _merge_schema(
                             StructType.fromJson(json.loads(cur.schema_json)),
                             schema,
                         )
@@ -1072,6 +1081,30 @@ class TxLogTable:
                             f"cannot reconcile {op}: non-additive concurrent "
                             f"schema change ({e})"
                         ) from None
+                    # mapped tables: our staged files were WRITTEN under
+                    # our schema's physical names. If the merge resolved a
+                    # same-named column to a DIFFERENT physical name (two
+                    # concurrent appends each adding column 'c' under
+                    # fresh uuids — the winner's uuid survives the
+                    # name-keyed merge), committing would point the
+                    # mapping at a column our files don't contain: every
+                    # read of these rows returns NULL, silently. That is
+                    # a true conflict — restage under the fresh snapshot.
+                    own_l2p, merged_l2p = _l2p(schema), _l2p(merged)
+                    drifted = [
+                        n
+                        for n, p in own_l2p.items()
+                        if merged_l2p.get(n, p) != p
+                    ]
+                    if drifted:
+                        self._drop_files(disposable)
+                        raise ConcurrentWriteError(
+                            f"cannot reconcile {op}: concurrent commit "
+                            f"assigned different physical name(s) to "
+                            f"column(s) {sorted(drifted)}; redo the "
+                            "operation on a fresh snapshot"
+                        )
+                    schema = merged
                 if adopt_constraints:
                     constraints = tuple(cur.constraints)
                 expected = cur.version
@@ -1880,6 +1913,28 @@ class TxLogTable:
                 self._drop_files(add)
                 return snap.version
             self._check_writer_features(snap)
+            if snap is not None:
+                # column mapping: externally staged files carry whatever
+                # column names the external data plane wrote — LOGICAL
+                # names. Once any column's physical name diverges from
+                # its logical one (a rename, or a post-mapping re-add),
+                # committing such files would register columns the
+                # mapped read never projects: rows land, values read as
+                # NULL. Checked INSIDE the retry loop for the same
+                # reason forbid_constraints is — a concurrent
+                # enable_column_mapping + rename must not slip between a
+                # caller-side pre-check and the commit.
+                l2p = _l2p(
+                    StructType.fromJson(json.loads(snap.schema_json))
+                )
+                if any(p != l for l, p in l2p.items()):
+                    self._drop_files(add)
+                    raise ValueError(
+                        f"table {self.path} uses column mapping with "
+                        "diverged physical names; externally staged "
+                        "files (logical-named columns) cannot be "
+                        "registered — write via append/merge_upsert"
+                    )
             if forbid_constraints and snap and snap.constraints:
                 raise ConstraintViolationError(
                     f"table {self.path} has CHECK constraints "
@@ -2041,7 +2096,7 @@ class TxLogTable:
                 f in snap.file_stats
                 and _keys_disjoint(
                     src,
-                    {p2l.get(k, k): v for k, v in snap.file_stats[f].items()},
+                    self._stats_logical(snap.file_stats[f], p2l),
                     keys,
                     null_safe,
                 )
@@ -2060,6 +2115,25 @@ class TxLogTable:
             (f.metadata or {}).get(_PHYS_KEY, f.name): f.name
             for f in sch.fields
         }
+
+    @staticmethod
+    def _stats_logical(st: dict, p2l: dict) -> dict:
+        """Translate one file's stat keys physical -> logical. A key
+        absent from the mapping that COLLIDES with a current logical
+        name is a stale physical column shadowing a dropped + re-added
+        logical (the re-add got a fresh uuid): consulting it would be
+        UNSOUND — the old column's min/max says nothing about the new
+        column's values — so it is dropped (no proof, no skip).
+        Non-colliding unknown keys pass through untouched (legacy
+        pre-mapping stats; nothing logical can reference them)."""
+        logical = set(p2l.values())
+        out = {}
+        for k, v in st.items():
+            if k in p2l:
+                out[p2l[k]] = v
+            elif k not in logical:
+                out[k] = v
+        return out
 
     def _files_with_matching_keys(
         self,
@@ -2275,10 +2349,7 @@ class TxLogTable:
                     f in cur.file_stats
                     and _keys_disjoint(
                         src_bounds,
-                        {
-                            p2l.get(k, k): v
-                            for k, v in cur.file_stats[f].items()
-                        },
+                        self._stats_logical(cur.file_stats[f], p2l),
                         keys,
                         bool(order_cols),
                     )
@@ -2437,10 +2508,7 @@ class TxLogTable:
                     f in cur.file_stats
                     and _keys_disjoint(
                         src_bounds,
-                        {
-                            p2l.get(k, k): v
-                            for k, v in cur.file_stats[f].items()
-                        },
+                        self._stats_logical(cur.file_stats[f], p2l),
                         keys,
                         False,
                     )
@@ -3528,6 +3596,24 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         pred = F.coalesce(F.expr(predicate), F.lit(False))
+        # the source is evaluated up to three times (validate probe, data
+        # staging, CDF staging): persist it so a non-deterministic plan
+        # cannot pass validation with one row set and commit another —
+        # merge_upsert's source gets the same treatment
+        ours = not df.storageLevel.useMemory and not df.storageLevel.useDisk
+        if ours:
+            df = df.persist()
+        try:
+            return self._replace_where_impl(
+                spark, df, pred, predicate, snap, txn_id, validate
+            )
+        finally:
+            if ours:
+                df.unpersist()
+
+    def _replace_where_impl(
+        self, spark, df, pred, predicate, snap, txn_id, validate
+    ) -> int:
         if validate:
             bad = df.filter(~pred).limit(1).collect()
             if bad:

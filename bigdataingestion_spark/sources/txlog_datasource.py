@@ -345,10 +345,25 @@ class _TxLogStreamReader(DataSourceStreamReader):
         snap0 = self._table.snapshot()
         # column mapping is static for a stream's lifetime: rename/drop
         # commits change the schema, which _check_commit_schema already
-        # refuses mid-stream (restart re-resolves)
+        # refuses mid-stream (restart re-resolves). _init_l2p keeps the
+        # FULL mapping (identity included) so drop+re-add drift — which
+        # swaps a physical name without touching the logical schema —
+        # is detectable even on a table whose names had not yet diverged.
         self._phys_names = _phys_names_for(
             schema, snap0.schema_json if snap0 else None
         )
+        self._init_l2p = {}
+        if snap0 is not None:
+            import json as _json
+
+            self._init_l2p = {
+                f.name: (f.metadata or {}).get(
+                    "txlog.physicalName", f.name
+                )
+                for f in StructType.fromJson(
+                    _json.loads(snap0.schema_json)
+                ).fields
+            }
         self._allow_rewrites = str(
             options.get("allowRewrites", "false")
         ).lower() in ("true", "1")
@@ -417,7 +432,8 @@ class _TxLogStreamReader(DataSourceStreamReader):
         }
         import json as _json
 
-        for f in StructType.fromJson(_json.loads(sj)).fields:
+        commit_schema = StructType.fromJson(_json.loads(sj))
+        for f in commit_schema.fields:
             have = declared.get(f.name.lower())
             if have is None or have != f.dataType:
                 why = "added" if have is None else "retyped"
@@ -426,6 +442,31 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     f"v{e['version']} (column {f.name!r} {why}); restart "
                     "the stream — a fresh start resolves the evolved "
                     "schema and resumes from the checkpoint"
+                )
+        # column mapping drift: the reader resolved logical->physical at
+        # init; a drop + re-add of the SAME logical name (which the
+        # added/retyped check above cannot see) gives it a fresh uuid
+        # physical name, and reading the new files under the stale
+        # mapping would deliver NULLs — silent wrong rows, not the
+        # advertised loud refusal. Compare the mapping itself.
+        if self._init_l2p:
+            commit_map = {
+                f.name: (f.metadata or {}).get(
+                    "txlog.physicalName", f.name
+                )
+                for f in commit_schema.fields
+            }
+            drifted = [
+                n
+                for n, p in self._init_l2p.items()
+                if n in commit_map and commit_map[n] != p
+            ]
+            if drifted:
+                raise ValueError(
+                    f"txlog stream: physical column mapping changed at "
+                    f"v{e['version']} (column(s) {sorted(drifted)} "
+                    "dropped and re-added); restart the stream to "
+                    "resolve the new mapping"
                 )
         self._schemas_seen_ok.add(sj)
 

@@ -315,6 +315,132 @@ def test_merge_upsert_on_renamed_key(spark, tmp_path):
     assert t.read(spark).count() == 4
 
 
+def test_concurrent_new_column_appends_conflict_not_null_out(spark, tmp_path):
+    """Two concurrent appends each adding column 'c' assign different
+    uuid physical names; the name-keyed schema merge would keep the
+    winner's and point the loser's files at a column they don't contain
+    (silent NULLs). The reconcile must refuse instead."""
+    t = _mk(spark, tmp_path)
+    real_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            TxLogTable(t.path).append(
+                spark.createDataFrame([(10, "w", 1.0)], ["id", "v", "c"])
+            )
+        return real_commit(*a, **kw)
+
+    t._commit = racing_commit
+    with pytest.raises(ConcurrentWriteError, match="physical name"):
+        t.append(spark.createDataFrame([(11, "x", 2.0)], ["id", "v", "c"]))
+    t._commit = real_commit
+    # the winner's row is intact with its value; no silent NULLs landed
+    got = {r["id"]: r["c"] for r in t.read(spark).collect()}
+    assert got == {1: None, 2: None, 10: 1.0}
+
+
+def test_stale_homonym_stats_never_skip_unsoundly(spark, tmp_path):
+    """Drop column x, re-add it: old files' log-held stats still carry
+    the stale physical key 'x' (nulls=0), which must NOT prove anything
+    about the re-added x (whose value in old files is NULL). DELETE
+    WHERE x IS NULL has to scan and remove those rows."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], ["id", "x"]
+        ).coalesce(1)
+    )
+    t.enable_column_mapping()
+    t.drop_column("x")
+    t.append(
+        spark.createDataFrame([(100, 7.5)], ["id", "x"]).coalesce(1)
+    )
+    # all 50 old rows have (re-added) x NULL; the one new row doesn't
+    t.delete(spark, "x IS NULL")
+    assert _rows(t.read(spark)) == [(100, 7.5)]
+
+
+def test_unmapped_schema_narrowing_still_reconciles(spark, tmp_path):
+    """Regression guard: on a table that never enabled mapping, an
+    append racing a schema-narrowing overwrite must reconcile exactly as
+    before — the mapping-drift conflict is mapped-tables-only."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    real_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            TxLogTable(t.path).overwrite(
+                spark.createDataFrame([(5,)], ["id"])  # drops column v
+            )
+        return real_commit(*a, **kw)
+
+    t._commit = racing_commit
+    v = t.append(spark.createDataFrame([(2, "b")], ["id", "v"]))
+    t._commit = real_commit
+    assert v == 2  # reconciled at the next version, no spurious conflict
+    got = sorted(
+        (r["id"], r["v"]) for r in t.read(spark).collect()
+    )
+    assert got == [(2, "b"), (5, None)]
+
+
+def test_commit_files_refuses_diverged_mapping(spark, tmp_path):
+    """The external-file commit path cannot apply logical->physical
+    renames, so once any physical name diverges it must refuse rather
+    than register files whose columns the mapped read never projects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "name")
+    rel = "part-external-test.parquet"
+    pq.write_table(
+        pa.table({"id": [99], "name": ["ext"]}),
+        os.path.join(t.path, rel),
+    )
+    with pytest.raises(ValueError, match="column mapping"):
+        t.commit_files(
+            [rel],
+            ST([SF("id", LongType()), SF("name", StringType())]),
+        )
+    assert not os.path.exists(os.path.join(t.path, rel))  # cleaned up
+
+
+def test_stream_refuses_drop_readd_mapping_drift(spark, tmp_path):
+    """A LIVE stream resolved logical->physical at init; a mid-stream
+    drop + re-add swaps the physical name without changing the logical
+    schema (the added/retyped check cannot see it), so the reader must
+    refuse loudly instead of delivering NULLs for the re-added column.
+    Exercised at the reader level — a restarted query re-resolves the
+    mapping and is naturally correct; only a reader instance that
+    OUTLIVES the swap can hit it."""
+    from bigdataingestion_spark.sources.txlog_datasource import (
+        _TxLogStreamReader,
+    )
+
+    t = _mk(spark, tmp_path)
+    # a live reader, created while the mapping still said v -> v
+    reader = _TxLogStreamReader(
+        {"path": t.path}, t.read(spark).schema
+    )
+    lo = t.version()
+    t.drop_column("v")
+    t.append(spark.createDataFrame([(9, "new")], ["id", "v"]))
+    with pytest.raises(ValueError, match="mapping changed"):
+        reader.partitions({"version": lo}, {"version": t.version()})
+
+
 def test_rename_collision_and_missing(spark, tmp_path):
     t = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="already exists"):
