@@ -109,6 +109,11 @@ class ConstraintViolationError(ValueError):
     """A write contained rows failing a table CHECK constraint."""
 
 
+class GeneratedColumnViolationError(ValueError):
+    """A write supplied values for a generated column that disagree with
+    its generation expression."""
+
+
 class UnsupportedTableFeatureError(RuntimeError):
     """The table's log requires a feature this build does not implement.
 
@@ -133,7 +138,7 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"deletionVectors", "externalFiles", "columnMapping"}
 )
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
-    {"changeDataFeed", "checkConstraints"}
+    {"changeDataFeed", "checkConstraints", "generatedColumns"}
 )
 
 
@@ -300,6 +305,22 @@ def _keys_disjoint(
 # columns added afterwards get fresh uuid names, which is what stops a
 # drop+re-add of the same logical name resurrecting the old column's data.
 _PHYS_KEY = "txlog.physicalName"
+
+
+# generated columns (Delta's GENERATED ALWAYS AS): the generation SQL
+# expression lives in the field's metadata; writers compute the column
+# when a batch omits it and validate it when supplied.
+_GEN_KEY = "txlog.generationExpression"
+
+
+def _generated_of(schema: StructType | None) -> dict[str, str]:
+    if schema is None:
+        return {}
+    return {
+        f.name: (f.metadata or {})[_GEN_KEY]
+        for f in schema.fields
+        if _GEN_KEY in (f.metadata or {})
+    }
 
 
 def _l2p(schema: StructType) -> dict[str, str]:
@@ -782,6 +803,8 @@ class TxLogTable:
             w_feat.add("changeDataFeed")  # writers must materialize changes
         if constraints:
             w_feat.add("checkConstraints")  # writers must validate rows
+        if _generated_of(schema):
+            w_feat.add("generatedColumns")  # writers must compute/validate
         w_feat |= r_feat  # a reader-required feature binds writers too
         if r_feat or w_feat:
             entry["features"] = {
@@ -1205,26 +1228,29 @@ class TxLogTable:
 
     @staticmethod
     def _carry_mapping(snap: Snapshot, new_schema: StructType) -> StructType:
-        """Overwrite's schema-replacement under column mapping: fields
-        whose logical name survives inherit their physical name (their
-        pre-overwrite history stays time-travelable under one identity);
-        genuinely new fields get fresh uuid physical names."""
+        """Overwrite's schema-replacement under column mapping and/or
+        generated columns: fields whose logical name survives inherit
+        their physical name (their pre-overwrite history stays
+        time-travelable under one identity) and their generation
+        expression (a backfill must not silently strip the GENERATED
+        contract); on a mapped table genuinely new fields get fresh uuid
+        physical names. Physical names are only assigned when the table
+        is actually mapped — carrying generation metadata alone must not
+        implicitly freeze a mapping."""
         cur = StructType.fromJson(json.loads(snap.schema_json))
-        phys = {
-            f.name.lower(): (f.metadata or {}).get(_PHYS_KEY)
-            for f in cur.fields
-        }
+        mapped = _schema_is_mapped(cur)
+        meta_of = {f.name.lower(): (f.metadata or {}) for f in cur.fields}
         out = []
         for f in new_schema.fields:
-            p = phys.get(f.name.lower()) or f"col-{uuid.uuid4().hex[:12]}"
-            out.append(
-                StructField(
-                    f.name,
-                    f.dataType,
-                    f.nullable,
-                    {**(f.metadata or {}), _PHYS_KEY: p},
+            have = meta_of.get(f.name.lower(), {})
+            md = dict(f.metadata or {})
+            if _GEN_KEY in have:
+                md[_GEN_KEY] = have[_GEN_KEY]
+            if mapped:
+                md[_PHYS_KEY] = have.get(
+                    _PHYS_KEY, f"col-{uuid.uuid4().hex[:12]}"
                 )
-            )
+            out.append(StructField(f.name, f.dataType, f.nullable, md))
         return StructType(out)
 
     @staticmethod
@@ -1246,6 +1272,115 @@ class TxLogTable:
             raise ValueError(
                 "table is partitioned; use overwrite_partitions"
             )
+
+    def _apply_generated(self, df: DataFrame, snap: Snapshot | None) -> DataFrame:
+        """Enforce generated columns on an incoming batch (Delta's
+        GENERATED ALWAYS AS write semantics): a column the batch OMITS is
+        computed from its expression; a column the batch SUPPLIES must
+        agree with it row-for-row (null-safe equality — one limit(1)
+        probe per generated column, same cost shape as CHECKs), because
+        silently overwriting caller values would hide a corrupt upstream
+        and silently trusting them would break the column's invariant."""
+        if snap is None:
+            return df
+        gens = _generated_of(
+            StructType.fromJson(json.loads(snap.schema_json))
+        )
+        for name, expr in gens.items():
+            if name in df.columns:
+                bad = (
+                    df.filter(~F.col(name).eqNullSafe(F.expr(expr)))
+                    .limit(1)
+                    .collect()
+                )
+                if bad:
+                    raise GeneratedColumnViolationError(
+                        f"generated column {name} = ({expr}) violated, "
+                        f"e.g. {bad[0].asDict()} — omit the column to "
+                        "have it computed, or fix the source"
+                    )
+            else:
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
+    def add_generated_column(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS (``expr``) (Delta's
+        generated columns) in one metadata commit. From then on every
+        write computes the column when the batch omits it and validates
+        it when supplied — the classic use being a derived date bucket
+        that queries filter on, kept consistent by the table instead of
+        by every writer's discipline.
+
+        If the column already exists, current rows are validated first
+        (a table already violating the expression refuses, exactly like
+        ``add_constraint``). A NEW column can only be declared while the
+        table is EMPTY: existing files would read it as NULL, which the
+        expression would immediately contradict — backfill via
+        ``overwrite`` first. On a mapped table a new column gets a fresh
+        uuid physical name like any other addition."""
+        snap = self.snapshot()
+        self._check_writer_features(snap)
+        if snap is None:
+            raise ValueError(
+                f"{self.path} has no commits; create the table first "
+                "(the column type is inferred against its schema)"
+            )
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        names = [f.name for f in schema.fields]
+        if name in names:
+            if snap.files:
+                bad = (
+                    self._read_snapshot(spark, snap)
+                    .filter(~F.col(name).eqNullSafe(F.expr(expr)))
+                    .limit(1)
+                    .collect()
+                )
+                if bad:
+                    raise GeneratedColumnViolationError(
+                        f"existing rows violate {name} = ({expr}), "
+                        f"e.g. {bad[0].asDict()}"
+                    )
+            fields = [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}), _GEN_KEY: expr},
+                )
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+        else:
+            if snap.files:
+                raise ValueError(
+                    f"cannot declare NEW generated column {name!r} on a "
+                    "non-empty table: existing files would read it as "
+                    "NULL, contradicting the expression — backfill via "
+                    "overwrite first, then declare"
+                )
+            # type inference: analyze the expression against the schema
+            dtype = (
+                spark.createDataFrame([], schema)
+                .select(F.expr(expr).alias(name))
+                .schema[0]
+                .dataType
+            )
+            md: dict = {_GEN_KEY: expr}
+            if _schema_is_mapped(schema):
+                md[_PHYS_KEY] = f"col-{uuid.uuid4().hex[:12]}"
+            fields = list(schema.fields) + [
+                StructField(name, dtype, True, md)
+            ]
+        return self._commit(
+            [], [], StructType(fields), "add_generated_column", None,
+            snap.version,
+            partition_cols=list(snap.partition_cols) or None,
+            metrics={"column": name, "expr": expr},
+            constraints=snap.constraints,
+        )
 
     @staticmethod
     def _check_constraints(df: DataFrame, constraints) -> None:
@@ -1822,6 +1957,7 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
+        df = self._apply_generated(df, snap)
         self._check_constraints(df, snap.constraints if snap else ())
         schema = self._next_schema(snap, df, merge_schema)
         files, fstats = self._stage_files(df, write_schema=schema)
@@ -1839,14 +1975,23 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
+        df = self._apply_generated(df, snap)
         self._check_constraints(df, snap.constraints if snap else ())
         # an overwrite replaces the schema wholesale, but on a mapped
         # table same-named columns keep their physical identity (their
-        # history is still time-travelable) and new ones get fresh names
+        # history is still time-travelable), new ones get fresh names,
+        # and generation expressions survive by name — a backfill must
+        # not silently strip the column's GENERATED contract
+        cur_schema = (
+            StructType.fromJson(json.loads(snap.schema_json))
+            if snap
+            else None
+        )
         schema = (
             self._carry_mapping(snap, df.schema)
-            if snap and _schema_is_mapped(
-                StructType.fromJson(json.loads(snap.schema_json))
+            if cur_schema is not None
+            and (
+                _schema_is_mapped(cur_schema) or _generated_of(cur_schema)
             )
             else df.schema
         )
@@ -1941,6 +2086,20 @@ class TxLogTable:
                     f"{[n for n, _ in snap.constraints]} and this writer "
                     "cannot validate rows; write via append/merge_upsert"
                 )
+            if forbid_constraints and snap:
+                gens = _generated_of(
+                    StructType.fromJson(json.loads(snap.schema_json))
+                )
+                if gens:
+                    # same rationale as CHECKs: this layer never sees the
+                    # rows, so it can neither compute an omitted generated
+                    # column nor validate a supplied one
+                    raise GeneratedColumnViolationError(
+                        f"table {self.path} has generated column(s) "
+                        f"{sorted(gens)} and this writer cannot "
+                        "compute/validate them; write via append/"
+                        "merge_upsert"
+                    )
             if stats is None:  # once, lazily: replays never pay footer reads
                 stats = {}
                 for f in add:
@@ -1997,6 +2156,7 @@ class TxLogTable:
                 "encode physical names in paths); overwrite_partitions "
                 "is unavailable"
             )
+        df = self._apply_generated(df, snap)
         self._check_constraints(df, snap.constraints if snap else ())
         files, fstats = self._stage_files(df, partition_cols)
         touched = {os.path.dirname(f) for f in files}
@@ -2239,6 +2399,7 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
+        source = self._apply_generated(source, snap)
         # the merge consumes `source` several times (stats agg, finding
         # semi-join, the merge itself, constraint probes); persist so an
         # expensive upstream plan is computed once — MEMORY_AND_DISK
@@ -3478,6 +3639,31 @@ class TxLogTable:
             if c.lower() not in by_name:
                 raise ValueError(f"UPDATE SET references unknown column: {c}")
             assigns[c.lower()] = expr
+        # generated columns: assigning one directly, or assigning a
+        # column its expression reads, would leave stored values that
+        # disagree with the declared expression (Delta recomputes
+        # dependents on UPDATE; this implementation refuses instead —
+        # conservative, never silently divergent). The dependency check
+        # is a word-match on the stored SQL text, the same conservative
+        # shape rename_column uses for constraints.
+        for gname, gexpr in _generated_of(schema).items():
+            if gname.lower() in assigns:
+                raise GeneratedColumnViolationError(
+                    f"cannot UPDATE SET generated column {gname} "
+                    f"(= {gexpr}); its value is derived"
+                )
+            hit = [
+                c
+                for c in assigns
+                if re.search(rf"\b{re.escape(c)}\b", gexpr, re.IGNORECASE)
+            ]
+            if hit:
+                raise GeneratedColumnViolationError(
+                    f"UPDATE SET touches column(s) {sorted(hit)} that "
+                    f"generated column {gname} = ({gexpr}) is derived "
+                    "from; rewrite via delete + append (or overwrite) so "
+                    "the generated value is recomputed"
+                )
         pred = F.coalesce(F.expr(predicate), F.lit(False))
         touched, stat_skipped, bloom_skipped = self._touched_files(
             spark, snap, pred, predicate
@@ -3596,6 +3782,7 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         pred = F.coalesce(F.expr(predicate), F.lit(False))
+        df = self._apply_generated(df, snap)
         # the source is evaluated up to three times (validate probe, data
         # staging, CDF staging): persist it so a non-deterministic plan
         # cannot pass validation with one row set and commit another —
@@ -3928,6 +4115,7 @@ class TxLogTable:
                 "enable_mapping",
                 "rename_column",
                 "drop_column",
+                "add_generated_column",
             ):
                 continue
             if op == "restore":

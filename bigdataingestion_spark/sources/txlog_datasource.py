@@ -520,6 +520,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 "enable_mapping",
                 "rename_column",
                 "drop_column",
+                "add_generated_column",
             ):
                 continue
             if op == "restore":
