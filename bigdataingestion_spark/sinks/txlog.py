@@ -4344,6 +4344,45 @@ class TxLogTable:
             },
         )
 
+    def describe_detail(self) -> dict:
+        """Delta's DESCRIBE DETAIL: one dict summarizing the table's
+        current state — version, counts/bytes, layout, properties,
+        constraints, required features, column mapping, and generated
+        columns. Driver-side metadata only (one log resolution plus
+        O(files) local stat calls); returns an empty-table marker for an
+        uninitialized path."""
+        snap = self.snapshot()
+        if snap is None:
+            return {"path": self.path, "version": -1, "num_files": 0}
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        size = 0
+        for f in snap.files:
+            try:
+                size += os.path.getsize(os.path.join(self.path, f))
+            except OSError:
+                pass  # vacuumed/external file: size is best-effort
+        l2p = _l2p(schema)
+        return {
+            "path": self.path,
+            "format": "txlog",
+            "version": snap.version,
+            "num_files": len(snap.files),
+            "size_bytes": size,
+            "num_deletion_vectors": len(snap.dvs),
+            "partition_columns": list(snap.partition_cols),
+            "columns": [f.name for f in schema.fields],
+            "properties": dict(snap.properties),
+            "constraints": {n: e for n, e in snap.constraints},
+            "reader_features": list(snap.reader_features),
+            "writer_features": list(snap.writer_features),
+            "column_mapping": (
+                {n: p for n, p in l2p.items() if n != p}
+                if _schema_is_mapped(schema)
+                else None
+            ),
+            "generated_columns": _generated_of(schema) or None,
+        }
+
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600.0) -> list[str]:
         """Delete data files unreachable from the LATEST snapshot (ends
         time travel to older versions; the commit log itself is kept as the

@@ -136,6 +136,26 @@ def test_partitioned_generated_partition_column(spark, tmp_path):
     assert _rows(got.filter("day = 0").select("id")) == [(3,)]
 
 
+def test_describe_detail_reports_everything(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.enable_column_mapping()
+    t.rename_column("v", "name")
+    t.add_constraint(spark, "pos", "id > 0")
+    t.delete(spark, "id = 99", deletion_vectors=True)  # no-op, no commit
+    d = t.describe_detail()
+    assert d["format"] == "txlog" and d["num_files"] == 1
+    assert d["columns"] == ["id", "name", "day"]
+    assert d["constraints"] == {"pos": "id > 0"}
+    assert d["generated_columns"] == {"day": "id % 7"}
+    assert d["column_mapping"] == {"name": "v"}
+    assert "columnMapping" in d["reader_features"]
+    assert "generatedColumns" in d["writer_features"]
+    assert d["size_bytes"] > 0
+    # uninitialized path: a marker, not an error
+    assert TxLogTable(str(tmp_path / "ghost")).describe_detail()["version"] == -1
+
+
 def test_generated_with_column_mapping(spark, tmp_path):
     """Generated metadata and mapping metadata coexist on one field; the
     generated column participates in rename like any other."""
