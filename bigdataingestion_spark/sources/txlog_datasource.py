@@ -111,6 +111,103 @@ def _parse_hive_values(rel_path: str) -> tuple[tuple[str, str | None], ...]:
     return tuple(out)
 
 
+def _cdf_commit_partitions(
+    table, lo: int, hi: int, check_schema, surface: str
+) -> list:
+    """Change-feed partitions for commits in (lo, hi] — the walk shared
+    by the STREAM reader (micro-batch ranges) and the BATCH reader
+    (startingVersion/endingVersion). Appends/overwrites are synthesized
+    from the commit's file lists (removed files read under the
+    PRE-commit deletion-vector state); DML commits deliver the change
+    files materialized under _cdf/ when the cdf.enabled property was
+    set — without it the read fails actionably rather than fabricating
+    changes it cannot know; a commit that removed and masked NOTHING is
+    insert-only and synthesizes from its adds regardless."""
+    parts: list = []
+    for e in table.commits_between(lo, hi):
+        op, v = e["op"], e["version"]
+        check_schema(e)
+        if op in (
+            "compact",
+            "add_constraint",
+            "drop_constraint",
+            "set_properties",
+            "enable_feature",
+            "enable_mapping",
+            "rename_column",
+            "drop_column",
+            "add_generated_column",
+        ):
+            continue
+        if op == "restore":
+            raise ValueError(
+                f"txlog CDF {surface} hit v{v} (restore): its logical "
+                "diff spans arbitrary history; restart the consumer "
+                "from a snapshot instead"
+            )
+        if op in ("append", "convert", "clone"):
+            # a clone commit may carry the source's deletion vectors:
+            # its bootstrap inserts are the unmasked rows only
+            dv = e.get("dv") or {}
+            parts.extend(
+                _FilePartition(
+                    rel,
+                    _parse_hive_values(rel),
+                    tuple(
+                        (int(a), int(c))
+                        for a, c in table._load_dv_runs(dv[rel])
+                    )
+                    if rel in dv
+                    else (),
+                    "insert",
+                    v,
+                )
+                for rel in e["add"]
+            )
+            continue
+        if op in ("overwrite", "overwrite_partitions"):
+            prior = table.snapshot(v - 1)
+            for rel in e["remove"]:
+                runs: tuple = ()
+                if prior and rel in prior.dvs:
+                    runs = tuple(
+                        (int(a), int(c))
+                        for a, c in table._load_dv_runs(prior.dvs[rel])
+                    )
+                parts.append(
+                    _FilePartition(
+                        rel, _parse_hive_values(rel), runs, "delete", v
+                    )
+                )
+            parts.extend(
+                _FilePartition(rel, _parse_hive_values(rel), (), "insert", v)
+                for rel in e["add"]
+            )
+            continue
+        cdf = e.get("cdf")  # delete / update / merge / replace_where
+        if cdf is None:
+            if not e["remove"] and not e.get("dv"):
+                # removed and masked nothing: insert-only commit —
+                # its adds ARE the change set (append semantics)
+                parts.extend(
+                    _FilePartition(
+                        rel, _parse_hive_values(rel), (), "insert", v
+                    )
+                    for rel in e["add"]
+                )
+                continue
+            raise ValueError(
+                f"txlog CDF {surface} hit v{v} ({op}) with no "
+                "materialized change data — set the cdf.enabled=true "
+                "table property (alter_properties) BEFORE DML commits"
+            )
+        for ctype, rels in cdf.items():
+            parts.extend(
+                _FilePartition(rel, (), (), ctype, v) for rel in rels
+            )
+    return parts
+
+
 @dataclass
 class _FilePartition(InputPartition):
     rel_path: str
@@ -327,6 +424,119 @@ class _TxLogBatchReader(DataSourceReader):
         )
 
 
+class _TxLogBatchCdfReader(DataSourceReader):
+    """Batch change feed (Delta's ``table_changes`` via the reader):
+    ``option("readChangeFeed","true")`` + ``startingVersion`` (and
+    optionally ``endingVersion``) on ``spark.read.format("txlog")``
+    yields the row-level changes of the commits in that range, tagged
+    ``_change_type`` / ``_commit_version`` — the same walk, projection,
+    and deletion-vector handling as the streaming feed, distributed one
+    input partition per change file. The declared schema is the LATEST
+    table schema; a range crossing an added/retyped/re-mapped column
+    refuses with guidance (the native ``TxLogTable.read_cdf`` handles
+    mixed-schema ranges via per-commit schemas)."""
+
+    def __init__(self, options, schema: StructType):
+        from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+        self._path = options["path"]
+        table = TxLogTable(self._path)
+        self._schema = schema
+        self._data_schema = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+        )
+        snap = table.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed version at {self._path}")
+        self._data_phys_names = _phys_names_for(
+            self._data_schema, snap.schema_json
+        )
+        init_l2p = {
+            f.name: (f.metadata or {}).get("txlog.physicalName", f.name)
+            for f in StructType.fromJson(
+                json.loads(snap.schema_json)
+            ).fields
+        }
+        declared = {
+            f.name.lower(): f.dataType for f in self._data_schema.fields
+        }
+        seen_ok: set = set()
+
+        def check(e: dict) -> None:
+            sj = e.get("schema")
+            if sj is None or sj in seen_ok:
+                return
+            commit_schema = StructType.fromJson(json.loads(sj))
+            for f in commit_schema.fields:
+                have = declared.get(f.name.lower())
+                if have is None or have != f.dataType:
+                    why = "added" if have is None else "retyped"
+                    raise ValueError(
+                        f"txlog batch CDF: v{e['version']} carries "
+                        f"column {f.name!r} {why} relative to the "
+                        "current schema; this range mixes schemas — "
+                        "use TxLogTable.read_cdf, which reads each "
+                        "commit under its own schema"
+                    )
+            drifted = [
+                f.name
+                for f in commit_schema.fields
+                if f.name in init_l2p
+                and (f.metadata or {}).get(
+                    "txlog.physicalName", f.name
+                )
+                != init_l2p[f.name]
+            ]
+            if drifted:
+                raise ValueError(
+                    f"txlog batch CDF: v{e['version']} used a different "
+                    f"physical mapping for column(s) {sorted(drifted)}; "
+                    "use TxLogTable.read_cdf for ranges crossing "
+                    "drop/re-add"
+                )
+            seen_ok.add(sj)
+
+        start = int(options.get("startingVersion", 0))
+        end_opt = options.get("endingVersion")
+        end = int(end_opt) if end_opt is not None else table.version()
+        if end > table.version():
+            raise ValueError(
+                f"cannot read changes to v{end}: latest is "
+                f"v{table.version()}"
+            )
+        self._parts = _cdf_commit_partitions(
+            table, start - 1, end, check, "batch"
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return list(self._parts)
+
+    def read(self, partition: _FilePartition):
+        if partition is None:  # empty range: Spark still calls read once
+            return
+        import pyarrow as pa
+
+        phys = (
+            None
+            if partition.rel_path.startswith("_cdf")
+            else self._data_phys_names
+        )
+        out_schema = _arrow_schema(self._schema)
+        for batch in _file_batches(
+            self._path, partition, _arrow_schema(self._data_schema), phys
+        ):
+            n = batch.num_rows
+            arrays = list(batch.columns) + [
+                pa.array([partition.ctype] * n, pa.string()),
+                pa.array([partition.commit_version] * n, pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
 # --------------------------------------------------------------- stream --
 
 
@@ -501,99 +711,11 @@ class _TxLogStreamReader(DataSourceStreamReader):
 
     def _cdf_partitions(self, lo: int, hi: int) -> Sequence[InputPartition]:
         """Streaming change feed (Delta's readChangeFeed): each commit in
-        (lo, hi] contributes its change rows. Appends/overwrites are
-        synthesized from the commit's file lists (removed files read
-        under the PRE-commit deletion-vector state); DML commits deliver
-        the change files materialized under _cdf/ when the cdf.enabled
-        property was set — without it the stream fails actionably rather
-        than fabricating changes it cannot know."""
-        parts: list[InputPartition] = []
-        for e in self._table.commits_between(lo, hi):
-            op, v = e["op"], e["version"]
-            self._check_commit_schema(e)
-            if op in (
-                "compact",
-                "add_constraint",
-                "drop_constraint",
-                "set_properties",
-                "enable_feature",
-                "enable_mapping",
-                "rename_column",
-                "drop_column",
-                "add_generated_column",
-            ):
-                continue
-            if op == "restore":
-                raise ValueError(
-                    f"txlog CDF stream hit v{v} (restore): its logical "
-                    "diff spans arbitrary history; restart the consumer "
-                    "from a snapshot instead"
-                )
-            if op in ("append", "convert", "clone"):
-                # a clone commit may carry the source's deletion vectors:
-                # its bootstrap inserts are the unmasked rows only
-                dv = e.get("dv") or {}
-                parts.extend(
-                    _FilePartition(
-                        rel,
-                        _parse_hive_values(rel),
-                        tuple(
-                            (int(a), int(c))
-                            for a, c in self._table._load_dv_runs(dv[rel])
-                        )
-                        if rel in dv
-                        else (),
-                        "insert",
-                        v,
-                    )
-                    for rel in e["add"]
-                )
-                continue
-            if op in ("overwrite", "overwrite_partitions"):
-                prior = self._table.snapshot(v - 1)
-                for rel in e["remove"]:
-                    runs: tuple = ()
-                    if prior and rel in prior.dvs:
-                        runs = tuple(
-                            (int(a), int(c))
-                            for a, c in self._table._load_dv_runs(
-                                prior.dvs[rel]
-                            )
-                        )
-                    parts.append(
-                        _FilePartition(
-                            rel, _parse_hive_values(rel), runs, "delete", v
-                        )
-                    )
-                parts.extend(
-                    _FilePartition(
-                        rel, _parse_hive_values(rel), (), "insert", v
-                    )
-                    for rel in e["add"]
-                )
-                continue
-            cdf = e.get("cdf")  # delete / update / merge / replace_where
-            if cdf is None:
-                if not e["remove"] and not e.get("dv"):
-                    # removed and masked nothing: insert-only commit —
-                    # its adds ARE the change set (append semantics)
-                    parts.extend(
-                        _FilePartition(
-                            rel, _parse_hive_values(rel), (), "insert", v
-                        )
-                        for rel in e["add"]
-                    )
-                    continue
-                raise ValueError(
-                    f"txlog CDF stream hit v{v} ({op}) with no "
-                    "materialized change data — set the cdf.enabled=true "
-                    "table property (alter_properties) BEFORE DML commits"
-                )
-            for ctype, rels in cdf.items():
-                parts.extend(
-                    _FilePartition(rel, (), (), ctype, v) for rel in rels
-                )
-        return parts
+        (lo, hi] contributes its change rows — the shared walk in
+        ``_cdf_commit_partitions``, schema-guarded per commit."""
+        return _cdf_commit_partitions(
+            self._table, lo, hi, self._check_commit_schema, "stream"
+        )
 
     def read(self, partition: _FilePartition):
         if partition.ctype is None:
@@ -843,11 +965,7 @@ class TxLogDataSource(DataSource):
             "true",
             "1",
         ):
-            raise ValueError(
-                "batch readChangeFeed is served by TxLogTable.read_cdf "
-                "(native JVM scan); the data-source option applies to "
-                "readStream only"
-            )
+            return _TxLogBatchCdfReader(self.options, schema)
         return _TxLogBatchReader(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -249,16 +249,24 @@ def test_streaming_cdf_refuses_unmaterialized_dml(spark, tmp_path):
         q.awaitTermination(180)
 
 
-def test_batch_datasource_refuses_read_change_feed(spark, tmp_path):
+def test_batch_datasource_serves_read_change_feed(spark, tmp_path):
+    """Formerly a documented refusal; round 7 added the batch CDF reader
+    (Delta's table_changes surface) — deep coverage lives in
+    test_txlog_datasource_cdf_batch.py, this pins the entry point."""
     from bigdataingestion_spark.sources import txlog_datasource
 
     txlog_datasource.register(spark)
     path = str(tmp_path / "t")
-    _mk(spark, path)
-    with pytest.raises(Exception, match="read_cdf"):
-        spark.read.format("txlog").option("readChangeFeed", "true").load(
-            path
-        ).collect()
+    t = _mk(spark, path)
+    t.delete(spark, "id = 2")
+    got = (
+        spark.read.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", t.version())
+        .load(path)
+        .collect()
+    )
+    assert [(r["_change_type"], r["id"]) for r in got] == [("delete", 2)]
 
 
 def test_delete_matching_removes_by_key_set(spark, tmp_path):
