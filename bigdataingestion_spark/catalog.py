@@ -4756,6 +4756,94 @@ def txlog_rename_migration(spark, sf_dir):
 
 
 @register(
+    "txlog_cdf_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    deleted AS (SELECT o_totalprice FROM base WHERE o_orderstatus = 'F'),
+    surviving AS (SELECT * FROM base WHERE o_orderstatus <> 'F'),
+    upd AS (SELECT o_totalprice FROM surviving
+            WHERE o_orderpriority = '1-URGENT'),
+    changes AS (
+      SELECT 'delete' AS _change_type, o_totalprice AS price FROM deleted
+      UNION ALL
+      SELECT 'update_preimage', o_totalprice FROM upd
+      UNION ALL
+      SELECT 'update_postimage', o_totalprice * 1.1 FROM upd
+    )
+    SELECT _change_type, count(*) AS n_rows,
+           round(sum(price), 2) AS total_price
+    FROM changes GROUP BY _change_type
+    """,
+)
+def txlog_cdf_audit(spark, sf_dir):
+    """[EXT] Change-data-feed audit on the lake format: land an orders
+    slice with CDF enabled, DELETE the finished orders, UPDATE urgent
+    prices +10%, then read the row-level change feed (materialized at
+    commit time — reconstructing it later is impossible once rewrites
+    diverge) and aggregate it per change type. The oracle recomputes the
+    same change set relationally from the raw fixture."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    ).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = _fresh_txlog()
+    t.append(orders)
+    t.alter_properties({"cdf.enabled": "true"})
+    v0 = t.version()
+    t.delete(spark, "o_orderstatus = 'F'")
+    t.update(
+        spark,
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 1.1"},
+    )
+    return (
+        t.read_cdf(spark, from_version=v0)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "txlog_generated_bucket",
+    """
+    SELECT CAST(event_id % 24 AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def txlog_generated_bucket(spark, sf_dir):
+    """[EXT] Generated-column contract on the lake format: declare
+    bucket GENERATED ALWAYS AS (event_id % 24) on an empty table, land
+    events WITHOUT the column (the table computes it), and aggregate by
+    the generated key — the derived-partition-key pattern where the
+    bucket stays consistent by table contract, not writer discipline."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_id", "value")
+    t = _fresh_txlog()
+    t.append(ev.limit(0))  # establish the schema, stay empty
+    t.add_generated_column(spark, "bucket", "event_id % 24")
+    t.append(ev)
+    return (
+        t.read(spark)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
     "txlog_dv_point_delete",
     """
     SELECT event_type, count(*) AS n_events
@@ -4802,6 +4890,8 @@ _GATE_FIRST = [
     "txlog_backfill_replace",
     "txlog_rename_migration",
     "txlog_dv_point_delete",
+    "txlog_cdf_audit",
+    "txlog_generated_bucket",
     # Round-7 window: evidence ages entering r7 are 50 @ r6, 50 @ r5,
     # 25 @ r4. Take the 25 r4-evidence queries first (oldest evidence),
     # then the 25 head entries of the r5 window (they sat at the head of
