@@ -1287,9 +1287,16 @@ class TxLogTable:
             StructType.fromJson(json.loads(snap.schema_json))
         )
         for name, expr in gens.items():
-            if name in df.columns:
+            # case-insensitive: under spark.sql.caseSensitive=false a
+            # batch supplying 'DAY' IS supplying 'day', and withColumn
+            # would silently REPLACE it — exactly the "overwrite caller
+            # values" failure this method exists to refuse
+            supplied = next(
+                (c for c in df.columns if c.lower() == name.lower()), None
+            )
+            if supplied is not None:
                 bad = (
-                    df.filter(~F.col(name).eqNullSafe(F.expr(expr)))
+                    df.filter(~F.col(supplied).eqNullSafe(F.expr(expr)))
                     .limit(1)
                     .collect()
                 )
@@ -1832,6 +1839,21 @@ class TxLogTable:
                 f"constraint(s) {mentioned} reference column {old!r}; "
                 "drop them, rename, then re-add with the new name"
             )
+        # a generation expression referencing the old name would fail to
+        # resolve on every subsequent write — the table would be wedged
+        gen_refs = [
+            g
+            for g, gexpr in _generated_of(schema).items()
+            if g != old
+            and re.search(rf"\b{re.escape(old)}\b", gexpr, re.IGNORECASE)
+        ]
+        if gen_refs:
+            raise ValueError(
+                f"generated column(s) {gen_refs} derive from {old!r}; "
+                "their stored expressions would stop resolving — drop "
+                "the generated column(s) first (renaming the generated "
+                "column itself is fine; its expression is untouched)"
+            )
         renamed = StructType(
             [
                 StructField(new, f.dataType, f.nullable, f.metadata)
@@ -1892,6 +1914,18 @@ class TxLogTable:
             raise ValueError(
                 f"constraint(s) {mentioned} reference column {name!r}; "
                 "drop them first"
+            )
+        gen_refs = [
+            g
+            for g, gexpr in _generated_of(schema).items()
+            if g != name
+            and re.search(rf"\b{re.escape(name)}\b", gexpr, re.IGNORECASE)
+        ]
+        if gen_refs:
+            raise ValueError(
+                f"generated column(s) {gen_refs} derive from {name!r}; "
+                "drop the generated column(s) first (dropping the "
+                "generated column itself is fine)"
             )
         remaining = StructType(
             [f for f in schema.fields if f.name != name]
@@ -2399,15 +2433,20 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
-        source = self._apply_generated(source, snap)
         # the merge consumes `source` several times (stats agg, finding
-        # semi-join, the merge itself, constraint probes); persist so an
-        # expensive upstream plan is computed once — MEMORY_AND_DISK
-        # spills rather than OOMs on a large batch. If the CALLER already
-        # persisted it, leave their cache alone (and intact afterwards).
+        # semi-join, the merge itself, constraint + GENERATED probes);
+        # persist so an expensive upstream plan is computed once —
+        # MEMORY_AND_DISK spills rather than OOMs on a large batch. If
+        # the CALLER already persisted it, leave their cache alone (and
+        # intact afterwards). Persist BEFORE the generated-column
+        # validation: its limit(1) probe must see the SAME rows staging
+        # will, or a non-deterministic plan passes validation with one
+        # row set and commits another.
         ours = not source.storageLevel.useMemory and not source.storageLevel.useDisk
         if ours:
             source = source.persist()
+        cached = source  # unpersist target: _apply_generated rebinds
+        source = self._apply_generated(source, snap)
         try:
             touched: list[str] = []
             stat_skipped = 0
@@ -2496,7 +2535,7 @@ class TxLogTable:
             files, fstats = self._stage_files(merged, write_schema=schema)
         finally:
             if ours:
-                source.unpersist()
+                cached.unpersist()
 
         def read_check(added: list[str], cur: Snapshot) -> list[str]:
             # the merge's read set is "every row whose key the source
@@ -3782,21 +3821,23 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         pred = F.coalesce(F.expr(predicate), F.lit(False))
-        df = self._apply_generated(df, snap)
-        # the source is evaluated up to three times (validate probe, data
-        # staging, CDF staging): persist it so a non-deterministic plan
-        # cannot pass validation with one row set and commit another —
-        # merge_upsert's source gets the same treatment
+        # the source is evaluated several times (generated + predicate
+        # validation probes, data staging, CDF staging): persist FIRST so
+        # a non-deterministic plan cannot pass any validation with one
+        # row set and commit another — merge_upsert's source gets the
+        # same treatment
         ours = not df.storageLevel.useMemory and not df.storageLevel.useDisk
         if ours:
             df = df.persist()
+        cached = df  # unpersist target: _apply_generated rebinds
+        df = self._apply_generated(df, snap)
         try:
             return self._replace_where_impl(
                 spark, df, pred, predicate, snap, txn_id, validate
             )
         finally:
             if ours:
-                df.unpersist()
+                cached.unpersist()
 
     def _replace_where_impl(
         self, spark, df, pred, predicate, snap, txn_id, validate

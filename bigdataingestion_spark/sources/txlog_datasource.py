@@ -111,6 +111,37 @@ def _parse_hive_values(rel_path: str) -> tuple[tuple[str, str | None], ...]:
     return tuple(out)
 
 
+def _cdf_tagged_batches(
+    path: str,
+    partition: "_FilePartition",
+    schema: StructType,
+    data_schema: StructType,
+    data_phys_names: tuple | None,
+) -> Iterator["pa.RecordBatch"]:
+    """Executor-side CDF read shared by the batch and stream readers:
+    project the change file to the DATA schema (change files under
+    ``_cdf/`` are written in LOGICAL names by the DML ops; table data
+    files carry physical names), then append the constant
+    ``_change_type`` / ``_commit_version`` tag columns."""
+    import pyarrow as pa
+
+    phys = (
+        None
+        if partition.rel_path.startswith("_cdf")
+        else data_phys_names
+    )
+    out_schema = _arrow_schema(schema)
+    for batch in _file_batches(
+        path, partition, _arrow_schema(data_schema), phys
+    ):
+        n = batch.num_rows
+        arrays = list(batch.columns) + [
+            pa.array([partition.ctype] * n, pa.string()),
+            pa.array([partition.commit_version] * n, pa.int64()),
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
 def _cdf_commit_partitions(
     table, lo: int, hi: int, check_schema, surface: str
 ) -> list:
@@ -439,6 +470,25 @@ class _TxLogBatchCdfReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         from bigdataingestion_spark.sinks.txlog import TxLogTable
 
+        clash = [
+            o
+            for o in (
+                "version",
+                "timestamp",
+                "partitionFilter",
+                "statsFilter",
+            )
+            if options.get(o) is not None
+        ]
+        if clash:
+            # snapshot-read options have no defined meaning on a change
+            # feed; silently ignoring them would hand back a broader
+            # result than the caller asked for
+            raise ValueError(
+                f"option(s) {clash} apply to snapshot reads and are "
+                "incompatible with readChangeFeed; bound the feed with "
+                "startingVersion/endingVersion instead"
+            )
         self._path = options["path"]
         table = TxLogTable(self._path)
         self._schema = schema
@@ -508,6 +558,13 @@ class _TxLogBatchCdfReader(DataSourceReader):
                 f"cannot read changes to v{end}: latest is "
                 f"v{table.version()}"
             )
+        if start > table.version():
+            # a mis-tracked cursor would otherwise poll forever-empty
+            # feeds; Delta errors on an out-of-range starting version too
+            raise ValueError(
+                f"cannot read changes from v{start}: latest is "
+                f"v{table.version()}"
+            )
         self._parts = _cdf_commit_partitions(
             table, start - 1, end, check, "batch"
         )
@@ -518,23 +575,13 @@ class _TxLogBatchCdfReader(DataSourceReader):
     def read(self, partition: _FilePartition):
         if partition is None:  # empty range: Spark still calls read once
             return
-        import pyarrow as pa
-
-        phys = (
-            None
-            if partition.rel_path.startswith("_cdf")
-            else self._data_phys_names
+        yield from _cdf_tagged_batches(
+            self._path,
+            partition,
+            self._schema,
+            self._data_schema,
+            self._data_phys_names,
         )
-        out_schema = _arrow_schema(self._schema)
-        for batch in _file_batches(
-            self._path, partition, _arrow_schema(self._data_schema), phys
-        ):
-            n = batch.num_rows
-            arrays = list(batch.columns) + [
-                pa.array([partition.ctype] * n, pa.string()),
-                pa.array([partition.commit_version] * n, pa.int64()),
-            ]
-            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
 
 # --------------------------------------------------------------- stream --
@@ -726,26 +773,13 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 self._phys_names,
             )
             return
-        import pyarrow as pa
-
-        # change files under _cdf/ are written in LOGICAL names (the DML
-        # ops stage them pre-mapping); only TABLE data files carry
-        # physical names
-        phys = (
-            None
-            if partition.rel_path.startswith("_cdf")
-            else self._data_phys_names
+        yield from _cdf_tagged_batches(
+            self._path,
+            partition,
+            self._schema,
+            self._data_schema,
+            self._data_phys_names,
         )
-        out_schema = _arrow_schema(self._schema)
-        for batch in _file_batches(
-            self._path, partition, _arrow_schema(self._data_schema), phys
-        ):
-            n = batch.num_rows
-            arrays = list(batch.columns) + [
-                pa.array([partition.ctype] * n, pa.string()),
-                pa.array([partition.commit_version] * n, pa.int64()),
-            ]
-            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     def commit(self, end: dict) -> None:
         # Spark's checkpoint owns offset progress, and reader instances
@@ -833,6 +867,7 @@ class _TxLogWriterBase:
         from bigdataingestion_spark.sinks.txlog import (
             ConcurrentWriteError,
             ConstraintViolationError,
+            GeneratedColumnViolationError,
             SchemaEvolutionError,
             TxLogTable,
         )
@@ -865,6 +900,7 @@ class _TxLogWriterBase:
                     )
                 except (
                     ConstraintViolationError,
+                    GeneratedColumnViolationError,
                     SchemaEvolutionError,
                     ConcurrentWriteError,
                 ):

@@ -97,6 +97,31 @@ def test_range_crossing_rename_refuses_with_guidance(spark, tmp_path, _reg):
         _read(spark, t.path, 0).collect()
 
 
+def test_snapshot_options_refused_on_feed(spark, tmp_path, _reg):
+    """version/timestamp/partitionFilter/statsFilter have no meaning on
+    a change feed — silently ignoring them would hand back broader
+    results than asked for."""
+    t = _mk(spark, tmp_path)
+    with pytest.raises(Exception, match="incompatible with readChangeFeed"):
+        (
+            spark.read.format("txlog")
+            .option("readChangeFeed", "true")
+            .option("version", 1)
+            .load(t.path)
+            .collect()
+        )
+
+
+def test_starting_version_beyond_latest_refuses(spark, tmp_path, _reg):
+    """A mis-tracked cursor must fail loudly, not poll forever-empty."""
+    t = _mk(spark, tmp_path)
+    with pytest.raises(Exception, match="latest"):
+        _read(spark, t.path, t.version() + 7).collect()
+    # AT the latest version is fine (empty feed for start == latest+0
+    # means 'changes after latest-1', which exists)
+    assert _read(spark, t.path, t.version()).count() >= 1
+
+
 def test_restore_in_range_refuses(spark, tmp_path, _reg):
     t = TxLogTable(str(tmp_path / "t"))
     t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))

@@ -110,13 +110,54 @@ def test_overwrite_carries_generation_contract(spark, tmp_path):
 
 
 def test_datasource_writer_refuses_generated(spark, tmp_path):
+    import glob
+    import os
+
     from bigdataingestion_spark.sources.txlog_datasource import register
 
     register(spark)
     t = _mk(spark, tmp_path)
+    before = set(glob.glob(os.path.join(t.path, "part-*.parquet")))
     df = spark.createDataFrame([(9, "z")], ["id", "v"])
     with pytest.raises(Exception, match="generated"):
         df.write.format("txlog").mode("append").save(t.path)
+    # the refusal fires strictly pre-commit: the landed-then-refused
+    # files are reclaimed, not left orphaned in the root for raw readers
+    assert set(glob.glob(os.path.join(t.path, "part-*.parquet"))) == before
+
+
+def test_supplied_column_case_insensitive(spark, tmp_path):
+    """Under spark.sql.caseSensitive=false a batch supplying 'DAY' IS
+    supplying 'day': wrong values must refuse, never be silently
+    replaced by the computed ones."""
+    t = _mk(spark, tmp_path)
+    bad = spark.createDataFrame([(4, "d", 9)], ["id", "v", "DAY"])
+    with pytest.raises(GeneratedColumnViolationError):
+        t.append(bad)
+    ok = spark.createDataFrame([(4, "d", 4)], ["id", "v", "DAY"])
+    t.append(ok)
+    assert t.read(spark).count() == 1
+
+
+def test_rename_and_drop_of_generation_source_refused(spark, tmp_path):
+    """Renaming or dropping a column a generation expression reads would
+    wedge every subsequent write (the stored SQL stops resolving)."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.enable_column_mapping()
+    with pytest.raises(ValueError, match="derive from"):
+        t.rename_column("id", "event_id")
+    with pytest.raises(ValueError, match="derive from"):
+        t.drop_column("id")
+    # the generated column ITSELF renames/drops fine
+    t.rename_column("day", "bucket")
+    t.append(spark.createDataFrame([(14, "b")], ["id", "v"]))
+    assert sorted(
+        (r["id"], r["bucket"]) for r in t.read(spark).collect()
+    ) == [(1, 1), (14, 0)]
+    t.drop_column("bucket")
+    t.append(spark.createDataFrame([(2, "c")], ["id", "v"]))  # unwedged
+    assert t.read(spark).columns == ["id", "v"]
 
 
 def test_partitioned_generated_partition_column(spark, tmp_path):
