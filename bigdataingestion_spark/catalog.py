@@ -4884,73 +4884,67 @@ def txlog_dv_point_delete(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # Queries NEW this round lead (no driver evidence at all yet): the
-    # txlog lake-DML trio exercising replace_where, column mapping, and
-    # deletion vectors through the correctness gate.
-    "txlog_backfill_replace",
-    "txlog_rename_migration",
-    "txlog_dv_point_delete",
-    "txlog_cdf_audit",
-    "txlog_generated_bucket",
-    # Round-7 window: evidence ages entering r7 are 50 @ r6, 50 @ r5,
-    # 25 @ r4. Take the 25 r4-evidence queries first (oldest evidence),
-    # then the 25 head entries of the r5 window (they sat at the head of
-    # the r5 gate, i.e. oldest pre-r5 evidence in the r5 cohort). After a
-    # green r7 gate no query's driver evidence is older than r5.
-    # --- 25 r4-evidence queries ---
-    "docs_boilerplate_ngrams",
-    "docs_length_profile",
-    "docs_pack_sequences",
-    "docs_pii_redacted",
-    "docs_temperature_sample",
-    "docs_tfidf_top_terms",
-    "docs_vocab_coverage",
-    "docs_weighted_sample",
-    "embedding_quantize_int8",
-    "events_approx_stats",
-    "events_error_runs",
-    "events_markov_transitions",
-    "events_scd2_intervals",
-    "events_value_histogram",
-    "events_zscore_outliers",
-    "lineitem_column_profile",
-    "orders_in_flight_daily",
-    "orders_quality_report",
-    "orders_salted_totals",
-    "orders_yoy_growth",
-    "q12_priority_by_returnflag",
-    "q15_top_supplier",
-    "q20_bulk_part_suppliers",
-    "q2_min_cost_supplier",
-    "q4_priority_late_ship",
-    # --- 25 oldest r5-evidence fillers ---
-    "streaming_cdc_latest_state",
-    "streaming_click_attribution",
-    "streaming_nation_purchases",
-    "user_value_ewma",
-    "orders_benford_digits",
-    "events_dow_hour_profile",
-    "lineitem_price_quantity_stats",
-    "customer_rfm_segments",
-    "customer_spend_quartiles",
-    "corpus_zipf_fit",
-    "supplier_pagerank",
-    "embedding_kmeans_cells",
-    "embedding_pq_codes",
-    "embedding_pq_topk",
-    "embedding_ivf_topk",
-    "events_props_map",
-    "events_json_avg",
-    "orders_with_late_lineitems",
-    "customers_without_orders",
-    "lineitem_rollup_by_year_month",
+    # Round-8 window (VERDICT r7 item 1). Evidence ages entering r8:
+    # 50 @ r7, 50 @ r6, 30 @ r5, and exactly one query with no driver
+    # evidence at all (q17_small_quantity_revenue, added in r7). q17
+    # leads, then the full 30-query r5 cohort (the ingest_* parity
+    # family and the q1/q3/q5 headliners), then the 19 head entries of
+    # the r6 window (oldest pre-r6 evidence). After a green r8 gate no
+    # query's driver evidence is older than r6.
+    "q17_small_quantity_revenue",
+    # --- 30 r5-evidence queries ---
+    "corpus_token_frequency",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_near_clusters",
+    "doc_fingerprints",
+    "docs_chunked",
+    "docs_contamination",
+    "embedding_cosine_topk",
+    "embedding_cosine_topk_arrow",
+    "events_multires_rollup",
     "events_value_percentiles",
+    "ingest_chunk_profile",
+    "ingest_config_union",
+    "ingest_distinct_years",
+    "ingest_months_below_limit",
+    "ingest_next_surrogate_key",
+    "ingest_watermark_filter_count",
+    "ingest_watermark_next",
+    "ingest_years_above_limit",
+    "minhash_signatures",
+    "multimodal_meta",
     "orders_status_pivot",
     "orders_status_unpivot",
-    "top_parts_by_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "simhash64",
     "small_quantity_revenue",
-    # Exactly 50 names. r8 queue: the remaining 25 r5-evidence queries
-    # + the 25 head entries of the r6 window.
+    "top_customers_by_spend",
+    "top_parts_by_revenue",
+    # --- 19 head entries of the r6 window ---
+    "customer_order_moving_avg",
+    "customer_order_timeline",
+    "customer_top_order",
+    "docs_repetition_stats",
+    "docs_source_mix_weights",
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "embedding_knn_vote",
+    "embedding_label_centroids",
+    "embedding_label_stats",
+    "embedding_near_dup_pairs",
+    "event_type_daily",
+    "lineitem_cube_stats",
+    "part_best_supplier",
+    "q10_returned_items",
+    "q11_major_part_types",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q16_part_supplier_counts",
+    # Exactly 50 names. r9 queue: the remaining 31 r6-window entries
+    # (q18..docs_bigram_quality) + the oldest r7 entries.
 ]
 
 

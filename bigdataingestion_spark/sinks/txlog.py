@@ -331,6 +331,16 @@ def _l2p(schema: StructType) -> dict[str, str]:
     }
 
 
+def _copy_file_pair(pair: tuple[str, str]) -> None:
+    """Executor-side (src, dst) file copy for deep CLONE. Module-level so
+    Spark pickles it by reference; assumes source and target roots live
+    on storage every executor can reach (true for local mode and for the
+    shared object store / DFS a cluster deployment targets)."""
+    src, dst = pair
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    shutil.copyfile(src, dst)
+
+
 def _schema_is_mapped(schema: StructType) -> bool:
     return any(_PHYS_KEY in (f.metadata or {}) for f in schema.fields)
 
@@ -805,6 +815,13 @@ class TxLogTable:
             w_feat.add("checkConstraints")  # writers must validate rows
         if _generated_of(schema):
             w_feat.add("generatedColumns")  # writers must compute/validate
+        if _schema_is_mapped(schema):
+            # any commit carrying a mapped schema (incl. CLONE's fresh
+            # log, which drops history and with it the source's feature
+            # declarations) must re-declare columnMapping, or a
+            # feature-ignorant reader would scan physical-named parquet
+            # under logical names and return NULLs
+            r_feat.add("columnMapping")
         w_feat |= r_feat  # a reader-required feature binds writers too
         if r_feat or w_feat:
             entry["features"] = {
@@ -1587,18 +1604,56 @@ class TxLogTable:
                 stats[name_of[f]] = st
             add = sorted(name_of.values())
         else:
+            # Deep mode must handle BOTH ref shapes: root-relative names
+            # (a normal table — keep them, so harvested stats stay valid
+            # and partition layouts survive) and ABSOLUTE paths (a
+            # shallow clone's borrowed refs — deep-cloning the clone is
+            # the documented vacuum-safety path, so these localize to
+            # fresh target-relative basenames; basenames are unique uuid
+            # part names, with a counter fallback for safety). Stats,
+            # deletion-vector refs, and bloom refs are rekeyed to the
+            # localized names so skipping keeps working on the copy.
+            used: set[str] = set()
+
+            def _local_name(ref: str) -> str:
+                name = ref if not os.path.isabs(ref) else os.path.basename(ref)
+                base, i = name, 1
+                while name in used:
+                    name = f"clone{i}-{base}"
+                    i += 1
+                used.add(name)
+                return name
+
+            file_name = {f: _local_name(f) for f in snap.files}
             sidecars = set(snap.dvs.values()) | {
                 st["__bloom__"]
                 for st in snap.file_stats.values()
                 if isinstance(st, dict) and st.get("__bloom__")
             }
-            for rel in list(snap.files) + sorted(sidecars):
-                dst = os.path.join(target_path, rel)
-                os.makedirs(os.path.dirname(dst) or target_path, exist_ok=True)
-                shutil.copyfile(_src_abs(rel), dst)
-            dvs = dict(snap.dvs)
-            stats = {f: dict(st) for f, st in snap.file_stats.items()}
-            add = sorted(snap.files)
+            side_name = {s: _local_name(s) for s in sorted(sidecars)}
+            pairs = [
+                (_src_abs(ref), os.path.join(target_path, name))
+                for ref, name in [*file_name.items(), *side_name.items()]
+            ]
+            # distribute the copy: a deep clone of a large table must not
+            # funnel every data file through one driver process (the
+            # commit below is unchanged — metadata stays driver-side)
+            sc = spark.sparkContext
+            sc.parallelize(
+                pairs, max(1, min(len(pairs), sc.defaultParallelism))
+            ).foreach(_copy_file_pair)
+            dvs = {
+                file_name[f]: side_name[dv] for f, dv in snap.dvs.items()
+            }
+            stats = {}
+            for f, st in snap.file_stats.items():
+                if f not in file_name:
+                    continue
+                st = dict(st)
+                if st.get("__bloom__"):
+                    st["__bloom__"] = side_name[st["__bloom__"]]
+                stats[file_name[f]] = st
+            add = sorted(file_name.values())
         target._commit(
             add,
             [],
@@ -1991,16 +2046,47 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
-        df = self._apply_generated(df, snap)
-        self._check_constraints(df, snap.constraints if snap else ())
-        schema = self._next_schema(snap, df, merge_schema)
-        files, fstats = self._stage_files(df, write_schema=schema)
+        df, cached, ours = self._persist_for_validation(df, snap)
+        try:
+            df = self._apply_generated(df, snap)
+            self._check_constraints(df, snap.constraints if snap else ())
+            schema = self._next_schema(snap, df, merge_schema)
+            files, fstats = self._stage_files(df, write_schema=schema)
+        finally:
+            if ours:
+                cached.unpersist()
         # blind append: reads nothing, removes nothing — reconciles over
         # any concurrent commit short of a metadata/layout change
         return self._commit_reconciled(
             files, [], schema, "append", txn_id, snap,
             precomputed_stats=fstats,
         )
+
+    def _persist_for_validation(self, df: DataFrame, snap):
+        """Persist ``df`` before validation probes IF any will run (the
+        snapshot carries CHECK constraints or generated columns) and the
+        caller hasn't already cached it. Without this, a
+        non-deterministic source plan could pass the ``limit(1)``
+        generated/constraint probes with one row set and STAGE a
+        different, violating one — the exact hazard ``replace_where``
+        and ``merge_upsert`` persist against. Returns
+        ``(df, unpersist_target, we_persisted)``; staging below the
+        probes then reuses the cached rows, so validation and commit see
+        the same data."""
+        needs = bool(snap) and bool(
+            snap.constraints
+            or _generated_of(
+                StructType.fromJson(json.loads(snap.schema_json))
+            )
+        )
+        ours = (
+            needs
+            and not df.storageLevel.useMemory
+            and not df.storageLevel.useDisk
+        )
+        if ours:
+            df = df.persist()
+        return df, df, ours
 
     def overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
         """Atomic replace: one commit adds the new files and removes every
@@ -2009,27 +2095,32 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
-        df = self._apply_generated(df, snap)
-        self._check_constraints(df, snap.constraints if snap else ())
-        # an overwrite replaces the schema wholesale, but on a mapped
-        # table same-named columns keep their physical identity (their
-        # history is still time-travelable), new ones get fresh names,
-        # and generation expressions survive by name — a backfill must
-        # not silently strip the column's GENERATED contract
-        cur_schema = (
-            StructType.fromJson(json.loads(snap.schema_json))
-            if snap
-            else None
-        )
-        schema = (
-            self._carry_mapping(snap, df.schema)
-            if cur_schema is not None
-            and (
-                _schema_is_mapped(cur_schema) or _generated_of(cur_schema)
+        df, cached, ours = self._persist_for_validation(df, snap)
+        try:
+            df = self._apply_generated(df, snap)
+            self._check_constraints(df, snap.constraints if snap else ())
+            # an overwrite replaces the schema wholesale, but on a mapped
+            # table same-named columns keep their physical identity (their
+            # history is still time-travelable), new ones get fresh names,
+            # and generation expressions survive by name — a backfill must
+            # not silently strip the column's GENERATED contract
+            cur_schema = (
+                StructType.fromJson(json.loads(snap.schema_json))
+                if snap
+                else None
             )
-            else df.schema
-        )
-        files, fstats = self._stage_files(df, write_schema=schema)
+            schema = (
+                self._carry_mapping(snap, df.schema)
+                if cur_schema is not None
+                and (
+                    _schema_is_mapped(cur_schema) or _generated_of(cur_schema)
+                )
+                else df.schema
+            )
+            files, fstats = self._stage_files(df, write_schema=schema)
+        finally:
+            if ours:
+                cached.unpersist()
         # blind replace: its remove set is "whatever the table holds at
         # commit time", so reconciling recomputes it from the current
         # snapshot (serial order: the winner's commit, then this
@@ -3297,31 +3388,49 @@ class TxLogTable:
             terms = _Parser(toks).parse()
         except _Bail:
             return candidates
-        # top-level AND conjunction only: each eq/IN term may exclude
+        # top-level AND conjunction only: each eq/IN term may exclude.
+        # Keep the parser's (kind, value) literal tuples — the kind is
+        # needed below for the same literal/column compatibility check
+        # the min/max stats path applies.
         wanted: dict[str, list] = {}
         for t in terms:
             if t[0] == "cmp" and t[2] == "=":
-                wanted.setdefault(t[1].lower(), []).append(t[3][1])
+                wanted.setdefault(t[1].lower(), []).append(t[3])
             elif t[0] == "in":
-                wanted.setdefault(t[1].lower(), []).extend(
-                    lit[1] for lit in t[2]
-                )
+                wanted.setdefault(t[1].lower(), []).extend(t[2])
         if not wanted:
             return candidates
         sch = StructType.fromJson(json.loads(snap.schema_json))
         schema_types = {
             f.name.lower(): f.dataType.simpleString() for f in sch.fields
         }
+        schema_dtypes = {f.name.lower(): f.dataType for f in sch.fields}
         # sidecars key by PHYSICAL names; predicate terms are logical
         l2p_low = {
             f.name.lower(): (f.metadata or {}).get(_PHYS_KEY, f.name)
             for f in sch.fields
         }
+        from bigdataingestion_spark.sinks.skipping import _lit_resolve
+
         probe: dict = {}
-        for col, vals in wanted.items():
+        for col, lits in wanted.items():
             t = schema_types.get(col)
             if t is None:
                 continue
+            # Literal/column kind compatibility — the SAME gate the
+            # min/max stats path applies via _lit_resolve. Without it,
+            # ``code = 5`` against a STRING column would CAST the column
+            # (so '05' matches in Spark) while the probe hashes only the
+            # exact string '5' — the bloom would "prove" the file
+            # disjoint and DML would silently skip it. Skipping must
+            # never be a correctness filter: any cross-kind term makes
+            # this column prove nothing.
+            try:
+                for kind, v in lits:
+                    _lit_resolve(kind, v, schema_dtypes[col])
+            except _Bail:
+                continue
+            vals = [v for _, v in lits]
             try:
                 lit_df = spark.createDataFrame([(v,) for v in vals], ["x"])
                 rows = lit_df.select(

@@ -693,6 +693,40 @@ class _TxLogStreamReader(DataSourceStreamReader):
         for f in commit_schema.fields:
             have = declared.get(f.name.lower())
             if have is None or have != f.dataType:
+                # A RENAME (same physical column, swapped logical name —
+                # only possible under column mapping) is NOT recoverable
+                # by restarting: a micro-batch range spanning both
+                # pre-rename and post-rename commits fails under EITHER
+                # declared schema ("new name added" before restart, "old
+                # name added" after), so the checkpoint itself must be
+                # rebased. Detect it by physical identity and say so
+                # instead of promising a restart suffices.
+                if have is None and self._init_l2p:
+                    phys = (f.metadata or {}).get(
+                        "txlog.physicalName", f.name
+                    )
+                    renamed_from = next(
+                        (
+                            n
+                            for n, p in self._init_l2p.items()
+                            if p == phys and n.lower() != f.name.lower()
+                        ),
+                        None,
+                    )
+                    if renamed_from is not None:
+                        raise ValueError(
+                            f"txlog stream: v{e['version']} carries "
+                            f"column {f.name!r} which is the SAME "
+                            f"physical column as {renamed_from!r} in "
+                            "this stream's resolved schema — a RENAME. "
+                            "A restart cannot recover: any offset range "
+                            "spanning the rename fails under either "
+                            "schema. Rebase the checkpoint — start a "
+                            "fresh stream from the current snapshot "
+                            "(for CDF replication, recover_cdf_replica "
+                            "re-seeds the replica and checkpoint) — "
+                            "then resume following."
+                        )
                 why = "added" if have is None else "retyped"
                 raise ValueError(
                     f"txlog stream: source schema changed at "
