@@ -116,6 +116,42 @@ def _load_gate() -> dict:
     }
 
 
+def _controlled_reference(sf: float) -> float | None:
+    """The last committed CONTROLLED total (load-gate-clean, plans
+    unchanged) — the retry trigger's yardstick, valid only at ITS scale
+    factor. Kept in bench_controlled.json at the repo root, refreshed at
+    round close. r5-r7 showed the box loading up MID-run three rounds
+    straight (driver 12.9/14.3/17.0 vs controlled 12.9/11.3/13.6),
+    inflating the recorded number after a clean start gate."""
+    ref = os.environ.get("SPARK_GRAFT_BENCH_CONTROLLED")
+    if ref:
+        return float(ref)
+    p = Path(__file__).resolve().parent / "bench_controlled.json"
+    try:
+        d = json.loads(p.read_text())
+        return float(d["total_sec"]) if d.get("sf") == sf else None
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _timed_pass(spark, sf_dir: str, reps: int) -> tuple[dict, dict]:
+    """One full round-robin timing pass over the headliners plus the
+    pipeline-ingest run; returns (median timings, max-min spread)."""
+    samples: dict[str, list[float]] = {n: [] for n in catalog.headline_queries()}
+    for _ in range(reps):
+        for name, fn in catalog.headline_queries().items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+            release_caches()  # free tracked shingle/word caches between queries
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: round(max(s) - min(s), 3) for n, s in samples.items()
+    }  # max-min over reps: cheap dispersion signal for regression triage
+    timings["pipeline_ingest_events"] = round(_bench_pipeline(spark, sf_dir), 3)
+    return timings, spread
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -152,26 +188,61 @@ def main() -> None:
 
     # clamp: reps < 1 would run the full warm-up then crash on median([])
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
-    samples: dict[str, list[float]] = {n: [] for n in catalog.headline_queries()}
-    for _ in range(reps):
-        for name, fn in catalog.headline_queries().items():
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            samples[name].append(time.perf_counter() - t0)
-            release_caches()  # free tracked shingle/word caches between queries
-
-    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    spread = {
-        n: round(max(s) - min(s), 3) for n, s in samples.items()
-    }  # max-min over reps: cheap dispersion signal for regression triage
-
-    timings["pipeline_ingest_events"] = round(_bench_pipeline(spark, sf_dir), 3)
+    timings, spread = _timed_pass(spark, sf_dir, reps)
     try:
         loadavg = round(os.getloadavg()[0], 2)
     except OSError:
         loadavg = None
 
     total = round(sum(timings.values()), 3)
+
+    # END-of-run recheck (VERDICT r7 item 3): the start gate can pass and
+    # the box load up MID-run — three consecutive rounds of inflated
+    # driver numbers. If the run ENDED loaded AND the total is >10% over
+    # the last committed controlled number, retry ONCE and report the
+    # better pass; both totals and both end-loads are recorded so the
+    # JSON stays attributable either way.
+    controlled = _controlled_reference(sf)
+    gate = load_gate.get("threshold", 2.0)
+    retry = {
+        "attempted": False,
+        "controlled_ref_sec": controlled,
+        "first_total": total,
+        "first_end_loadavg": loadavg,
+    }
+    if (
+        loadavg is not None
+        and loadavg > gate
+        and controlled is not None
+        and total > 1.10 * controlled
+    ):
+        print(
+            f"END LOAD RECHECK: run ended loaded ({loadavg} > {gate}) and "
+            f"total {total}s is >10% over controlled {controlled}s — "
+            "retrying once",
+            file=sys.stderr,
+        )
+        _load_gate()  # drain (bounded) before the retry pass
+        timings2, spread2 = _timed_pass(spark, sf_dir, reps)
+        total2 = round(sum(timings2.values()), 3)
+        try:
+            load2 = round(os.getloadavg()[0], 2)
+        except OSError:
+            load2 = None
+        retry.update(
+            attempted=True, second_total=total2, second_end_loadavg=load2
+        )
+        if total2 < total:
+            timings, spread, total, loadavg = timings2, spread2, total2, load2
+    retry["verdict"] = (
+        "retried" if retry["attempted"] else (
+            "clean"
+            if loadavg is None or loadavg <= gate
+            else "loaded_but_within_tolerance"
+            if controlled is not None and total <= 1.10 * controlled
+            else "loaded_no_reference"
+        )
+    )
     print(
         json.dumps(
             {
@@ -194,6 +265,11 @@ def main() -> None:
                 # (possibly after a bounded wait), "loaded" = box was busy
                 # the whole grace window and timings are upper bounds
                 "load_gate": load_gate,
+                # end-of-run recheck + one-shot retry (VERDICT r7 item 3):
+                # records the end load, the controlled yardstick, and —
+                # when the box loaded up mid-run and inflated the total —
+                # both attempts' totals; "value" above is the better pass
+                "end_load_recheck": retry,
             }
         )
     )
