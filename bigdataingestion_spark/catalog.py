@@ -4874,6 +4874,106 @@ def txlog_dv_point_delete(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_nested_rename",
+    """
+    WITH unioned AS (
+      SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT status, count(*) AS n_rows, round(sum(price), 2) AS total_price
+    FROM unioned GROUP BY status
+    """,
+)
+def txlog_nested_rename(spark, sf_dir):
+    """[EXT] NESTED schema migration under column mapping (r8): land
+    orders with a struct column, enable mapping, rename a field INSIDE
+    the struct (info.st -> info.status) as a METADATA-ONLY commit — the
+    frozen physical leaf name keeps naming the parquet column and the
+    read path restores logical names with a positional cast, zero files
+    rewritten — then append a second era already using the new nested
+    name. Both file generations aggregate together by the nested key."""
+    ord_ = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("info"),
+    )
+    t = _fresh_txlog()
+    t.append(ord_)
+    t.enable_column_mapping()
+    t.rename_column("info.st", "status")
+    batch2 = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            ).alias("info"),
+        )
+    )
+    t.append(batch2)
+    return (
+        t.read(spark)
+        .groupBy(F.col("info.status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("info.price"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "txlog_update_recompute",
+    """
+    WITH updated AS (
+      SELECT CASE WHEN value > 400 THEN event_id + 1000000
+                  ELSE event_id END AS event_id,
+             value
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(event_id % 24 AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM updated GROUP BY 1
+    """,
+)
+def txlog_update_recompute(spark, sf_dir):
+    """[EXT] Delta-faithful UPDATE over a generated column (r8): bucket
+    is GENERATED ALWAYS AS (event_id % 24); an UPDATE reassigns the
+    generation INPUT with recompute=True, so the dependent bucket is
+    recomputed from the post-image inside the same atomic rewrite
+    (the default remains the conservative refusal). The oracle applies
+    the update relationally and rederives the bucket."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    t = _fresh_txlog()
+    t.append(ev.limit(0))  # establish the schema, stay empty
+    t.add_generated_column(spark, "bucket", "event_id % 24")
+    t.append(ev)
+    t.update(
+        spark,
+        "value > 400",
+        {"event_id": "event_id + 1000000"},
+        recompute=True,
+    )
+    return (
+        t.read(spark)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
@@ -4886,11 +4986,15 @@ def txlog_dv_point_delete(spark, sf_dir):
 _GATE_FIRST = [
     # Round-8 window (VERDICT r7 item 1). Evidence ages entering r8:
     # 50 @ r7, 50 @ r6, 30 @ r5, and exactly one query with no driver
-    # evidence at all (q17_small_quantity_revenue, added in r7). q17
-    # leads, then the full 30-query r5 cohort (the ingest_* parity
-    # family and the q1/q3/q5 headliners), then the 19 head entries of
+    # evidence at all (q17_small_quantity_revenue, added in r7).
+    # Queries NEW this round lead (standing policy: zero evidence
+    # first): the nested-rename and generated-recompute lake queries.
+    # Then q17, then the full 30-query r5 cohort (the ingest_* parity
+    # family and the q1/q3/q5 headliners), then the 17 head entries of
     # the r6 window (oldest pre-r6 evidence). After a green r8 gate no
     # query's driver evidence is older than r6.
+    "txlog_nested_rename",
+    "txlog_update_recompute",
     "q17_small_quantity_revenue",
     # --- 30 r5-evidence queries ---
     "corpus_token_frequency",
@@ -4941,9 +5045,8 @@ _GATE_FIRST = [
     "q10_returned_items",
     "q11_major_part_types",
     "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q16_part_supplier_counts",
-    # Exactly 50 names. r9 queue: the remaining 31 r6-window entries
+    # Exactly 50 names. r9 queue: q14/q16 (displaced by the two new r8
+    # queries) + the remaining 31 r6-window entries
     # (q18..docs_bigram_quality) + the oldest r7 entries.
 ]
 

@@ -91,7 +91,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 from pyspark.sql.window import Window
 
 _LOG_DIR = "_txlog"
@@ -331,6 +331,118 @@ def _l2p(schema: StructType) -> dict[str, str]:
     }
 
 
+# nested column mapping (rename-only): a top-level field whose type
+# contains structs carries a JSON dict under this metadata key mapping
+# each nested field's dotted LOGICAL path (relative to the top-level
+# field; array elements and map values are addressed without an index,
+# e.g. "items.sku" for array<struct<sku,...>>) to its frozen PHYSICAL
+# leaf name. Kept OUTSIDE the dataType (StructField metadata at the top
+# level) so nested freezing never perturbs dataType equality — the
+# comparison every schema-evolution and stream-safety check relies on.
+# Nested RENAME is metadata-only, exactly like top-level. Nested DROP is
+# refused: the read/write translation is a positional struct cast, which
+# is only sound while logical and physical types keep the same shape —
+# dropping a nested field would misalign every older file. (Delta
+# rewrites nothing either; it carries per-field ids — this engine trades
+# that generality for a translation Catalyst runs entirely JVM-side.)
+_NESTED_KEY = "txlog.nestedPhysical"
+
+
+def _nested_struct_paths(dt, prefix: str = "") -> list[str]:
+    """Dotted paths of every struct field nested inside ``dt``
+    (descending through arrays and map values; map keys are atomic)."""
+    if isinstance(dt, StructType):
+        out = []
+        for f in dt.fields:
+            p = f"{prefix}{f.name}"
+            out.append(p)
+            out.extend(_nested_struct_paths(f.dataType, p + "."))
+        return out
+    if isinstance(dt, ArrayType):
+        return _nested_struct_paths(dt.elementType, prefix)
+    if isinstance(dt, MapType):
+        return _nested_struct_paths(dt.valueType, prefix)
+    return []
+
+
+def _nested_map_of(field: StructField) -> dict[str, str]:
+    raw = (field.metadata or {}).get(_NESTED_KEY)
+    return dict(json.loads(raw)) if raw else {}
+
+
+def _phys_data_type(dt, nmap: dict[str, str], prefix: str = ""):
+    """``dt`` with every nested struct field renamed to its frozen
+    physical name (identity for paths absent from ``nmap``). Shape —
+    field count, order, non-name type content — is preserved by
+    construction, which is what makes the logical<->physical translation
+    a positional cast."""
+    if not nmap:
+        return dt
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    nmap.get(f"{prefix}{f.name}", f.name),
+                    _phys_data_type(
+                        f.dataType, nmap, f"{prefix}{f.name}."
+                    ),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _phys_data_type(dt.elementType, nmap, prefix), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            dt.keyType,
+            _phys_data_type(dt.valueType, nmap, prefix),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _rename_in_type(dt, path: str, new: str):
+    """``dt`` with the nested struct field at dotted ``path`` renamed to
+    ``new`` (traversing arrays and map values). Everything else — order,
+    types, nullability, nested metadata — is untouched."""
+    if isinstance(dt, StructType):
+        head, _, tail = path.partition(".")
+        fields = []
+        for f in dt.fields:
+            if f.name == head:
+                f = (
+                    StructField(
+                        f.name,
+                        _rename_in_type(f.dataType, tail, new),
+                        f.nullable,
+                        f.metadata,
+                    )
+                    if tail
+                    else StructField(new, f.dataType, f.nullable, f.metadata)
+                )
+            fields.append(f)
+        return StructType(fields)
+    if isinstance(dt, ArrayType):
+        return ArrayType(_rename_in_type(dt.elementType, path, new), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            dt.keyType,
+            _rename_in_type(dt.valueType, path, new),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _freeze_nested_identity(dt) -> dict[str, str]:
+    """Identity nested map for a field entering a mapped schema: each
+    nested path's physical name is its then-current leaf name (the names
+    already in the files), mirroring what enable does at the top level."""
+    return {p: p.rsplit(".", 1)[-1] for p in _nested_struct_paths(dt)}
+
+
 def _copy_file_pair(pair: tuple[str, str]) -> None:
     """Executor-side (src, dst) file copy for deep CLONE. Module-level so
     Spark pickles it by reference; assumes source and target roots live
@@ -346,13 +458,14 @@ def _schema_is_mapped(schema: StructType) -> bool:
 
 
 def _physical_struct(schema: StructType) -> StructType:
-    """The schema as written to / read from parquet: physical names,
-    same types and nullability."""
+    """The schema as written to / read from parquet: physical names
+    (top-level AND nested, via each field's frozen nested map), same
+    shape and nullability."""
     return StructType(
         [
             StructField(
                 (f.metadata or {}).get(_PHYS_KEY, f.name),
-                f.dataType,
+                _phys_data_type(f.dataType, _nested_map_of(f)),
                 f.nullable,
             )
             for f in schema.fields
@@ -373,12 +486,17 @@ def _merge_schema(current: StructType, incoming: StructType) -> StructType:
         have = by_name.get(f.name.lower())
         if have is None:
             if mapped and _PHYS_KEY not in (f.metadata or {}):
-                f = StructField(
-                    f.name,
-                    f.dataType,
-                    f.nullable,
-                    {**(f.metadata or {}), _PHYS_KEY: f"col-{uuid.uuid4().hex[:12]}"},
-                )
+                md = {
+                    **(f.metadata or {}),
+                    _PHYS_KEY: f"col-{uuid.uuid4().hex[:12]}",
+                }
+                nested = _freeze_nested_identity(f.dataType)
+                if nested:
+                    # nested paths freeze at identity: this column's
+                    # files don't exist yet, so the staged write and the
+                    # commit agree on the leaf names as written
+                    md[_NESTED_KEY] = json.dumps(nested)
+                f = StructField(f.name, f.dataType, f.nullable, md)
             out.append(f)
         elif have.dataType != f.dataType:
             raise SchemaEvolutionError(
@@ -1176,10 +1294,27 @@ class TxLogTable:
         write path. Stats harvested from the footers are therefore keyed
         by physical names; consults translate back through the schema."""
         l2p = _l2p(write_schema) if write_schema is not None else {}
-        if any(l2p.get(c, c) != c for c in df.columns):
-            df = df.select(
-                [F.col(c).alias(l2p.get(c, c)) for c in df.columns]
-            )
+        if write_schema is not None:
+            by_name = {f.name: f for f in write_schema.fields}
+            sel, translate = [], False
+            for c in df.columns:
+                f = by_name.get(c)
+                if f is None:
+                    sel.append(F.col(c))
+                    continue
+                col = F.col(c)
+                pdt = _phys_data_type(f.dataType, _nested_map_of(f))
+                if pdt != f.dataType:
+                    # nested mapping: positional cast logical -> physical
+                    # (shape-identical under the rename-only contract)
+                    col = col.cast(pdt)
+                    translate = True
+                phys = (f.metadata or {}).get(_PHYS_KEY, f.name)
+                if phys != c:
+                    translate = True
+                sel.append(col.alias(phys))
+            if translate:
+                df = df.select(sel)
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f"_staging-{uuid.uuid4().hex[:8]}")
         if partition_cols:
@@ -1267,8 +1402,46 @@ class TxLogTable:
                 md[_PHYS_KEY] = have.get(
                     _PHYS_KEY, f"col-{uuid.uuid4().hex[:12]}"
                 )
+                nested = TxLogTable._carry_nested(
+                    json.loads(have[_NESTED_KEY])
+                    if _NESTED_KEY in have
+                    else {},
+                    f.dataType,
+                )
+                if nested:
+                    md[_NESTED_KEY] = json.dumps(nested)
+                else:
+                    md.pop(_NESTED_KEY, None)
             out.append(StructField(f.name, f.dataType, f.nullable, md))
         return StructType(out)
+
+    @staticmethod
+    def _carry_nested(old_map: dict[str, str], dt) -> dict[str, str]:
+        """Overwrite's nested-map carry: paths whose logical name
+        survives keep their frozen physical name (the pre-overwrite
+        history stays time-travelable under one identity); genuinely new
+        paths freeze at identity — UNLESS that leaf name collides with a
+        sibling's carried physical name, where two logical fields under
+        one parent would share a physical column (a renamed sibling's
+        old name re-added next to it); those get a fresh uuid, exactly
+        the top-level rule."""
+        paths = _nested_struct_paths(dt)
+        out = {p: old_map[p] for p in paths if p in old_map}
+        for p in paths:
+            if p in out:
+                continue
+            parent, _, leaf = p.rpartition(".")
+            sibling_phys = {
+                v
+                for q, v in out.items()
+                if q.rpartition(".")[0] == parent
+            }
+            out[p] = (
+                leaf
+                if leaf not in sibling_phys
+                else f"col-{uuid.uuid4().hex[:12]}"
+            )
+        return out
 
     @staticmethod
     def _next_schema(
@@ -1827,17 +2000,18 @@ class TxLogTable:
             return snap.version  # idempotent re-enable
         # (a restore to a pre-mapping version leaves the property set but
         # the schema unmapped — re-enabling re-freezes, which is correct)
-        mapped = StructType(
-            [
-                StructField(
-                    f.name,
-                    f.dataType,
-                    f.nullable,
-                    {**(f.metadata or {}), _PHYS_KEY: f.name},
-                )
-                for f in schema.fields
-            ]
-        )
+        fields = []
+        for f in schema.fields:
+            md = {**(f.metadata or {}), _PHYS_KEY: f.name}
+            nested = _freeze_nested_identity(f.dataType)
+            if nested:
+                # struct-bearing field: freeze every nested path's
+                # physical name too (rename-only nested mapping — see
+                # _NESTED_KEY). Identity at enable time: the names
+                # already in the files.
+                md[_NESTED_KEY] = json.dumps(nested)
+            fields.append(StructField(f.name, f.dataType, f.nullable, md))
+        mapped = StructType(fields)
         props = dict(snap.properties)
         props["column.mapping"] = "name"
         return self._commit(
@@ -1858,7 +2032,14 @@ class TxLogTable:
         silently stop binding — drop and re-add the constraint around
         the rename); a bloom-indexed column's ``bloom.columns`` entry is
         updated in the same commit, so its sidecars (keyed by the
-        unchanged physical name) keep pruning."""
+        unchanged physical name) keep pruning.
+
+        ``old`` may be a dotted path into a struct column
+        (``"address.zip"``, through arrays/maps of struct too): NESTED
+        renames are equally metadata-only — the field's frozen physical
+        leaf name (metadata key ``txlog.nestedPhysical``) keeps naming
+        the parquet column and readers restore logical names with a
+        positional cast. ``new`` is always a bare leaf name."""
         snap = self.snapshot()
         self._check_writer_features(snap)
         schema = (
@@ -1879,6 +2060,13 @@ class TxLogTable:
                 "enable_column_mapping() first (a rename without it would "
                 "need a full data rewrite)"
             )
+        if "." in new:
+            raise ValueError(
+                f"new name {new!r} must be a bare leaf name (the field "
+                "stays inside its struct; renames cannot move fields)"
+            )
+        if "." in old:
+            return self._rename_nested(snap, schema, old, new)
         names = [f.name for f in schema.fields]
         if old not in names:
             raise ValueError(f"no column {old!r} (has: {names})")
@@ -1931,6 +2119,88 @@ class TxLogTable:
             properties=props,
         )
 
+    def _rename_nested(
+        self, snap: Snapshot, schema: StructType, old: str, new: str
+    ) -> int:
+        """Metadata-only rename of a nested struct field (``old`` is a
+        dotted path like ``"address.zip"``; arrays and map values are
+        traversed without an index). The field's physical leaf name is
+        frozen in the top-level field's ``txlog.nestedPhysical`` map —
+        auto-frozen at identity here for tables mapped before nested
+        support existed, which is exactly the names their files hold —
+        and only the logical name in the schema's dataType changes."""
+        top, _, rest = old.partition(".")
+        fld = next((f for f in schema.fields if f.name == top), None)
+        if fld is None:
+            raise ValueError(
+                f"no column {top!r} (has: {[f.name for f in schema.fields]})"
+            )
+        paths = _nested_struct_paths(fld.dataType)
+        if rest not in paths:
+            raise ValueError(
+                f"no nested field {old!r} (column {top!r} contains: "
+                f"{sorted(paths) or 'no nested fields'})"
+            )
+        parent, _, leaf = rest.rpartition(".")
+        new_path = f"{parent}.{new}" if parent else new
+        if new_path in paths:
+            raise ValueError(f"nested field {top}.{new_path} already exists")
+        # conservative SQL-text guard, wider than the top-level rule: a
+        # stored expression can reach the field as the full path (s.zip)
+        # or as a bare leaf inside a lambda (x -> x.zip), so any mention
+        # of the LEAF name blocks — over-refusing a same-named flat
+        # column's constraint is acceptable, silently unbinding is not
+        pat = rf"\b{re.escape(leaf)}\b"
+        mentioned = [
+            n
+            for n, expr in snap.constraints
+            if re.search(pat, expr, re.IGNORECASE)
+        ]
+        if mentioned:
+            raise ValueError(
+                f"constraint(s) {mentioned} may reference {old!r}; drop "
+                "them, rename, then re-add with the new name"
+            )
+        gen_refs = [
+            g
+            for g, gexpr in _generated_of(schema).items()
+            if re.search(pat, gexpr, re.IGNORECASE)
+        ]
+        if gen_refs:
+            raise ValueError(
+                f"generated column(s) {gen_refs} may derive from {old!r}; "
+                "drop the generated column(s) first"
+            )
+        nmap = _nested_map_of(fld) or _freeze_nested_identity(fld.dataType)
+        nmap.setdefault(rest, leaf)  # freeze before re-keying
+        rekeyed = {}
+        for p in paths:
+            phys = nmap.get(p, p.rsplit(".", 1)[-1])
+            if p == rest:
+                rekeyed[new_path] = phys
+            elif p.startswith(rest + "."):
+                rekeyed[new_path + p[len(rest):]] = phys
+            else:
+                rekeyed[p] = phys
+        renamed = StructType(
+            [
+                StructField(
+                    f.name,
+                    _rename_in_type(f.dataType, rest, new),
+                    f.nullable,
+                    {**(f.metadata or {}), _NESTED_KEY: json.dumps(rekeyed)},
+                )
+                if f.name == top
+                else f
+                for f in schema.fields
+            ]
+        )
+        return self._commit(
+            [], [], renamed, "rename_column", None, snap.version,
+            metrics={"from": old, "to": f"{top}.{new_path}"},
+            constraints=snap.constraints,
+        )
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field
         leaves the schema; the physical column stays in the files but no
@@ -1954,6 +2224,18 @@ class TxLogTable:
             raise ValueError(
                 "drop_column requires column mapping; call "
                 "enable_column_mapping() first"
+            )
+        if "." in name:
+            # nested mapping is RENAME-ONLY: the logical<->physical
+            # translation is a positional struct cast, sound only while
+            # logical and physical types keep the same shape — dropping
+            # a nested field would misalign every existing file's struct
+            raise ValueError(
+                f"cannot drop nested field {name!r}: nested column "
+                "mapping is rename-only (positional translation). Drop "
+                "the whole top-level column, or rewrite via overwrite() "
+                "with the field projected away — overwrite carries the "
+                "surviving nested physical names."
             )
         names = [f.name for f in schema.fields]
         if name not in names:
@@ -2194,10 +2476,15 @@ class TxLogTable:
                 # reason forbid_constraints is — a concurrent
                 # enable_column_mapping + rename must not slip between a
                 # caller-side pre-check and the commit.
-                l2p = _l2p(
-                    StructType.fromJson(json.loads(snap.schema_json))
+                sch = StructType.fromJson(json.loads(snap.schema_json))
+                diverged = any(
+                    p != l for l, p in _l2p(sch).items()
+                ) or any(
+                    phys != path.rsplit(".", 1)[-1]
+                    for f in sch.fields
+                    for path, phys in _nested_map_of(f).items()
                 )
-                if any(p != l for l, p in l2p.items()):
+                if diverged:
                     self._drop_files(add)
                     raise ValueError(
                         f"table {self.path} uses column mapping with "
@@ -3574,9 +3861,16 @@ class TxLogTable:
             df = self._dv_filter(spark, df, snap, files)
         if mapped:
             l2p = _l2p(schema)
-            keep = [
-                F.col(l2p[f.name]).alias(f.name) for f in schema.fields
-            ]
+            keep = []
+            for f in schema.fields:
+                c = F.col(l2p[f.name])
+                # nested mapping: the scan delivered physical nested
+                # names; a positional struct cast (shape-identical by
+                # the rename-only contract) restores logical ones —
+                # pure Catalyst, no Python in the row path
+                if _phys_data_type(f.dataType, _nested_map_of(f)) != f.dataType:
+                    c = c.cast(f.dataType)
+                keep.append(c.alias(f.name))
             if with_file_col:
                 keep.append(F.col(with_file_col))
             df = df.select(keep)
@@ -3762,6 +4056,7 @@ class TxLogTable:
         predicate: str,
         set_exprs: dict[str, str],
         txn_id: str | None = None,
+        recompute: bool = False,
     ) -> int:
         """Row-level UPDATE ... SET, copy-on-write with the same file-level
         pruning as ``delete``. ``set_exprs`` maps existing column names to
@@ -3774,7 +4069,18 @@ class TxLogTable:
         predicate column cannot hide the row from later assignments).
         Updating a partition column is allowed: the partitionBy re-stage
         moves the rewritten rows into their new hive partitions. Rows
-        where the predicate is NULL are untouched."""
+        where the predicate is NULL are untouched.
+
+        Generated columns: assigning one directly is always refused (its
+        value is derived). Assigning a column a generated expression
+        READS is refused by default (conservative: stored values must
+        never silently diverge from the declared expression); pass
+        ``recompute=True`` for Delta's UPDATE semantics instead — the
+        dependent generated column(s) are recomputed from the POST-image
+        in the same rewrite. Recomputation applies to every rewritten
+        row; for rows the predicate did not match this reproduces the
+        stored value bit-for-bit (the table invariant guarantees stored
+        == expression on them), so only matched rows actually change."""
         snap = self.snapshot()
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
@@ -3794,6 +4100,7 @@ class TxLogTable:
         # conservative, never silently divergent). The dependency check
         # is a word-match on the stored SQL text, the same conservative
         # shape rename_column uses for constraints.
+        recompute_gens: dict[str, str] = {}  # lower name -> expression
         for gname, gexpr in _generated_of(schema).items():
             if gname.lower() in assigns:
                 raise GeneratedColumnViolationError(
@@ -3805,12 +4112,15 @@ class TxLogTable:
                 for c in assigns
                 if re.search(rf"\b{re.escape(c)}\b", gexpr, re.IGNORECASE)
             ]
-            if hit:
+            if hit and recompute:
+                recompute_gens[gname.lower()] = gexpr
+            elif hit:
                 raise GeneratedColumnViolationError(
                     f"UPDATE SET touches column(s) {sorted(hit)} that "
                     f"generated column {gname} = ({gexpr}) is derived "
-                    "from; rewrite via delete + append (or overwrite) so "
-                    "the generated value is recomputed"
+                    "from; pass recompute=True to recompute it from the "
+                    "post-image (Delta's UPDATE semantics), or rewrite "
+                    "via delete + append (or overwrite)"
                 )
         pred = F.coalesce(F.expr(predicate), F.lit(False))
         touched, stat_skipped, bloom_skipped = self._touched_files(
@@ -3838,6 +4148,15 @@ class TxLogTable:
                     for f in schema.fields
                 ]
             )
+            if recompute_gens:
+                # second stage AFTER the assignments land, so generated
+                # expressions read POST-image inputs; unconditional — on
+                # unmatched rows the table invariant makes this the
+                # identity, so no pre-image predicate re-evaluation races
+                # an assignment that changed a predicate column
+                updated = self._recompute_generated(
+                    updated, schema, recompute_gens
+                )
             self._check_constraints(updated, snap.constraints)  # post-SET
             cdf_map = None
             if self._cdf_enabled(snap):
@@ -3859,6 +4178,10 @@ class TxLogTable:
                         for f in schema.fields
                     ]
                 )
+                if recompute_gens:
+                    post_image = self._recompute_generated(
+                        post_image, schema, recompute_gens
+                    )
                 cdf_map = {
                     "update_preimage": self._stage_cdf(pre_image),
                     "update_postimage": self._stage_cdf(post_image),
@@ -3890,6 +4213,22 @@ class TxLogTable:
                 "files_stat_skipped": stat_skipped,
                 "files_bloom_skipped": bloom_skipped,
             },
+        )
+
+    @staticmethod
+    def _recompute_generated(
+        df: DataFrame, schema: StructType, gens: dict[str, str]
+    ) -> DataFrame:
+        """Re-evaluate the given generated columns (lower-name -> stored
+        expression) over ``df``'s CURRENT values — the post-image stage of
+        ``update(recompute=True)``. One select, cast to committed types."""
+        return df.select(
+            *[
+                F.expr(gens[f.name.lower()]).cast(f.dataType).alias(f.name)
+                if f.name.lower() in gens
+                else F.col(f.name)
+                for f in schema.fields
+            ]
         )
 
     def replace_where(
@@ -4526,7 +4865,15 @@ class TxLogTable:
             "reader_features": list(snap.reader_features),
             "writer_features": list(snap.writer_features),
             "column_mapping": (
-                {n: p for n, p in l2p.items() if n != p}
+                {
+                    **{n: p for n, p in l2p.items() if n != p},
+                    **{
+                        f"{f.name}.{path}": phys
+                        for f in schema.fields
+                        for path, phys in _nested_map_of(f).items()
+                        if phys != path.rsplit(".", 1)[-1]
+                    },
+                }
                 if _schema_is_mapped(schema)
                 else None
             ),

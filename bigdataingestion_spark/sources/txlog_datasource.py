@@ -100,6 +100,70 @@ def _phys_names_for(
     return tuple(l2p.get(f.name, f.name) for f in schema.fields)
 
 
+def _same_spark_shape(a, b) -> bool:
+    """True when two Spark types differ at most in nested struct field
+    names — the signature of a NESTED rename on a column-mapped table
+    (same physical layout, swapped logical names)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(a, _St):
+        return (
+            isinstance(b, _St)
+            and len(a.fields) == len(b.fields)
+            and all(
+                _same_spark_shape(x.dataType, y.dataType)
+                for x, y in zip(a.fields, b.fields)
+            )
+        )
+    if isinstance(a, ArrayType):
+        return isinstance(b, ArrayType) and _same_spark_shape(
+            a.elementType, b.elementType
+        )
+    if isinstance(a, MapType):
+        return (
+            isinstance(b, MapType)
+            and a.keyType == b.keyType
+            and _same_spark_shape(a.valueType, b.valueType)
+        )
+    return a == b
+
+
+def _same_arrow_shape(a: "pa.DataType", b: "pa.DataType") -> bool:
+    """True when two arrow types differ AT MOST in nested struct field
+    names — i.e. identical buffer layout, so ``Array.view`` is a sound
+    zero-copy translation. This is exactly the shape a column-mapped
+    table's nested RENAME produces (physical leaf names in the file,
+    logical names in the target schema)."""
+    import pyarrow.types as pt
+
+    if pt.is_struct(a):
+        return (
+            pt.is_struct(b)
+            and a.num_fields == b.num_fields
+            # nullability deliberately ignored: it is not a buffer-layout
+            # property (a validity bitmap is always representable), and
+            # parquet round-trips routinely flip it
+            and all(
+                _same_arrow_shape(a.field(i).type, b.field(i).type)
+                for i in range(a.num_fields)
+            )
+        )
+    if pt.is_list(a) or pt.is_large_list(a):
+        return (
+            (pt.is_list(b) or pt.is_large_list(b))
+            and type(a) is type(b)
+            and _same_arrow_shape(a.value_type, b.value_type)
+        )
+    if pt.is_map(a):
+        return (
+            pt.is_map(b)
+            and a.key_type == b.key_type
+            and _same_arrow_shape(a.item_type, b.item_type)
+        )
+    return a == b
+
+
 def _parse_hive_values(rel_path: str) -> tuple[tuple[str, str | None], ...]:
     """``a=1/b=x/part-..parquet`` -> (("a","1"), ("b","x")); hive NULL
     markers decode to None."""
@@ -310,7 +374,14 @@ def _file_batches(
             if src in have:
                 arr = batch.column(have[src])
                 if arr.type != field.type:
-                    arr = pc.cast(arr, field.type)
+                    # nested column mapping: the file holds PHYSICAL
+                    # nested struct names; a rename-only divergence has
+                    # an identical buffer layout, so view() translates
+                    # zero-copy. Anything else (real promotion) casts.
+                    if _same_arrow_shape(arr.type, field.type):
+                        arr = arr.view(field.type)
+                    else:
+                        arr = pc.cast(arr, field.type)
             elif field.name in values:
                 v = values[field.name]
                 if v is None:
@@ -727,6 +798,22 @@ class _TxLogStreamReader(DataSourceStreamReader):
                             "re-seeds the replica and checkpoint) — "
                             "then resume following."
                         )
+                if have is not None and _same_spark_shape(have, f.dataType):
+                    # same physical layout, swapped NESTED logical names:
+                    # a nested rename. Like a top-level rename, no single
+                    # declared schema satisfies an offset range spanning
+                    # it — restarting cannot recover.
+                    raise ValueError(
+                        f"txlog stream: v{e['version']} renames a nested "
+                        f"field inside column {f.name!r} (same physical "
+                        "layout, different nested names). A restart "
+                        "cannot recover: any offset range spanning the "
+                        "rename fails under either schema. Rebase the "
+                        "checkpoint — start a fresh stream from the "
+                        "current snapshot (for CDF replication, "
+                        "recover_cdf_replica re-seeds the replica and "
+                        "checkpoint) — then resume following."
+                    )
                 why = "added" if have is None else "retyped"
                 raise ValueError(
                     f"txlog stream: source schema changed at "

@@ -1,0 +1,362 @@
+"""Nested column mapping (VERDICT r7 item 4): rename-only mapping of
+struct fields at any depth (through arrays and map values). The frozen
+physical leaf names live in the top-level field's metadata
+(txlog.nestedPhysical) — OUTSIDE the dataType, so freezing never
+perturbs dataType equality — and the logical<->physical translation is a
+positional struct cast (JVM-side) / zero-copy arrow view (datasource).
+Nested DROP is refused: positional translation is only sound while
+shapes match."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import StructType
+
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+from bigdataingestion_spark.sources.txlog_datasource import register
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, tmp_path, name="t"):
+    t = TxLogTable(str(tmp_path / name))
+    t.append(
+        spark.createDataFrame(
+            [
+                (1, Row(zip="90210", city="LA"), [Row(sku="a", qty=2)]),
+                (2, Row(zip="10001", city="NY"), [Row(sku="b", qty=3)]),
+            ],
+            "id long, address struct<zip:string,city:string>, "
+            "items array<struct<sku:string,qty:long>>",
+        )
+    )
+    t.enable_column_mapping()
+    return t
+
+
+# ------------------------------------------------------------- renames --
+
+
+def test_nested_rename_is_metadata_only_and_reads_back(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    files_before = set(t.snapshot().files)
+    t.rename_column("address.zip", "postal")
+    assert set(t.snapshot().files) == files_before  # zero data movement
+    got = t.read(spark)
+    assert got.schema["address"].dataType.fieldNames() == ["postal", "city"]
+    assert sorted((r.id, r.address.postal) for r in got.collect()) == [
+        (1, "90210"),
+        (2, "10001"),
+    ]
+    # the physical leaf name is frozen in the top-level field's metadata
+    sch = StructType.fromJson(json.loads(t.snapshot().schema_json))
+    nmap = json.loads(sch["address"].metadata["txlog.nestedPhysical"])
+    assert nmap["postal"] == "zip"
+
+
+def test_append_after_nested_rename_round_trips(spark, tmp_path):
+    """New batches arrive under LOGICAL nested names; the staged parquet
+    must carry the frozen PHYSICAL names so one scan spans both file
+    generations."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("address.zip", "postal")
+    t.append(
+        spark.createDataFrame(
+            [(3, Row(postal="60601", city="CHI"), [Row(sku="c", qty=1)])],
+            "id long, address struct<postal:string,city:string>, "
+            "items array<struct<sku:string,qty:long>>",
+        )
+    )
+    assert sorted(
+        (r.id, r.address.postal, r.items[0].sku)
+        for r in t.read(spark).collect()
+    ) == [(1, "90210", "a"), (2, "10001", "b"), (3, "60601", "c")]
+
+
+def test_rename_inside_array_element_struct(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("items.sku", "part_no")
+    got = t.read(spark)
+    el = got.schema["items"].dataType.elementType
+    assert el.fieldNames() == ["part_no", "qty"]
+    assert sorted((r.id, r.items[0].part_no) for r in got.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_rename_deep_struct_and_map_value(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "deep"))
+    t.append(
+        spark.createDataFrame(
+            [(1, Row(inner=Row(v=7)), {"k": Row(w=9)})],
+            "id long, s struct<inner:struct<v:long>>, "
+            "m map<string,struct<w:long>>",
+        )
+    )
+    t.enable_column_mapping()
+    t.rename_column("s.inner.v", "val")
+    t.rename_column("m.w", "weight")
+    r = t.read(spark).collect()[0]
+    assert r.s.inner.val == 7
+    assert r.m["k"].weight == 9
+    # renaming the INTERMEDIATE struct re-keys its children's paths
+    t.rename_column("s.inner", "core")
+    r = t.read(spark).collect()[0]
+    assert r.s.core.val == 7
+    sch = StructType.fromJson(json.loads(t.snapshot().schema_json))
+    nmap = json.loads(sch["s"].metadata["txlog.nestedPhysical"])
+    assert nmap == {"core": "inner", "core.val": "v"}
+
+
+def test_time_travel_sees_each_eras_nested_names(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v_before = t.version()
+    t.rename_column("address.zip", "postal")
+    old = t.read(spark, version=v_before)
+    assert old.schema["address"].dataType.fieldNames() == ["zip", "city"]
+    assert sorted(r.address.zip for r in old.collect()) == ["10001", "90210"]
+
+
+def test_nested_rename_validation(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="no nested field"):
+        t.rename_column("address.street", "road")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("address.zip", "city")
+    with pytest.raises(ValueError, match="bare leaf"):
+        t.rename_column("address.zip", "a.b")
+    t2 = TxLogTable(str(tmp_path / "unmapped"))
+    t2.append(spark.createDataFrame([(1, Row(a=1))], "id long, s struct<a:long>"))
+    with pytest.raises(ValueError, match="enable_column_mapping"):
+        t2.rename_column("s.a", "b")
+
+
+def test_constraint_and_generated_guard_nested_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_constraint(spark, "zip_len", "length(address.zip) = 5")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("address.zip", "postal")
+    t.drop_constraint("zip_len")
+    t.rename_column("address.zip", "postal")  # now fine
+
+
+# ---------------------------------------------------------------- drops --
+
+
+def test_nested_drop_refused_with_overwrite_path_named(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="rename-only"):
+        t.drop_column("address.city")
+    # the whole struct column still drops (top-level rule unchanged)
+    t.drop_column("address")
+    assert t.read(spark).columns == ["id", "items"]
+
+
+def test_overwrite_carries_nested_map_and_localizes_new_paths(
+    spark, tmp_path
+):
+    """An overwrite keeps surviving nested physicals (pre-overwrite
+    history stays coherent); a NEW nested field whose leaf collides with
+    a renamed sibling's old physical name gets a fresh uuid, never the
+    sibling's old column."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("address.zip", "postal")
+    t.overwrite(
+        spark.createDataFrame(
+            # 'zip' re-added NEXT TO postal (postal's physical IS 'zip')
+            [(9, Row(postal="77777", city="X", zip="fresh"))],
+            "id long, address struct<postal:string,city:string,zip:string>",
+        )
+    )
+    sch = StructType.fromJson(json.loads(t.snapshot().schema_json))
+    nmap = json.loads(sch["address"].metadata["txlog.nestedPhysical"])
+    assert nmap["postal"] == "zip"  # carried
+    assert nmap["city"] == "city"
+    assert nmap["zip"].startswith("col-")  # collision -> fresh uuid
+    r = t.read(spark).collect()[0]
+    assert (r.address.postal, r.address.zip) == ("77777", "fresh")
+
+
+def test_merge_schema_freezes_nested_identity_on_new_struct_column(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path)
+    t.append(
+        spark.createDataFrame(
+            [(4, Row(zip="z", city="c"), [], Row(lat=1.0))],
+            "id long, address struct<zip:string,city:string>, "
+            "items array<struct<sku:string,qty:long>>, geo struct<lat:double>",
+        ),
+        merge_schema=True,
+    )
+    sch = StructType.fromJson(json.loads(t.snapshot().schema_json))
+    assert sch["geo"].metadata["txlog.physicalName"].startswith("col-")
+    assert json.loads(sch["geo"].metadata["txlog.nestedPhysical"]) == {
+        "lat": "lat"
+    }
+    t.rename_column("geo.lat", "latitude")
+    assert sorted(
+        (r.id, r.geo.latitude if r.geo else None)
+        for r in t.read(spark).collect()
+    ) == [(1, None), (2, None), (4, 1.0)]
+
+
+# ------------------------------------------------- DML / stats / blooms --
+
+
+def test_dml_and_stat_skipping_unaffected_by_nested_rename(spark, tmp_path):
+    """VERDICT done-criterion: stats consults proven unaffected — flat
+    min/max skipping still prunes after a nested rename, and DML with a
+    nested predicate reaches the data."""
+    t = TxLogTable(str(tmp_path / "skip"))
+    for g in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(g * 10 + i, Row(zip=str(g))) for i in range(5)],
+                "id long, address struct<zip:string>",
+            ).coalesce(1)
+        )
+    t.enable_column_mapping()
+    t.rename_column("address.zip", "postal")
+    t.delete(spark, "id = 31")  # one file holds it; flat stats prune rest
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] >= 5, m
+    assert m["files_rewritten"] == 1
+    t.delete(spark, "address.postal = '0'")  # nested predicate reaches data
+    assert sorted(r.id for r in t.read(spark).collect()) == sorted(
+        i for i in range(60) if i % 10 < 5 and i // 10 != 0 and i != 31
+    )
+
+
+def test_cdf_across_nested_rename_projects_per_commit_schemas(
+    spark, tmp_path
+):
+    t = TxLogTable(str(tmp_path / "cdf"))
+    t.append(spark.createDataFrame([(1, Row(zip="a"))], "id long, s struct<zip:string>"))
+    t.alter_properties({"cdf.enabled": "true"})
+    t.enable_column_mapping()
+    t.rename_column("s.zip", "postal")
+    v = t.version()
+    t.append(spark.createDataFrame([(2, Row(postal="b"))], "id long, s struct<postal:string>"))
+    t.delete(spark, "id = 1")
+    chg = t.read_cdf(spark, from_version=v)
+    got = sorted(
+        (r._change_type, r.id, r.s.postal) for r in chg.collect()
+    )
+    assert got == [("delete", 1, "a"), ("insert", 2, "b")]
+
+
+def test_external_staging_refused_on_nested_divergence(spark, tmp_path):
+    """commit_files registers files the external data plane wrote under
+    LOGICAL names; once a NESTED physical name diverges, the mapped read
+    would silently deliver the wrong (or no) nested column — same refusal
+    as top-level divergence."""
+    import os
+
+    t = _mk(spark, tmp_path)
+    t.rename_column("address.zip", "postal")
+    schema = t.read(spark).schema
+    staged = "part-external-nested.parquet"
+    df = spark.createDataFrame(
+        [(5, Row(postal="x", city="y"), [])], schema
+    ).coalesce(1)
+    tmp_out = str(tmp_path / "ext_out")
+    df.write.parquet(tmp_out)
+    part = next(
+        f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(tmp_out, part), os.path.join(t.path, staged))
+    with pytest.raises(ValueError, match="diverged physical names"):
+        t.commit_files([staged], schema)
+
+
+# ------------------------------------------------------------ datasource --
+
+
+def test_datasource_batch_read_after_nested_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.rename_column("address.zip", "postal")
+    t.append(
+        spark.createDataFrame(
+            [(3, Row(postal="60601", city="CHI"), [Row(sku="c", qty=1)])],
+            "id long, address struct<postal:string,city:string>, "
+            "items array<struct<sku:string,qty:long>>",
+        )
+    )
+    got = spark.read.format("txlog").load(t.path)
+    assert sorted(
+        (r.id, r.address.postal, r.items[0].sku) for r in got.collect()
+    ) == [(1, "90210", "a"), (2, "10001", "b"), (3, "60601", "c")]
+
+
+def test_stream_spanning_nested_rename_names_rebase(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "st"))
+    t.append(spark.createDataFrame([(1, Row(zip="a"))], "id long, s struct<zip:string>"))
+    t.enable_column_mapping()
+    t.rename_column("s.zip", "postal")
+    t.append(spark.createDataFrame([(2, Row(postal="b"))], "id long, s struct<postal:string>"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="Rebase the checkpoint"):
+        q = (
+            spark.readStream.format("txlog")
+            .load(t.path)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+
+def test_stream_after_nested_rename_reads_via_view(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "st2"))
+    t.append(spark.createDataFrame([(1, Row(zip="a"))], "id long, s struct<zip:string>"))
+    t.enable_column_mapping()
+    t.rename_column("s.zip", "postal")
+    rename_v = t.version()
+    t.append(spark.createDataFrame([(2, Row(postal="b"))], "id long, s struct<postal:string>"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("txlog")
+        .option("startingVersion", rename_v + 1)
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert sorted((r.id, r.s.postal) for r in got.collect()) == [(2, "b")]
+
+
+# ---------------------------------------------------------------- clones --
+
+
+@pytest.mark.parametrize("shallow", [True, False])
+def test_clone_preserves_nested_mapping(spark, tmp_path, shallow):
+    t = _mk(spark, tmp_path)
+    t.rename_column("address.zip", "postal")
+    c = t.clone_to(spark, str(tmp_path / f"c{shallow}"), shallow=shallow)
+    assert "columnMapping" in c.snapshot().reader_features
+    assert sorted(
+        (r.id, r.address.postal) for r in c.read(spark).collect()
+    ) == [(1, "90210"), (2, "10001")]
+    c.rename_column("address.postal", "pc")
+    assert sorted(r.address.pc for r in c.read(spark).collect()) == [
+        "10001",
+        "90210",
+    ]
