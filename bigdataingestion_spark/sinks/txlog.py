@@ -1526,6 +1526,24 @@ class TxLogTable:
             )
         schema = StructType.fromJson(json.loads(snap.schema_json))
         names = [f.name for f in schema.fields]
+        # Delta's rule, load-bearing for update(recompute=True): a
+        # generation expression must not reference another generated
+        # column — recomputation evaluates all expressions in ONE pass
+        # over the post-image, so a chain (g2 = f(g1)) would read g1's
+        # PRE-recompute value and silently break g2's invariant.
+        chained = [
+            g
+            for g in _generated_of(schema)
+            if g.lower() != name.lower()
+            and re.search(rf"\b{re.escape(g)}\b", expr, re.IGNORECASE)
+        ]
+        if chained:
+            raise ValueError(
+                f"generation expression ({expr}) references generated "
+                f"column(s) {sorted(chained)}; a generated column cannot "
+                "derive from another generated column (Delta's rule) — "
+                "inline the referenced expression instead"
+            )
         if name in names:
             if snap.files:
                 bad = (
@@ -1730,10 +1748,11 @@ class TxLogTable:
           physically copied (relative names preserved, so harvested
           stats stay valid) — an independent backup at full copy cost.
 
-        Carried over: schema, partition columns (deep only — a shallow
-        clone of a hive-partitioned table would need two ``basePath``
-        roots in one scan, which Spark's parquet reader cannot express;
-        refused with this explanation), CHECK constraints, table
+        Carried over: schema, partition columns (a shallow clone of a
+        hive-partitioned table SYMLINKS the partition layout into the
+        clone root — still zero data copied, single ``basePath``
+        preserved; needs a symlink-capable filesystem, so object-store
+        deployments use ``shallow=False``), CHECK constraints, table
         properties (including ``cdf.enabled`` and ``bloom.columns``),
         per-file skipping stats, and deletion vectors. NOT carried:
         ``txn_ids`` — the clone is a new application surface, so an
@@ -1747,12 +1766,6 @@ class TxLogTable:
         snap = self.snapshot()
         if snap is None:
             raise ValueError(f"{self.path} has no commits to clone")
-        if shallow and snap.partition_cols:
-            raise ValueError(
-                "shallow clone of a hive-partitioned table is unsupported: "
-                "one scan cannot carry two basePath roots (source layout + "
-                "clone-local writes); use shallow=False"
-            )
         target = TxLogTable(target_path)
         if target.version() >= 0:
             raise ValueError(f"{target_path} is already a txlog table")
@@ -1762,7 +1775,36 @@ class TxLogTable:
         def _src_abs(rel: str) -> str:
             return os.path.abspath(os.path.join(src_root, rel))
 
-        if shallow:
+        if shallow and snap.partition_cols:
+            # hive layout: one scan cannot carry two basePath roots
+            # (source layout + clone-local writes), so absolute refs are
+            # out. Instead, SYMLINK the partition layout into the clone
+            # root — still zero data copied, refs stay relative, and the
+            # single-basePath read path is untouched (partition values
+            # resolve from the clone's own dir names). The shallow-clone
+            # vacuum caveat is identical (vacuuming the SOURCE strands
+            # the links; the clone's own vacuum only unlinks). Requires
+            # a symlink-capable filesystem — object-store deployments
+            # must use shallow=False (refused actionably below).
+            sidecars = set(snap.dvs.values()) | {
+                st["__bloom__"]
+                for st in snap.file_stats.values()
+                if isinstance(st, dict) and st.get("__bloom__")
+            }
+            try:
+                for rel in [*snap.files, *sorted(sidecars)]:
+                    dst = os.path.join(target_path, rel)
+                    os.makedirs(os.path.dirname(dst) or target_path, exist_ok=True)
+                    os.symlink(_src_abs(rel), dst)
+            except OSError as e:
+                raise ValueError(
+                    "shallow clone of a hive-partitioned table needs a "
+                    f"symlink-capable filesystem ({e}); use shallow=False"
+                ) from e
+            dvs = dict(snap.dvs)
+            stats = {f: dict(st) for f, st in snap.file_stats.items()}
+            add = sorted(snap.files)
+        elif shallow:
             name_of = {f: _src_abs(f) for f in snap.files}
             dvs = {
                 name_of[f]: _src_abs(dv) for f, dv in snap.dvs.items()

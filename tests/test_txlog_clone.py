@@ -152,19 +152,64 @@ def test_deep_clone_is_independent_of_source_vacuum(spark, tmp_path):
     assert all(not os.path.isabs(f) for f in snap.files)
 
 
-def test_deep_clone_of_partitioned_table_and_shallow_refusal(
-    spark, tmp_path
-):
+def test_clones_of_partitioned_table(spark, tmp_path):
     src = TxLogTable(str(tmp_path / "src"))
     df = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 20), (3, "a", 30)], ["id", "part", "value"]
     )
     src.overwrite_partitions(df, ["part"])
-    with pytest.raises(ValueError, match="partitioned"):
-        src.clone_to(spark, str(tmp_path / "s1"))
     clone = src.clone_to(spark, str(tmp_path / "s2"), shallow=False)
     assert _rows(clone.read(spark)) == _rows(src.read(spark))
     assert clone.snapshot().partition_cols == ("part",)
+
+
+def test_shallow_clone_of_partitioned_table_symlinks_layout(
+    spark, tmp_path
+):
+    """VERDICT r7 item 8: a shallow clone of a hive-partitioned table
+    symlinks the partition layout into the clone root — zero data
+    copied, refs stay RELATIVE (single basePath), clone-local DML lands
+    under the clone, and the source never sees the clone's writes."""
+    src = TxLogTable(str(tmp_path / "src"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], ["id", "part", "value"]
+    )
+    src.overwrite_partitions(df, ["part"])
+    clone = src.clone_to(spark, str(tmp_path / "s1"))
+    snap = clone.snapshot()
+    assert snap.partition_cols == ("part",)
+    assert all(not os.path.isabs(f) for f in snap.files)
+    assert any(
+        os.path.islink(os.path.join(clone.path, f)) for f in snap.files
+    )
+    assert _rows(clone.read(spark)) == _rows(src.read(spark))
+    # partition-granular overwrite on the clone: only 'a' rewritten,
+    # the source untouched
+    clone.overwrite_partitions(
+        spark.createDataFrame([(9, "a", 90)], ["id", "part", "value"]),
+        ["part"],
+    )
+    assert _rows(clone.read(spark).select("id", "value")) == [
+        (2, 20),
+        (9, 90),
+    ]
+    assert _rows(src.read(spark).select("id", "value")) == [
+        (1, 10),
+        (2, 20),
+        (3, 30),
+    ]
+    # the clone's own vacuum unlinks only; the source keeps its files
+    clone.vacuum(retention_seconds=0.0)
+    assert _rows(src.read(spark).select("id", "value")) == [
+        (1, 10),
+        (2, 20),
+        (3, 30),
+    ]
+    # deep clone of the symlinked clone resolves links into real copies
+    c2 = clone.clone_to(spark, str(tmp_path / "s3"), shallow=False)
+    for f in c2.snapshot().files:
+        assert not os.path.islink(os.path.join(c2.path, f))
+    assert _rows(c2.read(spark)) == _rows(clone.read(spark))
 
 
 def test_clone_refuses_existing_target(spark, tmp_path):

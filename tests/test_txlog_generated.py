@@ -249,3 +249,19 @@ def test_update_recompute_cdf_postimage_consistent(spark, tmp_path):
     )
     assert got == [("update_postimage", 7, 0), ("update_preimage", 1, 1)]
     assert _rows(t.read(spark).select("id", "day")) == [(7, 0), (14, 0)]
+
+
+def test_generated_on_generated_refused_at_declaration(spark, tmp_path):
+    """Delta's rule, load-bearing for recompute: a chain g2 = f(g1)
+    would read g1's PRE-recompute value in update(recompute=True)'s
+    single post-image pass and silently break g2's invariant — refused
+    when declared, so the chain can never exist."""
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="cannot derive from another"):
+        t.add_generated_column(spark, "day2", "day + 1")
+    # inlining the expression is the documented path
+    t.add_generated_column(spark, "day2", "(id % 7) + 1")
+    t.append(spark.createDataFrame([(14, "b")], ["id", "v"]))
+    assert _rows(t.read(spark).select("id", "day", "day2")) == [(14, 0, 1)]
+    t.update(spark, "v = 'b'", {"id": "id + 1"}, recompute=True)
+    assert _rows(t.read(spark).select("id", "day", "day2")) == [(15, 1, 2)]
