@@ -340,8 +340,9 @@ def _l2p(schema: StructType) -> dict[str, str]:
 # level) so nested freezing never perturbs dataType equality — the
 # comparison every schema-evolution and stream-safety check relies on.
 # Nested RENAME is metadata-only, exactly like top-level. Nested DROP is
-# refused: the read/write translation is a positional struct cast, which
-# is only sound while logical and physical types keep the same shape —
+# refused: the translations (field-extraction rebuild on reads, a
+# positional struct cast on writes, an arrow view in the datasource) are
+# only sound while logical and physical types keep the same shape —
 # dropping a nested field would misalign every older file. (Delta
 # rewrites nothing either; it carries per-field ids — this engine trades
 # that generality for a translation Catalyst runs entirely JVM-side.)
@@ -441,6 +442,38 @@ def _freeze_nested_identity(dt) -> dict[str, str]:
     nested path's physical name is its then-current leaf name (the names
     already in the files), mirroring what enable does at the top level."""
     return {p: p.rsplit(".", 1)[-1] for p in _nested_struct_paths(dt)}
+
+
+def _to_logical_col(c, dt, nmap: dict[str, str], prefix: str = ""):
+    """Column expression converting a physical-named nested value to its
+    logical shape. Built from GetStructField extractions + struct()
+    rebuilds (null-preserved via when), NOT a struct cast: Catalyst's
+    nested-schema pruning pushes through field extractions, so
+    ``select(address.postal)`` on a mapped table still reads ONLY the
+    zip bytes from parquet — a positional cast is opaque to pruning and
+    would drag the whole struct through the scan at 100 TB."""
+    if isinstance(dt, StructType):
+        rebuilt = F.struct(
+            *[
+                _to_logical_col(
+                    c.getField(nmap.get(f"{prefix}{f.name}", f.name)),
+                    f.dataType,
+                    nmap,
+                    f"{prefix}{f.name}.",
+                ).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        return F.when(c.isNotNull(), rebuilt)
+    if isinstance(dt, ArrayType):
+        return F.transform(
+            c, lambda x: _to_logical_col(x, dt.elementType, nmap, prefix)
+        )
+    if isinstance(dt, MapType):
+        return F.transform_values(
+            c, lambda k, v: _to_logical_col(v, dt.valueType, nmap, prefix)
+        )
+    return c
 
 
 def _copy_file_pair(pair: tuple[str, str]) -> None:
@@ -3906,12 +3939,13 @@ class TxLogTable:
             keep = []
             for f in schema.fields:
                 c = F.col(l2p[f.name])
+                nmap = _nested_map_of(f)
                 # nested mapping: the scan delivered physical nested
-                # names; a positional struct cast (shape-identical by
-                # the rename-only contract) restores logical ones —
-                # pure Catalyst, no Python in the row path
-                if _phys_data_type(f.dataType, _nested_map_of(f)) != f.dataType:
-                    c = c.cast(f.dataType)
+                # names; rebuild the logical shape from field
+                # extractions (see _to_logical_col — pruning-friendly,
+                # pure Catalyst, no Python in the row path)
+                if _phys_data_type(f.dataType, nmap) != f.dataType:
+                    c = _to_logical_col(c, f.dataType, nmap)
                 keep.append(c.alias(f.name))
             if with_file_col:
                 keep.append(F.col(with_file_col))

@@ -3,9 +3,10 @@ struct fields at any depth (through arrays and map values). The frozen
 physical leaf names live in the top-level field's metadata
 (txlog.nestedPhysical) — OUTSIDE the dataType, so freezing never
 perturbs dataType equality — and the logical<->physical translation is a
-positional struct cast (JVM-side) / zero-copy arrow view (datasource).
-Nested DROP is refused: positional translation is only sound while
-shapes match."""
+pruning-friendly field-extraction rebuild on reads / a positional cast
+on writes (JVM-side) / a zero-copy arrow view in the datasource.
+Nested DROP is refused: the translations are only sound while shapes
+match."""
 
 from __future__ import annotations
 
@@ -13,6 +14,7 @@ import json
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from bigdataingestion_spark.sinks.txlog import TxLogTable
@@ -360,3 +362,41 @@ def test_clone_preserves_nested_mapping(spark, tmp_path, shallow):
         "10001",
         "90210",
     ]
+
+
+def test_nested_mapping_preserves_nested_schema_pruning(spark, tmp_path):
+    """100 TB plan contract: the logical<->physical translation is built
+    from field extractions (not a struct cast), so Catalyst's nested
+    schema pruning pushes THROUGH the mapping — projecting one nested
+    field reads only that field's bytes from parquet, wide siblings
+    stay unread."""
+    import re
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, Row(zip="90210", blob="x" * 100))],
+            "id long, address struct<zip:string,blob:string>",
+        )
+    )
+    t.enable_column_mapping()
+    t.rename_column("address.zip", "postal")
+    plan = (
+        t.read(spark)
+        .select(F.col("address.postal"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and m.group(1) == "struct<address:struct<zip:string>>", plan
+    # flat projections drop the struct read entirely
+    plan2 = (
+        t.read(spark)
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m2 = re.search(r"ReadSchema: ([^\n]*)", plan2)
+    assert m2 and m2.group(1) == "struct<id:bigint>", plan2
