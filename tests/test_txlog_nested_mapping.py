@@ -400,3 +400,86 @@ def test_nested_mapping_preserves_nested_schema_pruning(spark, tmp_path):
     )
     m2 = re.search(r"ReadSchema: ([^\n]*)", plan2)
     assert m2 and m2.group(1) == "struct<id:bigint>", plan2
+
+
+# ------------------------------------------------------------- property --
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_names = ["a", "x", "postal", "zz"]
+_nested_op = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.sampled_from(["p", "q", "r"]),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    st.tuples(st.just("rename"), st.sampled_from(_names)),
+    st.tuples(st.just("delete"), st.integers(min_value=0, max_value=9)),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_nested_op, min_size=1, max_size=6))
+def test_nested_mapping_model_property(spark, tmp_path_factory, ops):
+    """Model property: arbitrary interleavings of appends (always under
+    the CURRENT logical nested name), nested renames (free metadata
+    moves), and deletes leave the table equal to a plain-Python model,
+    and every committed version time-travels to its era's rows under its
+    era's nested name."""
+    tmp = tmp_path_factory.mktemp("nestprop")
+    t = TxLogTable(str(tmp / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(0, Row(a="seed", b="s"))],
+            "id long, s struct<a:string,b:string>",
+        )
+    )
+    t.enable_column_mapping()
+    model: list[tuple[int, str, str]] = [(0, "seed", "s")]  # (id, f1, b)
+    cur = "a"
+    ordc = 1
+    eras: list[tuple[int, str, list]] = []  # (version, era name, era rows)
+    for op, payload in ops:
+        if op == "append":
+            rows = [
+                (payload_id * 100 + ordc + i, val, "s")
+                for i, (payload_id, val) in enumerate(payload)
+            ]
+            ordc += len(rows)
+            t.append(
+                spark.createDataFrame(
+                    [(i, Row(**{cur: v, "b": b})) for i, v, b in rows],
+                    f"id long, s struct<{cur}:string,b:string>",
+                )
+            )
+            model.extend(rows)
+        elif op == "rename":
+            if payload == cur:
+                continue
+            t.rename_column(f"s.{cur}", payload)
+            cur = payload
+        else:  # delete
+            pred_ids = [i for i, _v, _b in model if i % 10 == payload]
+            v0 = t.version()
+            t.delete(spark, f"id % 10 = {payload}")
+            if not pred_ids:
+                assert t.version() == v0  # no-op, no commit
+                continue
+            model = [(i, v, b) for i, v, b in model if i % 10 != payload]
+        eras.append((t.version(), cur, sorted(model)))
+        got = sorted(
+            (r.id, r.s[cur], r.s.b) for r in t.read(spark).collect()
+        )
+        assert got == sorted(model), (op, payload, cur)
+    for version, name, rows in eras:
+        old = t.read(spark, version=version)
+        got = sorted((r.id, r.s[name], r.s.b) for r in old.collect())
+        assert got == rows, (version, name)
