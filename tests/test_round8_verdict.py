@@ -98,3 +98,29 @@ def test_recover_cdf_replica_across_nested_rename(spark, tmp_path):
         (3, "60601"),
         (4, "02134"),
     ]
+
+
+def test_read_cdf_spanning_nested_rename_merges_eras(spark, tmp_path):
+    """The batch CDF reads each commit under ITS OWN schema and unions
+    by name: a range spanning a nested rename yields each era's values
+    under that era's nested name (nulls elsewhere) — same contract
+    top-level renames already get, no error, no silent remap."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, Row(zip="a"))], "id long, s struct<zip:string>"
+        )
+    )
+    t.alter_properties({"cdf.enabled": "true"})
+    t.enable_column_mapping()
+    t.rename_column("s.zip", "postal")
+    t.append(
+        spark.createDataFrame(
+            [(2, Row(postal="b"))], "id long, s struct<postal:string>"
+        )
+    )
+    chg = t.read_cdf(spark, from_version=-1)
+    got = sorted(
+        (r.id, r.s.zip, r.s.postal, r._change_type) for r in chg.collect()
+    )
+    assert got == [(1, "a", None, "insert"), (2, None, "b", "insert")]
