@@ -201,7 +201,10 @@ def main() -> None:
     # driver numbers. If the run ENDED loaded AND the total is >10% over
     # the last committed controlled number, retry ONCE and report the
     # better pass; both totals and both end-loads are recorded so the
-    # JSON stays attributable either way.
+    # JSON stays attributable either way. Caveat: the bench's own
+    # local[N] work keeps the 1-min loadavg elevated at end-of-run, so
+    # the load term alone over-fires; the >10%-over-controlled term is
+    # the real trigger, and the cost is bounded at one retry.
     controlled = _controlled_reference(sf)
     gate = load_gate.get("threshold", 2.0)
     retry = {
