@@ -5027,7 +5027,7 @@ _GATE_FIRST = [
     "small_quantity_revenue",
     "top_customers_by_spend",
     "top_parts_by_revenue",
-    # --- 19 head entries of the r6 window ---
+    # --- 17 head entries of the r6 window ---
     "customer_order_moving_avg",
     "customer_order_timeline",
     "customer_top_order",

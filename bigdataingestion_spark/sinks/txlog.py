@@ -371,12 +371,25 @@ def _nested_map_of(field: StructField) -> dict[str, str]:
     return dict(json.loads(raw)) if raw else {}
 
 
+def _nested_map_diverged(field: StructField) -> dict[str, str]:
+    """The field's nested map IF any entry diverges from identity, else
+    {} — the gate for the read/write translations, so identity-frozen
+    tables (and nested fields carrying incidental metadata) pay nothing
+    per read/write until an actual nested rename happens."""
+    nmap = _nested_map_of(field)
+    return (
+        nmap
+        if any(p.rsplit(".", 1)[-1] != phys for p, phys in nmap.items())
+        else {}
+    )
+
+
 def _phys_data_type(dt, nmap: dict[str, str], prefix: str = ""):
     """``dt`` with every nested struct field renamed to its frozen
     physical name (identity for paths absent from ``nmap``). Shape —
-    field count, order, non-name type content — is preserved by
-    construction, which is what makes the logical<->physical translation
-    a positional cast."""
+    field count, order, non-name type content, nested field metadata —
+    is preserved by construction, which is what makes the
+    logical<->physical translation positional."""
     if not nmap:
         return dt
     if isinstance(dt, StructType):
@@ -388,6 +401,7 @@ def _phys_data_type(dt, nmap: dict[str, str], prefix: str = ""):
                         f.dataType, nmap, f"{prefix}{f.name}."
                     ),
                     f.nullable,
+                    f.metadata,
                 )
                 for f in dt.fields
             ]
@@ -1336,11 +1350,11 @@ class TxLogTable:
                     sel.append(F.col(c))
                     continue
                 col = F.col(c)
-                pdt = _phys_data_type(f.dataType, _nested_map_of(f))
-                if pdt != f.dataType:
+                nmap = _nested_map_diverged(f)
+                if nmap:
                     # nested mapping: positional cast logical -> physical
                     # (shape-identical under the rename-only contract)
-                    col = col.cast(pdt)
+                    col = col.cast(_phys_data_type(f.dataType, nmap))
                     translate = True
                 phys = (f.metadata or {}).get(_PHYS_KEY, f.name)
                 if phys != c:
@@ -1576,6 +1590,21 @@ class TxLogTable:
                 f"column(s) {sorted(chained)}; a generated column cannot "
                 "derive from another generated column (Delta's rule) — "
                 "inline the referenced expression instead"
+            )
+        # ... and the REVERSE direction: declaring an EXISTING column
+        # generated while some other generated expression already reads
+        # it would create the same chain through the back door
+        readers = [
+            g
+            for g, gexpr in _generated_of(schema).items()
+            if g.lower() != name.lower()
+            and re.search(rf"\b{re.escape(name)}\b", gexpr, re.IGNORECASE)
+        ]
+        if readers:
+            raise ValueError(
+                f"generated column(s) {sorted(readers)} already derive "
+                f"from {name!r}; declaring it generated would chain "
+                "generation expressions (refused — Delta's rule)"
             )
         if name in names:
             if snap.files:
@@ -1824,15 +1853,26 @@ class TxLogTable:
                 for st in snap.file_stats.values()
                 if isinstance(st, dict) and st.get("__bloom__")
             }
+            made: list[str] = []
             try:
                 for rel in [*snap.files, *sorted(sidecars)]:
                     dst = os.path.join(target_path, rel)
                     os.makedirs(os.path.dirname(dst) or target_path, exist_ok=True)
                     os.symlink(_src_abs(rel), dst)
+                    made.append(dst)
             except OSError as e:
+                # undo the partial layout so a retry after fixing the
+                # actual cause doesn't wedge on FileExistsError
+                for dst in made:
+                    try:
+                        os.unlink(dst)
+                    except OSError:
+                        pass
                 raise ValueError(
-                    "shallow clone of a hive-partitioned table needs a "
-                    f"symlink-capable filesystem ({e}); use shallow=False"
+                    "shallow clone of a hive-partitioned table could not "
+                    f"symlink the partition layout ({e}); if the "
+                    "filesystem cannot symlink (object stores), use "
+                    "shallow=False"
                 ) from e
             dvs = dict(snap.dvs)
             stats = {f: dict(st) for f, st in snap.file_stats.items()}
@@ -3939,12 +3979,13 @@ class TxLogTable:
             keep = []
             for f in schema.fields:
                 c = F.col(l2p[f.name])
-                nmap = _nested_map_of(f)
+                nmap = _nested_map_diverged(f)
                 # nested mapping: the scan delivered physical nested
                 # names; rebuild the logical shape from field
                 # extractions (see _to_logical_col — pruning-friendly,
-                # pure Catalyst, no Python in the row path)
-                if _phys_data_type(f.dataType, nmap) != f.dataType:
+                # pure Catalyst, no Python in the row path). Identity
+                # maps pay nothing.
+                if nmap:
                     c = _to_logical_col(c, f.dataType, nmap)
                 keep.append(c.alias(f.name))
             if with_file_col:

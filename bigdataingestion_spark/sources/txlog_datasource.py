@@ -100,6 +100,31 @@ def _phys_names_for(
     return tuple(l2p.get(f.name, f.name) for f in schema.fields)
 
 
+def _normalize_type(dt):
+    """``dt`` with nullability forced True and field metadata stripped,
+    recursively. Schema-safety comparisons go through this: a commit
+    that only flips a nested field's nullable flag (F.struct() output is
+    always nullable, so a mapped overwrite routinely recommits one) or
+    carries different nested field METADATA is readable under either
+    declaration — neither a wedge nor a rename."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructField as _Sf
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(dt, _St):
+        return _St(
+            [
+                _Sf(f.name, _normalize_type(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_normalize_type(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _normalize_type(dt.valueType), True)
+    return dt
+
+
 def _same_spark_shape(a, b) -> bool:
     """True when two Spark types differ at most in nested struct field
     names — the signature of a NESTED rename on a column-mapped table
@@ -583,7 +608,8 @@ class _TxLogBatchCdfReader(DataSourceReader):
             ).fields
         }
         declared = {
-            f.name.lower(): f.dataType for f in self._data_schema.fields
+            f.name.lower(): _normalize_type(f.dataType)
+            for f in self._data_schema.fields
         }
         seen_ok: set = set()
 
@@ -594,7 +620,7 @@ class _TxLogBatchCdfReader(DataSourceReader):
             commit_schema = StructType.fromJson(json.loads(sj))
             for f in commit_schema.fields:
                 have = declared.get(f.name.lower())
-                if have is None or have != f.dataType:
+                if have is None or have != _normalize_type(f.dataType):
                     why = "added" if have is None else "retyped"
                     raise ValueError(
                         f"txlog batch CDF: v{e['version']} carries "
@@ -753,7 +779,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         if sj is None or sj in self._schemas_seen_ok:
             return
         declared = {
-            f.name.lower(): f.dataType
+            f.name.lower(): _normalize_type(f.dataType)
             for f in (
                 self._data_schema if self._cdf else self._schema
             ).fields
@@ -763,7 +789,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         commit_schema = StructType.fromJson(_json.loads(sj))
         for f in commit_schema.fields:
             have = declared.get(f.name.lower())
-            if have is None or have != f.dataType:
+            if have is None or have != _normalize_type(f.dataType):
                 # A RENAME (same physical column, swapped logical name —
                 # only possible under column mapping) is NOT recoverable
                 # by restarting: a micro-batch range spanning both

@@ -124,3 +124,111 @@ def test_read_cdf_spanning_nested_rename_merges_eras(spark, tmp_path):
         (r.id, r.s.zip, r.s.postal, r._change_type) for r in chg.collect()
     )
     assert got == [(1, "a", None, "insert"), (2, None, "b", "insert")]
+
+
+def test_generated_chain_refused_in_both_directions(spark, tmp_path):
+    """Review finding: the chain guard must also fire when declaring an
+    EXISTING column generated while another generated expression already
+    READS it (the back-door chain)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "id bigint, bucket bigint"))
+    t.add_generated_column(spark, "flag", "bucket % 7")  # bucket is plain
+    with pytest.raises(ValueError, match="already derive"):
+        t.add_generated_column(spark, "bucket", "id % 24")
+
+
+def test_nullability_only_schema_change_does_not_wedge_stream(
+    spark, tmp_path
+):
+    """Review finding: a mapped overwrite recommits F.struct() output
+    whose nested fields are always nullable; a stream spanning that
+    commit must read through (nullability is not a layout property),
+    not misreport an unrecoverable nested RENAME."""
+    from pyspark.sql import functions as F
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, Row(zip="a"))], "id long, s struct<zip:string>"
+        ).select(
+            "id", F.struct(F.col("s.zip").alias("zip")).alias("s")
+        )
+    )
+    t.enable_column_mapping()
+    # overwrite with a non-nullable nested field declaration: same
+    # names, same leaf types, flipped nullability
+    t.overwrite(
+        spark.createDataFrame(
+            [(2, Row(zip="b"))],
+            "id long, s struct<zip:string> not null",
+        )
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("txlog")
+        .option("allowRewrites", "true")  # the overwrite is the point
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r.id, r.s.zip) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_identity_nested_map_is_translation_free(spark, tmp_path):
+    """Review finding: a mapped struct table that was never nested-
+    renamed (or whose nested fields carry incidental metadata) must not
+    pay the rebuild/cast translation — the read plan projects the scan
+    columns directly."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, Row(zip="a"))], "id long, s struct<zip:string>"
+        )
+    )
+    t.enable_column_mapping()
+    plan = (
+        t.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "CASE WHEN" not in plan and "struct(" not in plan, plan
+    t.rename_column("s.zip", "postal")
+    plan2 = (
+        t.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "CASE WHEN" in plan2, plan2
+
+
+def test_partitioned_shallow_clone_failure_cleans_up(
+    spark, tmp_path, monkeypatch
+):
+    """Review finding: a mid-loop symlink failure must undo the partial
+    layout (else a retry wedges on FileExistsError) and not blame the
+    filesystem for unrelated errors."""
+    import os as _os
+
+    src = TxLogTable(str(tmp_path / "src"))
+    src.overwrite_partitions(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], ["id", "part", "value"]
+        ),
+        ["part"],
+    )
+    real, calls = _os.symlink, []
+
+    def flaky(s, d):
+        calls.append(d)
+        if len(calls) == 2:
+            raise OSError(28, "No space left on device")
+        return real(s, d)
+
+    monkeypatch.setattr(_os, "symlink", flaky)
+    with pytest.raises(ValueError, match="could not symlink"):
+        src.clone_to(spark, str(tmp_path / "c1"))
+    monkeypatch.setattr(_os, "symlink", real)
+    assert not _os.path.exists(calls[0])  # partial layout undone
+    clone = src.clone_to(spark, str(tmp_path / "c1"))  # retry succeeds
+    assert sorted(r.id for r in clone.read(spark).collect()) == [1, 2]
