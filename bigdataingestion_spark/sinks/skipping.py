@@ -71,7 +71,7 @@ _TOKEN = re.compile(
       | (?P<op><=|>=|==|!=|<>|=|<|>)
       | (?P<num>-?\d+(\.\d+)?([eE][+-]?\d+)?)
       | (?P<str>'(?:[^']|'')*')
-      | (?P<word>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*|`[^`]+`)
     )""",
     re.VERBOSE,
 )
@@ -261,7 +261,7 @@ def _lit_resolve(kind, v, dtype):
             return ("str", _dt.datetime.fromisoformat(v.replace(" ", "T")).isoformat())
         except ValueError:
             raise _Bail from None
-    raise _Bail  # decimal/binary/nested: no stats kept for these anyway
+    raise _Bail  # decimal/binary/array/map: no judgeable stats for these
 
 
 def _term_excludes(term, stats: dict, types: dict) -> bool:
@@ -321,6 +321,41 @@ def _conj_excludes(terms, stats, types):
             yield False  # unjudgeable term can't exclude; others still may
 
 
+def _nested_struct_entries(schema: StructType) -> list:
+    """(logical dotted path, physical dotted path, leaf type) for every
+    nested leaf reachable through PURE STRUCT nesting (arrays/maps stop
+    the walk — their element stats cannot prune element-wise predicate
+    semantics). Physical paths join the top-level field's frozen
+    physical name with each nested field's frozen physical leaf name
+    (``txlog.nestedPhysical``, identity when absent) — the same dotted
+    keys the footer harvest records."""
+    out = []
+    for f in schema.fields:
+        if not isinstance(f.dataType, StructType):
+            continue
+        ptop = (f.metadata or {}).get("txlog.physicalName", f.name)
+        raw = (f.metadata or {}).get("txlog.nestedPhysical")
+        nmap = dict(json.loads(raw)) if raw else {}
+
+        def walk(dt, lrel, prel, _nmap=nmap, _f=f, _ptop=ptop):
+            for c in dt.fields:
+                lpath = f"{lrel}{c.name}"
+                ppath = f"{prel}{_nmap.get(lpath, c.name)}"
+                if isinstance(c.dataType, StructType):
+                    walk(c.dataType, lpath + ".", ppath + ".")
+                else:
+                    out.append(
+                        (
+                            f"{_f.name}.{lpath}",
+                            f"{_ptop}.{ppath}",
+                            c.dataType,
+                        )
+                    )
+
+        walk(f.dataType, "", "")
+    return out
+
+
 def candidate_files(
     predicate: str,
     schema_json: str,
@@ -371,6 +406,20 @@ def candidate_files(
             f.name.lower()
         for f in schema.fields
     }
+    # nested struct leaves: predicate terms like ``address.zip = '9'``
+    # judge against the leaf's dotted footer stats, translated through
+    # BOTH mapping levels. A dotted logical path that collides with a
+    # literal flat column name is ambiguous — drop it (no proof beats a
+    # wrong one).
+    for lpath, ppath, dtype in _nested_struct_entries(schema):
+        ll = lpath.lower()
+        if ll in types:
+            types.pop(ll, None)
+            p2l.pop(ppath.lower(), None)
+            continue
+        if utc or not isinstance(dtype, TimestampType):
+            types[ll] = dtype
+        p2l[ppath.lower()] = ll
     logical_names = set(p2l.values())
     out = []
     for f in files:

@@ -222,8 +222,16 @@ def _stats_from_metadata(md) -> dict:
         for i in range(g.num_columns):
             cc = g.column(i)
             name = cc.path_in_schema
-            if "." in name or name in dropped:
-                continue  # nested leaves: no top-level pruning
+            if name in dropped:
+                continue
+            # nested STRUCT leaves are harvested under their dotted
+            # parquet path ("address.zip") — the consult side exposes
+            # exactly the pure-struct paths of the schema, so paths that
+            # traverse arrays/maps ("items.list.element.sku") are
+            # harvested here but never match a predicate term (their
+            # min/max cannot prune element-wise semantics). Null counts
+            # at a nested leaf include parent-null rows, which matches
+            # SQL: `s.a IS NULL` is true when s itself is NULL.
             st = cc.statistics
             if st is None or not st.has_null_count:
                 dropped.add(name)

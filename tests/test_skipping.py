@@ -165,3 +165,125 @@ def test_json_roundtrip_of_stats_preserves_skipping(spark, tmp_path):
     got = candidate_files("id > 150", json.dumps(json.loads(snap.schema_json)),
                           snap.files, snap.file_stats)
     assert len(got) == 1
+
+
+# --------------------------------------------------- nested struct leaves --
+
+
+def _nested_schema(mapped: bool = False) -> str:
+    """id long, address struct<zip:string, geo struct<lat:long>>,
+    items array<struct<sku:string>> — optionally column-mapped with
+    address.zip renamed (logical 'postal', physical 'zip')."""
+    from pyspark.sql.types import ArrayType
+
+    addr_meta = (
+        {
+            "txlog.physicalName": "address",
+            "txlog.nestedPhysical": json.dumps(
+                {"postal": "zip", "geo": "geo", "geo.lat": "lat"}
+            ),
+        }
+        if mapped
+        else {}
+    )
+    zipname = "postal" if mapped else "zip"
+    return StructType(
+        [
+            StructField("id", LongType()),
+            StructField(
+                "address",
+                StructType(
+                    [
+                        StructField(zipname, StringType()),
+                        StructField(
+                            "geo",
+                            StructType([StructField("lat", LongType())]),
+                        ),
+                    ]
+                ),
+                True,
+                addr_meta,
+            ),
+            StructField(
+                "items",
+                ArrayType(StructType([StructField("sku", StringType())])),
+            ),
+        ]
+    ).json()
+
+
+_NESTED_STATS = {
+    "f1": {
+        "id": {"k": "num", "min": 0, "max": 9, "nulls": 0},
+        "address.zip": {"k": "str", "min": "aaa", "max": "mmm", "nulls": 0},
+        "address.geo.lat": {"k": "num", "min": 10, "max": 20, "nulls": 0},
+        "items.list.element.sku": {"k": "str", "min": "a", "max": "b", "nulls": 0},
+    },
+    "f2": {
+        "id": {"k": "num", "min": 10, "max": 19, "nulls": 0},
+        "address.zip": {"k": "str", "min": "naa", "max": "zzz", "nulls": 3},
+        "address.geo.lat": {"k": "num", "min": 30, "max": 40, "nulls": 0},
+    },
+}
+_NESTED_FILES = ["f1", "f2"]
+
+
+def test_nested_leaf_eq_prunes():
+    out = candidate_files(
+        "address.zip = 'qqq'", _nested_schema(), _NESTED_FILES, _NESTED_STATS
+    )
+    assert out == ["f2"]
+
+
+def test_nested_deep_leaf_range_prunes():
+    out = candidate_files(
+        "address.geo.lat > 25", _nested_schema(), _NESTED_FILES, _NESTED_STATS
+    )
+    assert out == ["f2"]
+
+
+def test_nested_rename_translates_both_mapping_levels():
+    """Predicate uses the LOGICAL name (postal); stats key by the frozen
+    PHYSICAL dotted path (address.zip)."""
+    out = candidate_files(
+        "address.postal = 'qqq'",
+        _nested_schema(mapped=True),
+        _NESTED_FILES,
+        _NESTED_STATS,
+    )
+    assert out == ["f2"]
+
+
+def test_array_element_paths_never_consulted():
+    """items.sku stats live under parquet's repeated-group path and the
+    walk stops at arrays — an element predicate keeps every file."""
+    out = candidate_files(
+        "items.sku = 'zzz'", _nested_schema(), _NESTED_FILES, _NESTED_STATS
+    )
+    assert out == _NESTED_FILES
+
+
+def test_nested_isnull_semantics():
+    # f1 has zero nulls at the leaf -> IS NULL excludes it
+    out = candidate_files(
+        "address.zip IS NULL", _nested_schema(), _NESTED_FILES, _NESTED_STATS
+    )
+    assert out == ["f2"]
+
+
+def test_flat_name_shadowing_dotted_path_bails():
+    """A literal flat column named 'address.zip' next to the struct path
+    is ambiguous: neither interpretation may prune."""
+    sch = StructType(
+        [
+            StructField("address.zip", StringType()),
+            StructField(
+                "address",
+                StructType([StructField("zip", StringType())]),
+            ),
+        ]
+    ).json()
+    out = candidate_files(
+        "address.zip = 'qqq'", sch, _NESTED_FILES, _NESTED_STATS
+    )
+    assert out == _NESTED_FILES
