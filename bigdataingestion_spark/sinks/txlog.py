@@ -466,6 +466,34 @@ def _freeze_nested_identity(dt) -> dict[str, str]:
     return {p: p.rsplit(".", 1)[-1] for p in _nested_struct_paths(dt)}
 
 
+def _phys_dotted(schema: StructType, logical: str) -> str | None:
+    """Physical dotted path for a (possibly dotted) LOGICAL column name,
+    translated through both mapping levels (top-level physicalName +
+    nestedPhysical leaf chain). None when the path doesn't resolve
+    through pure struct nesting — arrays/maps stop the walk, exactly as
+    in stats skipping."""
+    top, _, rest = logical.partition(".")
+    f = next((x for x in schema.fields if x.name == top), None)
+    if f is None:
+        return None
+    ptop = (f.metadata or {}).get(_PHYS_KEY, f.name)
+    if not rest:
+        return ptop
+    nmap = _nested_map_of(f)
+    dt, lpath, phys = f.dataType, "", []
+    for seg in rest.split("."):
+        if not isinstance(dt, StructType):
+            return None
+        c = next((x for x in dt.fields if x.name == seg), None)
+        if c is None:
+            return None
+        lpath = f"{lpath}{seg}"
+        phys.append(nmap.get(lpath, seg))
+        lpath += "."
+        dt = c.dataType
+    return ".".join([ptop, *phys])
+
+
 def _to_logical_col(c, dt, nmap: dict[str, str], prefix: str = ""):
     """Column expression converting a physical-named nested value to its
     logical shape. Built from GetStructField extractions + struct()
@@ -1348,7 +1376,6 @@ class TxLogTable:
         before the write — the ONLY place logical becomes physical on the
         write path. Stats harvested from the footers are therefore keyed
         by physical names; consults translate back through the schema."""
-        l2p = _l2p(write_schema) if write_schema is not None else {}
         if write_schema is not None:
             by_name = {f.name: f for f in write_schema.fields}
             sel, translate = [], False
@@ -1420,11 +1447,18 @@ class TxLogTable:
         # (commit-time cost, Delta's bloom-filter index shape); partition
         # columns are excluded — partition pruning already covers them
         bloom_cols = [
-            # bloom.columns holds LOGICAL names; sidecars (like footer
-            # stats) key by what is physically in the staged files
-            l2p.get(c, c)
+            # bloom.columns holds LOGICAL names (dotted for nested
+            # struct leaves); sidecars (like footer stats) key by what
+            # is physically in the staged files — both mapping levels
+            p
             for c in self._bloom_columns(self.snapshot())
             if c not in (partition_cols or [])
+            for p in [
+                _phys_dotted(write_schema, c)
+                if write_schema is not None
+                else c
+            ]
+            if p is not None
         ]
         if bloom_cols and names:
             for rel, bref in self._build_blooms(
@@ -2230,11 +2264,16 @@ class TxLogTable:
         )
         props = None
         bloom_cols = self._bloom_columns(snap)
-        if old in bloom_cols:
+        rekeyed_blooms = [
+            new if c == old
+            # a dotted bloom under the renamed struct follows it
+            else new + c[len(old):] if c.startswith(old + ".")
+            else c
+            for c in bloom_cols
+        ]
+        if rekeyed_blooms != bloom_cols:
             props = dict(snap.properties)
-            props["bloom.columns"] = ",".join(
-                new if c == old else c for c in bloom_cols
-            )
+            props["bloom.columns"] = ",".join(rekeyed_blooms)
         return self._commit(
             [], [], renamed, "rename_column", None, snap.version,
             metrics={"from": old, "to": new},
@@ -2318,10 +2357,27 @@ class TxLogTable:
                 for f in schema.fields
             ]
         )
+        # a bloom declared on the renamed nested path (or a descendant)
+        # follows the logical rename; its sidecars — keyed by the frozen
+        # PHYSICAL dotted path — keep pruning unchanged
+        old_full, new_full = f"{top}.{rest}", f"{top}.{new_path}"
+        bloom_cols = self._bloom_columns(snap)
+        rekeyed_blooms = [
+            new_full if c == old_full
+            else new_full + c[len(old_full):]
+            if c.startswith(old_full + ".")
+            else c
+            for c in bloom_cols
+        ]
+        props = None
+        if rekeyed_blooms != bloom_cols:
+            props = dict(snap.properties)
+            props["bloom.columns"] = ",".join(rekeyed_blooms)
         return self._commit(
             [], [], renamed, "rename_column", None, snap.version,
-            metrics={"from": old, "to": f"{top}.{new_path}"},
+            metrics={"from": old, "to": new_full},
             constraints=snap.constraints,
+            properties=props,
         )
 
     def drop_column(self, name: str) -> int:
@@ -2392,9 +2448,14 @@ class TxLogTable:
         )
         props = None
         bloom_cols = self._bloom_columns(snap)
-        if name in bloom_cols:
+        kept = [
+            c
+            for c in bloom_cols
+            # dotted blooms under the dropped struct go with it
+            if c != name and not c.startswith(name + ".")
+        ]
+        if kept != bloom_cols:
             props = dict(snap.properties)
-            kept = [c for c in bloom_cols if c != name]
             if kept:
                 props["bloom.columns"] = ",".join(kept)
             else:
@@ -3501,7 +3562,22 @@ class TxLogTable:
 
         paths = [os.path.join(self.path, r) for r in rel_names]
         df = spark.read.parquet(*paths)
-        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+        def _leaf(dotted: str) -> str | None:
+            # resolve a (possibly dotted) PHYSICAL column path through
+            # pure struct nesting to its leaf type string; arrays/maps
+            # stop the walk (their elements aren't bloom-indexable)
+            dt: object = df.schema
+            for seg in dotted.split("."):
+                if not isinstance(dt, StructType):
+                    return None
+                f = next((x for x in dt.fields if x.name == seg), None)
+                if f is None:
+                    return None
+                dt = f.dataType
+            return dt.simpleString()
+
+        have = {c: t for c in cols for t in [_leaf(c)] if t is not None}
         cols = [c for c in cols if c in have]
         if not cols:
             return {}
@@ -3518,7 +3594,7 @@ class TxLogTable:
         }
         if not m_by_base:
             return {}
-        fc = self._fresh_col("_bf_file", list(have))
+        fc = self._fresh_col("_bf_file", list(df.columns))
         hashed = df.select(
             F.col("_metadata.file_path").alias(fc),
             *[F.xxhash64(c).alias(f"_h_{i}") for i, c in enumerate(cols)],
@@ -3820,7 +3896,26 @@ class TxLogTable:
             f.name.lower(): (f.metadata or {}).get(_PHYS_KEY, f.name)
             for f in sch.fields
         }
-        from bigdataingestion_spark.sinks.skipping import _lit_resolve
+        from bigdataingestion_spark.sinks.skipping import (
+            _lit_resolve,
+            _nested_struct_entries,
+        )
+
+        # nested struct leaves: a bloom declared on a dotted path
+        # ("address.zip") probes like any flat column — literals hash
+        # under the LEAF type, terms translate through both mapping
+        # levels. Dotted paths shadowed by a literal flat homonym are
+        # ambiguous and prove nothing (mirrors stats skipping).
+        for lpath, ppath, dtype in _nested_struct_entries(sch):
+            ll = lpath.lower()
+            if ll in schema_types:
+                schema_types.pop(ll, None)
+                schema_dtypes.pop(ll, None)
+                l2p_low.pop(ll, None)
+                continue
+            schema_types[ll] = dtype.simpleString()
+            schema_dtypes[ll] = dtype
+            l2p_low[ll] = ppath
 
         probe: dict = {}
         for col, lits in wanted.items():

@@ -483,3 +483,100 @@ def test_nested_mapping_model_property(spark, tmp_path_factory, ops):
         old = t.read(spark, version=version)
         got = sorted((r.id, r.s[name], r.s.b) for r in old.collect())
         assert got == rows, (version, name)
+
+
+# ----------------------------------------------------------- nested blooms --
+
+
+def _nested_bloomed(spark, tmp_path):
+    """bloom.columns on a NESTED path; each file's lexicographic
+    [min, max] zip range CONTAINS every probe value, so min/max stats
+    prove nothing and only the bloom can exclude."""
+    t = TxLogTable(str(tmp_path / "bt"))
+    t.append(
+        spark.createDataFrame(
+            [(0, Row(zip="a0", city="x")), (1, Row(zip="z0", city="x"))],
+            "id long, address struct<zip:string,city:string>",
+        ).coalesce(1)
+    )
+    t.alter_properties({"bloom.columns": "address.zip"})
+    t.append(
+        spark.createDataFrame(
+            [(2, Row(zip="a1", city="x")), (3, Row(zip="z1", city="x"))],
+            "id long, address struct<zip:string,city:string>",
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(4, Row(zip="a2", city="x")), (5, Row(zip="z2", city="x"))],
+            "id long, address struct<zip:string,city:string>",
+        ).coalesce(1)
+    )
+    return t
+
+
+def test_nested_bloom_point_delete_prunes(spark, tmp_path):
+    t = _nested_bloomed(spark, tmp_path)
+    t.delete(spark, "address.zip = 'a2'")
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_bloom_skipped"] >= 1, m
+    assert m["files_rewritten"] == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 1, 2, 3, 5]
+    # absent key: every bloomed file proves disjoint -> commit-free no-op
+    v = t.version()
+    t.delete(spark, "address.zip = 'absent'")
+    assert t.version() == v
+
+
+def test_nested_bloom_survives_nested_rename(spark, tmp_path):
+    """The rename re-keys bloom.columns to the new logical path; the
+    sidecars — keyed by the frozen PHYSICAL dotted path — keep pruning
+    for predicates under the NEW name."""
+    t = _nested_bloomed(spark, tmp_path)
+    t.enable_column_mapping()
+    t.rename_column("address.zip", "postal")
+    assert t.snapshot().properties["bloom.columns"] == "address.postal"
+    t.delete(spark, "address.postal = 'z1'")
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_bloom_skipped"] >= 1, m
+    assert m["files_rewritten"] == 1
+    # new appends under the new logical name still build probeable blooms
+    t.append(
+        spark.createDataFrame(
+            [(6, Row(postal="a9", city="x")), (7, Row(postal="z9", city="x"))],
+            "id long, address struct<postal:string,city:string>",
+        ).coalesce(1)
+    )
+    v = t.version()
+    t.delete(spark, "address.postal = 'nope'")
+    assert t.version() == v  # all files bloom-proven disjoint
+
+
+def test_nested_bloom_cross_kind_literal_proves_nothing(spark, tmp_path):
+    """The literal/column kind gate covers nested paths: a numeric
+    literal against the string leaf must not fake a disjointness
+    proof."""
+    t = TxLogTable(str(tmp_path / "ck"))
+    t.append(
+        spark.createDataFrame(
+            [(0, Row(zip="000"))], "id long, address struct<zip:string>"
+        ).coalesce(1)
+    )
+    t.alter_properties({"bloom.columns": "address.zip"})
+    t.append(
+        spark.createDataFrame(
+            [(1, Row(zip="05"))], "id long, address struct<zip:string>"
+        ).coalesce(1)
+    )
+    assert t.read(spark).filter("address.zip = 5").count() == 1
+    v = t.version()
+    t.delete(spark, "address.zip = 5")
+    assert t.version() > v, "DML wrongly skipped by the nested bloom"
+    assert sorted(r.address.zip for r in t.read(spark).collect()) == ["000"]
+
+
+def test_drop_struct_column_drops_its_nested_blooms(spark, tmp_path):
+    t = _nested_bloomed(spark, tmp_path)
+    t.enable_column_mapping()
+    t.drop_column("address")
+    assert "bloom.columns" not in t.snapshot().properties
