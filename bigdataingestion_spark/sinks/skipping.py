@@ -57,6 +57,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# Column-mapping metadata keys — the SINGLE source of truth (txlog.py
+# aliases these): a key renamed in one module but not the other would
+# silently disable the mapped-stats translation (conservative, so no
+# test fails loudly) while other consumers keep working.
+PHYS_NAME_KEY = "txlog.physicalName"
+NESTED_PHYS_KEY = "txlog.nestedPhysical"
+
 _NUM_TYPES = (
     ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
     BooleanType,
@@ -333,17 +340,22 @@ def _nested_struct_entries(schema: StructType) -> list:
     for f in schema.fields:
         if not isinstance(f.dataType, StructType):
             continue
-        ptop = (f.metadata or {}).get("txlog.physicalName", f.name)
-        raw = (f.metadata or {}).get("txlog.nestedPhysical")
+        ptop = (f.metadata or {}).get(PHYS_NAME_KEY, f.name)
+        raw = (f.metadata or {}).get(NESTED_PHYS_KEY)
         nmap = dict(json.loads(raw)) if raw else {}
 
         def walk(dt, lrel, prel, _nmap=nmap, _f=f, _ptop=ptop):
+            from pyspark.sql.types import ArrayType, MapType
+
             for c in dt.fields:
                 lpath = f"{lrel}{c.name}"
                 ppath = f"{prel}{_nmap.get(lpath, c.name)}"
                 if isinstance(c.dataType, StructType):
                     walk(c.dataType, lpath + ".", ppath + ".")
-                else:
+                elif not isinstance(c.dataType, (ArrayType, MapType)):
+                    # container-typed children are NOT leaves: no footer
+                    # stats key matches them and no consumer may treat
+                    # their container dtype as judgeable
                     out.append(
                         (
                             f"{_f.name}.{lpath}",
@@ -402,18 +414,23 @@ def candidate_files(
     # through the schema's mapping metadata (identity on unmapped tables;
     # stats of dropped physical columns simply never match a term)
     p2l = {
-        (f.metadata or {}).get("txlog.physicalName", f.name).lower():
+        (f.metadata or {}).get(PHYS_NAME_KEY, f.name).lower():
             f.name.lower()
         for f in schema.fields
     }
     # nested struct leaves: predicate terms like ``address.zip = '9'``
     # judge against the leaf's dotted footer stats, translated through
     # BOTH mapping levels. A dotted logical path that collides with a
-    # literal flat column name is ambiguous — drop it (no proof beats a
-    # wrong one).
+    # literal flat column name is ambiguous — drop BOTH interpretations
+    # (no proof beats a wrong one). The collision check runs against the
+    # UNFILTERED flat names: a flat TimestampType homonym is absent from
+    # ``types`` under a non-UTC session, and missing it here would
+    # consult the nested leaf's stats for a predicate Spark evaluates
+    # against the flat column — a wrong skip.
+    flat_names = {f.name.lower() for f in schema.fields}
     for lpath, ppath, dtype in _nested_struct_entries(schema):
         ll = lpath.lower()
-        if ll in types:
+        if ll in flat_names:
             types.pop(ll, None)
             p2l.pop(ppath.lower(), None)
             continue

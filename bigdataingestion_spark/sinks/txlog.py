@@ -217,6 +217,36 @@ def _stats_from_metadata(md) -> dict:
     2x GET-range requests on object stores)."""
     acc: dict[str, dict] = {}
     dropped: set[str] = set()
+    # nested STRUCT leaves are harvested under their dotted parquet path
+    # ("address.zip") — but ONLY paths reachable through pure struct
+    # nesting: array/map element paths ("items.list.element.sku") can
+    # never prune element-wise predicate semantics, so recording them
+    # would be pure log bloat that also displaces flat columns from the
+    # _STATS_MAX_COLS budget. The footer's own arrow schema decides.
+    # Null counts at a nested leaf include parent-null rows, which
+    # matches SQL: `s.a IS NULL` is true when s itself is NULL.
+    allowed_nested: set[str] = set()
+    try:
+        import pyarrow.types as pt
+
+        def _walk(struct_t, prefix: str) -> None:
+            for fi in range(struct_t.num_fields):
+                f = struct_t.field(fi)
+                if pt.is_struct(f.type):
+                    _walk(f.type, f"{prefix}{f.name}.")
+                elif not (
+                    pt.is_list(f.type)
+                    or pt.is_large_list(f.type)
+                    or pt.is_fixed_size_list(f.type)
+                    or pt.is_map(f.type)
+                ):
+                    allowed_nested.add(f"{prefix}{f.name}")
+
+        for top in md.schema.to_arrow_schema():
+            if pt.is_struct(top.type):
+                _walk(top.type, f"{top.name}.")
+    except Exception:  # noqa: BLE001 - unconvertible schema: flat-only
+        pass
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for i in range(g.num_columns):
@@ -224,14 +254,8 @@ def _stats_from_metadata(md) -> dict:
             name = cc.path_in_schema
             if name in dropped:
                 continue
-            # nested STRUCT leaves are harvested under their dotted
-            # parquet path ("address.zip") — the consult side exposes
-            # exactly the pure-struct paths of the schema, so paths that
-            # traverse arrays/maps ("items.list.element.sku") are
-            # harvested here but never match a predicate term (their
-            # min/max cannot prune element-wise semantics). Null counts
-            # at a nested leaf include parent-null rows, which matches
-            # SQL: `s.a IS NULL` is true when s itself is NULL.
+            if "." in name and name not in allowed_nested:
+                continue  # array/map internals: never consultable
             st = cc.statistics
             if st is None or not st.has_null_count:
                 dropped.add(name)
@@ -266,8 +290,12 @@ def _stats_from_metadata(md) -> dict:
                     if cur["max"] is None or hi[1] > cur["max"]:
                         cur["max"] = hi[1]
     if len(acc) > _STATS_MAX_COLS:
-        keep = list(acc)[:_STATS_MAX_COLS]
-        acc = {k: acc[k] for k in keep}
+        # FLAT columns keep priority under the budget: a wide nested
+        # struct must not displace the flat keys every DML predicate and
+        # conflict read-check leans on (pre-nested behavior preserved)
+        flat = [k for k in acc if "." not in k]
+        nested = [k for k in acc if "." in k]
+        acc = {k: acc[k] for k in (flat + nested)[:_STATS_MAX_COLS]}
     return acc
 
 
@@ -312,7 +340,17 @@ def _keys_disjoint(
 # time (= the then-current logical names, so existing files stay valid);
 # columns added afterwards get fresh uuid names, which is what stops a
 # drop+re-add of the same logical name resurrecting the old column's data.
-_PHYS_KEY = "txlog.physicalName"
+# The literal lives in skipping.py (the stats translator) as the single
+# source of truth — drifting copies would silently disable mapped-stats
+# translation.
+from bigdataingestion_spark.sinks.skipping import (  # noqa: E402
+    NESTED_PHYS_KEY as _SKIP_NESTED_KEY,
+)
+from bigdataingestion_spark.sinks.skipping import (  # noqa: E402
+    PHYS_NAME_KEY as _SKIP_PHYS_KEY,
+)
+
+_PHYS_KEY = _SKIP_PHYS_KEY
 
 
 # generated columns (Delta's GENERATED ALWAYS AS): the generation SQL
@@ -354,7 +392,7 @@ def _l2p(schema: StructType) -> dict[str, str]:
 # dropping a nested field would misalign every older file. (Delta
 # rewrites nothing either; it carries per-field ids — this engine trades
 # that generality for a translation Catalyst runs entirely JVM-side.)
-_NESTED_KEY = "txlog.nestedPhysical"
+_NESTED_KEY = _SKIP_NESTED_KEY
 
 
 def _nested_struct_paths(dt, prefix: str = "") -> list[str]:
@@ -2262,24 +2300,34 @@ class TxLogTable:
                 for f in schema.fields
             ]
         )
-        props = None
-        bloom_cols = self._bloom_columns(snap)
-        rekeyed_blooms = [
-            new if c == old
-            # a dotted bloom under the renamed struct follows it
-            else new + c[len(old):] if c.startswith(old + ".")
-            else c
-            for c in bloom_cols
-        ]
-        if rekeyed_blooms != bloom_cols:
-            props = dict(snap.properties)
-            props["bloom.columns"] = ",".join(rekeyed_blooms)
         return self._commit(
             [], [], renamed, "rename_column", None, snap.version,
             metrics={"from": old, "to": new},
             constraints=snap.constraints,
-            properties=props,
+            properties=self._bloom_props_rekeyed(snap, old, new),
         )
+
+    def _bloom_props_rekeyed(
+        self, snap: Snapshot, old: str, new: str
+    ) -> dict | None:
+        """``bloom.columns`` with entries naming ``old`` — or dotted
+        paths under ``old.`` (blooms inside a renamed struct, or under a
+        renamed nested path) — re-keyed to ``new``. None when nothing
+        changes (the commit then carries no property delta). The ONE
+        rekey rule for both top-level and nested renames; sidecars are
+        keyed by frozen PHYSICAL paths and never move."""
+        cols = self._bloom_columns(snap)
+        rekeyed = [
+            new if c == old
+            else new + c[len(old):] if c.startswith(old + ".")
+            else c
+            for c in cols
+        ]
+        if rekeyed == cols:
+            return None
+        props = dict(snap.properties)
+        props["bloom.columns"] = ",".join(rekeyed)
+        return props
 
     def _rename_nested(
         self, snap: Snapshot, schema: StructType, old: str, new: str
@@ -2361,23 +2409,11 @@ class TxLogTable:
         # follows the logical rename; its sidecars — keyed by the frozen
         # PHYSICAL dotted path — keep pruning unchanged
         old_full, new_full = f"{top}.{rest}", f"{top}.{new_path}"
-        bloom_cols = self._bloom_columns(snap)
-        rekeyed_blooms = [
-            new_full if c == old_full
-            else new_full + c[len(old_full):]
-            if c.startswith(old_full + ".")
-            else c
-            for c in bloom_cols
-        ]
-        props = None
-        if rekeyed_blooms != bloom_cols:
-            props = dict(snap.properties)
-            props["bloom.columns"] = ",".join(rekeyed_blooms)
         return self._commit(
             [], [], renamed, "rename_column", None, snap.version,
             metrics={"from": old, "to": new_full},
             constraints=snap.constraints,
-            properties=props,
+            properties=self._bloom_props_rekeyed(snap, old_full, new_full),
         )
 
     def drop_column(self, name: str) -> int:

@@ -287,3 +287,56 @@ def test_flat_name_shadowing_dotted_path_bails():
         "address.zip = 'qqq'", sch, _NESTED_FILES, _NESTED_STATS
     )
     assert out == _NESTED_FILES
+
+
+def test_flat_timestamp_homonym_in_non_utc_session_bails():
+    """Review finding: the collision check must run against UNFILTERED
+    flat names — a flat TimestampType column named 'address.zip' is
+    absent from the tz-filtered types map under a non-UTC session, and
+    missing the collision would consult the nested leaf's stats for a
+    predicate Spark evaluates against the flat column (a wrong skip)."""
+    from pyspark.sql.types import TimestampType
+
+    sch = StructType(
+        [
+            StructField("address.zip", TimestampType()),
+            StructField(
+                "address",
+                StructType([StructField("zip", StringType())]),
+            ),
+        ]
+    ).json()
+    out = candidate_files(
+        "`address.zip` = 'qqq'",
+        sch,
+        _NESTED_FILES,
+        _NESTED_STATS,
+        session_tz="America/New_York",
+    )
+    assert out == _NESTED_FILES
+
+
+def test_array_typed_struct_child_never_a_leaf_entry():
+    """Review finding: array/map-typed children of a struct must not be
+    emitted as judgeable 'leaves' by the schema walk."""
+    from pyspark.sql.types import ArrayType
+
+    from bigdataingestion_spark.sinks.skipping import (
+        _nested_struct_entries,
+    )
+
+    sch = StructType(
+        [
+            StructField(
+                "address",
+                StructType(
+                    [
+                        StructField("zip", StringType()),
+                        StructField("tags", ArrayType(StringType())),
+                    ]
+                ),
+            )
+        ]
+    )
+    entries = {lp for lp, _pp, _dt in _nested_struct_entries(sch)}
+    assert entries == {"address.zip"}

@@ -580,3 +580,36 @@ def test_drop_struct_column_drops_its_nested_blooms(spark, tmp_path):
     t.enable_column_mapping()
     t.drop_column("address")
     assert "bloom.columns" not in t.snapshot().properties
+
+
+def test_stats_budget_keeps_flat_columns_and_skips_array_internals(
+    spark, tmp_path
+):
+    """Review finding: a wide nested struct must not displace flat
+    columns from the 32-column stats budget, and array-element paths
+    (never consultable) must not be recorded at all."""
+    from pyspark.sql import functions as F
+
+    t = TxLogTable(str(tmp_path / "t"))
+    wide = F.struct(
+        *[F.lit(i).alias(f"f{i}") for i in range(40)]
+    ).alias("s")
+    df = spark.range(5).select(
+        F.col("id"),
+        wide,
+        F.array(F.struct(F.lit("x").alias("sku"))).alias("items"),
+    )
+    t.append(df.coalesce(1))
+    st = next(iter(t.snapshot().file_stats.values()))
+    keys = [k for k in st if isinstance(st[k], dict)]
+    assert "id" in keys, keys  # flat column kept under the budget
+    assert not any("items." in k for k in keys), keys  # no array internals
+    assert len(keys) <= 32
+    # flat skipping still works on a wide-struct table
+    t.append(
+        spark.range(100, 105).select("id", wide, F.array(
+            F.struct(F.lit("y").alias("sku"))).alias("items")).coalesce(1)
+    )
+    t.delete(spark, "id = 2")
+    m = t.history()[-1]["op_metrics"]
+    assert m["files_stat_skipped"] == 1
