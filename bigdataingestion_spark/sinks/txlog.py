@@ -3226,6 +3226,384 @@ class TxLogTable:
                 out[name] = paths
         return out or None
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        clauses: list,
+        schema_evolution: bool = False,
+        txn_id: str | None = None,
+    ) -> int:
+        """Conditional MERGE (Delta's full ``MergeBuilder`` surface):
+        arbitrary ordered WHEN MATCHED UPDATE/DELETE, WHEN NOT MATCHED
+        INSERT and WHEN NOT MATCHED BY SOURCE UPDATE/DELETE clauses, each
+        with an optional condition — first matching clause per row wins,
+        rows matching no clause carry unchanged, source rows accepted by
+        no insert clause are ignored. The reference's fixed merge shapes
+        (ING:366-415, source-wins / latest-wins in :meth:`merge_upsert`)
+        are the two degenerate cases of this.
+
+        Clause builders live in ``sinks.merge_clauses``
+        (``when_matched_update(set=..., condition=...)`` etc.). Scoping:
+        matched conditions and ALL assignment expressions use
+        ``t.<col>`` / ``s.<col>`` qualified references; insert conditions
+        see only the source row (bare source names); by-source conditions
+        see only the target row (bare target names — deliberately, so the
+        very same predicate string drives file-level data skipping).
+
+        Cost shape at 100 TB — Delta's, clause-aware:
+
+        - files that can hold source keys: min/max + bloom stats prune,
+          one finding scan (exactly :meth:`merge_upsert`'s pass);
+        - files that can hold by-source-qualifying rows: the by-source
+          conditions go through ``skipping.candidate_files`` — an
+          unconditional by-source clause honestly costs a full rewrite
+          scan (it logically touches every non-matched row), a
+          conditioned one prunes like DELETE;
+        - both finding passes share ONE scan, and only files holding a
+          row some clause actually FIRES for are rewritten — a matched
+          row whose conditions all evaluate false leaves its file
+          carried by reference.
+
+        Semantics guarantees: a target row matched by >1 source row
+        raises ``MergeCardinalityError`` when matched clauses exist
+        (Delta's ambiguous-merge error; insert-only merges insert every
+        source row, duplicates included). NULL join keys never match
+        (SQL equality). Generated columns cannot be assigned; they are
+        recomputed from the post-image on every modified/inserted row.
+        ``schema_evolution=True`` appends source-only columns to the
+        table schema (carried and pre-image rows read them as NULL);
+        without it, extra source columns stay usable inside assignment
+        expressions but UPDATE SET * / INSERT * map only the
+        intersection. CDF materializes update pre/post images, deletes
+        and inserts per clause class. One atomic commit; a replayed
+        ``txn_id`` is a no-op."""
+        from bigdataingestion_spark.sinks.merge_clauses import (
+            CARRY,
+            MergeCardinalityError,
+            MergePlan,
+        )
+        from bigdataingestion_spark.sinks.skipping import candidate_files
+
+        snap = self.snapshot()
+        if txn_id is not None and snap and txn_id in snap.txn_ids:
+            return snap.version
+        if snap is None:
+            raise ValueError(
+                f"{self.path} has no commits; MERGE needs an existing "
+                "table schema — create the table first"
+            )
+        self._require_flat(snap)
+        base_schema = StructType.fromJson(json.loads(snap.schema_json))
+        target_cols = [f.name for f in base_schema.fields]
+        t_lower = {c.lower() for c in target_cols}
+        s_lower = {c.lower() for c in source.columns}
+        missing = [k for k in keys if k.lower() not in t_lower or k.lower() not in s_lower]
+        if missing:
+            raise ValueError(
+                f"MERGE keys must exist on both sides; missing: {missing}"
+            )
+        schema = self._next_schema(snap, source, merge_schema=schema_evolution)
+        plan = MergePlan(
+            clauses=list(clauses),
+            schema=schema,
+            target_cols=target_cols,
+            source_cols=list(source.columns),
+            generated={
+                k.lower(): v for k, v in _generated_of(schema).items()
+            },
+        )
+        # fresh marker names: any user column sharing a prefix would be
+        # silently replaced by withColumn
+        taken = [*source.columns, *target_cols]
+        t_mark = self._fresh_col("_t_present", taken)
+        s_mark = self._fresh_col("_s_present", taken)
+        plan.t_mark, plan.s_mark = t_mark, s_mark
+        qprefix = "_q"
+        while any(str(c).lower().startswith(qprefix) for c in taken):
+            qprefix += "_x"
+        plan.marker_prefix = qprefix
+
+        ours = not source.storageLevel.useMemory and not source.storageLevel.useDisk
+        if ours:
+            source = source.persist()
+        joined = None
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            # ---- candidate files: keys ∪ by-source predicates ----------
+            src_bounds = self._source_key_bounds(source, keys)
+            key_cands = self._stats_candidates(
+                snap, src_bounds, keys, null_safe=False
+            )
+            key_cands = self._bloom_candidates(
+                spark, snap, source, keys, key_cands, src_bounds,
+                null_safe=False,
+            )
+            bysrc_cands: set[str] = set()
+            for cond in plan.by_source_predicates():
+                if cond is None:
+                    bysrc_cands = set(snap.files)
+                    break
+                cands = candidate_files(
+                    cond, snap.schema_json, snap.files, snap.file_stats,
+                    session_tz=session_tz,
+                )
+                cands = self._bloom_candidates_for_predicate(
+                    spark, snap, cond, cands
+                )
+                bysrc_cands |= set(cands)
+            scan_set = set(key_cands) | bysrc_cands
+            scan_files = [f for f in snap.files if f in scan_set]
+            stat_skipped = len(snap.files) - len(scan_files)
+
+            # ---- ONE finding scan: key hits + by-source hits ----------
+            fc = self._fresh_col("_file", [*target_cols, t_mark, s_mark])
+            km = self._fresh_col("_km", [*target_cols, fc])
+            if scan_files:
+                tgt = self._read_files(
+                    spark, snap, scan_files, with_file_col=fc
+                )
+            else:
+                tgt = self._read_snapshot(spark, snap).limit(0).withColumn(
+                    fc, F.lit(None).cast("string")
+                )
+            for name, expr in plan.target_markers():
+                tgt = tgt.withColumn(name, expr)
+            skeys = (
+                source.select(*keys).distinct().withColumn(km, F.lit(True))
+            )
+            # cardinality guard BEFORE resolution: >1 source row per
+            # matched target key makes update/delete ambiguous
+            if plan.matched:
+                nsrc = self._fresh_col("_n", [*keys, *source.columns])
+                dup_keys = (
+                    source.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias(nsrc))
+                    .filter(F.col(nsrc) > 1)
+                    .drop(nsrc)
+                )
+                amb = (
+                    tgt.join(dup_keys, on=keys, how="leftsemi")
+                    .limit(1)
+                    .collect()
+                )
+                if amb:
+                    raise MergeCardinalityError(
+                        "MERGE matched a target row with more than one "
+                        f"source row on keys {keys} (e.g. "
+                        f"{ {k: amb[0][k] for k in keys} }); dedupe the "
+                        "source (latest-wins: merge_upsert order_cols) "
+                        "or tighten the keys"
+                    )
+
+            bq_cols = [
+                f"{qprefix}_{code}"
+                for code, cl in plan.by_source
+                if cl.condition is not None
+            ]
+            uncond_bysrc = any(
+                cl.condition is None for _, cl in plan.by_source
+            )
+            qual = F.coalesce(F.col(km), F.lit(False))
+            if uncond_bysrc:
+                qual = qual | F.lit(True)
+            for c in bq_cols:
+                qual = qual | F.col(c)
+            hit_files = (
+                tgt.join(skeys, on=keys, how="left")
+                .filter(qual)
+                .select(fc)
+                .distinct()
+                .collect()
+            )
+            cand_hit = {self._rel_from_uri(r[0]) for r in hit_files}
+            candidates_touched = [f for f in snap.files if f in cand_hit]
+
+            if not candidates_touched and not plan.inserts:
+                return snap.version  # nothing matches, nothing to insert
+
+            # ---- join + clause resolution ------------------------------
+            if candidates_touched:
+                hit = self._read_files(
+                    spark, snap, candidates_touched, with_file_col=fc
+                )
+            else:
+                hit = self._read_snapshot(spark, snap).limit(0).withColumn(
+                    fc, F.lit(None).cast("string")
+                )
+            for name, expr in plan.target_markers():
+                hit = hit.withColumn(name, expr)
+            src = source
+            for name, expr in plan.source_markers():
+                src = src.withColumn(name, expr)
+            t, s = hit.alias("t"), src.alias("s")
+            jcond = None
+            for k in keys:
+                c = F.col(f"t.{k}") == F.col(f"s.{k}")
+                jcond = c if jcond is None else jcond & c
+            ac = self._fresh_col("_action", [*target_cols, *source.columns, fc])
+            joined = (
+                t.join(s, jcond, "full_outer")
+                .withColumn(ac, plan.action_col())
+                .persist()
+            )
+            action = F.col(ac)
+
+            # refine touched: only files holding a row a clause FIRED for
+            # are rewritten; candidate files whose rows all resolved to
+            # CARRY keep carrying by reference (their rows must then NOT
+            # be re-staged)
+            modified_t = (
+                action.isin(
+                    sorted(plan.update_codes() | plan.delete_codes())
+                )
+                & F.col(f"t.{t_mark}").isNotNull()
+            )
+            touched_uris = [
+                r[0]
+                for r in joined.filter(modified_t)
+                .select(F.col(f"t.{fc}"))
+                .distinct()
+                .collect()
+            ]
+            hit_rel = {self._rel_from_uri(u) for u in touched_uris}
+            touched = [f for f in snap.files if f in hit_rel]
+
+            nrow = self._fresh_col("_n", [ac])
+            counts = {
+                r[0]: r[1]
+                for r in joined.groupBy(ac)
+                .agg(F.count(F.lit(1)).alias(nrow))
+                .collect()
+            }
+            rows_updated = sum(
+                counts.get(c, 0) for c in plan.update_codes()
+            )
+            rows_deleted = sum(
+                counts.get(c, 0) for c in plan.delete_codes()
+            )
+            rows_inserted = sum(
+                counts.get(c, 0) for c in plan.insert_codes()
+            )
+            if not touched and rows_inserted == 0:
+                return snap.version  # every candidate row resolved CARRY
+
+            in_touched = F.col(f"t.{t_mark}").isNull()
+            if touched_uris:
+                in_touched = in_touched | F.col(f"t.{fc}").isin(touched_uris)
+            keep = joined.filter(plan.keep_filter(action) & in_touched)
+            post = keep.select(*plan.post_image_cols(action, keys), action.alias(ac))
+            gens = _generated_of(schema)
+            if gens:
+                modified = F.col(ac) != CARRY
+                post = post.select(
+                    *[
+                        (
+                            F.when(modified, F.expr(gexpr))
+                            .otherwise(F.col(f.name))
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            if (gexpr := gens.get(f.name)) is not None
+                            else F.col(f.name)
+                        )
+                        for f in schema.fields
+                    ],
+                    F.col(ac),
+                )
+            self._check_constraints(
+                post.filter(F.col(ac) != CARRY).drop(ac),
+                snap.constraints,
+            )
+            cdf_map = None
+            if self._cdf_enabled(snap):
+                upd = sorted(plan.update_codes())
+                dels = sorted(plan.delete_codes())
+                ins = sorted(plan.insert_codes())
+                cdf_map = {}
+                for name, df_ in (
+                    (
+                        "update_preimage",
+                        joined.filter(action.isin(upd)).select(
+                            *plan.pre_image_cols()
+                        ),
+                    ),
+                    (
+                        "update_postimage",
+                        post.filter(F.col(ac).isin(upd)).drop(ac),
+                    ),
+                    (
+                        "delete",
+                        joined.filter(action.isin(dels)).select(
+                            *plan.pre_image_cols()
+                        ),
+                    ),
+                    ("insert", post.filter(F.col(ac).isin(ins)).drop(ac)),
+                ):
+                    paths = self._stage_cdf(df_)
+                    if paths:
+                        cdf_map[name] = paths
+                cdf_map = cdf_map or None
+            files, fstats = self._stage_files(
+                post.drop(ac), write_schema=schema
+            )
+        finally:
+            if joined is not None:
+                joined.unpersist()
+            if ours:
+                source.unpersist()
+
+        pred_checks = [
+            self._predicate_read_check(cond, session_tz)
+            for cond in plan.by_source_predicates()
+            if cond is not None
+        ]
+
+        def read_check(added: list[str], cur: Snapshot) -> list[str]:
+            if uncond_bysrc:
+                return list(added)  # read set is the whole table
+            p2l = self._p2l_of(cur.schema_json)
+            bad = {
+                f
+                for f in added
+                if not (
+                    f in cur.file_stats
+                    and _keys_disjoint(
+                        src_bounds,
+                        self._stats_logical(cur.file_stats[f], p2l),
+                        keys,
+                        False,
+                    )
+                )
+            }
+            for chk in pred_checks:
+                rest = [f for f in added if f not in bad]
+                bad |= set(chk(rest, cur))
+            return [f for f in added if f in bad]
+
+        return self._commit_reconciled(
+            files,
+            touched,
+            schema,
+            "merge",
+            txn_id,
+            snap,
+            read_check=read_check,
+            precomputed_stats=fstats,
+            cdf=cdf_map,
+            metrics={
+                "clauses": [
+                    f"{cl.category}:{cl.action}" for cl in plan.clauses
+                ],
+                "rows_updated": rows_updated,
+                "rows_deleted": rows_deleted,
+                "rows_inserted": rows_inserted,
+                "files_rewritten": len(touched),
+                "files_carried": len(snap.files) - len(touched),
+                "files_stat_skipped": stat_skipped,
+            },
+        )
+
     def delete_matching(
         self,
         spark: SparkSession,
