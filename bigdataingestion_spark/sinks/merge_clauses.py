@@ -133,6 +133,10 @@ class MergePlan:
     target_cols: list[str]  # columns present in the CURRENT target files
     source_cols: list[str]
     generated: dict[str, str]  # lower-name -> expression
+    # lower-names of GENERATED AS IDENTITY columns: never assignable,
+    # never mapped from the source by SET * / INSERT * — inserts leave
+    # NULL for the table to allocate, updates carry the target value
+    identity: frozenset = frozenset()
     t_mark: str = "_t_present"
     s_mark: str = "_s_present"
     marker_prefix: str = "_q"
@@ -216,6 +220,12 @@ class MergePlan:
                         f"clause {code} assigns generated column {c!r} "
                         f"(= {self.generated[c.lower()]}); its value is "
                         "derived and recomputed automatically"
+                    )
+                if c.lower() in self.identity:
+                    raise MergeClauseError(
+                        f"clause {code} assigns identity column {c!r}; "
+                        "its values are table-allocated (inserted rows "
+                        "get fresh values automatically)"
                     )
         # UPDATE SET * / INSERT * need the source to actually carry
         # something; a fully-disjoint source makes them a silent no-op
@@ -345,6 +355,21 @@ class MergePlan:
         out = []
         for f_ in self.schema.fields:
             name, dt = f_.name, f_.dataType
+            if name.lower() in self.identity:
+                # identity is never source-mapped: updates/carries keep
+                # the target's value, inserts leave NULL for allocation
+                src_val = F.lit(None).cast(dt)
+                carry = self._t_ref(name, dt)
+                col = None
+                for code, _cl in self.inserts:
+                    col = (
+                        F.when(action == code, src_val)
+                        if col is None
+                        else col.when(action == code, src_val)
+                    )
+                final = carry if col is None else col.otherwise(carry)
+                out.append(final.cast(dt).alias(name))
+                continue
             carry = self._t_ref(name, dt)
             if name.lower() in key_lower and name.lower() in src_lower:
                 carry = F.coalesce(carry, F.col(f"s.{src_lower[name.lower()]}"))

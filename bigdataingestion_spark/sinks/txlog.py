@@ -91,7 +91,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    MapType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 _LOG_DIR = "_txlog"
@@ -107,6 +113,12 @@ class SchemaEvolutionError(ValueError):
 
 class ConstraintViolationError(ValueError):
     """A write contained rows failing a table CHECK constraint."""
+
+
+class IdentityColumnViolationError(ValueError):
+    """A write supplied values for a GENERATED ALWAYS AS IDENTITY column
+    (its values are table-allocated), or declared identity on a column
+    whose type/contents cannot carry it."""
 
 
 class GeneratedColumnViolationError(ValueError):
@@ -138,7 +150,8 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"deletionVectors", "externalFiles", "columnMapping"}
 )
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
-    {"changeDataFeed", "checkConstraints", "generatedColumns"}
+    {"changeDataFeed", "checkConstraints", "generatedColumns",
+     "identityColumns"}
 )
 
 
@@ -366,6 +379,28 @@ def _generated_of(schema: StructType | None) -> dict[str, str]:
         f.name: (f.metadata or {})[_GEN_KEY]
         for f in schema.fields
         if _GEN_KEY in (f.metadata or {})
+    }
+
+
+# field-metadata key declaring a column GENERATED AS IDENTITY (Delta's
+# delta.identity.* column metadata): {"start": int, "step": int,
+# "always": bool}. The allocation HIGH-WATER MARK deliberately lives in
+# the table PROPERTIES (``identity.hwm.<lower-name>``) rather than in
+# schema metadata as Delta stores it: the conflict checker already
+# treats a concurrent property change as a true conflict, so two
+# writers racing to allocate from the same mark can never both commit —
+# the loser re-allocates from the winner's mark. Schema-held marks would
+# need a bespoke metadata-aware conflict rule to get the same guarantee.
+_IDENT_KEY = "txlog.identityInfo"
+
+
+def _identity_of(schema: StructType | None) -> dict[str, dict]:
+    if schema is None:
+        return {}
+    return {
+        f.name: json.loads((f.metadata or {})[_IDENT_KEY])
+        for f in schema.fields
+        if _IDENT_KEY in (f.metadata or {})
     }
 
 
@@ -1054,6 +1089,8 @@ class TxLogTable:
             w_feat.add("checkConstraints")  # writers must validate rows
         if _generated_of(schema):
             w_feat.add("generatedColumns")  # writers must compute/validate
+        if _identity_of(schema):
+            w_feat.add("identityColumns")  # writers must allocate values
         if _schema_is_mapped(schema):
             # any commit carrying a mapped schema (incl. CLONE's fresh
             # log, which drops history and with it the source's feature
@@ -1253,6 +1290,7 @@ class TxLogTable:
         dv: dict | None = None,
         precomputed_stats: dict | None = None,
         cdf: dict | None = None,
+        properties: dict | None = None,
     ) -> int:
         """Commit with LOGICAL conflict reconciliation (Delta's
         ConflictChecker + commitLarge retry shape). The op's staging work —
@@ -1316,6 +1354,11 @@ class TxLogTable:
                     precomputed_stats=stats,
                     dv=dv,
                     cdf=cdf,
+                    # identity hwm updates ride the DML commit; safe under
+                    # reconciliation because _conflict_reason already
+                    # treats ANY concurrent property change (including a
+                    # winner's own hwm bump) as a true conflict
+                    properties=properties,
                 )
             except ConcurrentWriteError:
                 cur = self.snapshot()
@@ -1525,6 +1568,10 @@ class TxLogTable:
             md = dict(f.metadata or {})
             if _GEN_KEY in have:
                 md[_GEN_KEY] = have[_GEN_KEY]
+            if _IDENT_KEY in have:
+                # an overwrite must not silently strip the IDENTITY
+                # contract either (the mark keeps advancing in properties)
+                md[_IDENT_KEY] = have[_IDENT_KEY]
             if mapped:
                 md[_PHYS_KEY] = have.get(
                     _PHYS_KEY, f"col-{uuid.uuid4().hex[:12]}"
@@ -1738,6 +1785,276 @@ class TxLogTable:
             metrics={"column": name, "expr": expr},
             constraints=snap.constraints,
         )
+
+    def add_identity_column(
+        self,
+        spark: SparkSession,
+        name: str,
+        start: int = 1,
+        step: int = 1,
+        always: bool = True,
+    ) -> int:
+        """Declare ``name`` GENERATED AS IDENTITY (Delta's identity
+        columns): every subsequent write allocates unique BIGINT values
+        ``start, start+step, ...`` for rows that need them. With
+        ``always=True`` (GENERATED ALWAYS) a batch supplying the column
+        is refused; with ``always=False`` (BY DEFAULT) supplied non-NULL
+        values pass through and only NULLs are allocated — Delta's two
+        modes, with Delta's caveat that BY DEFAULT offers no collision
+        protection between supplied and allocated values.
+
+        Like Delta, allocated values are UNIQUE and move monotonically in
+        the step direction, but are NOT guaranteed consecutive or
+        gap-free across batches, and assignment order within a batch
+        follows its partitioning. The allocation high-water mark lives in
+        the ``identity.hwm.<name>`` table property (see ``_IDENT_KEY`` for
+        why properties, not schema metadata — the property conflict rule
+        is what makes two racing allocators physically unable to both
+        commit). RESTORE rewinds properties with everything else, so
+        values allocated after the restore point can repeat — Delta
+        documents the same hazard.
+
+        A NEW column can only be declared while the table is empty
+        (existing files would read it as NULL); declaring an EXISTING
+        BIGINT column sets the mark past its current extreme so future
+        allocations never collide with stored values."""
+        snap = self.snapshot()
+        self._check_writer_features(snap)
+        if snap is None:
+            raise ValueError(
+                f"{self.path} has no commits; create the table first"
+            )
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        names = {f.name.lower(): f for f in schema.fields}
+        if name.lower() in _identity_of(schema):
+            raise ValueError(f"{name!r} is already an identity column")
+        props = dict(snap.properties)
+        spec = {"start": int(start), "step": int(step), "always": bool(always)}
+        if name.lower() in {g.lower() for g in _generated_of(schema)}:
+            raise ValueError(
+                f"{name!r} is a generated column; a column cannot be "
+                "both generated and identity"
+            )
+        if name.lower() in names:
+            f = names[name.lower()]
+            if not isinstance(f.dataType, LongType):
+                raise IdentityColumnViolationError(
+                    f"identity column {f.name} must be BIGINT, got "
+                    f"{f.dataType.simpleString()}"
+                )
+            if snap.files:
+                agg = F.max(name) if step > 0 else F.min(name)
+                row = self._read_snapshot(spark, snap).agg(
+                    agg.alias("m"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(name).alias("nn"),
+                ).first()
+                if row["n"] != row["nn"]:
+                    raise IdentityColumnViolationError(
+                        f"column {f.name} holds NULLs; backfill before "
+                        "declaring it identity"
+                    )
+                if row["m"] is not None:
+                    props[f"identity.hwm.{name.lower()}"] = str(int(row["m"]))
+            fields = [
+                StructField(
+                    fl.name,
+                    fl.dataType,
+                    fl.nullable,
+                    {**(fl.metadata or {}), _IDENT_KEY: json.dumps(spec)},
+                )
+                if fl.name.lower() == name.lower()
+                else fl
+                for fl in schema.fields
+            ]
+        else:
+            if snap.files:
+                raise ValueError(
+                    f"cannot declare NEW identity column {name!r} on a "
+                    "non-empty table: existing files would read it as "
+                    "NULL — backfill via overwrite first, then declare"
+                )
+            md: dict = {_IDENT_KEY: json.dumps(spec)}
+            if _schema_is_mapped(schema):
+                md[_PHYS_KEY] = f"col-{uuid.uuid4().hex[:12]}"
+            fields = list(schema.fields) + [
+                StructField(name, LongType(), True, md)
+            ]
+        return self._commit(
+            [], [], StructType(fields), "add_identity_column", None,
+            snap.version,
+            partition_cols=list(snap.partition_cols) or None,
+            metrics={"column": name, **spec},
+            constraints=snap.constraints,
+            properties=props,
+            feature_delta={"writer": ["identityColumns"]},
+        )
+
+    def sync_identity(self, spark: SparkSession, name: str) -> int:
+        """Delta's ``ALTER TABLE ... SYNC IDENTITY``: move the allocation
+        mark past the column's current extreme — the repair for BY
+        DEFAULT tables where callers supplied values beyond the mark.
+        Metadata-only commit."""
+        snap = self.snapshot()
+        self._check_writer_features(snap)
+        idents = _identity_of(
+            StructType.fromJson(json.loads(snap.schema_json))
+        ) if snap else {}
+        spec = next(
+            (s for n, s in idents.items() if n.lower() == name.lower()), None
+        )
+        if spec is None:
+            raise ValueError(f"{name!r} is not an identity column")
+        props = dict(snap.properties)
+        hkey = f"identity.hwm.{name.lower()}"
+        if snap.files:
+            agg = F.max(name) if spec["step"] > 0 else F.min(name)
+            m = self._read_snapshot(spark, snap).agg(agg).first()[0]
+            if m is not None:
+                cur = props.get(hkey)
+                if cur is None or (
+                    int(m) > int(cur) if spec["step"] > 0 else int(m) < int(cur)
+                ):
+                    props[hkey] = str(int(m))
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        return self._commit(
+            [], [], schema, "sync_identity", None, snap.version,
+            partition_cols=list(snap.partition_cols) or None,
+            metrics={"column": name, "hwm": props.get(hkey)},
+            constraints=snap.constraints,
+            properties=props,
+        )
+
+    def _apply_identity(
+        self, df: DataFrame, snap: Snapshot | None
+    ) -> tuple[DataFrame, dict | None]:
+        """Enforce identity columns on an incoming batch: GENERATED
+        ALWAYS refuses supplied values; BY DEFAULT allocates only where
+        the batch left NULLs; an omitted column is allocated for every
+        row. Returns ``(df, updated_properties_or_None)`` — the caller
+        commits the returned properties so the high-water mark and the
+        rows land in ONE atomic commit."""
+        if snap is None:
+            return df, None
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        idents = _identity_of(schema)
+        if not idents:
+            return df, None
+        for name, spec in idents.items():
+            supplied = next(
+                (c for c in df.columns if c.lower() == name.lower()), None
+            )
+            if supplied is not None and spec["always"]:
+                raise IdentityColumnViolationError(
+                    f"column {name} is GENERATED ALWAYS AS IDENTITY; "
+                    "omit it from the batch (BY DEFAULT mode accepts "
+                    "supplied values)"
+                )
+            if supplied is None:
+                df = df.withColumn(name, F.lit(None).cast("long"))
+        return self._fill_identity_nulls(df, snap)
+
+    def _fill_identity_nulls(
+        self, df: DataFrame, snap: Snapshot
+    ) -> tuple[DataFrame, dict | None]:
+        """Allocate identity values into the NULL slots of ``df``'s
+        identity columns, advancing the table-property high-water mark.
+
+        Scale shape (all JVM-side, no Python in the row path): ``df``
+        must already be persisted (callers' validation persist) so its
+        partitioning is pinned. ONE count job collects O(partitions) row
+        counts; the driver turns them into per-partition slot offsets; a
+        broadcast join attaches each row's offset and the value is
+        ``next + step*(offset + local_row_index)``, with the partition id
+        and local index decomposed from ``monotonically_increasing_id``
+        (id = partitionIndex·2^33 + rowIndexInPartition) — no shuffle, no
+        driver-side row traffic, the same per-task-range shape Delta
+        allocates under one transactional mark. Each batch reserves one
+        slot per ROW (not per NULL), so BY DEFAULT batches with supplied
+        values leave gaps — Delta promises uniqueness and step direction,
+        never density, and this keeps the assignment a pure expression.
+        The committed mark is the extreme of (allocated range, supplied
+        values), so later allocations never collide with anything this
+        batch carried."""
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        idents = _identity_of(schema)
+        props = dict(snap.properties)
+        spark = df.sparkSession
+        changed = False
+        mask = (1 << 33) - 1
+        for name, spec in idents.items():
+            col = next(c for c in df.columns if c.lower() == name.lower())
+            start, step = int(spec["start"]), int(spec["step"])
+            hkey = f"identity.hwm.{name.lower()}"
+            hwm = props.get(hkey)
+            nxt = int(hwm) + step if hwm is not None else start
+            pid = self._fresh_col("_pid", df.columns)
+            per_part = {
+                int(r[0]): int(r[1])
+                for r in df.groupBy(
+                    F.spark_partition_id().alias(pid)
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_null = df.filter(F.col(col).isNull()).count()
+            sup_extreme = None
+            if not spec["always"]:
+                agg = F.max(col) if step > 0 else F.min(col)
+                sup_extreme = df.agg(agg).first()[0]
+            last = int(hwm) if hwm is not None else None
+            if n_null:
+                offsets, acc = [], 0
+                for p in sorted(per_part):
+                    offsets.append((p, acc))
+                    acc += per_part[p]
+                off = self._fresh_col("_off", [*df.columns, pid])
+                off_df = spark.createDataFrame(
+                    offsets, f"{pid} int, {off} long"
+                )
+                mid = self._fresh_col("_mid", [*df.columns, pid, off])
+                out = (
+                    df.withColumn(mid, F.monotonically_increasing_id())
+                    .withColumn(
+                        pid,
+                        F.shiftrightunsigned(F.col(mid), 33).cast("int"),
+                    )
+                    .join(F.broadcast(off_df), on=pid, how="left")
+                    .withColumn(
+                        col,
+                        F.coalesce(
+                            F.col(col),
+                            F.lit(nxt)
+                            + F.lit(step)
+                            * (
+                                F.coalesce(F.col(off), F.lit(0))
+                                + F.col(mid).bitwiseAND(F.lit(mask))
+                            ),
+                        ).cast("long"),
+                    )
+                )
+                df = out.select(*[c for c in out.columns if c not in (pid, mid, off)])
+                # the batch reserves acc slots; the furthest one is the mark
+                last_alloc = nxt + step * (acc - 1)
+                last = (
+                    last_alloc
+                    if last is None
+                    or (last_alloc > last if step > 0 else last_alloc < last)
+                    else last
+                )
+            new_hwm = last
+            if sup_extreme is not None:
+                se = int(sup_extreme)
+                if new_hwm is None or (
+                    se > new_hwm if step > 0 else se < new_hwm
+                ):
+                    new_hwm = se
+            if new_hwm is not None and (hwm is None or int(hwm) != new_hwm):
+                props[hkey] = str(new_hwm)
+                changed = True
+        return df, (props if changed else None)
 
     @staticmethod
     def _check_constraints(df: DataFrame, constraints) -> None:
@@ -2551,6 +2868,7 @@ class TxLogTable:
         df, cached, ours = self._persist_for_validation(df, snap)
         try:
             df = self._apply_generated(df, snap)
+            df, id_props = self._apply_identity(df, snap)
             self._check_constraints(df, snap.constraints if snap else ())
             schema = self._next_schema(snap, df, merge_schema)
             files, fstats = self._stage_files(df, write_schema=schema)
@@ -2559,9 +2877,12 @@ class TxLogTable:
                 cached.unpersist()
         # blind append: reads nothing, removes nothing — reconciles over
         # any concurrent commit short of a metadata/layout change
+        # (identity appends DO conflict with each other via id_props:
+        # both raced from one high-water mark, so only one may land)
         return self._commit_reconciled(
             files, [], schema, "append", txn_id, snap,
             precomputed_stats=fstats,
+            properties=id_props,
         )
 
     def _persist_for_validation(self, df: DataFrame, snap):
@@ -2575,12 +2896,17 @@ class TxLogTable:
         ``(df, unpersist_target, we_persisted)``; staging below the
         probes then reuses the cached rows, so validation and commit see
         the same data."""
-        needs = bool(snap) and bool(
-            snap.constraints
-            or _generated_of(
-                StructType.fromJson(json.loads(snap.schema_json))
+        if snap:
+            sch = StructType.fromJson(json.loads(snap.schema_json))
+            # identity allocation REQUIRES the pin, not just benefits
+            # from it: its slot math (count job, then assignment
+            # expression) is only collision-safe when both executions
+            # see identical partitions
+            needs = bool(
+                snap.constraints or _generated_of(sch) or _identity_of(sch)
             )
-        )
+        else:
+            needs = False
         ours = (
             needs
             and not df.storageLevel.useMemory
@@ -2600,6 +2926,9 @@ class TxLogTable:
         df, cached, ours = self._persist_for_validation(df, snap)
         try:
             df = self._apply_generated(df, snap)
+            # identity continues from the current mark across an
+            # overwrite (Delta: TRUNCATE/overwrite never resets identity)
+            df, id_props = self._apply_identity(df, snap)
             self._check_constraints(df, snap.constraints if snap else ())
             # an overwrite replaces the schema wholesale, but on a mapped
             # table same-named columns keep their physical identity (their
@@ -2615,7 +2944,9 @@ class TxLogTable:
                 self._carry_mapping(snap, df.schema)
                 if cur_schema is not None
                 and (
-                    _schema_is_mapped(cur_schema) or _generated_of(cur_schema)
+                    _schema_is_mapped(cur_schema)
+                    or _generated_of(cur_schema)
+                    or _identity_of(cur_schema)
                 )
                 else df.schema
             )
@@ -2637,6 +2968,7 @@ class TxLogTable:
             keep_own_schema=True,
             recompute_remove=lambda cur: list(cur.files) if cur else [],
             precomputed_stats=fstats,
+            properties=id_props,
         )
 
     def commit_files(
@@ -2711,6 +3043,20 @@ class TxLogTable:
                         "diverged physical names; externally staged "
                         "files (logical-named columns) cannot be "
                         "registered — write via append/merge_upsert"
+                    )
+                if _identity_of(sch):
+                    # identity allocation happens in the DataFrame write
+                    # path; files staged outside it carry whatever the
+                    # external plane wrote (NULLs, or values that ignore
+                    # the high-water mark) — registering them would break
+                    # the uniqueness contract silently. Checked inside
+                    # the retry loop: a concurrent add_identity_column
+                    # must not slip between a pre-check and the commit.
+                    self._drop_files(add)
+                    raise IdentityColumnViolationError(
+                        f"table {self.path} declares identity column(s) "
+                        f"{sorted(_identity_of(sch))}; externally staged "
+                        "files bypass allocation — write via append"
                     )
             if forbid_constraints and snap and snap.constraints:
                 raise ConstraintViolationError(
@@ -3031,6 +3377,18 @@ class TxLogTable:
         if txn_id is not None and snap and txn_id in snap.txn_ids:
             return snap.version
         self._require_flat(snap)
+        if snap is not None and _identity_of(
+            StructType.fromJson(json.loads(snap.schema_json))
+        ):
+            # whole-row replacement cannot preserve the target's
+            # allocated values NOR allocate for inserts; the clause-based
+            # merge() treats identity correctly (carried on update,
+            # allocated on insert)
+            raise IdentityColumnViolationError(
+                f"table {self.path} declares identity column(s); use "
+                "merge(clauses=[when_matched_update(), "
+                "when_not_matched_insert()]) instead of merge_upsert"
+            )
         # the merge consumes `source` several times (stats agg, finding
         # semi-join, the merge itself, constraint + GENERATED probes);
         # persist so an expensive upstream plan is computed once —
@@ -3313,6 +3671,9 @@ class TxLogTable:
             generated={
                 k.lower(): v for k, v in _generated_of(schema).items()
             },
+            identity=frozenset(
+                k.lower() for k in _identity_of(schema)
+            ),
         )
         # fresh marker names: any user column sharing a prefix would be
         # silently replaced by withColumn
@@ -3511,6 +3872,11 @@ class TxLogTable:
                     ],
                     F.col(ac),
                 )
+            id_props = None
+            if _identity_of(schema):
+                # inserted rows carry NULL identity (plan contract);
+                # allocate BEFORE constraints/CDF so both see final rows
+                post, id_props = self._fill_identity_nulls(post, snap)
             self._check_constraints(
                 post.filter(F.col(ac) != CARRY).drop(ac),
                 snap.constraints,
@@ -3591,6 +3957,7 @@ class TxLogTable:
             read_check=read_check,
             precomputed_stats=fstats,
             cdf=cdf_map,
+            properties=id_props,
             metrics={
                 "clauses": [
                     f"{cl.category}:{cl.action}" for cl in plan.clauses
@@ -4913,16 +5280,19 @@ class TxLogTable:
             df = df.persist()
         cached = df  # unpersist target: _apply_generated rebinds
         df = self._apply_generated(df, snap)
+        df, id_props = self._apply_identity(df, snap)
         try:
             return self._replace_where_impl(
-                spark, df, pred, predicate, snap, txn_id, validate
+                spark, df, pred, predicate, snap, txn_id, validate,
+                id_props,
             )
         finally:
             if ours:
                 cached.unpersist()
 
     def _replace_where_impl(
-        self, spark, df, pred, predicate, snap, txn_id, validate
+        self, spark, df, pred, predicate, snap, txn_id, validate,
+        id_props=None,
     ) -> int:
         if validate:
             bad = df.filter(~pred).limit(1).collect()
@@ -4982,6 +5352,7 @@ class TxLogTable:
             ),
             precomputed_stats=fstats,
             cdf=cdf_map or None,
+            properties=id_props,
             metrics={
                 "predicate": predicate,
                 "files_rewritten": len(touched),
