@@ -4974,6 +4974,236 @@ def txlog_update_recompute(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_merge_conditional",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice * 1.1 AS p_new
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    resolved AS (
+      SELECT
+        CASE WHEN s.o_orderkey IS NULL AND o.o_totalprice < 1000
+             THEN 'X' ELSE o.o_orderstatus END AS o_orderstatus,
+        CASE WHEN s.o_orderkey IS NOT NULL AND s.p_new > 200000
+             THEN s.p_new ELSE o.o_totalprice END AS price,
+        CASE WHEN s.o_orderkey IS NOT NULL AND s.p_new <= 200000
+             THEN 1 ELSE 0 END AS dropped
+      FROM orders o LEFT JOIN src s USING (o_orderkey)
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(price), 2) AS total_price
+    FROM resolved WHERE dropped = 0 GROUP BY o_orderstatus
+    """,
+)
+def txlog_merge_conditional(spark, sf_dir):
+    """[EXT] Conditional MERGE (r9, sinks/txlog.py Table.merge): land
+    orders into a transactional table, then ONE merge applies three
+    clause categories — WHEN MATCHED UPDATE takes the repriced feed only
+    above a threshold, the remaining matched rows fall through to WHEN
+    MATCHED DELETE, and WHEN NOT MATCHED BY SOURCE UPDATE expires cheap
+    rows the feed stopped mentioning. Only files a clause actually
+    fired for are rewritten (stats-pruned finding scan). The oracle
+    resolves the same clauses relationally over the raw fixture."""
+    from bigdataingestion_spark.sinks.merge_clauses import (
+        when_matched_delete,
+        when_matched_update,
+        when_not_matched_by_source_update,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = _fresh_txlog()
+    t.append(orders)
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 1.1).alias("p_new")
+    )
+    t.merge(
+        spark,
+        src,
+        ["o_orderkey"],
+        [
+            when_matched_update(
+                set={"o_totalprice": "s.p_new"},
+                condition="s.p_new > 200000",
+            ),
+            when_matched_delete(),
+            when_not_matched_by_source_update(
+                set={"o_orderstatus": "'X'"},
+                condition="o_totalprice < 1000",
+            ),
+        ],
+    )
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "txlog_identity_assign",
+    """
+    WITH n AS (SELECT count(*) AS c FROM customer)
+    SELECT CAST(c AS BIGINT) AS n_rows,
+           CAST(c AS BIGINT) AS n_ids,
+           CAST(1 AS BIGINT) AS min_id,
+           CAST(c AS BIGINT) AS max_id,
+           CAST(c * (c + 1) / 2 AS BIGINT) AS id_sum
+    FROM n
+    """,
+)
+def txlog_identity_assign(spark, sf_dir):
+    """[EXT] Identity columns (r9): row_id is GENERATED ALWAYS AS
+    IDENTITY; two appends allocate table-owned unique BIGINTs entirely
+    JVM-side (per-partition slot ranges under one transactional
+    high-water mark — no shuffle, no driver row traffic). Which row got
+    which id is partition-dependent by contract, but the allocated SET
+    is exactly 1..N across the two batches, so the count/min/max/sum
+    profile is deterministic — precisely the invariant the oracle states
+    in closed form."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    t = _fresh_txlog()
+    t.append(
+        cust.limit(0).select(
+            F.col("c_custkey").cast("long").alias("row_id"), "c_name"
+        )
+    )
+    t.add_identity_column(spark, "row_id")
+    half = cust.agg(F.expr("percentile(c_custkey, 0.5)")).first()[0]
+    t.append(cust.filter(F.col("c_custkey") <= half).select("c_name"))
+    t.append(cust.filter(F.col("c_custkey") > half).select("c_name"))
+    return t.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_ids"),
+        F.min("row_id").alias("min_id"),
+        F.max("row_id").alias("max_id"),
+        F.sum("row_id").alias("id_sum"),
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    # the k-means-lite CTEs mirror _kmeans_cells_sql exactly (same
+    # seeding, one Lloyd iteration, same tie-breaks); drops then removes
+    # every vector with a lower-id cluster mate at cosine >= 0.3
+    return """
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+               AS cell_id,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 4
+    ),
+    a0 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, s.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], s.cv) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(s.cv, s.cv))) DESC, s.cell_id) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT a0.cell_id, CAST(t.pos AS INT) AS pos,
+             e.embedding[CAST(t.pos + 1 AS INT)]::DOUBLE AS v
+      FROM embeddings e JOIN a0 USING (vec_id),
+           UNNEST(range(len(e.embedding))) AS t(pos)
+    ),
+    cent AS (
+      SELECT cell_id, list(c ORDER BY pos) AS cv FROM (
+        SELECT cell_id, pos, round(avg(v), 6) AS c
+        FROM comp GROUP BY cell_id, pos
+      ) GROUP BY cell_id
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cell_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.cv, c.cv))) AS s
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS did
+      FROM assigned a
+      JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(
+        list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+        (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+         sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+        6) >= 0.3
+    )
+    SELECT s.vec_id, CAST(s.cell_id AS INT) AS cell_id
+    FROM assigned s WHERE s.vec_id NOT IN (SELECT did FROM drops)
+    """
+
+
+@register("embedding_semantic_dedup", _semantic_dedup_sql())
+def embedding_semantic_dedup(spark, sf_dir):
+    """[EXT] SemDeDup semantic deduplication (r9, public
+    arXiv:2303.09540): k-means-lite clusters the embedding space, the
+    quadratic cosine join runs WITHIN cells only (pair cost sum of
+    |cell|^2, never N^2 — the paper's web-scale trick), and every
+    vector with a lower-id cluster mate at cosine >= 0.3 is dropped
+    (min-id survivor, a pure function of the data). Returns the
+    survivors with their cell; the oracle replays clustering, assignment
+    and the drop rule in SQL (operators.similarity.semantic_dedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, n_cells=4, threshold=0.3)
+    return out.select(
+        "vec_id", F.col("cell_id").cast("int").alias("cell_id")
+    )
+
+
+@register(
+    "docs_duplicate_spans",
+    """
+    WITH spans AS (
+      SELECT DISTINCT doc_id,
+             md5(substr(text, CAST(p AS INT) + 1, 40)) AS h
+      FROM documents,
+           UNNEST(range(0, greatest(length(text) - 40 + 1, 0), 10)) AS t(p)
+      WHERE length(text) >= 40
+    ),
+    keep AS (
+      SELECT h FROM spans GROUP BY h
+      HAVING count(*) BETWEEN 2 AND 64
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_spans
+    FROM spans a
+    JOIN keep USING (h)
+    JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def docs_duplicate_spans(spark, sf_dir):
+    """[EXT] Exact-substring duplicate pairs (r9, the ExactSubstr shape
+    of public arXiv:2107.06499): stride-aligned 40-char windows, md5 as
+    the 16-byte shuffle key, boilerplate carve-out above 64 docs per
+    span — catches a verbatim paragraph pasted between otherwise
+    unrelated documents, which whole-document Jaccard dilutes away
+    (operators.text.duplicate_spans)."""
+    return text.duplicate_spans(
+        _t(spark, sf_dir, "documents"),
+        span_len=40,
+        stride=10,
+        max_docs_per_span=64,
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
@@ -4984,70 +5214,69 @@ def txlog_update_recompute(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # Round-8 window (VERDICT r7 item 1). Evidence ages entering r8:
-    # 50 @ r7, 50 @ r6, 30 @ r5, and exactly one query with no driver
-    # evidence at all (q17_small_quantity_revenue, added in r7).
-    # Queries NEW this round lead (standing policy: zero evidence
-    # first): the nested-rename and generated-recompute lake queries.
-    # Then q17, then the full 30-query r5 cohort (the ingest_* parity
-    # family and the q1/q3/q5 headliners), then the 17 head entries of
-    # the r6 window (oldest pre-r6 evidence). After a green r8 gate no
-    # query's driver evidence is older than r6.
-    "txlog_nested_rename",
-    "txlog_update_recompute",
-    "q17_small_quantity_revenue",
-    # --- 30 r5-evidence queries ---
-    "corpus_token_frequency",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_near_clusters",
-    "doc_fingerprints",
-    "docs_chunked",
-    "docs_contamination",
-    "embedding_cosine_topk",
-    "embedding_cosine_topk_arrow",
-    "events_multires_rollup",
-    "events_value_percentiles",
-    "ingest_chunk_profile",
-    "ingest_config_union",
-    "ingest_distinct_years",
-    "ingest_months_below_limit",
-    "ingest_next_surrogate_key",
-    "ingest_watermark_filter_count",
-    "ingest_watermark_next",
-    "ingest_years_above_limit",
-    "minhash_signatures",
-    "multimodal_meta",
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "simhash64",
-    "small_quantity_revenue",
-    "top_customers_by_spend",
-    "top_parts_by_revenue",
-    # --- 17 head entries of the r6 window ---
-    "customer_order_moving_avg",
-    "customer_order_timeline",
-    "customer_top_order",
-    "docs_repetition_stats",
-    "docs_source_mix_weights",
-    "docs_stratified_sample",
-    "docs_train_test_split",
-    "embedding_knn_vote",
-    "embedding_label_centroids",
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "event_type_daily",
-    "lineitem_cube_stats",
-    "part_best_supplier",
-    "q10_returned_items",
-    "q11_major_part_types",
-    "q13_customer_order_distribution",
-    # Exactly 50 names. r9 queue: q14/q16 (displaced by the two new r8
-    # queries) + the remaining 31 r6-window entries
-    # (q18..docs_bigram_quality) + the oldest r7 entries.
+    # Round-9 window. Evidence ages entering r9: 50 @ r8 (the r5 cohort
+    # + q17 + the two r8 lake queries + 17 r6-head entries), 33 r6
+    # remnants (q14/q16 + q18..docs_bigram_quality), 50 @ r7. Queries
+    # NEW this round lead (standing policy: zero evidence first): the
+    # conditional-merge and identity lake queries, SemDeDup, and
+    # exact-substring spans. Then the full 33-query r6 remnant, then the
+    # 13 head entries of the r7 window. After a green r9 gate no query's
+    # driver evidence is older than r7.
+    "txlog_merge_conditional",
+    "txlog_identity_assign",
+    "embedding_semantic_dedup",
+    "docs_duplicate_spans",
+    # --- 33 remaining r6-window entries ---
+    "q14_promo_revenue",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_customers",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "similar_part_names",
+    "streaming_hourly_counts",
+    "user_funnel_set_ops",
+    "user_purchase_error_overlap",
+    "streaming_user_sessions",
+    "minhash_lsh_pairs",
+    "minhash_incremental_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "asof_last_purchase",
+    "training_data_pipeline",
+    "text_quality_stats",
+    "lang_histogram",
+    "user_sessions",
+    "user_sessions_native",
+    "multimodal_features",
+    "events_latest_state",
+    "events_range_pairs",
+    "events_hourly_gapfill",
+    "events_retention_cohorts",
+    "events_window_funnel",
+    "customer_cohort_ltv",
+    "docs_bigram_quality",
+    # --- 13 head entries of the r7 window ---
+    "txlog_backfill_replace",
+    "txlog_rename_migration",
+    "txlog_dv_point_delete",
+    "txlog_cdf_audit",
+    "txlog_generated_bucket",
+    "docs_boilerplate_ngrams",
+    "docs_length_profile",
+    "docs_pack_sequences",
+    "docs_pii_redacted",
+    "docs_temperature_sample",
+    "docs_tfidf_top_terms",
+    "docs_vocab_coverage",
+    "docs_weighted_sample",
+    # Exactly 50 names. r10 queue: the 37 remaining r7-window entries
+    # (embedding_quantize_int8..lineitem_rollup_by_year_month) + the 13
+    # oldest r8 entries.
 ]
 
 

@@ -553,3 +553,48 @@ def pq_topk(
         )
     )
     return scored.orderBy(F.desc("pq_sim"), F.col(id_col)).limit(k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_cells: int = 4,
+    threshold: float = 0.95,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv:2303.09540): cluster the embeddings
+    with the deterministic k-means-lite coarse quantizer, then within
+    each cluster drop every vector whose cosine to a LOWER-ID cluster
+    mate reaches ``threshold``. The min-id survivor rule makes the
+    result a pure function of the data (no iteration order), the same
+    policy :func:`bigdataingestion_spark.operators.dedup.dedup_exact`
+    uses, and cheaper than the paper's keep-farthest-from-centroid
+    variant while equally valid (the paper reports the keep-choice
+    barely matters).
+
+    Scale shape — the entire point of the clustering: the quadratic
+    similarity join runs WITHIN cells only (shuffle on cell_id; pair
+    cost is sum over cells of |cell|^2, never N^2), exactly how the
+    paper makes web-scale feasible, with n_cells chosen so cells stay
+    bounded (they use 50k clusters for LAION). Cosines are rounded to
+    6 decimals before the threshold compare so engine summation-order
+    noise cannot flip a keep/drop decision.
+
+    Returns the SURVIVOR rows ``(id, cell_id)`` — anti-join the input
+    on ``id`` to materialize the dropped set.
+    """
+    cents = kmeans_lite_centroids(df, n_cells, lloyd_iters, vec_col, id_col)
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    vecs = df.select(id_col, vec_col).join(assigned, id_col)
+    dropped = (
+        pairwise_cosine_blocked(
+            vecs, block_col="cell_id", threshold=threshold,
+            vec_col=vec_col, id_col=id_col,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell_id")

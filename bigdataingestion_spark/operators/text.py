@@ -584,3 +584,64 @@ def weighted_sample(
         .limit(k)
         .drop("_es_key")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_len: int = 40,
+    stride: int = 10,
+    max_docs_per_span: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate detection between documents — the
+    stride-aligned approximation of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", public arXiv:2107.06499,
+    their ExactSubstr/suffix-array pass): every ``span_len``-char window
+    at ``stride`` offsets is extracted, and two documents sharing ANY
+    identical window are reported with how many they share. Unlike
+    n-gram Jaccard (a whole-document similarity), this catches a single
+    verbatim paragraph pasted into an otherwise-unrelated document —
+    the contamination shape shingle-set similarity dilutes away.
+
+    Scale shape: the shuffle key is the 16-byte md5 of the span, never
+    the span text (same policy as ``dedup.dedup_exact``), so shuffle
+    width is flat in span length; the pair join runs per span-group
+    only. Spans shared by more than ``max_docs_per_span`` documents are
+    boilerplate (headers, licenses) — pairing them is quadratic noise,
+    so they are excluded, exactly the super-common-substring carve-out
+    of the paper; lower the cap at larger corpus scales or feed those
+    spans to ``boilerplate_ngrams`` instead.
+
+    Returns ``(id_a, id_b, n_spans)`` with ``id_a < id_b``.
+    """
+    spans = (
+        df.filter(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, length({text_col}) - {span_len},"
+                    f" {stride}), p -> substring({text_col}, p + 1,"
+                    f" {span_len}))"
+                )
+            ).alias("_span"),
+        )
+        .select(F.col(id_col), F.md5(F.col("_span")).alias("_h"))
+        .distinct()  # a span repeated inside one doc counts once per pair
+    )
+    keep = (
+        spans.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs_per_span))
+        .select("_h")
+    )
+    hits = spans.join(keep, "_h")
+    a = hits.select(F.col("_h"), F.col(id_col).alias("id_a"))
+    b = hits.select(F.col("_h"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )

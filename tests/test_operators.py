@@ -755,3 +755,92 @@ def test_cooccurrence_edges_symmetric_and_repartition_invariant(spark):
         ).collect()
     }
     assert shuffled == base
+
+
+# ---------------------------------------------------------------- r9 ops --
+
+
+def test_semantic_dedup_min_id_survivor_rule(spark):
+    """Single cell = the exact (unclustered) drop rule: each near-dup
+    group keeps its lowest id, loners survive. With more cells the same
+    rule applies per cell and a pair split across cells is simply not
+    compared — the recall/cost trade clustering buys (asserted only as
+    'never drops MORE than the exact rule')."""
+    from bigdataingestion_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~1.0 cosine with id=1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # ~1.0 cosine with id=3
+        (5, [0.0, 0.0, 1.0]),      # loner
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = similarity.semantic_dedup(emb, n_cells=1, threshold=0.9)
+    assert sorted(r["vec_id"] for r in exact.collect()) == [1, 3, 5]
+    clustered = similarity.semantic_dedup(emb, n_cells=3, threshold=0.9)
+    kept = {r["vec_id"] for r in clustered.collect()}
+    assert {1, 3, 5} <= kept  # never drops a row the exact rule keeps
+
+
+def test_semantic_dedup_no_dups_keeps_everything(spark):
+    from bigdataingestion_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.semantic_dedup(emb, n_cells=2, threshold=0.9)
+    assert out.count() == 3
+
+
+def test_duplicate_spans_finds_pasted_paragraph(spark):
+    from bigdataingestion_spark.operators import text as t
+
+    para = "x" * 5 + "the quick brown fox jumps over the lazy dog " * 2
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa " * 30 + para),
+            (2, para + " bbb " * 30),
+            (3, "totally unrelated content here " * 10),
+        ],
+        ["doc_id", "text"],
+    )
+    out = t.duplicate_spans(docs, span_len=40, stride=10)
+    pairs = {(r["id_a"], r["id_b"]): r["n_spans"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
+def test_duplicate_spans_boilerplate_cap_excludes_common_spans(spark):
+    """A span shared by MORE than the cap is boilerplate: excluded from
+    pairing instead of exploding quadratically."""
+    from bigdataingestion_spark.operators import text as t
+
+    boiler = "standard license header all documents carry " * 2
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique tail {i} " * 5) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    capped = t.duplicate_spans(docs, span_len=40, stride=10,
+                               max_docs_per_span=3)
+    uncapped = t.duplicate_spans(docs, span_len=40, stride=10,
+                                 max_docs_per_span=64)
+    # all 6 docs share the header: 15 pairs uncapped, none under the cap
+    assert uncapped.count() == 15
+    assert capped.count() == 0
+
+
+def test_duplicate_spans_within_doc_repeat_counts_once(spark):
+    from bigdataingestion_spark.operators import text as t
+
+    span = "abcdefghij" * 4  # exactly 40 chars
+    docs = spark.createDataFrame(
+        [(1, span + span), (2, span)], ["doc_id", "text"]
+    )
+    out = t.duplicate_spans(docs, span_len=40, stride=40)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_spans"] == 1  # doc 1's internal repeat not double-counted
