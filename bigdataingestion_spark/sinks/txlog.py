@@ -5101,6 +5101,13 @@ class TxLogTable:
         # conservative, never silently divergent). The dependency check
         # is a word-match on the stored SQL text, the same conservative
         # shape rename_column uses for constraints.
+        for iname in _identity_of(schema):
+            if iname.lower() in assigns:
+                raise IdentityColumnViolationError(
+                    f"cannot UPDATE SET identity column {iname}: its "
+                    "values are table-allocated and reassignment would "
+                    "break the uniqueness contract"
+                )
         recompute_gens: dict[str, str] = {}  # lower name -> expression
         for gname, gexpr in _generated_of(schema).items():
             if gname.lower() in assigns:

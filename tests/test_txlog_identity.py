@@ -230,3 +230,29 @@ def test_writer_feature_recorded(spark, tmp_path):
     assert any("identityColumns" in w for w in feats)
     t.append(spark.createDataFrame([("a",)], ["v"]))
     assert "identityColumns" in t.history()[-1]["features"]["writer"]
+
+
+def test_update_refuses_identity_assignment(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    t.append(spark.createDataFrame([("a",)], ["v"]))
+    with pytest.raises(IdentityColumnViolationError, match="UPDATE SET"):
+        t.update(spark, "v = 'a'", {"id": "99"})
+    # updating OTHER columns on an identity table stays fine
+    t.update(spark, "v = 'a'", {"v": "'A'"})
+    assert [r["v"] for r in t.read(spark).collect()] == ["A"]
+
+
+def test_replace_where_allocates_for_inserted_rows(spark, tmp_path):
+    t = _fresh(spark, tmp_path)
+    t.append(
+        spark.createDataFrame([("keep",), ("swap",)], ["v"])
+    )
+    hwm0 = int(t.snapshot().properties["identity.hwm.id"])
+    t.replace_where(
+        spark,
+        spark.createDataFrame([("swapped",)], ["v"]),
+        "v like 'swap%'",
+    )
+    got = {r["v"]: r["id"] for r in t.read(spark).collect()}
+    assert got["swapped"] > hwm0  # fresh allocation, kept row untouched
+    assert len(set(got.values())) == 2
