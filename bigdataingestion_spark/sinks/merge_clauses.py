@@ -189,15 +189,24 @@ class MergePlan:
     def _check_scoping(self) -> None:
         import re
 
+        def bare(cond: str) -> str:
+            # the alias check must not fire on 't.'/'s.' INSIDE string
+            # literals ("url != 'http://t.co'"); blank them first
+            return re.sub(r"'[^']*'", "''", cond)
+
         for code, cl in self.inserts:
-            if cl.condition and re.search(r"\bt\s*\.", cl.condition):
+            if cl.condition and re.search(
+                r"\bt\s*\.", bare(cl.condition), re.IGNORECASE
+            ):
                 raise MergeClauseError(
                     f"not_matched condition ({cl.condition!r}) references "
                     "t.<col>: insert conditions see only the source row "
                     "and use bare source column names"
                 )
         for code, cl in self.by_source:
-            if cl.condition and re.search(r"\bs\s*\.", cl.condition):
+            if cl.condition and re.search(
+                r"\bs\s*\.", bare(cl.condition), re.IGNORECASE
+            ):
                 raise MergeClauseError(
                     f"by_source condition ({cl.condition!r}) references "
                     "s.<col>: by-source clauses see only the target row "
@@ -229,10 +238,14 @@ class MergePlan:
                     )
         # UPDATE SET * / INSERT * need the source to actually carry
         # something; a fully-disjoint source makes them a silent no-op
-        # masquerading as an update — refuse early.
+        # masquerading as an update — refuse early. (Delete clauses also
+        # carry assignments=None but never map columns — exempt.)
         if not src & {f.name.lower() for f in self.schema.fields}:
             for code, cl in [*self.matched, *self.inserts]:
-                if cl.assignments is None:
+                if cl.assignments is None and cl.action in (
+                    "update",
+                    "insert",
+                ):
                     raise MergeClauseError(
                         f"clause {code} uses SET */INSERT * but no source "
                         "column matches a table column"

@@ -1718,6 +1718,23 @@ class TxLogTable:
                 "derive from another generated column (Delta's rule) — "
                 "inline the referenced expression instead"
             )
+        # ... nor from an IDENTITY column: every write path computes
+        # generated columns BEFORE identity allocation, so the
+        # expression would read the pre-allocation NULL slots and commit
+        # values that contradict the declared derivation
+        id_refs = [
+            i
+            for i in _identity_of(schema)
+            if re.search(rf"\b{re.escape(i)}\b", expr, re.IGNORECASE)
+        ]
+        if id_refs:
+            raise ValueError(
+                f"generation expression ({expr}) references identity "
+                f"column(s) {sorted(id_refs)}; identity values are "
+                "allocated after generation expressions evaluate, so the "
+                "derivation cannot hold — derive from a caller-supplied "
+                "column instead"
+            )
         # ... and the REVERSE direction: declaring an EXISTING column
         # generated while some other generated expression already reads
         # it would create the same chain through the back door
@@ -1836,6 +1853,20 @@ class TxLogTable:
             raise ValueError(
                 f"{name!r} is a generated column; a column cannot be "
                 "both generated and identity"
+            )
+        # reverse of add_generated_column's identity check: a generated
+        # expression already reading this column would evaluate against
+        # pre-allocation NULLs on every future write
+        readers = [
+            g
+            for g, gexpr in _generated_of(schema).items()
+            if re.search(rf"\b{re.escape(name)}\b", gexpr, re.IGNORECASE)
+        ]
+        if readers:
+            raise ValueError(
+                f"generated column(s) {sorted(readers)} derive from "
+                f"{name!r}; declaring it identity would make their "
+                "expressions read pre-allocation NULLs (refused)"
             )
         if name.lower() in names:
             f = names[name.lower()]
@@ -1991,19 +2022,25 @@ class TxLogTable:
             hwm = props.get(hkey)
             nxt = int(hwm) + step if hwm is not None else start
             pid = self._fresh_col("_pid", df.columns)
-            per_part = {
-                int(r[0]): int(r[1])
-                for r in df.groupBy(
-                    F.spark_partition_id().alias(pid)
+            # ONE job per column: per-partition row counts (slot
+            # offsets), null counts, and the supplied extreme all come
+            # from the same O(partitions) aggregation
+            part_rows = (
+                df.groupBy(F.spark_partition_id().alias(pid))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col(col).isNull().cast("long")).alias("nn"),
+                    (F.max(col) if step > 0 else F.min(col)).alias("ex"),
                 )
-                .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
-            }
-            n_null = df.filter(F.col(col).isNull()).count()
+            )
+            per_part = {int(r[pid]): int(r["n"]) for r in part_rows}
+            n_null = sum(int(r["nn"]) for r in part_rows)
             sup_extreme = None
             if not spec["always"]:
-                agg = F.max(col) if step > 0 else F.min(col)
-                sup_extreme = df.agg(agg).first()[0]
+                vals = [r["ex"] for r in part_rows if r["ex"] is not None]
+                if vals:
+                    sup_extreme = max(vals) if step > 0 else min(vals)
             last = int(hwm) if hwm is not None else None
             if n_null:
                 offsets, acc = [], 0
@@ -3134,9 +3171,15 @@ class TxLogTable:
                 "encode physical names in paths); overwrite_partitions "
                 "is unavailable"
             )
-        df = self._apply_generated(df, snap)
-        self._check_constraints(df, snap.constraints if snap else ())
-        files, fstats = self._stage_files(df, partition_cols)
+        df, cached, ours = self._persist_for_validation(df, snap)
+        try:
+            df = self._apply_generated(df, snap)
+            df, id_props = self._apply_identity(df, snap)
+            self._check_constraints(df, snap.constraints if snap else ())
+            files, fstats = self._stage_files(df, partition_cols)
+        finally:
+            if ours:
+                cached.unpersist()
         touched = {os.path.dirname(f) for f in files}
         remove = (
             [f for f in snap.files if os.path.dirname(f) in touched]
@@ -3163,6 +3206,7 @@ class TxLogTable:
                 if os.path.dirname(f) in touched
             ],
             precomputed_stats=fstats,
+            properties=id_props,
         )
 
     def _source_key_bounds(self, source: DataFrame, keys: list[str]) -> dict:
@@ -3735,8 +3779,14 @@ class TxLogTable:
                 source.select(*keys).distinct().withColumn(km, F.lit(True))
             )
             # cardinality guard BEFORE resolution: >1 source row per
-            # matched target key makes update/delete ambiguous
-            if plan.matched:
+            # matched target key makes update/delete ambiguous — and
+            # with BY SOURCE clauses present the guard must run even
+            # without matched clauses: a by-source rewrite re-stages
+            # matched rows as CARRY, and the full-outer fan-out would
+            # silently DUPLICATE them (insert-only merges are exempt:
+            # carry rows are never re-staged there, and Delta inserts
+            # duplicate source keys by design)
+            if plan.matched or plan.by_source:
                 nsrc = self._fresh_col("_n", [*keys, *source.columns])
                 dup_keys = (
                     source.groupBy(*keys)

@@ -1,0 +1,159 @@
+"""Regressions for the round-9 adversarial review findings on the new
+conditional-MERGE and identity-column subsystems."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+from bigdataingestion_spark.sinks.merge_clauses import (
+    MergeCardinalityError,
+    MergeClauseError,
+    MergePlan,
+    when_matched_delete,
+    when_matched_update,
+    when_not_matched_by_source_delete,
+    when_not_matched_insert,
+)
+from bigdataingestion_spark.sinks.txlog import (
+    IdentityColumnViolationError,
+    TxLogTable,
+)
+
+
+def test_dup_source_keys_with_by_source_clause_refused(spark, tmp_path):
+    """Finding 1: a by-source rewrite re-stages matched rows as CARRY;
+    with duplicate source keys the full-outer fan-out would silently
+    DUPLICATE them — the cardinality guard must fire even without
+    matched clauses."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).coalesce(1)
+    )
+    src = spark.createDataFrame([(1, "x"), (1, "y")], ["id", "v"])
+    with pytest.raises(MergeCardinalityError):
+        t.merge(
+            spark, src, ["id"],
+            [when_not_matched_by_source_delete()],
+        )
+    # table unchanged — and in particular NOT duplicated
+    assert t.read(spark).count() == 2
+    # insert-only merges stay exempt (carry rows are never re-staged;
+    # duplicate source keys insert, Delta's contract)
+    src2 = spark.createDataFrame([(9, "x"), (9, "y")], ["id", "v"])
+    t.merge(spark, src2, ["id"], [when_not_matched_insert()])
+    assert t.read(spark).count() == 4
+
+
+def test_overwrite_partitions_enforces_identity(spark, tmp_path):
+    """Finding 2: the partitioned write path allocates and refuses
+    exactly like the flat paths."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "rid bigint, v string, p string"))
+    t.add_identity_column(spark, "rid")
+    t.overwrite_partitions(
+        spark.createDataFrame([("a", "x"), ("b", "y")], ["v", "p"]),
+        ["p"],
+    )
+    ids = [r["rid"] for r in t.read(spark).collect()]
+    assert sorted(ids) == [1, 2]
+    assert t.snapshot().properties["identity.hwm.rid"] == "2"
+    # a second partition-overwrite continues the mark
+    t.overwrite_partitions(
+        spark.createDataFrame([("c", "y")], ["v", "p"]), ["p"]
+    )
+    ids = [r["rid"] for r in t.read(spark).collect()]
+    assert len(set(ids)) == 2 and max(ids) == 3  # p=y replaced, p=x kept
+    # GENERATED ALWAYS refuses supplied values here too
+    with pytest.raises(IdentityColumnViolationError, match="ALWAYS"):
+        t.overwrite_partitions(
+            spark.createDataFrame(
+                [(99, "d", "z")], "rid bigint, v string, p string"
+            ),
+            ["p"],
+        )
+
+
+def test_generated_identity_dependency_refused_both_ways(spark, tmp_path):
+    """Finding 3: generation expressions evaluate BEFORE identity
+    allocation, so a generated column deriving from an identity column
+    would read pre-allocation NULLs — refused at declaration time in
+    both directions."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "id bigint, v string"))
+    t.add_identity_column(spark, "id")
+    with pytest.raises(ValueError, match="identity"):
+        t.add_generated_column(spark, "bucket", "id % 10")
+
+    t2 = TxLogTable(str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([], "id bigint, bucket bigint"))
+    t2.add_generated_column(spark, "bucket", "id % 10")
+    with pytest.raises(ValueError, match="pre-allocation"):
+        t2.add_identity_column(spark, "id")
+
+
+def test_scoping_check_ignores_string_literals(spark, tmp_path):
+    """Finding 5: 't.'/'s.' inside string literals must not trip the
+    alias-scoping refusal, and the check is case-insensitive."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "http://t.co")], ["id", "url"]))
+    src = spark.createDataFrame([(2, "http://t.co")], ["id", "url"])
+    # literal 't.co' in an insert condition: accepted and evaluated
+    t.merge(
+        spark, src, ["id"],
+        [when_not_matched_insert(condition="url != 'http://other.example'")],
+    )
+    assert t.read(spark).count() == 2
+    with pytest.raises(MergeClauseError, match="bare source"):
+        t.merge(
+            spark, src, ["id"],
+            [when_not_matched_insert(condition="T.url = 'x'")],
+        )
+
+
+def test_merge_plan_delete_clause_with_disjoint_source():
+    """Finding 4: a delete clause also carries assignments=None but never
+    maps columns — the disjoint-source SET*/INSERT* refusal must not
+    fire for it (MergePlan is the module's exported API even though
+    Table.merge's key check makes this unreachable there)."""
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+    plan = MergePlan(
+        clauses=[when_matched_delete()],
+        schema=schema,
+        target_cols=["id", "v"],
+        source_cols=["other_a", "other_b"],
+        generated={},
+    )
+    assert plan.delete_codes() == {"m0"}
+    # ... while a genuine SET * with a fully-disjoint source still refuses
+    with pytest.raises(MergeClauseError, match="SET"):
+        MergePlan(
+            clauses=[when_matched_update()],
+            schema=schema,
+            target_cols=["id", "v"],
+            source_cols=["other_a"],
+            generated={},
+        )
+
+
+def test_identity_allocation_single_metadata_job(spark, tmp_path):
+    """Finding 6: the fold keeps allocation correct — per-partition
+    offsets, null counts, and the supplied extreme from one
+    aggregation (BY DEFAULT mixed batch, multiple partitions)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "id bigint, v string"))
+    t.add_identity_column(spark, "id", always=False)
+    rows = [(900, "s0")] + [(None, f"a{i}") for i in range(20)]
+    t.append(
+        spark.createDataFrame(rows, "id bigint, v string").repartition(4)
+    )
+    got = [r["id"] for r in t.read(spark).collect()]
+    assert len(got) == 21 and len(set(got)) == 21
+    assert 900 in got
+    assert int(t.snapshot().properties["identity.hwm.id"]) == 900
