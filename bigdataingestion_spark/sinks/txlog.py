@@ -3668,12 +3668,18 @@ class TxLogTable:
           row whose conditions all evaluate false leaves its file
           carried by reference.
 
+        Works on flat AND hive-partitioned tables (rewritten rows
+        re-stage into their partition dirs; inserted rows land where
+        their source values dictate; a clause assigning a partition
+        column moves the row).
+
         Semantics guarantees: a target row matched by >1 source row
-        raises ``MergeCardinalityError`` when matched clauses exist
-        (Delta's ambiguous-merge error; insert-only merges insert every
-        source row, duplicates included). NULL join keys never match
-        (SQL equality). Generated columns cannot be assigned; they are
-        recomputed from the post-image on every modified/inserted row.
+        raises ``MergeCardinalityError`` when matched or by-source
+        clauses exist (Delta's ambiguous-merge error; insert-only merges
+        insert every source row, duplicates included). NULL join keys
+        never match (SQL equality). Generated columns cannot be
+        assigned; they are recomputed from the post-image on every
+        modified/inserted row.
         ``schema_evolution=True`` appends source-only columns to the
         table schema (carried and pre-image rows read them as NULL);
         without it, extra source columns stay usable inside assignment
@@ -3696,7 +3702,12 @@ class TxLogTable:
                 f"{self.path} has no commits; MERGE needs an existing "
                 "table schema — create the table first"
             )
-        self._require_flat(snap)
+        # hive-partitioned tables merge too (unlike merge_upsert):
+        # rewritten rows re-stage into their partition dirs, inserted
+        # rows land in the dirs their source values dictate. Partition
+        # columns carry no footer stats, so key pruning on them is scan
+        # conservative (same as DELETE's contract on partition columns).
+        pcols = list(snap.partition_cols)
         base_schema = StructType.fromJson(json.loads(snap.schema_json))
         target_cols = [f.name for f in base_schema.fields]
         t_lower = {c.lower() for c in target_cols}
@@ -3961,7 +3972,7 @@ class TxLogTable:
                         cdf_map[name] = paths
                 cdf_map = cdf_map or None
             files, fstats = self._stage_files(
-                post.drop(ac), write_schema=schema
+                post.drop(ac), pcols or None, write_schema=schema
             )
         finally:
             if joined is not None:
@@ -4004,6 +4015,7 @@ class TxLogTable:
             "merge",
             txn_id,
             snap,
+            partition_cols=pcols or None,
             read_check=read_check,
             precomputed_stats=fstats,
             cdf=cdf_map,

@@ -350,3 +350,40 @@ def test_txn_id_replay_is_noop(spark, tmp_path):
     v2 = t.merge(spark, src, ["id"], clauses, txn_id="m-1")
     assert v1 == v2
     assert t.read(spark).filter("id = 1").count() == 1
+
+
+def test_merge_on_partitioned_table(spark, tmp_path):
+    """Conditional MERGE on a hive-partitioned table: rewritten rows
+    re-stage into their partition dirs, inserts land in the dir their
+    source values dictate, untouched partitions carry by reference."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite_partitions(
+        spark.createDataFrame(
+            [(1, "a", "px"), (2, "b", "py"), (3, "c", "pz")],
+            ["id", "v", "p"],
+        ),
+        ["p"],
+    )
+    before = set(t.snapshot().files)
+    src = spark.createDataFrame(
+        [(1, "A", "px"), (9, "new", "pw")], ["id", "v", "p"]
+    )
+    t.merge(
+        spark, src, ["id"],
+        [
+            when_matched_update(set={"v": "s.v"}),
+            when_not_matched_insert(),
+            when_not_matched_by_source_delete(condition="v = 'c'"),
+        ],
+    )
+    got = _rows(t.read(spark))
+    assert got == [(1, "A", "px"), (2, "b", "py"), (9, "new", "pw")]
+    after = set(t.snapshot().files)
+    # py partition untouched: carried by reference
+    assert any(f in after for f in before if "p=py" in f)
+    # the insert landed in a NEW hive dir
+    assert any("p=pw" in f for f in after)
+    m = t.history()[-1]["op_metrics"]
+    assert m["rows_updated"] == 1
+    assert m["rows_deleted"] == 1
+    assert m["rows_inserted"] == 1
