@@ -448,6 +448,91 @@ def stream_cdc_upsert_txlog(
     )
 
 
+def stream_cdc_apply_ops(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    op_col: str = "op",
+    order_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Op-coded CDC apply (a Debezium/DMS-style I/U/D feed) on a txlog
+    table: each micro-batch is ONE conditional MERGE commit —
+
+    - ``WHEN MATCHED AND s.op = 'D'  -> DELETE``
+    - ``WHEN MATCHED                 -> UPDATE SET *``
+    - ``WHEN NOT MATCHED AND op <> 'D' -> INSERT *``
+
+    — the canonical CDC-apply shape ``stream_cdc_upsert_txlog`` cannot
+    express (its latest-wins merge has no delete path; tombstones there
+    need a second ``delete_matching`` commit, losing batch atomicity).
+    SET */INSERT * map only source∩table columns, so the op column
+    never lands in the table; a tombstone for an already-absent key is
+    ignored (the insert clause's condition); and a redelivered batch is
+    a true no-op under the per-batch txn id.
+
+    ``order_cols`` (the CDC stream's LSN/sequence columns) collapse
+    multi-event keys to their LAST event before the merge — MERGE's
+    cardinality rule would otherwise refuse the batch, and applying
+    only the final event per key is exactly log-compaction semantics.
+    They must totally order each key's events within a batch; without
+    them a multi-event batch fails loudly rather than guessing."""
+    from bigdataingestion_spark.sinks.merge_clauses import (
+        when_matched_delete,
+        when_matched_update,
+        when_not_matched_insert,
+    )
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    probe, stream = _open_file_stream(
+        spark, source_dir, fmt, max_files_per_trigger
+    )
+    table = TxLogTable(target_dir)
+    scope = app_id or path_txn_scope(checkpoint_dir)
+    clauses = [
+        when_matched_delete(condition=f"s.{op_col} = 'D'"),
+        when_matched_update(),
+        when_not_matched_insert(condition=f"{op_col} <> 'D'"),
+    ]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = batch_df
+        if order_cols:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.desc(c) for c in order_cols]
+            )
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if table.snapshot() is None:
+            # first batch bootstraps the table: MERGE (like Delta's)
+            # needs an existing schema. Zero-row append under its own
+            # txn id, so a crash-replay never double-creates.
+            table.append(
+                src.drop(op_col).limit(0), txn_id=f"{scope}:bootstrap"
+            )
+        table.merge(
+            spark, src, keys, clauses, txn_id=f"{scope}:{batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_txlog_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -133,3 +133,61 @@ def test_gate_batch_txlog_crash_between_sinks_is_exactly_once(spark, tmp_path):
         scope="scope",
     )
     assert _rows(lake.read(spark)) == [(1, 5.0), (3, 2.0), (4, 7.0)]
+
+
+def test_stream_cdc_apply_ops_full_idu_lifecycle(spark, tmp_path):
+    """Op-coded CDC apply: one conditional-MERGE commit per micro-batch
+    handles inserts, updates AND deletes atomically; a tombstone for an
+    absent key is ignored; checkpoint-loss replay no-ops via txn ids."""
+    import shutil as _sh
+
+    from bigdataingestion_spark.streaming.ingest import stream_cdc_apply_ops
+
+    src = tmp_path / "src"
+    # batch 1: initial inserts k=0..9
+    b1 = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    b1.coalesce(1).write.parquet(str(src))
+    # batch 2: update k=3, delete k=5, tombstone for ABSENT k=99,
+    # multi-event key k=7 (update seq=2 then delete seq=3 -> net delete)
+    b2 = spark.createDataFrame(
+        [
+            (3, "v3-new", "U", 2),
+            (5, None, "D", 2),
+            (99, None, "D", 2),
+            (7, "v7-new", "U", 2),
+            (7, None, "D", 3),
+        ],
+        "k bigint, val string, op string, seq int",
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    target, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = stream_cdc_apply_ops(
+        spark, str(src), target, ckpt,
+        keys=["k"], op_col="op", order_cols=["seq"],
+    )
+    assert q.awaitTermination(180)
+    t = TxLogTable(target)
+    got = {r["k"]: r["val"] for r in t.read(spark).collect()}
+    assert len(got) == 8  # 10 inserted, k=5 and k=7 deleted, 99 ignored
+    assert got[3] == "v3-new"
+    assert 5 not in got and 7 not in got and 99 not in got
+    assert "op" not in t.read(spark).columns  # op never lands
+    # v0 is the schema bootstrap; every data batch is one merge commit
+    ops = [h["op"] for h in t.history()]
+    assert ops[0] == "append" and set(ops[1:]) == {"merge"}
+    v = t.version()
+
+    # replay after checkpoint loss: txn ids no-op every batch
+    _sh.rmtree(ckpt)
+    q2 = stream_cdc_apply_ops(
+        spark, str(src), target, ckpt,
+        keys=["k"], op_col="op", order_cols=["seq"],
+    )
+    assert q2.awaitTermination(180)
+    assert t.version() == v
