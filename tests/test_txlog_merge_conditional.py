@@ -387,3 +387,78 @@ def test_merge_on_partitioned_table(spark, tmp_path):
     assert m["rows_updated"] == 1
     assert m["rows_deleted"] == 1
     assert m["rows_inserted"] == 1
+
+
+def test_merge_on_column_mapped_table_after_rename(spark, tmp_path):
+    """Clause resolution lives in logical space; staging under the frozen
+    physical names. A rename before the merge must not disturb either."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["id", "v", "n"])
+    )
+    t.enable_column_mapping()
+    t.rename_column("v", "label")
+    src = spark.createDataFrame([(2, "B2"), (4, "d4")], ["id", "label"])
+    t.merge(
+        spark, src, ["id"],
+        [when_matched_update(), when_not_matched_insert()],
+    )
+    got = {r["id"]: r["label"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B2", 4: "d4"}
+    # time travel still reads the pre-merge state under the OLD mapping
+    assert t.read(spark, version=0).columns == ["id", "v", "n"]
+
+
+def test_merge_does_not_resurrect_dv_masked_rows(spark, tmp_path):
+    """Touched files are read under their deletion vectors: a masked row
+    must not reappear in the rewrite, match the source, or fire a
+    by-source clause."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, "old") for i in range(6)], ["id", "v"]
+        ).coalesce(1)
+    )
+    t.delete(spark, "id = 3", deletion_vectors=True)
+    assert t.read(spark).count() == 5
+    src = spark.createDataFrame([(3, "back?")], ["id", "v"])
+    t.merge(
+        spark, src, ["id"],
+        [
+            when_matched_update(),
+            when_not_matched_insert(),
+            when_not_matched_by_source_update(set={"v": "'seen'"}),
+        ],
+    )
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    # id=3 was dv-deleted -> source row is NOT MATCHED -> inserts fresh
+    assert got[3] == "back?"
+    # every surviving pre-merge row fired the by-source clause exactly once
+    assert all(v == "seen" for k, v in got.items() if k != 3)
+    assert len(got) == 6
+
+
+def test_merge_insert_cdf_carries_allocated_identity(spark, tmp_path):
+    """Identity fill runs BEFORE CDF staging: the insert change rows must
+    carry the allocated ids, not NULL slots."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "rid bigint, v string"))
+    t.add_identity_column(spark, "rid")
+    t.alter_properties({"cdf.enabled": "true"})
+    t.append(spark.createDataFrame([("a",)], ["v"]))
+    src = spark.createDataFrame([("a", "A"), ("b", "B")], ["v", "v2"])
+    v = t.merge(
+        spark, src, ["v"],
+        [
+            when_matched_update(set={"v": "s.v2"}),
+            when_not_matched_insert(values={"v": "s.v2"}),
+        ],
+    )
+    ins = (
+        t.read_cdf(spark, v - 1, v)
+        .filter("_change_type = 'insert'")
+        .collect()
+    )
+    assert len(ins) == 1 and ins[0]["rid"] is not None
+    table_ids = {r["rid"] for r in t.read(spark).collect()}
+    assert ins[0]["rid"] in table_ids
