@@ -1052,10 +1052,33 @@ class TxLogTable:
                         stats[f] = s
                 except Exception:  # noqa: BLE001 - stats are best-effort
                     pass
+        # Delta's in-commit-timestamp guarantee, default-on here: the
+        # committed ts is max(wall clock, predecessor ts + 1ms), so the
+        # version order and the timestamp order can never disagree even
+        # when the writer's clock regresses (NTP step, a different
+        # writer host). Without this, timestampAsOf between two
+        # out-of-order stamps silently resolves to the WRONG snapshot.
+        # One predecessor-file read per commit; monotonicity is
+        # transitive, so only the immediate predecessor matters. Best
+        # effort: if its file is gone (aged out), wall clock stands —
+        # every retained successor was already stamped monotonically.
+        ts = time.time()
+        if expected_version >= 0:
+            try:
+                with open(
+                    os.path.join(
+                        self.log_dir, f"{expected_version:08d}.json"
+                    )
+                ) as fh:
+                    prev_ts = json.load(fh).get("ts", 0.0)
+                if ts <= prev_ts:
+                    ts = prev_ts + 0.001
+            except (OSError, ValueError):
+                pass
         entry = {
             "version": version,
             "op": op,
-            "ts": time.time(),  # commit wall-clock: timestamp time travel
+            "ts": ts,  # monotonic commit time: timestamp time travel
             "add": add,
             "remove": remove,
             "schema": schema.json(),

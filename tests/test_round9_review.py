@@ -157,3 +157,34 @@ def test_identity_allocation_single_metadata_job(spark, tmp_path):
     assert len(got) == 21 and len(set(got)) == 21
     assert 900 in got
     assert int(t.snapshot().properties["identity.hwm.id"]) == 900
+
+
+def test_in_commit_timestamps_monotonic_under_clock_regression(
+    spark, tmp_path, monkeypatch
+):
+    """Commit timestamps are max(wall clock, predecessor + 1ms), so
+    version order and timestamp order can never disagree — Delta's
+    in-commit-timestamps guarantee, default-on. A clock stepping
+    BACKWARD between commits must not make timestampAsOf resolve to the
+    wrong snapshot."""
+    import time as _time
+
+    from bigdataingestion_spark.sinks import txlog as txmod
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], ["id"]))
+    ts0 = t.history()[-1]["ts"]
+    # the writer's clock regresses by an hour
+    real = _time.time
+    monkeypatch.setattr(txmod.time, "time", lambda: real() - 3600)
+    t.append(spark.createDataFrame([(2,)], ["id"]))
+    monkeypatch.setattr(txmod.time, "time", real)
+    t.append(spark.createDataFrame([(3,)], ["id"]))
+    stamps = [e["ts"] for e in t.history()]
+    assert stamps == sorted(stamps)
+    assert stamps[1] == pytest.approx(ts0 + 0.001)
+    # timestampAsOf at the regressed wall-clock instant resolves to the
+    # version order, not the lying clock
+    assert t.version_at_timestamp(ts0) == 0
+    assert t.version_at_timestamp(stamps[1]) == 1
+    assert t.read(spark, timestamp=stamps[1]).count() == 2
