@@ -2939,11 +2939,13 @@ class TxLogTable:
         # any concurrent commit short of a metadata/layout change
         # (identity appends DO conflict with each other via id_props:
         # both raced from one high-water mark, so only one may land)
-        return self._commit_reconciled(
+        v = self._commit_reconciled(
             files, [], schema, "append", txn_id, snap,
             precomputed_stats=fstats,
             properties=id_props,
         )
+        self._maybe_auto_compact(df.sparkSession)
+        return v
 
     def _persist_for_validation(self, df: DataFrame, snap):
         """Persist ``df`` before validation probes IF any will run (the
@@ -3579,7 +3581,7 @@ class TxLogTable:
                 )
             ]
 
-        return self._commit_reconciled(
+        v = self._commit_reconciled(
             files,
             touched,
             schema,
@@ -3596,6 +3598,8 @@ class TxLogTable:
                 "files_bloom_skipped": bloom_skipped,
             },
         )
+        self._maybe_auto_compact(spark)
+        return v
 
     def _merge_cdf(
         self,
@@ -4031,7 +4035,7 @@ class TxLogTable:
                 bad |= set(chk(rest, cur))
             return [f for f in added if f in bad]
 
-        return self._commit_reconciled(
+        v = self._commit_reconciled(
             files,
             touched,
             schema,
@@ -4055,6 +4059,8 @@ class TxLogTable:
                 "files_stat_skipped": stat_skipped,
             },
         )
+        self._maybe_auto_compact(spark)
+        return v
 
     def delete_matching(
         self,
@@ -5431,7 +5437,7 @@ class TxLogTable:
             fstats = {**fstats, **fstats_keep}
         if not files_new and not touched:
             return snap.version if snap else -1  # nothing in, nothing out
-        return self._commit_reconciled(
+        v = self._commit_reconciled(
             files_new,
             touched,
             schema,
@@ -5454,6 +5460,8 @@ class TxLogTable:
                 "files_bloom_skipped": bloom_skipped,
             },
         )
+        self._maybe_auto_compact(spark)
+        return v
 
     def restore(
         self, version: int, txn_id: str | None = None, max_retries: int = 10
@@ -5803,6 +5811,45 @@ class TxLogTable:
         for p in parts[1:]:
             result = result.unionByName(p, allowMissingColumns=True)
         return result
+
+    def _maybe_auto_compact(self, spark: SparkSession) -> None:
+        """Post-commit auto-compaction (Delta's ``autoCompact``), OPT-IN
+        via the ``auto.compact.min.files`` table property: after a write
+        commit, if the snapshot holds at least that many files smaller
+        than the pack cutoff (``auto.compact.target.bytes``, default
+        compact()'s 256 MB), run an incremental :meth:`compact` — the
+        hands-off answer to streaming ingest fragmenting a table one
+        micro-batch file at a time. Strictly best-effort AFTER the
+        caller's commit is durable: a compaction conflict (concurrent
+        DML rewrote a candidate) or any other failure is swallowed —
+        the write must never fail because maintenance lost a race. Cost
+        when enabled: one O(files) driver size stat per write; zero when
+        the property is unset."""
+        try:
+            snap = self.snapshot()
+            if snap is None:
+                return
+            min_files = snap.properties.get("auto.compact.min.files")
+            if not min_files:
+                return
+            target = int(
+                snap.properties.get(
+                    "auto.compact.target.bytes", 256 * 1024 * 1024
+                )
+            )
+            small = 0
+            for f in snap.files:
+                p = os.path.join(self.path, f)
+                if f in snap.dvs or (
+                    os.path.exists(p) and os.path.getsize(p) < target
+                ):
+                    small += 1
+                    if small >= int(min_files):
+                        break
+            if small >= int(min_files):
+                self.compact(spark, target_file_bytes=target)
+        except Exception:  # noqa: BLE001 - maintenance never fails a write
+            pass
 
     def compact(
         self,

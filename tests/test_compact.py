@@ -126,3 +126,32 @@ def test_zorder_skewed_column_stays_balanced(spark, tmp_path):
         pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path)
     ]
     assert max(rows_per_file) < 10_000 * 0.5, rows_per_file
+
+
+def test_auto_compact_triggers_on_small_file_threshold(spark, tmp_path):
+    """auto.compact.min.files: after a write leaves >= N small files, an
+    incremental compact runs post-commit; unset, nothing happens."""
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(0, "x")], ["id", "v"]).coalesce(1))
+    t.alter_properties({"auto.compact.min.files": "5"})
+    for i in range(1, 4):
+        t.append(
+            spark.createDataFrame([(i, "x")], ["id", "v"]).coalesce(1)
+        )
+    assert len(t.snapshot().files) == 4  # below threshold: untouched
+    assert not any(e["op"] == "compact" for e in t.history())
+    t.append(spark.createDataFrame([(9, "x")], ["id", "v"]).coalesce(1))
+    # the 5th small file crossed the threshold: ONE compacted file now
+    assert t.history()[-1]["op"] == "compact"
+    assert len(t.snapshot().files) == 1
+    assert t.read(spark).count() == 5
+
+    # opt-out: unset the property, fragmentation accumulates again
+    t.alter_properties({"auto.compact.min.files": None})
+    for i in range(10, 16):
+        t.append(
+            spark.createDataFrame([(i, "x")], ["id", "v"]).coalesce(1)
+        )
+    assert len(t.snapshot().files) == 7
