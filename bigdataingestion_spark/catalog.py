@@ -3326,8 +3326,12 @@ def orders_salted_totals(spark, sf_dir):
     )
 
 
-def _kmeans_cells_sql() -> str:
-    return """
+# Shared k-means-lite oracle CTEs (seeds -> one Lloyd iteration ->
+# final assignment), used by BOTH embedding_kmeans_cells and
+# embedding_semantic_dedup — one copy, so a tweak to seeding/rounding/
+# tie-breaks can never silently desynchronize the two oracles from
+# operators.similarity.kmeans_lite_centroids + ivf_assign.
+_KMEANS_CTES = """
     WITH seeds AS (
       SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
                AS cell_id,
@@ -3371,6 +3375,12 @@ def _kmeans_cells_sql() -> str:
         FROM sims
       ) WHERE rn = 1
     )
+"""
+
+
+def _kmeans_cells_sql() -> str:
+    return f"""
+    {_KMEANS_CTES}
     SELECT CAST(cell_id AS INT) AS cell_id, count(*) AS n_vectors,
            round(avg(s), 6) AS avg_cos
     FROM assigned GROUP BY 1
@@ -5087,53 +5097,12 @@ def txlog_identity_assign(spark, sf_dir):
 
 
 def _semantic_dedup_sql() -> str:
-    # the k-means-lite CTEs mirror _kmeans_cells_sql exactly (same
-    # seeding, one Lloyd iteration, same tie-breaks); drops then removes
-    # every vector with a lower-id cluster mate at cosine >= 0.3
-    return """
-    WITH seeds AS (
-      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
-               AS cell_id,
-             embedding::DOUBLE[] AS cv
-      FROM embeddings
-      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 4
-    ),
-    a0 AS (
-      SELECT vec_id, cell_id FROM (
-        SELECT e.vec_id, s.cell_id,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.embedding::DOUBLE[], s.cv) /
-                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(s.cv, s.cv))) DESC, s.cell_id) AS rn
-        FROM embeddings e CROSS JOIN seeds s
-      ) WHERE rn = 1
-    ),
-    comp AS (
-      SELECT a0.cell_id, CAST(t.pos AS INT) AS pos,
-             e.embedding[CAST(t.pos + 1 AS INT)]::DOUBLE AS v
-      FROM embeddings e JOIN a0 USING (vec_id),
-           UNNEST(range(len(e.embedding))) AS t(pos)
-    ),
-    cent AS (
-      SELECT cell_id, list(c ORDER BY pos) AS cv FROM (
-        SELECT cell_id, pos, round(avg(v), 6) AS c
-        FROM comp GROUP BY cell_id, pos
-      ) GROUP BY cell_id
-    ),
-    sims AS (
-      SELECT e.vec_id, c.cell_id,
-             list_dot_product(e.embedding::DOUBLE[], c.cv) /
-             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-              sqrt(list_dot_product(c.cv, c.cv))) AS s
-      FROM embeddings e CROSS JOIN cent c
-    ),
-    assigned AS (
-      SELECT vec_id, cell_id FROM (
-        SELECT vec_id, cell_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS rn
-        FROM sims
-      ) WHERE rn = 1
-    ),
+    # the k-means-lite CTEs are SHARED with _kmeans_cells_sql
+    # (_KMEANS_CTES — same seeding, one Lloyd iteration, same
+    # tie-breaks by construction); drops then removes every vector with
+    # a lower-id cluster mate at cosine >= 0.3
+    return f"""
+    {_KMEANS_CTES},
     drops AS (
       SELECT DISTINCT b.vec_id AS did
       FROM assigned a

@@ -133,10 +133,14 @@ class MergePlan:
     target_cols: list[str]  # columns present in the CURRENT target files
     source_cols: list[str]
     generated: dict[str, str]  # lower-name -> expression
-    # lower-names of GENERATED AS IDENTITY columns: never assignable,
-    # never mapped from the source by SET * / INSERT * — inserts leave
-    # NULL for the table to allocate, updates carry the target value
-    identity: frozenset = frozenset()
+    # GENERATED AS IDENTITY columns: lower-name -> always flag. ALWAYS
+    # columns are never assignable and never mapped from the source by
+    # SET * / INSERT * (inserts leave NULL for the table to allocate,
+    # updates carry the target value). BY DEFAULT columns behave like
+    # normal columns here — supplied source values pass through, the
+    # table allocates only into NULL slots afterward (the same contract
+    # append honors).
+    identity: dict = field(default_factory=dict)
     t_mark: str = "_t_present"
     s_mark: str = "_s_present"
     marker_prefix: str = "_q"
@@ -194,9 +198,16 @@ class MergePlan:
             # literals ("url != 'http://t.co'"); blank them first
             return re.sub(r"'[^']*'", "''", cond)
 
+        # a frame that genuinely HAS a column named 't'/'s' (a struct,
+        # say) makes 't.flag' a legitimate bare reference on that side —
+        # the guard must stand down rather than refuse valid conditions
+        src_has_t = "t" in {c.lower() for c in self.source_cols}
+        tgt_has_s = "s" in {c.lower() for c in self.target_cols}
         for code, cl in self.inserts:
-            if cl.condition and re.search(
-                r"\bt\s*\.", bare(cl.condition), re.IGNORECASE
+            if (
+                cl.condition
+                and not src_has_t
+                and re.search(r"\bt\s*\.", bare(cl.condition), re.IGNORECASE)
             ):
                 raise MergeClauseError(
                     f"not_matched condition ({cl.condition!r}) references "
@@ -204,8 +215,10 @@ class MergePlan:
                     "and use bare source column names"
                 )
         for code, cl in self.by_source:
-            if cl.condition and re.search(
-                r"\bs\s*\.", bare(cl.condition), re.IGNORECASE
+            if (
+                cl.condition
+                and not tgt_has_s
+                and re.search(r"\bs\s*\.", bare(cl.condition), re.IGNORECASE)
             ):
                 raise MergeClauseError(
                     f"by_source condition ({cl.condition!r}) references "
@@ -230,11 +243,11 @@ class MergePlan:
                         f"(= {self.generated[c.lower()]}); its value is "
                         "derived and recomputed automatically"
                     )
-                if c.lower() in self.identity:
+                if self.identity.get(c.lower()):  # ALWAYS only
                     raise MergeClauseError(
-                        f"clause {code} assigns identity column {c!r}; "
-                        "its values are table-allocated (inserted rows "
-                        "get fresh values automatically)"
+                        f"clause {code} assigns GENERATED ALWAYS identity "
+                        f"column {c!r}; its values are table-allocated "
+                        "(inserted rows get fresh values automatically)"
                     )
         # UPDATE SET * / INSERT * need the source to actually carry
         # something; a fully-disjoint source makes them a silent no-op
@@ -368,9 +381,9 @@ class MergePlan:
         out = []
         for f_ in self.schema.fields:
             name, dt = f_.name, f_.dataType
-            if name.lower() in self.identity:
-                # identity is never source-mapped: updates/carries keep
-                # the target's value, inserts leave NULL for allocation
+            if self.identity.get(name.lower()):
+                # ALWAYS identity is never source-mapped: updates/carries
+                # keep the target's value, inserts leave NULL to allocate
                 src_val = F.lit(None).cast(dt)
                 carry = self._t_ref(name, dt)
                 col = None

@@ -1868,7 +1868,9 @@ class TxLogTable:
             raise ValueError("identity step must be non-zero")
         schema = StructType.fromJson(json.loads(snap.schema_json))
         names = {f.name.lower(): f for f in schema.fields}
-        if name.lower() in _identity_of(schema):
+        if name.lower() in {k.lower() for k in _identity_of(schema)}:
+            # case-insensitive like every other lookup: a re-declare must
+            # refuse, not silently replace the spec and rewind the mark
             raise ValueError(f"{name!r} is already an identity column")
         props = dict(snap.properties)
         spec = {"start": int(start), "step": int(step), "always": bool(always)}
@@ -2456,6 +2458,15 @@ class TxLogTable:
                 raise ValueError(f"unknown isolation level: {v}")
             if k == "txn.retention.seconds" and v != "none":
                 float(v)  # raises on garbage before it reaches the log
+            if k in ("auto.compact.min.files", "auto.compact.target.bytes"):
+                # validate HERE, loudly: the consumer runs best-effort
+                # post-commit and swallows everything, so a garbage value
+                # stored now would silently disable the feature forever
+                if int(v) <= 0:
+                    raise ValueError(
+                        f"{k} must be a positive integer (unset the "
+                        "property to disable auto-compaction)"
+                    )
             if k == "cdf.enabled":
                 # normalize booleans/case: Python True or 'TRUE' must not
                 # silently store a value _cdf_enabled's exact 'true'
@@ -3020,7 +3031,7 @@ class TxLogTable:
         # commit time", so reconciling recomputes it from the current
         # snapshot (serial order: the winner's commit, then this
         # overwrite) and the schema is this DataFrame's by definition
-        return self._commit_reconciled(
+        v = self._commit_reconciled(
             files,
             list(snap.files) if snap else [],
             schema,
@@ -3032,6 +3043,8 @@ class TxLogTable:
             precomputed_stats=fstats,
             properties=id_props,
         )
+        self._maybe_auto_compact(df.sparkSession)
+        return v
 
     def commit_files(
         self,
@@ -3217,7 +3230,7 @@ class TxLogTable:
         # winner appending to an untouched partition never conflicts and
         # one appending to a touched partition is serialized before the
         # replace
-        return self._commit_reconciled(
+        v = self._commit_reconciled(
             files,
             remove,
             schema,
@@ -3233,6 +3246,8 @@ class TxLogTable:
             precomputed_stats=fstats,
             properties=id_props,
         )
+        self._maybe_auto_compact(df.sparkSession)
+        return v
 
     def _source_key_bounds(self, source: DataFrame, keys: list[str]) -> dict:
         """Per-key min/max/null-count bounds of a MERGE source — one tiny
@@ -3753,9 +3768,10 @@ class TxLogTable:
             generated={
                 k.lower(): v for k, v in _generated_of(schema).items()
             },
-            identity=frozenset(
-                k.lower() for k in _identity_of(schema)
-            ),
+            identity={
+                k.lower(): bool(spec.get("always"))
+                for k, spec in _identity_of(schema).items()
+            },
         )
         # fresh marker names: any user column sharing a prefix would be
         # silently replaced by withColumn
@@ -5070,7 +5086,7 @@ class TxLogTable:
                     )
                 masked += sum(c for _, c in runs)
                 dv_map[f] = self._write_dv(runs)
-            return self._commit_reconciled(
+            v = self._commit_reconciled(
                 [],
                 [],
                 schema,
@@ -5090,6 +5106,9 @@ class TxLogTable:
                     "rows_masked_total": masked,
                 },
             )
+            # DV'd files are always pack candidates (the purge)
+            self._maybe_auto_compact(spark)
+            return v
         # copy-on-write: one cached scan feeds the change rows (when CDF
         # is on) and the kept-rows rewrite
         base = self._read_files(spark, snap, touched)
@@ -5107,7 +5126,7 @@ class TxLogTable:
         finally:
             if cdf_on:
                 base.unpersist()
-        return self._commit_reconciled(
+        v = self._commit_reconciled(
             files,
             touched,
             schema,
@@ -5122,6 +5141,8 @@ class TxLogTable:
             cdf=cdf_map,
             metrics={**base_metrics, "files_rewritten": len(touched)},
         )
+        self._maybe_auto_compact(spark)
+        return v
 
     def _predicate_read_check(self, predicate: str, session_tz: str | None = None):
         """Read-set conflict probe for predicate DML: of the files a
@@ -5291,7 +5312,7 @@ class TxLogTable:
             )
         finally:
             df.unpersist()
-        return self._commit_reconciled(
+        v = self._commit_reconciled(
             files,
             touched,
             schema,
@@ -5313,6 +5334,8 @@ class TxLogTable:
                 "files_bloom_skipped": bloom_skipped,
             },
         )
+        self._maybe_auto_compact(spark)
+        return v
 
     @staticmethod
     def _recompute_generated(
@@ -5829,8 +5852,13 @@ class TxLogTable:
             snap = self.snapshot()
             if snap is None:
                 return
-            min_files = snap.properties.get("auto.compact.min.files")
-            if not min_files:
+            try:
+                min_files = int(
+                    snap.properties.get("auto.compact.min.files", 0)
+                )
+            except (TypeError, ValueError):
+                return  # alter_properties validates; legacy garbage: off
+            if min_files <= 0:
                 return
             target = int(
                 snap.properties.get(
@@ -5844,9 +5872,9 @@ class TxLogTable:
                     os.path.exists(p) and os.path.getsize(p) < target
                 ):
                     small += 1
-                    if small >= int(min_files):
+                    if small >= min_files:
                         break
-            if small >= int(min_files):
+            if small >= min_files:
                 self.compact(spark, target_file_bytes=target)
         except Exception:  # noqa: BLE001 - maintenance never fails a write
             pass

@@ -506,13 +506,16 @@ def stream_cdc_apply_ops(
         if order_cols:
             from pyspark.sql.window import Window
 
+            rn = "_rn"  # fresh: never clobber a feed column of that name
+            while rn.lower() in {c.lower() for c in src.columns}:
+                rn += "_x"
             w = Window.partitionBy(*keys).orderBy(
                 *[F.desc(c) for c in order_cols]
             )
             src = (
-                src.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+                src.withColumn(rn, F.row_number().over(w))
+                .filter(F.col(rn) == 1)
+                .drop(rn)
             )
         if table.snapshot() is None:
             # first batch bootstraps the table: MERGE (like Delta's)

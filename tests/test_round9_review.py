@@ -188,3 +188,117 @@ def test_in_commit_timestamps_monotonic_under_clock_regression(
     assert t.version_at_timestamp(ts0) == 0
     assert t.version_at_timestamp(stamps[1]) == 1
     assert t.read(spark, timestamp=stamps[1]).count() == 2
+
+
+def test_merge_by_default_identity_passes_supplied_values(spark, tmp_path):
+    """Pass 2: BY DEFAULT identity behaves like append in MERGE — a
+    source-supplied value passes through INSERT * (cross-system ids must
+    not silently vanish); NULL slots still allocate; ALWAYS still forces
+    allocation and refuses assignment."""
+    from bigdataingestion_spark.sinks.merge_clauses import (
+        when_not_matched_insert,
+    )
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "rid bigint, v string"))
+    t.add_identity_column(spark, "rid", always=False)
+    t.append(spark.createDataFrame([(None, "a")], "rid bigint, v string"))
+    src = spark.createDataFrame(
+        [(100, "sup"), (None, "alloc")], "rid bigint, v string"
+    )
+    t.merge(spark, src, ["v"], [when_not_matched_insert()])
+    got = {r["v"]: r["rid"] for r in t.read(spark).collect()}
+    assert got["sup"] == 100          # supplied value passed through
+    assert got["alloc"] is not None   # NULL slot allocated
+    assert int(t.snapshot().properties["identity.hwm.rid"]) == 100
+    # explicit assignment is allowed for BY DEFAULT (append parity)
+    src2 = spark.createDataFrame([("x2",)], ["v"])
+    t.merge(
+        spark, src2, ["v"],
+        [when_not_matched_insert(values={"v": "s.v", "rid": "200"})],
+    )
+    assert {r["rid"] for r in t.read(spark).filter("v='x2'").collect()} == {
+        200
+    }
+
+
+def test_auto_compact_property_validation(spark, tmp_path):
+    """Pass 2: '0'/garbage auto-compact settings refuse at
+    alter_properties instead of silently compacting every write or
+    silently disabling."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], ["id"]))
+    with pytest.raises(ValueError, match="positive integer"):
+        t.alter_properties({"auto.compact.min.files": "0"})
+    with pytest.raises(ValueError):
+        t.alter_properties({"auto.compact.min.files": "ten"})
+    with pytest.raises(ValueError, match="positive integer"):
+        t.alter_properties({"auto.compact.target.bytes": "-5"})
+
+
+def test_auto_compact_covers_delete_and_partition_overwrite(spark, tmp_path):
+    """Pass 2: every fragmenting write path triggers the maintenance
+    check — a DV delete (masked files are always pack candidates) and
+    partition overwrites included."""
+    t = TxLogTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "x")], ["id", "v"]).coalesce(1))
+    t.alter_properties({"auto.compact.min.files": "4"})
+    t.delete(spark, "id = 0", deletion_vectors=True)
+    assert t.history()[-1]["op"] == "compact"
+    assert len(t.snapshot().files) == 1
+    assert t.read(spark).count() == 3
+    assert not t.snapshot().dvs  # the purge retired the mask
+
+
+def test_struct_column_named_t_is_referencable(spark, tmp_path):
+    """Pass 2: a source struct literally named 't' makes 't.flag' a
+    legitimate bare reference in an insert condition — the alias guard
+    stands down when the side really has that column."""
+    from bigdataingestion_spark.sinks.merge_clauses import (
+        when_not_matched_insert,
+    )
+
+    t = TxLogTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.createDataFrame([(1, (True,))], "id bigint, t struct<flag:boolean>")
+    )
+    src = spark.createDataFrame(
+        [(2, (True,)), (3, (False,))], "id bigint, t struct<flag:boolean>"
+    )
+    t.merge(
+        spark, src, ["id"],
+        [when_not_matched_insert(condition="t.flag = true")],
+    )
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_identity_redeclare_refused_case_insensitively(spark, tmp_path):
+    """Pass 2: re-declaring an identity column whose stored name has
+    uppercase must refuse, not silently replace the spec and rewind the
+    mark."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([], "RowId bigint, v string"))
+    t.add_identity_column(spark, "RowId")
+    with pytest.raises(ValueError, match="already an identity"):
+        t.add_identity_column(spark, "RowId")
+    with pytest.raises(ValueError, match="already an identity"):
+        t.add_identity_column(spark, "rowid")
+
+
+def test_cdc_feed_with_rn_column_survives(spark, tmp_path):
+    """Pass 2: the CDC apply's dedup helper uses a fresh name — a feed
+    column literally named _rn must land intact."""
+    from bigdataingestion_spark.streaming.ingest import stream_cdc_apply_ops
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "a", 7, "I", 1)], "k bigint, val string, _rn int, op string, seq int"
+    ).coalesce(1).write.parquet(str(src))
+    q = stream_cdc_apply_ops(
+        spark, str(src), str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        keys=["k"], op_col="op", order_cols=["seq"],
+    )
+    assert q.awaitTermination(120)
+    row = TxLogTable(str(tmp_path / "state")).read(spark).first()
+    assert row["_rn"] == 7
