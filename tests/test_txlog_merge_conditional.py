@@ -462,3 +462,127 @@ def test_merge_insert_cdf_carries_allocated_identity(spark, tmp_path):
     assert len(ins) == 1 and ins[0]["rid"] is not None
     table_ids = {r["rid"] for r in t.read(spark).collect()}
     assert ins[0]["rid"] in table_ids
+
+
+def _stale_once(t):
+    """Freeze the table handle's NEXT snapshot() call at the current
+    state (the op-entry read), leaving reconcile re-snapshots live —
+    the deterministic stand-in for a writer that raced."""
+    stale = t.snapshot()
+    real = t.snapshot
+    flag = {"pending": True}
+
+    def fake(version=None):
+        if version is None and flag["pending"]:
+            flag["pending"] = False
+            return stale
+        return real(version)
+
+    t.snapshot = fake
+    return lambda: setattr(t, "snapshot", real)
+
+
+def test_merge_reconciles_over_disjoint_concurrent_append(spark, tmp_path):
+    """A winner append whose key range is provably disjoint from the
+    merge's source bounds reconciles: the staged merge re-commits at the
+    next version, no restage."""
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    path = str(tmp_path / "t")
+    t1, t2 = TxLogTable(path), TxLogTable(path)
+    t1.append(
+        spark.createDataFrame([(i, "old") for i in range(5)], ["id", "v"])
+        .coalesce(1)
+    )
+    undo = _stale_once(t1)
+    try:
+        t2.append(
+            spark.createDataFrame([(1000, "w")], ["id", "v"]).coalesce(1)
+        )
+        t1.merge(
+            spark,
+            spark.createDataFrame([(2, "new")], ["id", "v"]),
+            ["id"],
+            [when_matched_update()],
+        )
+    finally:
+        undo()
+    got = {r["id"]: r["v"] for r in t1.read(spark).collect()}
+    assert got[2] == "new" and got[1000] == "w"
+
+
+def test_merge_conflicts_with_intersecting_concurrent_rewrite(
+    spark, tmp_path
+):
+    """A winner that REWROTE a file the merge also touches is a true
+    conflict: the merge raises instead of clobbering the winner's
+    output."""
+    from bigdataingestion_spark.sinks.txlog import (
+        ConcurrentWriteError,
+        TxLogTable,
+    )
+
+    path = str(tmp_path / "t")
+    t1, t2 = TxLogTable(path), TxLogTable(path)
+    t1.append(
+        spark.createDataFrame([(i, "old") for i in range(5)], ["id", "v"])
+        .coalesce(1)
+    )
+    undo = _stale_once(t1)
+    try:
+        t2.update(spark, "id = 2", {"v": "'winner'"})
+        with pytest.raises(ConcurrentWriteError):
+            t1.merge(
+                spark,
+                spark.createDataFrame([(2, "loser")], ["id", "v"]),
+                ["id"],
+                [when_matched_update()],
+            )
+    finally:
+        undo()
+    # redo against the fresh snapshot applies cleanly
+    t1.merge(
+        spark,
+        spark.createDataFrame([(2, "redo")], ["id", "v"]),
+        ["id"],
+        [when_matched_update()],
+    )
+    assert t1.read(spark).filter("id = 2").first()["v"] == "redo"
+
+
+def test_unconditional_by_source_conflicts_with_any_concurrent_add(
+    spark, tmp_path
+):
+    """An unconditional by-source clause reads the WHOLE table: under
+    ``serializable`` isolation any winner-added file intersects its read
+    set and conflicts. (Under the default ``write_serializable``, winner
+    BLIND APPENDS are exempt by design — ingest never starves DML — so
+    the appended row simply survives the by-source clause.)"""
+    from bigdataingestion_spark.sinks.txlog import (
+        ConcurrentWriteError,
+        TxLogTable,
+    )
+
+    path = str(tmp_path / "t")
+    t1, t2 = TxLogTable(path), TxLogTable(path)
+    t1.append(
+        spark.createDataFrame([(1, "a")], ["id", "v"]).coalesce(1)
+    )
+    t1.alter_properties({"isolation.level": "serializable"})
+    undo = _stale_once(t1)
+    try:
+        t2.append(
+            spark.createDataFrame([(999, "w")], ["id", "v"]).coalesce(1)
+        )
+        with pytest.raises(ConcurrentWriteError):
+            t1.merge(
+                spark,
+                spark.createDataFrame([(5, "s")], ["id", "v"]),
+                ["id"],
+                [
+                    when_matched_update(),
+                    when_not_matched_by_source_delete(),
+                ],
+            )
+    finally:
+        undo()
