@@ -256,3 +256,19 @@ def test_replace_where_allocates_for_inserted_rows(spark, tmp_path):
     got = {r["v"]: r["id"] for r in t.read(spark).collect()}
     assert got["swapped"] > hwm0  # fresh allocation, kept row untouched
     assert len(set(got.values())) == 2
+
+
+def test_clone_carries_identity_mark_and_contract(spark, tmp_path):
+    """CLONE carries the table properties, so a clone's allocator
+    continues past the source's mark instead of re-issuing cloned ids;
+    the GENERATED ALWAYS contract survives too."""
+    t = _fresh(spark, tmp_path)
+    t.append(spark.createDataFrame([("a",), ("b",)], ["v"]))
+    c = t.clone_to(spark, str(tmp_path / "c"), shallow=True)
+    assert c.snapshot().properties["identity.hwm.id"] == "2"
+    c.append(spark.createDataFrame([("c",)], ["v"]))
+    assert sorted(_ids(c, spark)) == [1, 2, 3]
+    with pytest.raises(IdentityColumnViolationError, match="ALWAYS"):
+        c.append(spark.createDataFrame([(9, "x")], "id bigint, v string"))
+    # the source is untouched by the clone's allocation
+    assert t.snapshot().properties["identity.hwm.id"] == "2"
