@@ -5137,10 +5137,12 @@ def embedding_semantic_dedup(spark, sf_dir):
     )
 
 
-@register(
-    "docs_duplicate_spans",
-    """
-    WITH spans AS (
+# Shared exact-substring span CTEs (stride-aligned 40-char windows,
+# md5 keys, 2..64-doc boilerplate band) — one copy for both the pair
+# query and the clustering query, so the span math can never drift
+# between their oracles.
+_SPAN_CTES = """
+    spans AS (
       SELECT DISTINCT doc_id,
              md5(substr(text, CAST(p AS INT) + 1, 40)) AS h
       FROM documents,
@@ -5150,12 +5152,22 @@ def embedding_semantic_dedup(spark, sf_dir):
     keep AS (
       SELECT h FROM spans GROUP BY h
       HAVING count(*) BETWEEN 2 AND 64
+    ),
+    span_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_spans
+      FROM spans a
+      JOIN keep USING (h)
+      JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_spans
-    FROM spans a
-    JOIN keep USING (h)
-    JOIN spans b ON a.h = b.h AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+"""
+
+
+@register(
+    "docs_duplicate_spans",
+    f"""
+    WITH {_SPAN_CTES}
+    SELECT id_a, id_b, n_spans FROM span_pairs
     """,
 )
 def docs_duplicate_spans(spark, sf_dir):
@@ -5171,6 +5183,42 @@ def docs_duplicate_spans(spark, sf_dir):
         stride=10,
         max_docs_per_span=64,
     )
+
+
+@register(
+    "docs_span_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SPAN_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM span_pairs
+      UNION
+      SELECT id_b, id_a FROM span_pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def docs_span_dup_clusters(spark, sf_dir):
+    """[EXT] Copy-chain clusters (r9): the exact-substring pair graph
+    resolved into connected components — A shares a paragraph with B, B
+    with C, so {{A,B,C}} is ONE provenance cluster even though A and C
+    share nothing directly; cluster_id = min reachable doc_id. Composes
+    operators.text.duplicate_spans with the distributed min-label
+    fixpoint (operators.dedup.connected_components, per-round shuffle
+    |edges|); the oracle replays the closure with a recursive CTE."""
+    pairs = text.duplicate_spans(
+        _t(spark, sf_dir, "documents"),
+        span_len=40,
+        stride=10,
+        max_docs_per_span=64,
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 # ===========================================================================
@@ -5195,6 +5243,7 @@ _GATE_FIRST = [
     "txlog_identity_assign",
     "embedding_semantic_dedup",
     "docs_duplicate_spans",
+    "docs_span_dup_clusters",
     # --- 33 remaining r6-window entries ---
     "q14_promo_revenue",
     "q16_part_supplier_counts",
@@ -5242,9 +5291,11 @@ _GATE_FIRST = [
     "docs_temperature_sample",
     "docs_tfidf_top_terms",
     "docs_vocab_coverage",
-    "docs_weighted_sample",
-    # Exactly 50 names. r10 queue: the 37 remaining r7-window entries
-    # (embedding_quantize_int8..lineitem_rollup_by_year_month) + the 13
+    # Exactly 50 names (5 new r9 queries + 33 r6 remnants + 12 r7 head
+    # entries; docs_weighted_sample was displaced by the late-added
+    # docs_span_dup_clusters). r10 queue: the 38 remaining r7-window
+    # entries (docs_weighted_sample,
+    # embedding_quantize_int8..lineitem_rollup_by_year_month) + the 12
     # oldest r8 entries.
 ]
 
