@@ -3327,16 +3327,22 @@ def orders_salted_totals(spark, sf_dir):
 
 
 # Shared k-means-lite oracle CTEs (seeds -> one Lloyd iteration ->
-# final assignment), used by BOTH embedding_kmeans_cells and
-# embedding_semantic_dedup — one copy, so a tweak to seeding/rounding/
-# tie-breaks can never silently desynchronize the two oracles from
-# operators.similarity.kmeans_lite_centroids + ivf_assign.
-_KMEANS_CTES = """
-    WITH seeds AS (
+# final assignment), used by embedding_kmeans_cells,
+# embedding_semantic_dedup and the incremental variant — one generator,
+# so a tweak to seeding/rounding/tie-breaks can never silently
+# desynchronize the oracles from
+# operators.similarity.kmeans_lite_centroids + ivf_assign. ``train``
+# names the CTE/table the quantizer TRAINS on; assignment (sims/
+# assigned) always covers all of ``embeddings``.
+
+
+def _kmeans_ctes(train: str = "embeddings") -> str:
+    return f"""
+    seeds AS (
       SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
                AS cell_id,
              embedding::DOUBLE[] AS cv
-      FROM embeddings
+      FROM {train}
       QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 4
     ),
     a0 AS (
@@ -3346,13 +3352,13 @@ _KMEANS_CTES = """
                  list_dot_product(e.embedding::DOUBLE[], s.cv) /
                  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
                   sqrt(list_dot_product(s.cv, s.cv))) DESC, s.cell_id) AS rn
-        FROM embeddings e CROSS JOIN seeds s
+        FROM {train} e CROSS JOIN seeds s
       ) WHERE rn = 1
     ),
     comp AS (
       SELECT a0.cell_id, CAST(t.pos AS INT) AS pos,
              e.embedding[CAST(t.pos + 1 AS INT)]::DOUBLE AS v
-      FROM embeddings e JOIN a0 USING (vec_id),
+      FROM {train} e JOIN a0 USING (vec_id),
            UNNEST(range(len(e.embedding))) AS t(pos)
     ),
     cent AS (
@@ -3376,6 +3382,9 @@ _KMEANS_CTES = """
       ) WHERE rn = 1
     )
 """
+
+
+_KMEANS_CTES = "WITH " + _kmeans_ctes()
 
 
 def _kmeans_cells_sql() -> str:
@@ -5163,6 +5172,61 @@ _SPAN_CTES = """
 """
 
 
+def _semantic_dedup_incremental_sql() -> str:
+    # quantizer trained on the CORPUS half only (same shared CTEs);
+    # a batch vector (vec_id >= T) is dropped when any same-cell
+    # smaller-id vector reaches the threshold — corpus ids are all < T,
+    # so "smaller id" covers corpus-vs-batch and within-batch both
+    return f"""
+    WITH corpus AS (
+      SELECT * FROM embeddings
+      WHERE vec_id < (SELECT max(vec_id) // 2 FROM embeddings)
+    ),
+    {_kmeans_ctes('corpus')},
+    t AS (SELECT max(vec_id) // 2 AS cut FROM embeddings),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS did
+      FROM assigned a
+      JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      CROSS JOIN t
+      WHERE b.vec_id >= t.cut
+        AND round(
+          list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+          6) >= 0.3
+    )
+    SELECT s.vec_id, CAST(s.cell_id AS INT) AS cell_id
+    FROM assigned s CROSS JOIN t
+    WHERE s.vec_id >= t.cut AND s.vec_id NOT IN (SELECT did FROM drops)
+    """
+
+
+@register(
+    "embedding_semantic_dedup_incremental", _semantic_dedup_incremental_sql()
+)
+def embedding_semantic_dedup_incremental(spark, sf_dir):
+    """[EXT] Incremental SemDeDup (r9): the lower-id half of the
+    embeddings is the existing corpus, the upper half an arriving batch
+    admitted against it — quantizer frozen on the corpus (stable cells
+    as data grows), |batch|-proportional work instead of re-deduping
+    the union, corpus always beats its duplicates
+    (operators.similarity.semantic_dedup_incremental)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.max("vec_id")).first()[0] // 2
+    out = similarity.semantic_dedup_incremental(
+        emb.filter(F.col("vec_id") < cut),
+        emb.filter(F.col("vec_id") >= cut),
+        n_cells=4,
+        threshold=0.3,
+    )
+    return out.select(
+        "vec_id", F.col("cell_id").cast("int").alias("cell_id")
+    )
+
+
 @register(
     "docs_duplicate_spans",
     f"""
@@ -5242,6 +5306,7 @@ _GATE_FIRST = [
     "txlog_merge_conditional",
     "txlog_identity_assign",
     "embedding_semantic_dedup",
+    "embedding_semantic_dedup_incremental",
     "docs_duplicate_spans",
     "docs_span_dup_clusters",
     # --- 33 remaining r6-window entries ---
@@ -5290,12 +5355,13 @@ _GATE_FIRST = [
     "docs_pii_redacted",
     "docs_temperature_sample",
     "docs_tfidf_top_terms",
-    "docs_vocab_coverage",
-    # Exactly 50 names (5 new r9 queries + 33 r6 remnants + 12 r7 head
-    # entries; docs_weighted_sample was displaced by the late-added
-    # docs_span_dup_clusters). r10 queue: the 38 remaining r7-window
-    # entries (docs_weighted_sample,
-    # embedding_quantize_int8..lineitem_rollup_by_year_month) + the 12
+    # Exactly 50 names (6 new r9 queries + 33 r6 remnants + 11 r7 head
+    # entries; docs_weighted_sample and docs_vocab_coverage were
+    # displaced by the late-added docs_span_dup_clusters and
+    # embedding_semantic_dedup_incremental). r10 queue: the 39
+    # remaining r7-window entries (docs_vocab_coverage,
+    # docs_weighted_sample,
+    # embedding_quantize_int8..lineitem_rollup_by_year_month) + the 11
     # oldest r8 entries.
 ]
 

@@ -598,3 +598,75 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell_id")
+
+
+def semantic_dedup_incremental(
+    existing: DataFrame,
+    batch: DataFrame,
+    n_cells: int = 4,
+    threshold: float = 0.95,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental SemDeDup: admit a NEW batch against an existing
+    corpus without re-deduping the corpus — the shape a growing
+    training set actually needs at 100 TB (re-running full SemDeDup per
+    ingest batch re-pays the whole within-cell join every time; this
+    pays |batch|-proportional work).
+
+    The coarse quantizer is trained on the EXISTING corpus only, so
+    cell boundaries stay stable as data arrives (the standard frozen-
+    quantizer practice; retrain offline when drift accumulates). A
+    batch vector is dropped when any same-cell vector with a SMALLER id
+    — from the corpus or from the batch itself — reaches ``threshold``
+    cosine (rounded to 6 decimals before the compare): with ingest ids
+    assigned increasing, the corpus always wins against its duplicates
+    and within-batch duplicates keep their min-id representative,
+    making the admitted set identical to what full SemDeDup over the
+    union (under these frozen centroids) would keep. Requires globally
+    unique ids across corpus and batch.
+
+    Returns the ADMITTED batch rows ``(id, cell_id)``.
+    """
+    cents = kmeans_lite_centroids(
+        existing, n_cells, lloyd_iters, vec_col, id_col
+    )
+    a_all = (
+        existing.select(id_col, vec_col)
+        .unionByName(batch.select(id_col, vec_col))
+        .join(
+            ivf_assign(
+                existing.select(id_col, vec_col).unionByName(
+                    batch.select(id_col, vec_col)
+                ),
+                cents,
+                vec_col,
+                id_col,
+            ),
+            id_col,
+        )
+    )
+    a_new = batch.select(id_col).join(a_all, id_col)
+    left = a_all.select(
+        F.col("cell_id").alias("_blk"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = a_new.select(
+        F.col("cell_id").alias("_blk"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dropped = (
+        left.join(right, "_blk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return a_new.select(id_col, "cell_id").join(
+        dropped, id_col, "left_anti"
+    )
