@@ -8,7 +8,6 @@ expression assignments — must agree with the model on every generated
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -164,7 +163,6 @@ def _reference(target, source, spec):
     return out
 
 
-@pytest.mark.slow
 @given(merge_case())
 @settings(max_examples=15, deadline=None)
 def test_merge_agrees_with_reference_model(spark, tmp_path_factory, case):
