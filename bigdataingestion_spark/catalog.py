@@ -5285,6 +5285,72 @@ def docs_span_dup_clusters(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+@register(
+    "docs_dup_span_profile",
+    f"""
+    WITH {_SPAN_CTES},
+    shared AS (
+      SELECT h FROM spans GROUP BY h HAVING count(*) >= 2
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_spans,
+             count(k.h) AS n_shared
+      FROM spans s LEFT JOIN shared k ON s.h = k.h
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_shared,
+           round(n_shared / n_spans, 4) AS dup_ratio
+    FROM per_doc WHERE n_shared > 0
+    """,
+)
+def docs_dup_span_profile(spark, sf_dir):
+    """[EXT] Per-document duplication profile (the corpus-health report
+    of arXiv:2107.06499): for each doc with any cross-document span
+    overlap, how many of its stride-aligned windows are shared — the
+    number that decides between dropping the doc, trimming the span, or
+    leaving it (a 95% ratio is a mirror; 5% is a quoted paragraph).
+    Distinct (doc, span-hash) rows group once per doc; the shared-span
+    set reuses the same md5-keyed shuffle as the pair query
+    (operators.text.duplicate_spans' span stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = (
+        docs.filter(F.length("text") >= 40)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, length(text) - 40, 10),"
+                    " p -> substring(text, p + 1, 40))"
+                )
+            ).alias("_span"),
+        )
+        .select("doc_id", F.md5("_span").alias("_h"))
+        .distinct()
+    )
+    shared = (
+        spans.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_h")
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        spans.join(shared, "_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    return per_doc.filter(F.col("n_shared") > 0).select(
+        "doc_id",
+        "n_spans",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_spans"), 4).alias("dup_ratio"),
+    )
+
+
 # ===========================================================================
 # entry points for __spark_entry__.py
 # ===========================================================================
