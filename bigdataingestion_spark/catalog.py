@@ -5314,20 +5314,7 @@ def docs_dup_span_profile(spark, sf_dir):
     set reuses the same md5-keyed shuffle as the pair query
     (operators.text.duplicate_spans' span stage)."""
     docs = _t(spark, sf_dir, "documents")
-    spans = (
-        docs.filter(F.length("text") >= 40)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, length(text) - 40, 10),"
-                    " p -> substring(text, p + 1, 40))"
-                )
-            ).alias("_span"),
-        )
-        .select("doc_id", F.md5("_span").alias("_h"))
-        .distinct()
-    )
+    spans = text.span_hashes(docs, span_len=40, stride=10)
     shared = (
         spans.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_n"))

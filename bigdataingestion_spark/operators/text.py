@@ -586,6 +586,36 @@ def weighted_sample(
     )
 
 
+def span_hashes(
+    df: DataFrame,
+    span_len: int = 40,
+    stride: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (id, ``_h``) rows — the md5 of every stride-aligned
+    ``span_len``-char window per document. The ONE copy of the span
+    math, shared by :func:`duplicate_spans` and the catalog's
+    duplication-profile query (like ``_SPAN_CTES`` on the oracle side),
+    so the two can never silently diverge. A span repeated inside one
+    document counts once."""
+    return (
+        df.filter(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, length({text_col}) - {span_len},"
+                    f" {stride}), p -> substring({text_col}, p + 1,"
+                    f" {span_len}))"
+                )
+            ).alias("_span"),
+        )
+        .select(F.col(id_col), F.md5(F.col("_span")).alias("_h"))
+        .distinct()
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     span_len: int = 40,
@@ -615,21 +645,7 @@ def duplicate_spans(
 
     Returns ``(id_a, id_b, n_spans)`` with ``id_a < id_b``.
     """
-    spans = (
-        df.filter(F.length(text_col) >= span_len)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, length({text_col}) - {span_len},"
-                    f" {stride}), p -> substring({text_col}, p + 1,"
-                    f" {span_len}))"
-                )
-            ).alias("_span"),
-        )
-        .select(F.col(id_col), F.md5(F.col("_span")).alias("_h"))
-        .distinct()  # a span repeated inside one doc counts once per pair
-    )
+    spans = span_hashes(df, span_len, stride, text_col, id_col)
     keep = (
         spans.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_n"))
