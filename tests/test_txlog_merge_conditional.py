@@ -586,3 +586,80 @@ def test_unconditional_by_source_conflicts_with_any_concurrent_add(
             )
     finally:
         undo()
+
+
+def test_merge_schema_evolution_cdf_preimages_read_null(spark, tmp_path):
+    """Evolution + CDF interplay: pre-image change rows carry the
+    evolved schema with NULL for columns the old row never had; the
+    post-image carries the source value."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    t.alter_properties({"cdf.enabled": "true"})
+    src = spark.createDataFrame([(1, "A", "x")], ["id", "v", "extra"])
+    ver = t.merge(
+        spark, src, ["id"],
+        [when_matched_update()],
+        schema_evolution=True,
+    )
+    cdf = {
+        r["_change_type"]: r
+        for r in t.read_cdf(spark, ver - 1, ver).collect()
+    }
+    assert cdf["update_preimage"]["extra"] is None
+    assert cdf["update_postimage"]["extra"] == "x"
+
+
+def test_merge_by_source_condition_consults_stats_across_rename(
+    spark, tmp_path
+):
+    """A by-source condition over a RENAMED column: the skipping consult
+    translates logical names through the mapping, so files provably
+    disjoint from the condition stay un-rewritten even though their
+    parquet holds the old physical name."""
+    t = TxLogTable(str(tmp_path / "t"))
+    for lo in (0, 100):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, lo) for i in range(3)], ["id", "n"]
+            ).coalesce(1)
+        )
+    t.enable_column_mapping()
+    t.rename_column("n", "amount")
+    t.merge(
+        spark,
+        spark.createDataFrame([(999, 0)], ["id", "amount"]),
+        ["id"],
+        [
+            when_matched_update(),
+            when_not_matched_by_source_delete(condition="amount >= 100"),
+        ],
+    )
+    m = t.history()[-1]["op_metrics"]
+    assert m["rows_deleted"] == 3 and m["files_rewritten"] == 1
+    assert t.read(spark).count() == 3
+    assert t.read(spark).columns == ["id", "amount"]
+
+
+def test_auto_compact_on_partitioned_table_packs_per_partition(
+    spark, tmp_path
+):
+    """Auto-compaction after partitioned writes packs per hive dir (the
+    compact() hash-on-partition-cols shape), never across dirs."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite_partitions(
+        spark.createDataFrame([(0, "a", "p1")], ["id", "v", "p"]), ["p"]
+    )
+    t.alter_properties({"auto.compact.min.files": "4"})
+    for i in range(1, 5):
+        t.overwrite_partitions(
+            spark.createDataFrame(
+                [(i, "a", f"q{i}")], ["id", "v", "p"]
+            ),
+            ["p"],
+        )
+    assert t.history()[-1]["op"] == "compact"
+    files = t.snapshot().files
+    # one file per hive partition, each still under its own dir
+    assert len(files) == 5
+    assert len({f.split("/")[0] for f in files}) == 5
+    assert t.read(spark).count() == 5
