@@ -1191,6 +1191,7 @@ class TxLogTable:
         adopt_constraints: bool,
         blind_replace: bool = False,
         base_schema_json: str | None = None,
+        own_props: bool = False,
     ) -> str | None:
         """Delta's ConflictChecker, reduced to this log's action set:
         decide whether the commits that won the version race logically
@@ -1252,8 +1253,14 @@ class TxLogTable:
             cur_cons = tuple(cur.constraints) if cur else ()
             if cur_cons != tuple(base_cons):
                 return "table constraints changed concurrently"
-        if (dict(cur.properties) if cur else {}) != dict(base_props):
-            return "table properties changed concurrently"
+        cur_props = dict(cur.properties) if cur else {}
+        bprops = dict(base_props)
+        if cur_props != bprops:
+            why = self._prop_drift_reason(
+                cur_props, bprops, own_props, base_schema_json
+            )
+            if why is not None:
+                return why
         if not blind_replace:
             for w in winners:
                 # a deletion-vector entry MODIFIES its file as surely as a
@@ -1293,6 +1300,66 @@ class TxLogTable:
                         f"file(s) intersecting this op's read set, "
                         f"e.g. {bad[0]}"
                     )
+        return None
+
+    @staticmethod
+    def _prop_drift_reason(
+        cur_props: dict,
+        base_props: dict,
+        own_props: bool,
+        base_schema_json: str | None,
+    ) -> str | None:
+        """Decide whether a concurrent table-property change is a true
+        conflict. Any drift conflicts an op that carries its OWN
+        property delta (its delta was computed against the base set —
+        committing it would silently regress the winner's change; this
+        is what makes two legacy-mode identity allocators physically
+        unable to both land). For ops carrying NO delta, drift confined
+        to ``identity.hwm.*`` keys that moved IN the column's step
+        direction is reconcilable: the op's staged output does not
+        depend on the mark, and its re-commit inherits the winner's
+        properties wholesale, so the advanced mark survives. This is
+        what lets DML, compaction, and reserve-mode identity appends
+        reconcile over a concurrent allocation instead of livelocking
+        (Delta's ConcurrentTransactionException scope, narrowed to the
+        one metadata key whose advance is commutative). A mark that
+        moved AGAINST its step direction (RESTORE's rewind) or vanished
+        still conflicts — values this op's caller observed could be
+        re-issued after it."""
+        drift = {
+            k
+            for k in set(cur_props) | set(base_props)
+            if cur_props.get(k) != base_props.get(k)
+        }
+        if own_props or not all(k.startswith("identity.hwm.") for k in drift):
+            return "table properties changed concurrently"
+        steps: dict[str, int] = {}
+        if base_schema_json is not None:
+            idents = _identity_of(
+                StructType.fromJson(json.loads(base_schema_json))
+            )
+            steps = {
+                f"identity.hwm.{n.lower()}": int(s["step"])
+                for n, s in idents.items()
+            }
+        for k in sorted(drift):
+            if k not in cur_props:
+                return (
+                    f"identity high-water mark {k} was removed "
+                    "concurrently"
+                )
+            if k not in base_props:
+                continue  # first allocation ever: an advance from nothing
+            step = steps.get(k)
+            try:
+                old, new = int(base_props[k]), int(cur_props[k])
+            except (TypeError, ValueError):
+                step = None
+            if step is None or not (new > old if step > 0 else new < old):
+                return (
+                    f"identity high-water mark {k} moved against its "
+                    "allocation direction concurrently (restore/rewind)"
+                )
         return None
 
     def _commit_reconciled(
@@ -1377,10 +1444,12 @@ class TxLogTable:
                     precomputed_stats=stats,
                     dv=dv,
                     cdf=cdf,
-                    # identity hwm updates ride the DML commit; safe under
-                    # reconciliation because _conflict_reason already
-                    # treats ANY concurrent property change (including a
-                    # winner's own hwm bump) as a true conflict
+                    # identity hwm updates ride the DML commit; safe
+                    # under reconciliation because _conflict_reason
+                    # treats ANY concurrent property change as a true
+                    # conflict for ops carrying their own delta
+                    # (own_props below) — only delta-free ops may
+                    # reconcile over a winner's hwm advance
                     properties=properties,
                 )
             except ConcurrentWriteError:
@@ -1407,6 +1476,7 @@ class TxLogTable:
                     adopt_constraints,
                     blind_replace=recompute_remove is not None,
                     base_schema_json=base.schema_json if base else None,
+                    own_props=properties is not None,
                 )
                 if why is not None:
                     self._drop_files(disposable)
@@ -1593,7 +1663,18 @@ class TxLogTable:
                 md[_GEN_KEY] = have[_GEN_KEY]
             if _IDENT_KEY in have:
                 # an overwrite must not silently strip the IDENTITY
-                # contract either (the mark keeps advancing in properties)
+                # contract either (the mark keeps advancing in
+                # properties) — but carrying it onto a non-BIGINT
+                # replacement would bypass add_identity_column's type
+                # check and commit identity metadata the allocator
+                # cannot honor
+                if not isinstance(f.dataType, LongType):
+                    raise IdentityColumnViolationError(
+                        f"overwrite replaces identity column {f.name} "
+                        f"with type {f.dataType.simpleString()}; identity "
+                        "columns must stay BIGINT (drop the identity "
+                        "contract first if the retype is intended)"
+                    )
                 md[_IDENT_KEY] = have[_IDENT_KEY]
             if mapped:
                 md[_PHYS_KEY] = have.get(
@@ -2033,23 +2114,41 @@ class TxLogTable:
         never density, and this keeps the assignment a pure expression.
         The committed mark is the extreme of (allocated range, supplied
         values), so later allocations never collide with anything this
-        batch carried."""
+        batch carried.
+
+        Allocation modes (table property ``identity.allocation.mode``):
+
+        - ``commit`` (default): the mark advance rides the data commit's
+          own properties. Simplest, but the property-drift conflict rule
+          means two concurrent allocating writes can never both
+          reconcile — the loser redoes its full staging.
+        - ``reserve``: the batch's slot range is RESERVED up front in a
+          tiny metadata-only ``identity_reserve`` commit (Delta's
+          per-transaction range reservation), and the data commit then
+          carries NO property delta — it reconciles like any blind
+          append, because ``_prop_drift_reason`` accepts a concurrent
+          mark that only advanced. Reservations serialize on the commit
+          log (O(1) metadata retries, never re-staging); a crash between
+          reserve and data commit leaves an id gap, which the identity
+          contract already allows (uniqueness and direction, never
+          density). This restores full append concurrency on identity
+          tables at the cost of one extra metadata commit per
+          allocating batch."""
         schema = StructType.fromJson(json.loads(snap.schema_json))
         idents = _identity_of(schema)
         props = dict(snap.properties)
         spark = df.sparkSession
         changed = False
         mask = (1 << 33) - 1
+        reserve = props.get("identity.allocation.mode") == "reserve"
+        # pass 1 — per-column stats: ONE job per column over the
+        # persisted df (per-partition row counts = slot offsets, null
+        # counts, and the supplied extreme from one aggregation)
+        needs: dict[str, dict] = {}
         for name, spec in idents.items():
             col = next(c for c in df.columns if c.lower() == name.lower())
-            start, step = int(spec["start"]), int(spec["step"])
-            hkey = f"identity.hwm.{name.lower()}"
-            hwm = props.get(hkey)
-            nxt = int(hwm) + step if hwm is not None else start
+            step = int(spec["step"])
             pid = self._fresh_col("_pid", df.columns)
-            # ONE job per column: per-partition row counts (slot
-            # offsets), null counts, and the supplied extreme all come
-            # from the same O(partitions) aggregation
             part_rows = (
                 df.groupBy(F.spark_partition_id().alias(pid))
                 .agg(
@@ -2060,18 +2159,43 @@ class TxLogTable:
                 .collect()
             )
             per_part = {int(r[pid]): int(r["n"]) for r in part_rows}
-            n_null = sum(int(r["nn"]) for r in part_rows)
             sup_extreme = None
             if not spec["always"]:
                 vals = [r["ex"] for r in part_rows if r["ex"] is not None]
                 if vals:
                     sup_extreme = max(vals) if step > 0 else min(vals)
+            needs[name] = {
+                "spec": spec,
+                "col": col,
+                "per_part": per_part,
+                "acc": sum(per_part.values()),
+                "n_null": sum(int(r["nn"]) for r in part_rows),
+                "sup_extreme": sup_extreme,
+            }
+        starts: dict[str, int] = {}
+        if reserve:
+            # range reservation commits FIRST; data commit carries None
+            starts = self._reserve_identity_ranges(needs)
+        # pass 2 — pure-expression assignment per column (no jobs)
+        for name, need in needs.items():
+            spec, col = need["spec"], need["col"]
+            start, step = int(spec["start"]), int(spec["step"])
+            hkey = f"identity.hwm.{name.lower()}"
+            hwm = props.get(hkey)
+            if reserve:
+                nxt = starts[name]
+            else:
+                nxt = int(hwm) + step if hwm is not None else start
+            per_part = need["per_part"]
+            n_null = need["n_null"]
+            sup_extreme = need["sup_extreme"]
             last = int(hwm) if hwm is not None else None
             if n_null:
                 offsets, acc = [], 0
                 for p in sorted(per_part):
                     offsets.append((p, acc))
                     acc += per_part[p]
+                pid = self._fresh_col("_pid", df.columns)
                 off = self._fresh_col("_off", [*df.columns, pid])
                 off_df = spark.createDataFrame(
                     offsets, f"{pid} int, {off} long"
@@ -2106,6 +2230,8 @@ class TxLogTable:
                     or (last_alloc > last if step > 0 else last_alloc < last)
                     else last
                 )
+            if reserve:
+                continue  # mark already advanced by the reserve commit
             new_hwm = last
             if sup_extreme is not None:
                 se = int(sup_extreme)
@@ -2116,7 +2242,70 @@ class TxLogTable:
             if new_hwm is not None and (hwm is None or int(hwm) != new_hwm):
                 props[hkey] = str(new_hwm)
                 changed = True
-        return df, (props if changed else None)
+        return df, (None if reserve else (props if changed else None))
+
+    def _reserve_identity_ranges(
+        self, needs: dict[str, dict], max_retries: int = 50
+    ) -> dict[str, int]:
+        """Reserve each identity column's slot range for one batch via a
+        metadata-only ``identity_reserve`` commit (reserve allocation
+        mode; see :meth:`_fill_identity_nulls`). The range start is
+        computed against a FRESH snapshot inside the commit-race retry
+        loop, so concurrent reservations serialize on the log and every
+        committed range is disjoint — losing a race costs one metadata
+        re-read, never re-staging. Returns ``{column -> first value}``.
+        If no column needs slots and no supplied value moves a mark, no
+        commit is written."""
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            props = dict(snap.properties)
+            starts: dict[str, int] = {}
+            marks: dict[str, str] = {}
+            for name, need in needs.items():
+                spec = need["spec"]
+                start, step = int(spec["start"]), int(spec["step"])
+                hkey = f"identity.hwm.{name.lower()}"
+                hwm = props.get(hkey)
+                nxt = int(hwm) + step if hwm is not None else start
+                starts[name] = nxt
+                new_hwm = int(hwm) if hwm is not None else None
+                if need["n_null"]:
+                    last_alloc = nxt + step * (need["acc"] - 1)
+                    if new_hwm is None or (
+                        last_alloc > new_hwm
+                        if step > 0
+                        else last_alloc < new_hwm
+                    ):
+                        new_hwm = last_alloc
+                if need["sup_extreme"] is not None:
+                    se = int(need["sup_extreme"])
+                    if new_hwm is None or (
+                        se > new_hwm if step > 0 else se < new_hwm
+                    ):
+                        new_hwm = se
+                if new_hwm is not None and (
+                    hwm is None or int(hwm) != new_hwm
+                ):
+                    props[hkey] = str(new_hwm)
+                    marks[hkey] = str(new_hwm)
+            if not marks:
+                return starts
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            try:
+                self._commit(
+                    [], [], schema, "identity_reserve", None, snap.version,
+                    partition_cols=list(snap.partition_cols) or None,
+                    metrics={"reserved": marks},
+                    constraints=snap.constraints,
+                    properties=props,
+                )
+                return starts
+            except ConcurrentWriteError:
+                continue  # another writer landed first: re-read, re-base
+        raise ConcurrentWriteError(
+            f"identity range reservation lost {max_retries} consecutive "
+            f"commit races on {self.path}"
+        )
 
     @staticmethod
     def _check_constraints(df: DataFrame, constraints) -> None:
@@ -2700,10 +2889,15 @@ class TxLogTable:
     ) -> dict | None:
         """``bloom.columns`` with entries naming ``old`` — or dotted
         paths under ``old.`` (blooms inside a renamed struct, or under a
-        renamed nested path) — re-keyed to ``new``. None when nothing
-        changes (the commit then carries no property delta). The ONE
-        rekey rule for both top-level and nested renames; sidecars are
-        keyed by frozen PHYSICAL paths and never move."""
+        renamed nested path) — re-keyed to ``new``, and the identity
+        high-water mark ``identity.hwm.<old>`` re-keyed to the new name
+        (identity is top-level only, so dotted ``old`` never matches;
+        without this rekey a renamed identity column's allocator would
+        find no mark under the new name and silently re-issue ids from
+        start). None when nothing changes (the commit then carries no
+        property delta). The ONE rekey rule for both top-level and
+        nested renames; sidecars are keyed by frozen PHYSICAL paths and
+        never move."""
         cols = self._bloom_columns(snap)
         rekeyed = [
             new if c == old
@@ -2711,10 +2905,14 @@ class TxLogTable:
             else c
             for c in cols
         ]
-        if rekeyed == cols:
-            return None
-        props = dict(snap.properties)
-        props["bloom.columns"] = ",".join(rekeyed)
+        props = None
+        if rekeyed != cols:
+            props = dict(snap.properties)
+            props["bloom.columns"] = ",".join(rekeyed)
+        old_hkey = f"identity.hwm.{old.lower()}"
+        if old_hkey in snap.properties:
+            props = dict(snap.properties) if props is None else props
+            props[f"identity.hwm.{new.lower()}"] = props.pop(old_hkey)
         return props
 
     def _rename_nested(
@@ -5213,13 +5411,24 @@ class TxLogTable:
         # conservative, never silently divergent). The dependency check
         # is a word-match on the stored SQL text, the same conservative
         # shape rename_column uses for constraints.
-        for iname in _identity_of(schema):
+        # identity columns: ALWAYS is never assignable (the same contract
+        # merge's clause validation enforces); BY DEFAULT assignments
+        # pass through — the same contract append and merge honor for
+        # supplied values — and the high-water mark is advanced past the
+        # assigned extreme in the SAME commit, so later allocations never
+        # collide with values this UPDATE wrote. Delta's caveat stands:
+        # BY DEFAULT offers no supplied-vs-allocated collision protection.
+        ident_assigned: dict[str, dict] = {}
+        for iname, ispec in _identity_of(schema).items():
             if iname.lower() in assigns:
-                raise IdentityColumnViolationError(
-                    f"cannot UPDATE SET identity column {iname}: its "
-                    "values are table-allocated and reassignment would "
-                    "break the uniqueness contract"
-                )
+                if ispec["always"]:
+                    raise IdentityColumnViolationError(
+                        f"cannot UPDATE SET identity column {iname}: it "
+                        "is GENERATED ALWAYS and its values are "
+                        "table-allocated; reassignment would break the "
+                        "uniqueness contract"
+                    )
+                ident_assigned[iname] = ispec
         recompute_gens: dict[str, str] = {}  # lower name -> expression
         for gname, gexpr in _generated_of(schema).items():
             if gname.lower() in assigns:
@@ -5278,6 +5487,32 @@ class TxLogTable:
                     updated, schema, recompute_gens
                 )
             self._check_constraints(updated, snap.constraints)  # post-SET
+            id_props = None
+            if ident_assigned:
+                # one O(1)-row agg over the rewritten rows per assigned
+                # BY DEFAULT column: the committed mark must cover every
+                # value this UPDATE wrote (the same sup_extreme rule
+                # _fill_identity_nulls applies to supplied appends)
+                exprs = [
+                    (
+                        F.max(n) if int(s["step"]) > 0 else F.min(n)
+                    ).alias(n.lower())
+                    for n, s in ident_assigned.items()
+                ]
+                row = updated.agg(*exprs).first()
+                props = dict(snap.properties)
+                for n, s in ident_assigned.items():
+                    ex = row[n.lower()]
+                    if ex is None:
+                        continue
+                    hkey = f"identity.hwm.{n.lower()}"
+                    hwm = props.get(hkey)
+                    step = int(s["step"])
+                    if hwm is None or (
+                        int(ex) > int(hwm) if step > 0 else int(ex) < int(hwm)
+                    ):
+                        props[hkey] = str(int(ex))
+                        id_props = props
             cdf_map = None
             if self._cdf_enabled(snap):
                 pre_image = df.filter(pred)
@@ -5325,6 +5560,7 @@ class TxLogTable:
             ),
             precomputed_stats=fstats,
             cdf=cdf_map,
+            properties=id_props,
             metrics={
                 "predicate": predicate,
                 "set": sorted(set_exprs),
