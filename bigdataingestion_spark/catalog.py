@@ -5105,6 +5105,160 @@ def txlog_identity_assign(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_cdc_ops_final_state",
+    """
+    WITH feed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1, 'U', 2
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 3
+      FROM orders WHERE o_orderkey % 15 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 5, 'U', 4
+      FROM orders WHERE o_orderkey % 5 = 1
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 2, 'I', 5
+      FROM orders WHERE o_orderkey % 30 = 0
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC
+      ) AS rn FROM feed
+    )
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 4) AS o_totalprice
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def txlog_cdc_ops_final_state(spark, sf_dir):
+    """[EXT] Op-coded CDC apply end-to-end (r10, VERDICT item 3):
+    a three-batch Debezium-style I/U/D feed derived from the orders
+    fixture is streamed one file per micro-batch through
+    ``streaming.ingest.stream_cdc_apply_ops`` — each batch ONE
+    conditional-MERGE commit (matched+D -> DELETE, matched -> UPDATE *,
+    not-matched+non-D -> INSERT *), with ``order_cols`` collapsing
+    multi-event keys (batch 2 carries U then D for the same keys) to
+    log-compaction semantics. The final table must equal the oracle's
+    relational replay: latest event per key, tombstones absent —
+    including keys deleted in batch 2 and RE-inserted in batch 3."""
+    import tempfile
+    import time as _time
+
+    from bigdataingestion_spark.streaming.ingest import stream_cdc_apply_ops
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+
+    def ev(pred, price, op, seq):
+        return orders.filter(pred).select(
+            "o_orderkey",
+            "o_orderstatus",
+            price.alias("o_totalprice"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    p = F.col("o_totalprice")
+    batches = [
+        ev(k % 5 == 0, p, "I", 1),
+        ev(k % 10 == 0, p * 1.1, "U", 2)
+        .unionByName(ev(k % 15 == 0, p, "D", 3))
+        .unionByName(ev(k % 5 == 1, p + 5, "U", 4)),
+        ev(k % 30 == 0, p * 2, "I", 5),
+    ]
+    work = tempfile.mkdtemp(prefix="bdi_cdcops_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    now = _time.time()
+    for i, b in enumerate(batches):
+        stage = os.path.join(work, f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(landing, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        # the file source processes oldest-mtime first: pin arrival order
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    target = os.path.join(work, "state")
+    q = stream_cdc_apply_ops(
+        spark,
+        landing,
+        target,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        keys=["o_orderkey"],
+        order_cols=["seq"],
+    )
+    q.awaitTermination(300)
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    return (
+        TxLogTable(target)
+        .read(spark)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "txlog_auto_compact_invariance",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(1 AS BIGINT) AS compaction_ran
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def txlog_auto_compact_invariance(spark, sf_dir):
+    """[EXT] Auto-compaction content invariance (r10, VERDICT item 4):
+    orders ingested as six single-file appends with
+    ``auto.compact.min.files=4`` — post-commit auto-compaction
+    (sinks/txlog.py _maybe_auto_compact) MUST fire along the way and
+    MUST NOT change table content; the result is the raw-orders rollup
+    with ``compaction_ran`` proving the maintenance actually happened
+    (best-effort failures would silently leave it 0 and fail the
+    hash)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = _fresh_txlog()
+    t.append(orders.limit(0))
+    t.alter_properties({"auto.compact.min.files": "4"})
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = (hi - lo) // 6 + 1
+    for i in range(6):
+        chunk = orders.filter(
+            (F.col("o_orderkey") >= lo + i * width)
+            & (F.col("o_orderkey") < lo + (i + 1) * width)
+        )
+        t.append(chunk.coalesce(1))
+    ran = any(e["op"] == "compact" for e in t.history())
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn(
+            "compaction_ran", F.lit(1 if ran else 0).cast("long")
+        )
+    )
+
+
 def _semantic_dedup_sql() -> str:
     # the k-means-lite CTEs are SHARED with _kmeans_cells_sql
     # (_KMEANS_CTES — same seeding, one Lloyd iteration, same
@@ -5348,74 +5502,74 @@ def docs_dup_span_profile(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # Round-9 window. Evidence ages entering r9: 50 @ r8 (the r5 cohort
-    # + q17 + the two r8 lake queries + 17 r6-head entries), 33 r6
-    # remnants (q14/q16 + q18..docs_bigram_quality), 50 @ r7. Queries
-    # NEW this round lead (standing policy: zero evidence first): the
-    # conditional-merge and identity lake queries, SemDeDup, and
-    # exact-substring spans. Then the full 33-query r6 remnant, then the
-    # 13 head entries of the r7 window. After a green r9 gate no query's
-    # driver evidence is older than r7.
-    "txlog_merge_conditional",
-    "txlog_identity_assign",
-    "embedding_semantic_dedup",
-    "embedding_semantic_dedup_incremental",
-    "docs_duplicate_spans",
-    "docs_span_dup_clusters",
-    # --- 33 remaining r6-window entries ---
-    "q14_promo_revenue",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_customers",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "similar_part_names",
-    "streaming_hourly_counts",
-    "user_funnel_set_ops",
-    "user_purchase_error_overlap",
-    "streaming_user_sessions",
-    "minhash_lsh_pairs",
-    "minhash_incremental_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_hamming_pairs",
-    "asof_last_purchase",
-    "training_data_pipeline",
-    "text_quality_stats",
-    "lang_histogram",
-    "user_sessions",
-    "user_sessions_native",
-    "multimodal_features",
-    "events_latest_state",
-    "events_range_pairs",
-    "events_hourly_gapfill",
-    "events_retention_cohorts",
-    "events_window_funnel",
-    "customer_cohort_ltv",
-    "docs_bigram_quality",
-    # --- 13 head entries of the r7 window ---
-    "txlog_backfill_replace",
-    "txlog_rename_migration",
-    "txlog_dv_point_delete",
-    "txlog_cdf_audit",
-    "txlog_generated_bucket",
-    "docs_boilerplate_ngrams",
-    "docs_length_profile",
-    "docs_pack_sequences",
-    "docs_pii_redacted",
-    "docs_temperature_sample",
-    "docs_tfidf_top_terms",
-    # Exactly 50 names (6 new r9 queries + 33 r6 remnants + 11 r7 head
-    # entries; docs_weighted_sample and docs_vocab_coverage were
-    # displaced by the late-added docs_span_dup_clusters and
-    # embedding_semantic_dedup_incremental). r10 queue: the 39
-    # remaining r7-window entries (docs_vocab_coverage,
-    # docs_weighted_sample,
-    # embedding_quantize_int8..lineitem_rollup_by_year_month) + the 11
-    # oldest r8 entries.
+    # Round-10 window, re-planned around DELIVERED evidence (the r9
+    # verdict's item 1: CORRECTNESS_r08.json never landed, so the r8
+    # gate is phantom — from delivered files the r5 cohort is four
+    # rounds stale and four queries have no driver evidence at all).
+    # Standing policy: queries NEW this round lead (zero evidence
+    # first) — the two r10 additions, then the 4 never-delivered, then
+    # the full 30-query r5 cohort, then the 14 oldest r6-age entries.
+    # After a green r10 gate no query's delivered driver evidence is
+    # older than r6, and no query lacks delivered evidence entirely.
+    "txlog_cdc_ops_final_state",
+    "txlog_auto_compact_invariance",
+    # --- 4 queries with no delivered driver-gate row ever ---
+    "docs_dup_span_profile",
+    "q17_small_quantity_revenue",
+    "txlog_nested_rename",
+    "txlog_update_recompute",
+    # --- the 30-query r5 cohort ---
+    "corpus_token_frequency",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_near_clusters",
+    "doc_fingerprints",
+    "docs_chunked",
+    "docs_contamination",
+    "embedding_cosine_topk",
+    "embedding_cosine_topk_arrow",
+    "events_multires_rollup",
+    "events_value_percentiles",
+    "ingest_chunk_profile",
+    "ingest_config_union",
+    "ingest_distinct_years",
+    "ingest_months_below_limit",
+    "ingest_next_surrogate_key",
+    "ingest_watermark_filter_count",
+    "ingest_watermark_next",
+    "ingest_years_above_limit",
+    "minhash_signatures",
+    "multimodal_meta",
+    "orders_status_pivot",
+    "orders_status_unpivot",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "simhash64",
+    "small_quantity_revenue",
+    "top_customers_by_spend",
+    "top_parts_by_revenue",
+    # --- 14 oldest r6-age entries ---
+    "customer_order_moving_avg",
+    "customer_order_timeline",
+    "customer_top_order",
+    "docs_repetition_stats",
+    "docs_source_mix_weights",
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "embedding_knn_vote",
+    "embedding_label_centroids",
+    "embedding_label_stats",
+    "embedding_near_dup_pairs",
+    "event_type_daily",
+    "lineitem_cube_stats",
+    "part_best_supplier",
+    # Exactly 50 names (2 new r10 + 4 never-delivered + 30 r5 cohort +
+    # 14 r6-age). r11 queue: the 3 remaining r6-age entries
+    # (q10_returned_items, q11_major_part_types,
+    # q13_customer_order_distribution), then the r9-window cohort
+    # (txlog_merge_conditional .. docs_tfidf_top_terms) as the then-
+    # oldest delivered evidence.
 ]
 
 

@@ -616,12 +616,12 @@ def semantic_dedup_incremental(
     lloyd_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    corpus_assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: admit a NEW batch against an existing
     corpus without re-deduping the corpus — the shape a growing
-    training set actually needs at 100 TB (re-running full SemDeDup per
-    ingest batch re-pays the whole within-cell join every time; this
-    pays |batch|-proportional work).
+    training set actually needs at 100 TB.
 
     The coarse quantizer is trained on the EXISTING corpus only, so
     cell boundaries stay stable as data arrives (the standard frozen-
@@ -635,28 +635,51 @@ def semantic_dedup_incremental(
     union (under these frozen centroids) would keep. Requires globally
     unique ids across corpus and batch.
 
+    Cost shape: a steady-state ingest pipeline should pass the CACHED
+    quantizer state — ``centroids`` (from :func:`kmeans_lite_centroids`
+    or a prior run) and ``corpus_assignments`` (``(id, cell_id)``, e.g.
+    full SemDeDup's survivor output or a maintained assignment table).
+    Both are deterministic pure functions of the corpus, so caching
+    them is exact, and a batch admission then costs O(|batch| · cells ·
+    dim) assignment work plus the within-cell joins of TOUCHED cells
+    only — no per-batch quantizer retrain, no per-batch full-corpus
+    re-assignment (the corpus-proportional passes this function exists
+    to avoid). Without the cache it falls back to recomputing both from
+    ``existing`` per call — correct, but each call then pays a full
+    corpus pass; use the cache at scale. Either way the corpus side of
+    the pair join is pruned to the batch's touched cells, so the
+    quadratic work never exceeds sum over touched cells of
+    |cell|·|batch∩cell|.
+
     Returns the ADMITTED batch rows ``(id, cell_id)``.
     """
-    cents = kmeans_lite_centroids(
-        existing, n_cells, lloyd_iters, vec_col, id_col
-    )
-    a_all = (
-        existing.select(id_col, vec_col)
-        .unionByName(batch.select(id_col, vec_col))
-        .join(
-            ivf_assign(
-                existing.select(id_col, vec_col).unionByName(
-                    batch.select(id_col, vec_col)
-                ),
-                cents,
-                vec_col,
-                id_col,
-            ),
-            id_col,
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_lite_centroids(
+            existing, n_cells, lloyd_iters, vec_col, id_col
         )
     )
-    a_new = batch.select(id_col).join(a_all, id_col)
-    left = a_all.select(
+    a_corpus = (
+        corpus_assignments.select(id_col, "cell_id")
+        if corpus_assignments is not None
+        else ivf_assign(
+            existing.select(id_col, vec_col), cents, vec_col, id_col
+        )
+    )
+    a_new = batch.select(id_col, vec_col).join(
+        ivf_assign(batch.select(id_col, vec_col), cents, vec_col, id_col),
+        id_col,
+    )
+    # corpus side pruned to cells the batch actually landed in: vectors
+    # in untouched cells can never pair with a batch vector (pairs
+    # require equal cell_id), so reading them is pure waste
+    touched = a_new.select("cell_id").distinct()
+    corpus_side = (
+        existing.select(id_col, vec_col)
+        .join(a_corpus.join(touched, "cell_id", "left_semi"), id_col)
+    )
+    left = corpus_side.unionByName(a_new).select(
         F.col("cell_id").alias("_blk"),
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
