@@ -109,16 +109,22 @@ corpus = (
             "embedding")
 )
 corpus = corpus.persist()
+# batch: 200 NEGATED vectors (cosine -1 to every corpus twin -> the
+# admission decision is real, not all-drop), ids above the corpus range
 batch = emb.filter(F.col("vec_id") >= emb.agg(F.expr("percentile(vec_id, 0.9)")).first()[0]).select(
-    (F.col("vec_id") + 1000 * n_emb * 10).alias("vec_id"), "embedding")
+    (F.col("vec_id") + 1000 * n_emb * 10).alias("vec_id"),
+    F.expr("transform(embedding, x -> -x)").alias("embedding"))
 print("incremental corpus/batch:", corpus.count(), batch.count())
+# n_cells=64: the production shape (the paper scales clusters with the
+# corpus; more cells = smaller within-cell joins and a LARGER
+# corpus-assignment cost for the self-computing path to re-pay)
 t0("semdedup incremental (self-computing)", lambda: similarity.semantic_dedup_incremental(
-    corpus, batch, n_cells=8, threshold=0.3).count())
-cents = similarity.kmeans_lite_centroids(corpus, 8)
+    corpus, batch, n_cells=64, threshold=0.95).count())
+cents = similarity.kmeans_lite_centroids(corpus, 64)
 assigns = similarity.ivf_assign(corpus.select("vec_id","embedding"), cents)
 cents.persist().count(); assigns.persist().count()  # the offline cache
 t0("semdedup incremental (cached quantizer+assignments)", lambda: similarity.semantic_dedup_incremental(
-    corpus, batch, n_cells=8, threshold=0.3,
+    corpus, batch, n_cells=64, threshold=0.95,
     centroids=cents, corpus_assignments=assigns).count())
 
 # --- duplicate_spans ---------------------------------------------------
