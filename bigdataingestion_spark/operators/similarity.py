@@ -637,19 +637,28 @@ def semantic_dedup_incremental(
 
     Cost shape: a steady-state ingest pipeline should pass the CACHED
     quantizer state — ``centroids`` (from :func:`kmeans_lite_centroids`
-    or a prior run) and ``corpus_assignments`` (``(id, cell_id)``, e.g.
-    full SemDeDup's survivor output or a maintained assignment table).
-    Both are deterministic pure functions of the corpus, so caching
-    them is exact, and a batch admission then costs O(|batch| · cells ·
-    dim) assignment work plus the within-cell joins of TOUCHED cells
-    only — no per-batch quantizer retrain, no per-batch full-corpus
-    re-assignment (the corpus-proportional passes this function exists
-    to avoid). Without the cache it falls back to recomputing both from
-    ``existing`` per call — correct, but each call then pays a full
-    corpus pass; use the cache at scale. Either way the corpus side of
-    the pair join is pruned to the batch's touched cells, so the
-    quadratic work never exceeds sum over touched cells of
-    |cell|·|batch∩cell|.
+    or a prior run) and ``corpus_assignments`` (``(id, cell_id)``,
+    ideally a maintained FULL assignment table covering every row of
+    ``existing``, extended with each admitted batch's returned
+    assignments). Both are deterministic pure functions of the corpus,
+    so caching them is exact, and a batch admission then costs
+    O(|batch| · cells · dim) assignment work plus the within-cell joins
+    of TOUCHED cells only — no per-batch quantizer retrain, no
+    per-batch full-corpus re-assignment (the corpus-proportional passes
+    this function exists to avoid). Exactness holds even for a PARTIAL
+    cache (stale table lagging recent ingests): corpus vectors absent
+    from ``corpus_assignments`` are detected by an id-only anti-join
+    and assigned on the fly under the same frozen centroids, never
+    silently excluded from the dedup compare — but each uncovered
+    vector pays per-batch assignment, so keep the cache complete
+    (passing only full SemDeDup's SURVIVORS is exact only when
+    ``existing`` is the pruned corpus itself; over the unpruned corpus
+    it re-assigns every dropped vector per call). Without the cache it
+    falls back to recomputing both from ``existing`` per call —
+    correct, but each call then pays a full corpus pass; use the cache
+    at scale. Either way the corpus side of the pair join is pruned to
+    the batch's touched cells, so the quadratic work never exceeds sum
+    over touched cells of |cell|·|batch∩cell|.
 
     Returns the ADMITTED batch rows ``(id, cell_id)``.
     """
@@ -660,13 +669,24 @@ def semantic_dedup_incremental(
             existing, n_cells, lloyd_iters, vec_col, id_col
         )
     )
-    a_corpus = (
-        corpus_assignments.select(id_col, "cell_id")
-        if corpus_assignments is not None
-        else ivf_assign(
+    if corpus_assignments is not None:
+        a_corpus = corpus_assignments.select(id_col, "cell_id")
+        # exactness guard: any corpus vector the cache does not cover
+        # is assigned on the fly under the same frozen centroids (an
+        # id-only anti-join — no vector movement for covered rows), so
+        # a stale or survivors-only cache can narrow the compare set
+        # only by what was genuinely dropped from ``existing``, never
+        # by silent exclusion
+        missing = existing.select(id_col, vec_col).join(
+            a_corpus.select(id_col), id_col, "left_anti"
+        )
+        a_corpus = a_corpus.unionByName(
+            ivf_assign(missing, cents, vec_col, id_col)
+        )
+    else:
+        a_corpus = ivf_assign(
             existing.select(id_col, vec_col), cents, vec_col, id_col
         )
-    )
     a_new = batch.select(id_col, vec_col).join(
         ivf_assign(batch.select(id_col, vec_col), cents, vec_col, id_col),
         id_col,

@@ -1253,11 +1253,32 @@ class TxLogTable:
             cur_cons = tuple(cur.constraints) if cur else ()
             if cur_cons != tuple(base_cons):
                 return "table constraints changed concurrently"
+        # property drift is judged per WINNER TRANSITION, not endpoint
+        # to endpoint: an intermediate mark rewind masked by a later
+        # advance (reserve at 17, rewind to 10, re-reserve to 17) reads
+        # as a no-op at the endpoints, yet the re-reserved range
+        # duplicates ids this op's caller already holds — every
+        # transition must independently pass the drift rule. Winners
+        # carry the FULL property dict whenever they change it, so the
+        # walk reconstructs each intermediate state exactly; a trailing
+        # endpoint compare covers commits missing from ``winners``
+        # (aged-out files are skipped by commits_between).
         cur_props = dict(cur.properties) if cur else {}
-        bprops = dict(base_props)
-        if cur_props != bprops:
+        prev_props = dict(base_props)
+        for w in winners:
+            if "properties" not in w:
+                continue
+            nxt_props = dict(w["properties"])
+            if nxt_props != prev_props:
+                why = self._prop_drift_reason(
+                    nxt_props, prev_props, own_props, base_schema_json
+                )
+                if why is not None:
+                    return why
+            prev_props = nxt_props
+        if cur_props != prev_props:
             why = self._prop_drift_reason(
-                cur_props, bprops, own_props, base_schema_json
+                cur_props, prev_props, own_props, base_schema_json
             )
             if why is not None:
                 return why
@@ -2188,8 +2209,6 @@ class TxLogTable:
                 nxt = int(hwm) + step if hwm is not None else start
             per_part = need["per_part"]
             n_null = need["n_null"]
-            sup_extreme = need["sup_extreme"]
-            last = int(hwm) if hwm is not None else None
             if n_null:
                 offsets, acc = [], 0
                 for p in sorted(per_part):
@@ -2222,27 +2241,42 @@ class TxLogTable:
                     )
                 )
                 df = out.select(*[c for c in out.columns if c not in (pid, mid, off)])
-                # the batch reserves acc slots; the furthest one is the mark
-                last_alloc = nxt + step * (acc - 1)
-                last = (
-                    last_alloc
-                    if last is None
-                    or (last_alloc > last if step > 0 else last_alloc < last)
-                    else last
-                )
             if reserve:
                 continue  # mark already advanced by the reserve commit
-            new_hwm = last
-            if sup_extreme is not None:
-                se = int(sup_extreme)
-                if new_hwm is None or (
-                    se > new_hwm if step > 0 else se < new_hwm
-                ):
-                    new_hwm = se
+            new_hwm = self._identity_mark_advance(
+                hwm, step, nxt, need["acc"], n_null, need["sup_extreme"]
+            )
             if new_hwm is not None and (hwm is None or int(hwm) != new_hwm):
                 props[hkey] = str(new_hwm)
                 changed = True
         return df, (None if reserve else (props if changed else None))
+
+    @staticmethod
+    def _identity_mark_advance(
+        hwm, step: int, nxt: int, acc: int, n_null: int, sup_extreme
+    ):
+        """Directional mark fold shared by commit-mode allocation
+        (:meth:`_fill_identity_nulls`) and reserve-mode reservation
+        (:meth:`_reserve_identity_ranges`) — ONE copy so the two modes
+        can never desynchronize. The committed mark must cover both the
+        allocated range (``acc`` slots from ``nxt``, reserved only when
+        any NULL slot needs filling) and any supplied extreme. Returns
+        the new mark, or the old one (possibly ``None``) when nothing
+        moved it in the step direction."""
+        new_hwm = int(hwm) if hwm is not None else None
+        if n_null:
+            last_alloc = nxt + step * (acc - 1)
+            if new_hwm is None or (
+                last_alloc > new_hwm if step > 0 else last_alloc < new_hwm
+            ):
+                new_hwm = last_alloc
+        if sup_extreme is not None:
+            se = int(sup_extreme)
+            if new_hwm is None or (
+                se > new_hwm if step > 0 else se < new_hwm
+            ):
+                new_hwm = se
+        return new_hwm
 
     def _reserve_identity_ranges(
         self, needs: dict[str, dict], max_retries: int = 50
@@ -2268,21 +2302,10 @@ class TxLogTable:
                 hwm = props.get(hkey)
                 nxt = int(hwm) + step if hwm is not None else start
                 starts[name] = nxt
-                new_hwm = int(hwm) if hwm is not None else None
-                if need["n_null"]:
-                    last_alloc = nxt + step * (need["acc"] - 1)
-                    if new_hwm is None or (
-                        last_alloc > new_hwm
-                        if step > 0
-                        else last_alloc < new_hwm
-                    ):
-                        new_hwm = last_alloc
-                if need["sup_extreme"] is not None:
-                    se = int(need["sup_extreme"])
-                    if new_hwm is None or (
-                        se > new_hwm if step > 0 else se < new_hwm
-                    ):
-                        new_hwm = se
+                new_hwm = self._identity_mark_advance(
+                    hwm, step, nxt, need["acc"], need["n_null"],
+                    need["sup_extreme"],
+                )
                 if new_hwm is not None and (
                     hwm is None or int(hwm) != new_hwm
                 ):
@@ -5489,20 +5512,36 @@ class TxLogTable:
             self._check_constraints(updated, snap.constraints)  # post-SET
             id_props = None
             if ident_assigned:
-                # one O(1)-row agg over the rewritten rows per assigned
-                # BY DEFAULT column: the committed mark must cover every
-                # value this UPDATE wrote (the same sup_extreme rule
-                # _fill_identity_nulls applies to supplied appends)
-                exprs = [
-                    (
-                        F.max(n) if int(s["step"]) > 0 else F.min(n)
-                    ).alias(n.lower())
-                    for n, s in ident_assigned.items()
-                ]
+                # ONE O(1)-row agg over the rewritten rows for all
+                # assigned BY DEFAULT columns: a NULL count per column
+                # (a SET producing NULL — literal NULL, failed cast,
+                # NULL CASE branch — would silently break the identity
+                # contract append enforces by filling NULL slots) and
+                # the extreme the committed mark must cover (the same
+                # sup_extreme rule _fill_identity_nulls applies)
+                exprs = []
+                for n, s in ident_assigned.items():
+                    exprs.append(
+                        (
+                            F.max(n) if int(s["step"]) > 0 else F.min(n)
+                        ).alias(f"ex_{n.lower()}")
+                    )
+                    exprs.append(
+                        F.sum(F.col(n).isNull().cast("long")).alias(
+                            f"nn_{n.lower()}"
+                        )
+                    )
                 row = updated.agg(*exprs).first()
                 props = dict(snap.properties)
                 for n, s in ident_assigned.items():
-                    ex = row[n.lower()]
+                    if int(row[f"nn_{n.lower()}"] or 0) > 0:
+                        raise IdentityColumnViolationError(
+                            f"UPDATE SET leaves NULL values in identity "
+                            f"column {n}; identity values must stay "
+                            "non-NULL (the assignment expression "
+                            "evaluated to NULL or failed its cast)"
+                        )
+                    ex = row[f"ex_{n.lower()}"]
                     if ex is None:
                         continue
                     hkey = f"identity.hwm.{n.lower()}"

@@ -207,8 +207,6 @@ def test_hwm_rewind_still_conflicts(spark, tmp_path):
     t.add_identity_column(spark, "id")
     t.append(spark.createDataFrame([("a",), ("b",)], ["v"]))
     base = t.snapshot()
-    rewound = dict(base.properties)
-    rewound["identity.hwm.id"] = "1"
     t.alter_properties({"identity.hwm.id": "1"})  # simulate a rewind
     schema = StructType.fromJson(json.loads(base.schema_json))
     with pytest.raises(ConcurrentWriteError, match="against its"):

@@ -106,6 +106,9 @@ def test_semantic_dedup_incremental_cached_skips_corpus_quantizer_work(
                 corpus_assignments=assigns,
             )
             out.collect()
-    # exactly ONE assignment call — the batch's; the corpus is never
-    # re-assigned
-    assert assign_spy.call_count == 1
+    # two assignment calls: the batch's, and the exactness guard over
+    # the cache's UNCOVERED corpus rows — which must be EMPTY here (a
+    # complete cache means the corpus is never re-assigned)
+    assert assign_spy.call_count == 2
+    counts = sorted(c.args[0].count() for c in assign_spy.call_args_list)
+    assert counts == [0, batch.count()]
