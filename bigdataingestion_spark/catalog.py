@@ -5259,6 +5259,141 @@ def txlog_auto_compact_invariance(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_matview_additive",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 15 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(price), 2) AS sum_price,
+           round(avg(price), 4) AS avg_price
+    FROM base GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_additive(spark, sf_dir):
+    """[EXT] Incremental materialized aggregate view, ADDITIVE path
+    (r10, sinks/matview.py — the counting algorithm of incremental view
+    maintenance, Gupta/Mumick/Subrahmanian SIGMOD 1993, on the lake's
+    CDF + conditional MERGE): a count/sum/avg view grouped by order
+    status is BUILT over the %3==0 third of orders, then the source
+    takes an append (%3==1), an in-place price update (%10==0, x1.1)
+    and a delete (%15==0); two refreshes fold the change feed into the
+    view — per-group deltas from the CDF window, ONE merge commit each,
+    the source never re-read (refresh cost O(|changes|), the 100 TB
+    answer to the reference's per-load full re-aggregation). The final
+    view must equal the oracle's from-scratch GROUP BY of the same
+    final state."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = _fresh_txlog()
+    src.append(orders.filter(k % 3 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("count", "1"),
+            "sum_price": ("sum", "o_totalprice"),
+            "avg_price": ("avg", "o_totalprice"),
+        },
+    )
+    mv.build(spark)
+    src.append(orders.filter(k % 3 == 1))
+    mv.refresh(spark)
+    src.update(spark, "o_orderkey % 10 = 0", {"o_totalprice": "o_totalprice * 1.1"})
+    src.delete(spark, "o_orderkey % 15 = 0")
+    mv.refresh(spark)
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round("avg_price", 4).alias("avg_price"),
+    )
+
+
+@register(
+    "txlog_matview_minmax",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 4 IN (0, 1, 2)
+    ),
+    survivors AS (
+      SELECT * FROM base
+      WHERE o_totalprice <= 400000 AND o_orderstatus <> 'P'
+    ),
+    upd AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.5
+                  ELSE o_totalprice END AS price
+      FROM survivors
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(price), 2) AS min_price,
+           round(max(price), 2) AS max_price
+    FROM upd GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_minmax(spark, sf_dir):
+    """[EXT] Incremental materialized view, RECOMPUTE path (r10,
+    sinks/matview.py): min/max are not additive under deletes — a
+    deleted extreme cannot be subtracted back out — so the refresh uses
+    the CDF window only to name AFFECTED groups and re-derives those
+    groups from the current source via one semi-join (cost O(|changes| +
+    affected-group rows), never O(source)). Exercised at both edges:
+    deleting every order above 400k LOWERS each group's max, deleting
+    status 'P' entirely VANISHES that group's view row, and a
+    half-price update (%7==0) moves minima; two refresh windows."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = _fresh_txlog()
+    src.append(orders.filter(F.col("o_orderkey") % 4 < 3))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("count", "1"),
+            "min_price": ("min", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+        },
+    )
+    mv.build(spark)
+    src.delete(spark, "o_totalprice > 400000")
+    src.delete(spark, "o_orderstatus = 'P'")
+    mv.refresh(spark)
+    src.update(spark, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice * 0.5"})
+    mv.refresh(spark)
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 def _semantic_dedup_sql() -> str:
     # the k-means-lite CTEs are SHARED with _kmeans_cells_sql
     # (_KMEANS_CTES — same seeding, one Lloyd iteration, same
@@ -5565,7 +5700,9 @@ _GATE_FIRST = [
     "lineitem_cube_stats",
     "part_best_supplier",
     # Exactly 50 names (2 new r10 + 4 never-delivered + 30 r5 cohort +
-    # 14 r6-age). r11 queue: the 3 remaining r6-age entries
+    # 14 r6-age). r11 queue: the 2 queries added after this window
+    # froze (txlog_matview_additive, txlog_matview_minmax — zero
+    # driver evidence), then the 3 remaining r6-age entries
     # (q10_returned_items, q11_major_part_types,
     # q13_customer_order_distribution), then the r9-window cohort
     # (txlog_merge_conditional .. docs_tfidf_top_terms) as the then-

@@ -1,0 +1,426 @@
+"""Incremental materialized aggregate views over txlog tables.
+
+An aggregate view — ``GROUP BY g1..gk`` with ``count`` / ``sum`` /
+``avg`` / ``min`` / ``max`` aggregates — is stored as its own
+:class:`~bigdataingestion_spark.sinks.txlog.TxLogTable` and REFRESHED
+from the source table's change-data feed instead of being recomputed
+from scratch. This is classic incremental view maintenance (the
+counting algorithm of Gupta, Mumick & Subrahmanian, SIGMOD 1993,
+public literature), re-expressed on the lake's CDF + conditional-MERGE
+primitives:
+
+- **additive mode** (all aggregates in {count, sum, avg}): one pass
+  over the CDF window computes per-group deltas (+row for
+  insert/update_postimage, -row for delete/update_preimage), and ONE
+  conditional MERGE applies them — update surviving groups, delete
+  groups whose row count reaches zero, insert new groups. Refresh cost
+  is O(|changes|); the source is never read.
+- **recompute mode** (any min/max — not additive under deletes): the
+  CDF window only names the AFFECTED groups; those groups are
+  recomputed from the current source snapshot via one semi-join and
+  merged in (vanished groups deleted). Refresh cost is
+  O(|changes| + rows of affected groups) — still never O(source).
+
+At 100 TB this is the difference between a nightly full re-aggregation
+of the fact table and a refresh proportional to the day's churn; the
+reference pipeline has no equivalent (its summary queries re-aggregate
+the full extract every load — see ING:428-447's per-load COUNT/MAX
+re-scans, the pattern this module exists to retire).
+
+Exactly-once: each refresh MERGE carries txn id
+``matview.cursor.<to_version>`` and the applied-through version is then
+recorded in the view's ``matview.source.version`` property. A crash
+between the two leaves the txn id behind; the next refresh recovers the
+cursor as max(property, committed cursor txn ids), so a window is never
+applied twice (the additive path is not idempotent — double-applying a
+delta would corrupt sums) and never skipped.
+
+Float caveat (inherent to additive IVM, worth stating): long-lived
+additive sums accumulate floating-point drift relative to a from-scratch
+aggregation, because (a+b)-b is not always exactly a. Re-anchor on
+whatever cadence the workload needs with :meth:`IncrementalAggView.build`
+(full) or a recompute-mode refresh (affected groups).
+
+The source table needs ``cdf.enabled=true`` BEFORE the DML whose changes
+a refresh must see (appends/overwrites synthesize change rows without
+it; row-level DML does not — ``read_cdf`` raises a clear error).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge_clauses import (
+    when_matched_delete,
+    when_matched_update,
+    when_not_matched_insert,
+)
+from .txlog import TxLogTable
+
+_ADDITIVE = {"count", "sum", "avg"}
+_FNS = _ADDITIVE | {"min", "max"}
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_DEF_KEY = "matview.definition"
+_CURSOR_KEY = "matview.source.version"
+_PENDING_KEY = "matview.rebuild.pending"
+_TXN_PREFIX = "matview.cursor."
+
+
+class MatviewDefinitionError(ValueError):
+    """The view table on disk was built from a DIFFERENT definition
+    (group columns / aggregates / source path) than this instance."""
+
+
+class IncrementalAggView:
+    """A GROUP-BY aggregate view over a :class:`TxLogTable`, maintained
+    incrementally from the source's change-data feed.
+
+    ``aggs`` maps output column names to ``(fn, expr)`` pairs, e.g.::
+
+        IncrementalAggView(
+            source, "/lake/orders_by_status",
+            group_cols=["o_orderstatus"],
+            aggs={
+                "n_orders": ("count", "1"),
+                "sum_price": ("sum", "o_totalprice"),
+                "avg_price": ("avg", "o_totalprice"),
+            },
+        )
+
+    ``fn`` ∈ {count, sum, avg, min, max}; ``expr`` is any SQL expression
+    over source columns (``count`` counts its expression's NON-NULL
+    rows, so ``("count", "1")`` is COUNT(*)). SQL NULL semantics are
+    preserved through the incremental path: a group whose expression
+    values are all NULL reports NULL sum/avg, exactly as a from-scratch
+    aggregation would (the stored state keeps a non-null count per
+    sum/avg aggregate for this).
+
+    NULL group keys are REFUSED (build and refresh both probe): the
+    refresh MERGE joins on the group columns, and SQL equi-joins never
+    match NULL to NULL, so a NULL-keyed group could not be maintained —
+    the same restriction Delta MERGE keys carry. COALESCE the key
+    expression into a sentinel upstream if NULL groups are meaningful.
+    """
+
+    def __init__(
+        self,
+        source: TxLogTable,
+        path: str,
+        group_cols: list[str],
+        aggs: dict[str, tuple[str, str]],
+    ):
+        if not group_cols:
+            raise ValueError("group_cols must name at least one column")
+        if not aggs:
+            raise ValueError("aggs must declare at least one aggregate")
+        lowered = {g.lower() for g in group_cols}
+        for out, (fn, expr) in aggs.items():
+            if not _NAME_RE.match(out):
+                raise ValueError(f"aggregate output name {out!r} is not a "
+                                 "plain SQL identifier")
+            if fn not in _FNS:
+                raise ValueError(f"unsupported aggregate fn {fn!r} for "
+                                 f"{out!r}; supported: {sorted(_FNS)}")
+            if out.lower() in lowered:
+                raise ValueError(f"aggregate {out!r} collides with a "
+                                 "group column")
+        self.source = source
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.aggs = {k: (fn, expr) for k, (fn, expr) in aggs.items()}
+        self.view = TxLogTable(path)
+
+    # ------------------------------------------------------ definition --
+    def _definition_json(self) -> str:
+        return json.dumps(
+            {
+                "source": self.source.path,
+                "group_cols": self.group_cols,
+                "aggs": {k: list(v) for k, v in self.aggs.items()},
+            },
+            sort_keys=True,
+        )
+
+    def _check_definition(self, snap) -> None:
+        if snap.properties.get(_PENDING_KEY) == "true":
+            raise MatviewDefinitionError(
+                f"view at {self.path} has an interrupted rebuild "
+                "(matview.rebuild.pending); re-run build()"
+            )
+        stored = snap.properties.get(_DEF_KEY)
+        if stored != self._definition_json():
+            raise MatviewDefinitionError(
+                f"view at {self.path} was built from a different "
+                f"definition (or an interrupted first build); "
+                f"stored={stored}, this={self._definition_json()}"
+            )
+
+    # ---------------------------------------------------- state schema --
+    def _state_exprs(self) -> list:
+        """Aggregate expressions producing the view's STORED state: a
+        per-group row count (group-vanish detection + additive delete
+        condition) plus, per aggregate, the columns its output derives
+        from. sum/avg carry a companion non-null count so NULL semantics
+        survive incremental updates."""
+        exprs = [F.count(F.lit(1)).alias("_mv_n")]
+        for out, (fn, expr) in self.aggs.items():
+            col = F.expr(expr)
+            if fn in ("sum", "avg"):
+                exprs.append(F.sum(col).alias(f"_s_{out}"))
+                exprs.append(F.count(col).alias(f"_c_{out}"))
+            elif fn == "count":
+                exprs.append(F.count(col).alias(f"_c_{out}"))
+            else:  # min / max
+                agg = F.min(col) if fn == "min" else F.max(col)
+                exprs.append(agg.alias(f"_m_{out}"))
+        return exprs
+
+    def _state_cols(self) -> list[str]:
+        out = ["_mv_n"]
+        for name, (fn, _) in self.aggs.items():
+            if fn in ("sum", "avg"):
+                out += [f"_s_{name}", f"_c_{name}"]
+            elif fn == "count":
+                out.append(f"_c_{name}")
+            else:
+                out.append(f"_m_{name}")
+        return list(dict.fromkeys(out))
+
+    @property
+    def additive(self) -> bool:
+        return all(fn in _ADDITIVE for fn, _ in self.aggs.values())
+
+    def _guard_null_keys(self, df: DataFrame, what: str) -> None:
+        cond = None
+        for g in self.group_cols:
+            c = F.col(g).isNull()
+            cond = c if cond is None else (cond | c)
+        if df.filter(cond).limit(1).collect():
+            raise ValueError(
+                f"NULL group key in {what}: the refresh MERGE joins on "
+                f"{self.group_cols} and cannot maintain NULL-keyed "
+                "groups; COALESCE the key upstream"
+            )
+
+    # --------------------------------------------------------- actions --
+    def build(self, spark: SparkSession) -> int:
+        """Full (re-)computation: aggregate the CURRENT source snapshot,
+        overwrite the view, and pin the cursor at the source version the
+        snapshot was read at. Also the re-anchor for additive float
+        drift. Build spans multiple commits, so a REBUILD raises a
+        ``matview.rebuild.pending`` flag first and clears it last —
+        refresh() refuses a pending view (a crash mid-rebuild would
+        otherwise let the next refresh double-apply a window over
+        already-rebuilt state). Returns the pinned source version."""
+        to = self.source.version()
+        if to < 0:
+            raise FileNotFoundError(f"source {self.source.path} is empty")
+        src = self.source.read(spark, version=to)
+        self._guard_null_keys(src.select(*self.group_cols), "source")
+        state = src.groupBy(*self.group_cols).agg(*self._state_exprs())
+        if self.view.snapshot() is None:
+            # first build: the definition property is what publishes the
+            # view — refresh() on a crashed half-build fails clearly
+            self.view.append(state)
+            self.view.alter_properties(
+                {_DEF_KEY: self._definition_json(), _CURSOR_KEY: str(to)}
+            )
+        else:
+            self.view.alter_properties({_PENDING_KEY: "true"})
+            self.view.overwrite(state)
+            self.view.alter_properties(
+                {
+                    _DEF_KEY: self._definition_json(),
+                    _CURSOR_KEY: str(to),
+                    _PENDING_KEY: None,
+                }
+            )
+        return to
+
+    def _cursor(self, snap) -> int:
+        """Applied-through source version: the recorded property, raised
+        by any committed refresh-merge txn id whose property advance was
+        lost to a crash (see module docstring)."""
+        frm = int(snap.properties[_CURSOR_KEY])
+        for t in snap.txn_ids:
+            if t.startswith(_TXN_PREFIX):
+                try:
+                    frm = max(frm, int(t[len(_TXN_PREFIX):]))
+                except ValueError:
+                    continue
+        return frm
+
+    def refresh(self, spark: SparkSession) -> int:
+        """Advance the view to the source's current version by applying
+        the CDF window ``(cursor, current]``. Additive when every
+        aggregate allows it, affected-group recompute otherwise (see
+        module docstring for both cost shapes). No-op when the source
+        has not moved. Returns the source version now reflected."""
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        self._check_definition(snap)
+        frm = self._cursor(snap)
+        to = self.source.version()
+        if to <= frm:
+            return frm
+        ch = self.source.read_cdf(spark, frm, to)
+        self._guard_null_keys(ch.select(*self.group_cols), "change feed")
+        if self.additive:
+            self._apply_additive(spark, ch, to)
+        else:
+            self._apply_recompute(spark, ch, to)
+        self.view.alter_properties({_CURSOR_KEY: str(to)})
+        return to
+
+    # -------------------------------------------------- additive path --
+    def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
+        sign = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            )
+            .when(
+                F.col("_change_type").isin("delete", "update_preimage"),
+                F.lit(-1),
+            )
+            .otherwise(F.lit(0))
+        )
+        d_exprs = [F.sum(sign).alias("_d_n")]
+        upd = {"_mv_n": "t._mv_n + s._d_n"}
+        ins = {g: f"s.{g}" for g in self.group_cols}
+        ins["_mv_n"] = "s._d_n"
+        for out, (fn, expr) in self.aggs.items():
+            col = F.expr(expr)
+            if fn == "count":
+                d_exprs.append(
+                    F.coalesce(
+                        F.sum(F.when(col.isNotNull(), sign)), F.lit(0)
+                    ).alias(f"_d_c_{out}")
+                )
+                upd[f"_c_{out}"] = f"t._c_{out} + s._d_c_{out}"
+                ins[f"_c_{out}"] = f"s._d_c_{out}"
+            else:  # sum / avg share (sum, non-null count) state
+                d_exprs.append(
+                    F.sum(F.when(col.isNotNull(), sign * col)).alias(
+                        f"_d_s_{out}"
+                    )
+                )
+                d_exprs.append(
+                    F.coalesce(
+                        F.sum(F.when(col.isNotNull(), sign)), F.lit(0)
+                    ).alias(f"_d_c_{out}")
+                )
+                # NULL-correct fold: the stored sum is NULL iff no
+                # non-null value remains (SQL SUM over an all-NULL or
+                # empty group), never a fake 0
+                upd[f"_s_{out}"] = (
+                    f"CASE WHEN t._c_{out} + s._d_c_{out} = 0 THEN NULL "
+                    f"ELSE coalesce(t._s_{out}, 0) + coalesce(s._d_s_{out}, 0) "
+                    "END"
+                )
+                upd[f"_c_{out}"] = f"t._c_{out} + s._d_c_{out}"
+                ins[f"_s_{out}"] = f"s._d_s_{out}"
+                ins[f"_c_{out}"] = f"s._d_c_{out}"
+        deltas = ch.groupBy(*self.group_cols).agg(*d_exprs)
+        # drop groups whose window nets to NOTHING — zero row delta AND
+        # zero on every value delta (insert+delete of identical rows) —
+        # so the MERGE's touched-file set (key-range pruned) stays
+        # proportional to genuinely moved groups. Row delta alone is NOT
+        # enough: an in-group UPDATE nets zero rows but nonzero sums.
+        moved = F.col("_d_n") != 0
+        for c in deltas.columns:
+            if c.startswith("_d_s_"):
+                moved = moved | (F.coalesce(F.col(c), F.lit(0)) != 0)
+            elif c.startswith("_d_c_"):
+                moved = moved | (F.col(c) != 0)
+        deltas = deltas.filter(moved)
+        self.view.merge(
+            spark,
+            deltas,
+            keys=list(self.group_cols),
+            clauses=[
+                # final row count zero -> the group vanished
+                when_matched_delete(condition="t._mv_n + s._d_n = 0"),
+                when_matched_update(set=upd),
+                # insert conditions see the bare source row (merge's
+                # scoping contract); skip groups created and destroyed
+                # within one window
+                when_not_matched_insert(values=ins, condition="_d_n > 0"),
+            ],
+            txn_id=f"{_TXN_PREFIX}{to}",
+        )
+
+    # ------------------------------------------------- recompute path --
+    def _apply_recompute(self, spark, ch: DataFrame, to: int) -> None:
+        affected = ch.select(*self.group_cols).distinct()
+        fresh = (
+            self.source.read(spark, version=to)
+            .join(affected, self.group_cols, "left_semi")
+            .groupBy(*self.group_cols)
+            .agg(*self._state_exprs())
+        )
+        vanished = affected.join(fresh, self.group_cols, "left_anti")
+        src = fresh.withColumn("_vanish", F.lit(0)).unionByName(
+            vanished.withColumn("_vanish", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        state_cols = self._state_cols()
+        self.view.merge(
+            spark,
+            src,
+            keys=list(self.group_cols),
+            clauses=[
+                when_matched_delete(condition="s._vanish = 1"),
+                when_matched_update(
+                    set={c: f"s.{c}" for c in state_cols}
+                ),
+                when_not_matched_insert(
+                    condition="_vanish = 0",  # bare source scope
+                    values={
+                        **{g: f"s.{g}" for g in self.group_cols},
+                        **{c: f"s.{c}" for c in state_cols},
+                    },
+                ),
+            ],
+            txn_id=f"{_TXN_PREFIX}{to}",
+        )
+
+    # ----------------------------------------------------------- read --
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The presentable view: group columns + declared aggregate
+        outputs, derived from the stored state (sum/avg surface SQL NULL
+        semantics through the companion counts)."""
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        self._check_definition(snap)
+        df = self.view.read(spark)
+        cols = [F.col(g) for g in self.group_cols]
+        for out, (fn, _) in self.aggs.items():
+            if fn == "sum":
+                cols.append(
+                    F.when(
+                        F.col(f"_c_{out}") > 0, F.col(f"_s_{out}")
+                    ).alias(out)
+                )
+            elif fn == "avg":
+                cols.append(
+                    F.when(
+                        F.col(f"_c_{out}") > 0,
+                        F.col(f"_s_{out}") / F.col(f"_c_{out}"),
+                    ).alias(out)
+                )
+            elif fn == "count":
+                cols.append(F.col(f"_c_{out}").alias(out))
+            else:
+                cols.append(F.col(f"_m_{out}").alias(out))
+        return df.select(*cols)

@@ -1,0 +1,308 @@
+"""Incremental materialized aggregate views (sinks/matview.py).
+
+The contract under test: after any DML sequence on the source,
+``refresh()`` leaves the view EQUAL to a from-scratch aggregation of the
+current source snapshot — additively (O(|changes|), source never read)
+when all aggregates are count/sum/avg, by affected-group recompute when
+min/max are present — with exactly-once refresh under the
+txn-id-recovered cursor and SQL NULL semantics preserved.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataingestion_spark.sinks.matview import (
+    IncrementalAggView,
+    MatviewDefinitionError,
+)
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+
+def _source(spark, tmp_path, rows=None):
+    t = TxLogTable(str(tmp_path / "src"))
+    rows = rows if rows is not None else [
+        (i, f"g{i % 3}", float(i)) for i in range(1, 31)
+    ]
+    t.append(spark.createDataFrame(rows, "id long, grp string, val double"))
+    t.alter_properties({"cdf.enabled": "true"})
+    return t
+
+
+def _additive(spark, tmp_path, src):
+    return IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {
+            "n": ("count", "1"),
+            "s": ("sum", "val"),
+            "a": ("avg", "val"),
+        },
+    )
+
+
+def _rows(df, cols):
+    out = {}
+    for r in df.collect():
+        out[r["grp"]] = tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols
+        )
+    return out
+
+
+def _oracle(spark, src, aggs):
+    return _rows(
+        src.read(spark).groupBy("grp").agg(
+            *[e.alias(n) for n, e in aggs.items()]
+        ),
+        list(aggs),
+    )
+
+
+def _add_oracle():
+    # built lazily: Column constructors need an active SparkContext
+    return {
+        "n": F.count(F.lit(1)),
+        "s": F.sum("val"),
+        "a": F.avg("val"),
+    }
+
+
+def test_additive_refresh_matches_full_recompute(spark, tmp_path):
+    """Insert + in-group update + group-vanishing delete + brand-new
+    group, one window: the additive view equals a from-scratch GROUP BY
+    of the final source."""
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    src.append(
+        spark.createDataFrame(
+            [(100, "g0", 50.0), (101, "g3", 7.0)],
+            "id long, grp string, val double",
+        )
+    )
+    src.update(spark, "id % 10 = 0", {"val": "val * 2"})
+    src.delete(spark, "grp = 'g2'")
+    mv.refresh(spark)
+    got = _rows(mv.read(spark), ["n", "s", "a"])
+    assert got == _oracle(spark, src, _add_oracle())
+    assert "g2" not in got  # vanished group's row deleted
+    assert got["g3"] == (1, 7.0, 7.0)  # new group inserted
+
+
+def test_additive_multiple_windows(spark, tmp_path):
+    """Each refresh applies exactly its own window; three windows in
+    sequence stay equal to the from-scratch aggregate."""
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    src.update(spark, "id <= 5", {"val": "val + 100"})
+    assert mv.refresh(spark) == src.version()
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+    src.delete(spark, "id % 2 = 0")
+    src.append(
+        spark.createDataFrame(
+            [(500, "g1", 9.0)], "id long, grp string, val double"
+        )
+    )
+    assert mv.refresh(spark) == src.version()
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+
+
+def test_additive_never_reads_source(spark, tmp_path):
+    """The additive cost claim, structurally: refresh never calls
+    source.read — deltas come from the CDF alone."""
+    import unittest.mock as mock
+
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    src.update(spark, "id % 3 = 0", {"val": "val + 1"})
+    with mock.patch.object(
+        src,
+        "read",
+        side_effect=AssertionError("additive refresh must not read source"),
+    ):
+        mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+
+
+def test_sum_null_semantics_through_transitions(spark, tmp_path):
+    """A group whose values are all NULL reports NULL sum/avg (SQL
+    semantics), including TRANSITIONS: gaining its first non-null value
+    and losing its last one again."""
+    rows = [(1, "g0", None), (2, "g0", None), (3, "g1", 5.0)]
+    src = _source(spark, tmp_path, rows)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    got = _rows(mv.read(spark), ["n", "s", "a"])
+    assert got["g0"] == (2, None, None)
+    src.append(
+        spark.createDataFrame(
+            [(4, "g0", 8.0)], "id long, grp string, val double"
+        )
+    )
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "s", "a"])["g0"] == (3, 8.0, 8.0)
+    src.delete(spark, "id = 4")
+    mv.refresh(spark)
+    got = _rows(mv.read(spark), ["n", "s", "a"])
+    assert got["g0"] == (2, None, None)  # back to all-NULL: sum NULL, not 0
+    assert got == _oracle(spark, src, _add_oracle())
+
+
+def test_minmax_recompute_after_extreme_delete(spark, tmp_path):
+    """Deleting the current max is the canonical non-additive case: the
+    recompute path re-derives affected groups from the source and the
+    max DROPS; a fully-deleted group vanishes."""
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"mx": ("max", "val"), "mn": ("min", "val"), "n": ("count", "1")},
+    )
+    assert not mv.additive
+    mv.build(spark)
+    before = _rows(mv.read(spark), ["mx", "mn", "n"])
+    src.delete(spark, "val >= 25")  # removes every group's top values
+    src.delete(spark, "grp = 'g1'")
+    mv.refresh(spark)
+    got = _rows(mv.read(spark), ["mx", "mn", "n"])
+    oracle = _oracle(
+        spark,
+        src,
+        {"mx": F.max("val"), "mn": F.min("val"), "n": F.count(F.lit(1))},
+    )
+    assert got == oracle
+    assert got["g0"][0] < before["g0"][0]  # max genuinely lowered
+    assert "g1" not in got
+
+
+def test_refresh_noop_when_source_unchanged(spark, tmp_path):
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    v_view = mv.view.version()
+    assert mv.refresh(spark) == src.version()
+    assert mv.view.version() == v_view  # no commit written
+
+
+def test_crash_recovered_cursor_never_double_applies(spark, tmp_path):
+    """The exactly-once story: a refresh whose MERGE committed but whose
+    cursor-property advance was lost (simulated by rewinding the
+    property) must NOT re-apply the window — the committed txn id
+    recovers the cursor, and the next window starts after it."""
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    src.update(spark, "id <= 10", {"val": "val + 1000"})
+    applied_to = mv.refresh(spark)
+    # simulate the crash: rewind the property as if alter_properties
+    # never ran; the merge txn id matview.cursor.<applied_to> remains
+    mv.view.alter_properties(
+        {"matview.source.version": str(applied_to - 1)}
+    )
+    assert mv.refresh(spark) == applied_to  # recovered, no-op
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+    # and a LATER window starts after the recovered cursor, not the
+    # rewound property (double-applying +1000 would be visible)
+    mv.view.alter_properties(
+        {"matview.source.version": str(applied_to - 1)}
+    )
+    src.delete(spark, "id = 1")
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+
+
+def test_definition_mismatch_refuses(spark, tmp_path):
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    other = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")}
+    )
+    with pytest.raises(MatviewDefinitionError, match="different"):
+        other.refresh(spark)
+    with pytest.raises(MatviewDefinitionError, match="different"):
+        other.read(spark)
+
+
+def test_pending_rebuild_refuses_refresh(spark, tmp_path):
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    mv.view.alter_properties({"matview.rebuild.pending": "true"})
+    with pytest.raises(MatviewDefinitionError, match="interrupted"):
+        mv.refresh(spark)
+    # build() clears the flag and re-anchors
+    mv.build(spark)
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+
+
+def test_rebuild_reanchors_and_keeps_refreshing(spark, tmp_path):
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    src.delete(spark, "id < 5")
+    mv.build(spark)  # rebuild instead of refresh
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+    src.update(spark, "id = 20", {"val": "0.0"})
+    mv.refresh(spark)  # incremental continues from the rebuild's anchor
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+
+
+def test_null_group_key_refused(spark, tmp_path):
+    src = _source(
+        spark, tmp_path, [(1, None, 1.0), (2, "g0", 2.0)]
+    )
+    mv = _additive(spark, tmp_path, src)
+    with pytest.raises(ValueError, match="NULL group key"):
+        mv.build(spark)
+
+
+def test_bad_definitions_rejected(spark, tmp_path):
+    src = _source(spark, tmp_path)
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        IncrementalAggView(
+            src, str(tmp_path / "m1"), ["grp"], {"x": ("median", "val")}
+        )
+    with pytest.raises(ValueError, match="identifier"):
+        IncrementalAggView(
+            src, str(tmp_path / "m2"), ["grp"], {"bad name": ("sum", "val")}
+        )
+    with pytest.raises(ValueError, match="collides"):
+        IncrementalAggView(
+            src, str(tmp_path / "m3"), ["grp"], {"grp": ("sum", "val")}
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        IncrementalAggView(src, str(tmp_path / "m4"), [], {"n": ("count", "1")})
+
+
+def test_read_before_build_raises(spark, tmp_path):
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    with pytest.raises(FileNotFoundError, match="build"):
+        mv.read(spark)
+    with pytest.raises(FileNotFoundError, match="build"):
+        mv.refresh(spark)
