@@ -41,6 +41,7 @@ from bigdataingestion_spark.operators import (
     dedup,
     graph,
     multimodal,
+    selection,
     similarity,
     temporal,
     text,
@@ -2597,6 +2598,108 @@ def docs_stratified_sample(spark, sf_dir):
         docs, rates={"en": 25, "zh": 60}, strata_col="lang", default_pct=90
     )
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# Shared DSIR CTEs (hashed 1..2-gram bag, Laplace-smoothed raw/target
+# models, per-doc log importance weights) — ONE generator so the two
+# DSIR oracles cannot drift from each other; mirrors
+# operators/selection.py exactly: same normalization, same n-gram bag,
+# same md5[:8] % 10000 bucketing, same (n+1)/(N+10000) smoothing, same
+# round-6 on the final weight.
+_DSIR_CTES = f"""
+    dwords AS (
+      SELECT doc_id, lang, regexp_split_to_array({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE length({_NORM_SQL}) > 0
+    ),
+    dsir_grams AS (
+      SELECT doc_id, lang, unnest(w) AS g FROM dwords
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS g
+      FROM dwords
+    ),
+    dsir_feat AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 10000 AS bucket,
+             count(*) AS cnt
+      FROM dsir_grams GROUP BY doc_id, lang, bucket
+    ),
+    raw_model AS (SELECT bucket, sum(cnt) AS n FROM dsir_feat GROUP BY bucket),
+    raw_total AS (SELECT sum(cnt) AS t FROM dsir_feat),
+    tgt_model AS (
+      SELECT bucket, sum(cnt) AS n FROM dsir_feat WHERE lang = 'en'
+      GROUP BY bucket
+    ),
+    tgt_total AS (SELECT sum(cnt) AS t FROM dsir_feat WHERE lang = 'en'),
+    dsir_wts AS (
+      SELECT f.doc_id,
+             round(sum(f.cnt * (
+                ln((coalesce(tm.n, 0) + 1) / (tt.t + 10000)) -
+                ln((rm.n + 1) / (rt.t + 10000))
+             )), 6) AS log_weight
+      FROM dsir_feat f
+      LEFT JOIN tgt_model tm USING (bucket)
+      JOIN raw_model rm USING (bucket)
+      CROSS JOIN tgt_total tt
+      CROSS JOIN raw_total rt
+      GROUP BY f.doc_id
+    ),
+    dsir_all AS (
+      SELECT d.doc_id, coalesce(dsir_wts.log_weight, 0.0) AS log_weight
+      FROM documents d LEFT JOIN dsir_wts USING (doc_id)
+    )
+"""
+
+
+@register(
+    "docs_dsir_weights",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, log_weight FROM dsir_all
+    """,
+)
+def docs_dsir_weights(spark, sf_dir):
+    """[EXT] DSIR importance weights (r10, public arXiv:2302.03169 —
+    "Data Selection for Language Models via Importance Resampling"):
+    every document scored by how English-target-like its hashed
+    1..2-gram bag is, ``log p_target/p_raw`` under two Laplace-smoothed
+    10k-bucket models (target = the corpus's 'en' slice, raw = the full
+    corpus). The shuffle carries (id, bucket) ints — grams hash before
+    the exchange — and both models broadcast at <=10k rows; docs with
+    empty normalized text carry weight 0 rather than vanishing
+    (operators.selection.dsir_importance_weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    return selection.dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en")
+    )
+
+
+@register(
+    "docs_dsir_sample",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, log_weight,
+           round(log_weight - ln(-ln(
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000) + 0.5) / 1000000.0
+           )), 6) AS score
+    FROM dsir_all
+    ORDER BY score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def docs_dsir_sample(spark, sf_dir):
+    """[EXT] DSIR resampling (r10, arXiv:2302.03169): Gumbel-top-k over
+    the importance weights = sampling k docs without replacement with
+    probability proportional to p_target/p_raw — the paper's selection
+    step — with the Gumbel noise derived from md5(doc_id) so the chosen
+    training set is seedless, engine-portable, and reproducible at
+    100 TB. Executes as TakeOrderedAndProject (per-partition heaps),
+    never a global sort (operators.selection.dsir_resample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return selection.dsir_resample(
+        docs, docs.filter(F.col("lang") == "en"), k=100
+    )
 
 
 @register(
@@ -5700,8 +5803,9 @@ _GATE_FIRST = [
     "lineitem_cube_stats",
     "part_best_supplier",
     # Exactly 50 names (2 new r10 + 4 never-delivered + 30 r5 cohort +
-    # 14 r6-age). r11 queue: the 2 queries added after this window
-    # froze (txlog_matview_additive, txlog_matview_minmax — zero
+    # 14 r6-age). r11 queue: the 4 queries added after this window
+    # froze (txlog_matview_additive, txlog_matview_minmax,
+    # docs_dsir_weights, docs_dsir_sample — zero
     # driver evidence), then the 3 remaining r6-age entries
     # (q10_returned_items, q11_major_part_types,
     # q13_customer_order_distribution), then the r9-window cohort

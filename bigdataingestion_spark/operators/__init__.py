@@ -1,3 +1,9 @@
-from bigdataingestion_spark.operators import dedup, multimodal, similarity, text
+from bigdataingestion_spark.operators import (
+    dedup,
+    multimodal,
+    selection,
+    similarity,
+    text,
+)
 
 __all__ = ["dedup", "multimodal", "similarity", "text"]
