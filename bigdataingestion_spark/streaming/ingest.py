@@ -459,6 +459,7 @@ def stream_cdc_apply_ops(
     fmt: str = "parquet",
     max_files_per_trigger: int = 1,
     app_id: str | None = None,
+    views: list | None = None,
 ) -> StreamingQuery:
     """Op-coded CDC apply (a Debezium/DMS-style I/U/D feed) on a txlog
     table: each micro-batch is ONE conditional MERGE commit —
@@ -480,7 +481,16 @@ def stream_cdc_apply_ops(
     cardinality rule would otherwise refuse the batch, and applying
     only the final event per key is exactly log-compaction semantics.
     They must totally order each key's events within a batch; without
-    them a multi-event batch fails loudly rather than guessing."""
+    them a multi-event batch fails loudly rather than guessing.
+
+    ``views`` (optional ``sinks.matview.IncrementalAggView`` list over
+    the target table, already built, source ``cdf.enabled=true``) are
+    refreshed AFTER each batch's merge commit — continuously-maintained
+    aggregates over a CDC-ingested table. The composition is exactly-
+    once without any extra bookkeeping: a crash between the merge and a
+    refresh makes the restarted batch's merge a txn-id no-op and the
+    refresh simply catches up from its own recovered cursor, so a
+    refresh failure is safe to let fail the batch (Spark retries it)."""
     from bigdataingestion_spark.sinks.merge_clauses import (
         when_matched_delete,
         when_matched_update,
@@ -527,6 +537,8 @@ def stream_cdc_apply_ops(
         table.merge(
             spark, src, keys, clauses, txn_id=f"{scope}:{batch_id}"
         )
+        for v in views or ():
+            v.refresh(spark)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -545,6 +557,7 @@ def stream_txlog_ingest(
     max_files_per_trigger: int = 64,
     app_id: str | None = None,
     schema=None,
+    views: list | None = None,
 ) -> StreamingQuery:
     """File landing zone -> txlog table, exactly-once at the TABLE level.
 
@@ -585,6 +598,12 @@ def stream_txlog_ingest(
         if batch_df.isEmpty():
             return
         table.append(batch_df, txn_id=f"{scope}:{batch_id}")
+        # maintained aggregates over the ingested table (see
+        # stream_cdc_apply_ops: the same exactly-once composition —
+        # replayed appends no-op under the txn id, refreshes catch up
+        # from their own recovered cursor)
+        for v in views or ():
+            v.refresh(spark)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -191,3 +191,76 @@ def test_stream_cdc_apply_ops_full_idu_lifecycle(spark, tmp_path):
     )
     assert q2.awaitTermination(180)
     assert t.version() == v
+
+
+def test_stream_cdc_apply_ops_maintains_views(spark, tmp_path):
+    """Continuously-maintained aggregate views over a CDC-ingested
+    table (r10): each micro-batch's merge commit is followed by an
+    incremental view refresh; after the stream drains, the view equals
+    a from-scratch GROUP BY of the final table, and a checkpoint-loss
+    replay moves NEITHER the table nor the view (merge txn ids no-op,
+    refresh cursor already current)."""
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+    from bigdataingestion_spark.streaming.ingest import stream_cdc_apply_ops
+
+    src = tmp_path / "src"
+    b1 = spark.createDataFrame(
+        [(k, f"g{k % 3}", float(k), "I", 1) for k in range(12)],
+        "k bigint, grp string, amt double, op string, seq int",
+    )
+    b1.coalesce(1).write.parquet(str(src))
+    b2 = spark.createDataFrame(
+        [
+            (3, "g0", 300.0, "U", 2),   # in-place update
+            (2, "g2", None, "D", 2),    # delete all four g2 members
+            (5, "g2", None, "D", 2),
+            (8, "g2", None, "D", 2),
+            (11, "g2", None, "D", 2),   # -> group g2 vanishes
+            (50, "g3", 7.0, "I", 2),    # brand-new group
+        ],
+        "k bigint, grp string, amt double, op string, seq int",
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    target, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    table = TxLogTable(target)
+    table.append(
+        spark.createDataFrame([], "k bigint, grp string, amt double")
+    )
+    table.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        table,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "sum_amt": ("sum", "amt")},
+    )
+    mv.build(spark)  # empty anchor at v1
+
+    q = stream_cdc_apply_ops(
+        spark, str(src), target, ckpt,
+        keys=["k"], op_col="op", order_cols=["seq"],
+        max_files_per_trigger=1, views=[mv],
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["grp"]: (r["n"], r["sum_amt"]) for r in mv.read(spark).collect()
+    }
+    oracle = {
+        r["grp"]: (r["n"], r["sum_amt"])
+        for r in table.read(spark)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("sum_amt"))
+        .collect()
+    }
+    assert got == oracle
+    assert "g2" not in got and got["g3"] == (1, 7.0)
+    t_v, mv_v = table.version(), mv.view.version()
+
+    shutil.rmtree(ckpt)
+    q2 = stream_cdc_apply_ops(
+        spark, str(src), target, ckpt,
+        keys=["k"], op_col="op", order_cols=["seq"],
+        max_files_per_trigger=1, views=[mv],
+    )
+    assert q2.awaitTermination(180)
+    assert table.version() == t_v and mv.view.version() == mv_v
