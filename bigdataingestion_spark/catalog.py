@@ -2632,10 +2632,13 @@ _DSIR_CTES = f"""
     ),
     tgt_total AS (SELECT sum(cnt) AS t FROM dsir_feat WHERE lang = 'en'),
     dsir_wts AS (
+      -- totals are NULL-coalesced: an empty target slice must yield the
+      -- uniform smoothed model (denom = buckets), matching Spark's
+      -- `total or 0`, not NULL-poison every weight to 0
       SELECT f.doc_id,
              round(sum(f.cnt * (
-                ln((coalesce(tm.n, 0) + 1) / (tt.t + 10000)) -
-                ln((rm.n + 1) / (rt.t + 10000))
+                ln((coalesce(tm.n, 0) + 1) / (coalesce(tt.t, 0) + 10000)) -
+                ln((rm.n + 1) / (coalesce(rt.t, 0) + 10000))
              )), 6) AS log_weight
       FROM dsir_feat f
       LEFT JOIN tgt_model tm USING (bucket)

@@ -6,4 +6,4 @@ from bigdataingestion_spark.operators import (
     text,
 )
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "selection", "similarity", "text"]

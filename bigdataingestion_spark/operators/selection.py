@@ -42,8 +42,9 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import spread
-from .text import normalize_text
+from bigdataingestion_spark.caching import cache_tracked as _cache
+from bigdataingestion_spark.operators.dedup import spread
+from bigdataingestion_spark.operators.text import normalize_text
 
 
 def _ngram_bag(words: Column, n: int) -> Column:
@@ -103,13 +104,24 @@ def _bucket_log_probs(
 ) -> tuple[DataFrame, float]:
     """Laplace-smoothed unigram model over the hashed-feature space:
     ``lp[b] = ln((n_b + 1) / (N + buckets))``, plus the default
-    log-probability of a bucket the corpus never produced. The 1-row
-    total collect is bounded metadata scale."""
-    per_bucket = counts.groupBy("bucket").agg(F.sum("cnt").alias("_n"))
-    total = per_bucket.agg(F.sum("_n")).first()[0] or 0
+    log-probability of a bucket the corpus never produced.
+
+    The model is COLLECTED to the driver (≤ ``buckets`` rows — bounded
+    by construction, never by data size) and rebuilt as a local
+    DataFrame: deriving it lazily from ``counts`` would splice the
+    whole featurization subtree under the scoring join and re-execute
+    the corpus explode once per consumer."""
+    rows = (
+        counts.groupBy("bucket").agg(F.sum("cnt").alias("_n")).collect()
+    )
+    total = sum(int(r["_n"]) for r in rows)
     denom = float(total + buckets)
-    lp = per_bucket.select(
-        "bucket", F.log((F.col("_n") + 1) / F.lit(denom)).alias("_lp")
+    lp = counts.sparkSession.createDataFrame(
+        [
+            (int(r["bucket"]), math.log((int(r["_n"]) + 1) / denom))
+            for r in rows
+        ],
+        "bucket bigint, _lp double",
     )
     return lp, -math.log(denom)
 
@@ -134,7 +146,13 @@ def dsir_importance_weights(
     weight 0.0 rather than vanishing, so a selection over the result
     still sees the whole corpus. Weights are rounded to 6 decimals
     (engine-portable ordering)."""
-    feats = hashed_ngram_counts(raw, text_col, id_col, n_max, buckets)
+    # the raw features feed TWO consumers (the raw model's collect and
+    # the scoring probe side); the tracked cache makes the corpus
+    # explode run once — the model collect materializes it, scoring
+    # reads it back. Target features have one consumer (its model).
+    feats = _cache(
+        hashed_ngram_counts(raw, text_col, id_col, n_max, buckets)
+    )
     t_feats = hashed_ngram_counts(target, text_col, id_col, n_max, buckets)
     lp_raw, def_raw = _bucket_log_probs(feats, buckets)
     lp_tgt, def_tgt = _bucket_log_probs(t_feats, buckets)

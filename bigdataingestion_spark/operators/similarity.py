@@ -618,6 +618,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
     corpus_assignments: DataFrame | None = None,
+    cache_complete: bool = False,
 ) -> DataFrame:
     """Incremental SemDeDup: admit a NEW batch against an existing
     corpus without re-deduping the corpus — the shape a growing
@@ -653,7 +654,15 @@ def semantic_dedup_incremental(
     vector pays per-batch assignment, so keep the cache complete
     (passing only full SemDeDup's SURVIVORS is exact only when
     ``existing`` is the pruned corpus itself; over the unpruned corpus
-    it re-assigns every dropped vector per call). Without the cache it
+    it re-assigns every dropped vector per call). The guard's anti-join
+    itself shuffles the corpus ID COLUMN per batch — cheap relative to
+    assignment work but still corpus-proportional, so a steady-state
+    pipeline whose assignment table is maintained transactionally (the
+    returned admissions unioned in per commit) should pass
+    ``cache_complete=True`` to skip it; under that flag a partial cache
+    silently narrows the compare set — exactly the hole the guard
+    closes — so assert coverage before asserting the flag. Without the
+    cache it
     falls back to recomputing both from ``existing`` per call —
     correct, but each call then pays a full corpus pass; use the cache
     at scale. Either way the corpus side of the pair join is pruned to
@@ -671,18 +680,19 @@ def semantic_dedup_incremental(
     )
     if corpus_assignments is not None:
         a_corpus = corpus_assignments.select(id_col, "cell_id")
-        # exactness guard: any corpus vector the cache does not cover
-        # is assigned on the fly under the same frozen centroids (an
-        # id-only anti-join — no vector movement for covered rows), so
-        # a stale or survivors-only cache can narrow the compare set
-        # only by what was genuinely dropped from ``existing``, never
-        # by silent exclusion
-        missing = existing.select(id_col, vec_col).join(
-            a_corpus.select(id_col), id_col, "left_anti"
-        )
-        a_corpus = a_corpus.unionByName(
-            ivf_assign(missing, cents, vec_col, id_col)
-        )
+        if not cache_complete:
+            # exactness guard: any corpus vector the cache does not
+            # cover is assigned on the fly under the same frozen
+            # centroids (an id-only anti-join — no vector movement for
+            # covered rows), so a stale or survivors-only cache can
+            # narrow the compare set only by what was genuinely
+            # dropped from ``existing``, never by silent exclusion
+            missing = existing.select(id_col, vec_col).join(
+                a_corpus.select(id_col), id_col, "left_anti"
+            )
+            a_corpus = a_corpus.unionByName(
+                ivf_assign(missing, cents, vec_col, id_col)
+            )
     else:
         a_corpus = ivf_assign(
             existing.select(id_col, vec_col), cents, vec_col, id_col

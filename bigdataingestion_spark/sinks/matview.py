@@ -118,6 +118,15 @@ class IncrementalAggView:
         if not aggs:
             raise ValueError("aggs must declare at least one aggregate")
         lowered = {g.lower() for g in group_cols}
+        for g in group_cols:
+            # group columns are interpolated into merge SQL assignment
+            # strings (``s.<col>``) — a space or dot would parse as a
+            # syntax error or a struct-field reference at refresh time;
+            # refuse at construction like aggregate output names
+            if not _NAME_RE.match(g):
+                raise ValueError(
+                    f"group column {g!r} is not a plain SQL identifier"
+                )
         for out, (fn, expr) in aggs.items():
             if not _NAME_RE.match(out):
                 raise ValueError(f"aggregate output name {out!r} is not a "
@@ -194,12 +203,18 @@ class IncrementalAggView:
     def additive(self) -> bool:
         return all(fn in _ADDITIVE for fn, _ in self.aggs.values())
 
-    def _guard_null_keys(self, df: DataFrame, what: str) -> None:
+    def _refuse_null_groups(self, grouped: DataFrame, what: str) -> None:
+        """NULL-group-key refusal, checked on an ALREADY-AGGREGATED
+        frame (state / deltas / affected keys — ≤ |groups| rows): a
+        NULL key survives groupBy as its own group, so probing the
+        aggregate catches it without a dedicated extra pass over the
+        source or the CDF window. Callers persist the frame first, so
+        the probe costs one small job over cached partitions."""
         cond = None
         for g in self.group_cols:
             c = F.col(g).isNull()
             cond = c if cond is None else (cond | c)
-        if df.filter(cond).limit(1).collect():
+        if grouped.filter(cond).limit(1).collect():
             raise ValueError(
                 f"NULL group key in {what}: the refresh MERGE joins on "
                 f"{self.group_cols} and cannot maintain NULL-keyed "
@@ -220,25 +235,31 @@ class IncrementalAggView:
         if to < 0:
             raise FileNotFoundError(f"source {self.source.path} is empty")
         src = self.source.read(spark, version=to)
-        self._guard_null_keys(src.select(*self.group_cols), "source")
-        state = src.groupBy(*self.group_cols).agg(*self._state_exprs())
-        if self.view.snapshot() is None:
-            # first build: the definition property is what publishes the
-            # view — refresh() on a crashed half-build fails clearly
-            self.view.append(state)
-            self.view.alter_properties(
-                {_DEF_KEY: self._definition_json(), _CURSOR_KEY: str(to)}
-            )
-        else:
-            self.view.alter_properties({_PENDING_KEY: "true"})
-            self.view.overwrite(state)
-            self.view.alter_properties(
-                {
-                    _DEF_KEY: self._definition_json(),
-                    _CURSOR_KEY: str(to),
-                    _PENDING_KEY: None,
-                }
-            )
+        state = (
+            src.groupBy(*self.group_cols).agg(*self._state_exprs())
+        ).persist()
+        try:
+            self._refuse_null_groups(state, "source")
+            if self.view.snapshot() is None:
+                # first build: the definition property is what publishes
+                # the view — refresh() on a crashed half-build fails
+                # clearly
+                self.view.append(state)
+                self.view.alter_properties(
+                    {_DEF_KEY: self._definition_json(), _CURSOR_KEY: str(to)}
+                )
+            else:
+                self.view.alter_properties({_PENDING_KEY: "true"})
+                self.view.overwrite(state)
+                self.view.alter_properties(
+                    {
+                        _DEF_KEY: self._definition_json(),
+                        _CURSOR_KEY: str(to),
+                        _PENDING_KEY: None,
+                    }
+                )
+        finally:
+            state.unpersist()
         return to
 
     def _cursor(self, snap) -> int:
@@ -271,7 +292,6 @@ class IncrementalAggView:
         if to <= frm:
             return frm
         ch = self.source.read_cdf(spark, frm, to)
-        self._guard_null_keys(ch.select(*self.group_cols), "change feed")
         if self.additive:
             self._apply_additive(spark, ch, to)
         else:
@@ -340,57 +360,69 @@ class IncrementalAggView:
                 moved = moved | (F.coalesce(F.col(c), F.lit(0)) != 0)
             elif c.startswith("_d_c_"):
                 moved = moved | (F.col(c) != 0)
-        deltas = deltas.filter(moved)
-        self.view.merge(
-            spark,
-            deltas,
-            keys=list(self.group_cols),
-            clauses=[
-                # final row count zero -> the group vanished
-                when_matched_delete(condition="t._mv_n + s._d_n = 0"),
-                when_matched_update(set=upd),
-                # insert conditions see the bare source row (merge's
-                # scoping contract); skip groups created and destroyed
-                # within one window
-                when_not_matched_insert(values=ins, condition="_d_n > 0"),
-            ],
-            txn_id=f"{_TXN_PREFIX}{to}",
-        )
+        deltas = deltas.filter(moved).persist()
+        try:
+            self._refuse_null_groups(deltas, "change feed")
+            self.view.merge(
+                spark,
+                deltas,
+                keys=list(self.group_cols),
+                clauses=[
+                    # final row count zero -> the group vanished
+                    when_matched_delete(condition="t._mv_n + s._d_n = 0"),
+                    when_matched_update(set=upd),
+                    # insert conditions see the bare source row (merge's
+                    # scoping contract); skip groups created and
+                    # destroyed within one window
+                    when_not_matched_insert(
+                        values=ins, condition="_d_n > 0"
+                    ),
+                ],
+                txn_id=f"{_TXN_PREFIX}{to}",
+            )
+        finally:
+            deltas.unpersist()
 
     # ------------------------------------------------- recompute path --
     def _apply_recompute(self, spark, ch: DataFrame, to: int) -> None:
-        affected = ch.select(*self.group_cols).distinct()
-        fresh = (
-            self.source.read(spark, version=to)
-            .join(affected, self.group_cols, "left_semi")
-            .groupBy(*self.group_cols)
-            .agg(*self._state_exprs())
-        )
-        vanished = affected.join(fresh, self.group_cols, "left_anti")
-        src = fresh.withColumn("_vanish", F.lit(0)).unionByName(
-            vanished.withColumn("_vanish", F.lit(1)),
-            allowMissingColumns=True,
-        )
-        state_cols = self._state_cols()
-        self.view.merge(
-            spark,
-            src,
-            keys=list(self.group_cols),
-            clauses=[
-                when_matched_delete(condition="s._vanish = 1"),
-                when_matched_update(
-                    set={c: f"s.{c}" for c in state_cols}
-                ),
-                when_not_matched_insert(
-                    condition="_vanish = 0",  # bare source scope
-                    values={
-                        **{g: f"s.{g}" for g in self.group_cols},
-                        **{c: f"s.{c}" for c in state_cols},
-                    },
-                ),
-            ],
-            txn_id=f"{_TXN_PREFIX}{to}",
-        )
+        # persisted: the affected-key list feeds the semi-join, the
+        # vanished anti-join, AND the NULL-key probe
+        affected = ch.select(*self.group_cols).distinct().persist()
+        try:
+            self._refuse_null_groups(affected, "change feed")
+            fresh = (
+                self.source.read(spark, version=to)
+                .join(affected, self.group_cols, "left_semi")
+                .groupBy(*self.group_cols)
+                .agg(*self._state_exprs())
+            )
+            vanished = affected.join(fresh, self.group_cols, "left_anti")
+            src = fresh.withColumn("_vanish", F.lit(0)).unionByName(
+                vanished.withColumn("_vanish", F.lit(1)),
+                allowMissingColumns=True,
+            )
+            state_cols = self._state_cols()
+            self.view.merge(
+                spark,
+                src,
+                keys=list(self.group_cols),
+                clauses=[
+                    when_matched_delete(condition="s._vanish = 1"),
+                    when_matched_update(
+                        set={c: f"s.{c}" for c in state_cols}
+                    ),
+                    when_not_matched_insert(
+                        condition="_vanish = 0",  # bare source scope
+                        values={
+                            **{g: f"s.{g}" for g in self.group_cols},
+                            **{c: f"s.{c}" for c in state_cols},
+                        },
+                    ),
+                ],
+                txn_id=f"{_TXN_PREFIX}{to}",
+            )
+        finally:
+            affected.unpersist()
 
     # ----------------------------------------------------------- read --
     def read(self, spark: SparkSession) -> DataFrame:

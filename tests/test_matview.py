@@ -297,6 +297,16 @@ def test_bad_definitions_rejected(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="at least one"):
         IncrementalAggView(src, str(tmp_path / "m4"), [], {"n": ("count", "1")})
+    # group columns are interpolated into merge SQL — same identifier
+    # rule as aggregate names (r10 second review pass)
+    with pytest.raises(ValueError, match="identifier"):
+        IncrementalAggView(
+            src, str(tmp_path / "m5"), ["order status"], {"n": ("count", "1")}
+        )
+    with pytest.raises(ValueError, match="identifier"):
+        IncrementalAggView(
+            src, str(tmp_path / "m6"), ["a.b"], {"n": ("count", "1")}
+        )
 
 
 def test_read_before_build_raises(spark, tmp_path):

@@ -287,3 +287,85 @@ def test_identity_mark_advance_fold():
     assert fold("-3", -1, -4, 2, 2, None) == -5
     assert fold("-3", -1, -4, 2, 2, -100) == -100
     assert fold("-3", -1, -4, 0, 0, -1) == -3
+
+
+# ================== second (late) review pass over 45cc6c4..HEAD ==
+
+
+def test_semantic_dedup_cache_complete_skips_guard(spark):
+    """Second-pass finding: the exactness guard's anti-join is
+    corpus-proportional per batch; a transactionally maintained FULL
+    cache can assert cache_complete=True and skip it — exactly ONE
+    ivf_assign call (the batch's), identical admissions."""
+    import unittest.mock as mock
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    batch = spark.createDataFrame([(10, [0.7, 0.7])], ["vec_id", "embedding"])
+    cents = similarity.kmeans_lite_centroids(corpus, 2)
+    assigns = similarity.ivf_assign(corpus.select("vec_id", "embedding"), cents)
+    guarded = similarity.semantic_dedup_incremental(
+        corpus, batch, threshold=0.95,
+        centroids=cents, corpus_assignments=assigns,
+    )
+    with mock.patch.object(
+        similarity, "ivf_assign", wraps=similarity.ivf_assign
+    ) as spy:
+        fast = similarity.semantic_dedup_incremental(
+            corpus, batch, threshold=0.95,
+            centroids=cents, corpus_assignments=assigns,
+            cache_complete=True,
+        )
+        rows_fast = sorted(map(tuple, fast.collect()))
+    assert spy.call_count == 1  # the batch's assignment only
+    assert rows_fast == sorted(map(tuple, guarded.collect()))
+
+
+def test_dsir_weights_with_empty_target_corpus(spark):
+    """Second-pass finding repro (oracle side had NULL-poisoned totals):
+    an EMPTY target corpus means the uniform smoothed model — weights
+    stay finite and equal to sum(cnt * (ln(1/B) - lp_raw)), never
+    NULL/zeroed-out."""
+    from bigdataingestion_spark.operators import selection
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha alpha alpha")],
+        ["doc_id", "text"],
+    )
+    target = raw.filter("doc_id < 0")  # empty
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in selection.dsir_importance_weights(raw, target).collect()
+    }
+    assert len(w) == 2
+    assert all(v is not None and v < 0 for v in w.values())
+    # the repetitive doc concentrates mass in fewer raw buckets, so its
+    # raw log-prob is higher and its weight strictly lower
+    assert w[2] < w[1]
+
+
+def test_matview_null_key_refused_on_refresh_too(spark, tmp_path):
+    """The NULL-key refusal moved from a dedicated source/CDF scan to a
+    probe on the aggregated frames — it must still fire on REFRESH when
+    NULL keys arrive after a clean build."""
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    src = TxLogTable(str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [(1, "g0", 1.0)], "id long, grp string, val double"
+        )
+    )
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")}
+    )
+    mv.build(spark)
+    src.append(
+        spark.createDataFrame(
+            [(2, None, 2.0)], "id long, grp string, val double"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        mv.refresh(spark)
