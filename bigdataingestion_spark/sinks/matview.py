@@ -390,9 +390,25 @@ class IncrementalAggView:
         affected = ch.select(*self.group_cols).distinct().persist()
         try:
             self._refuse_null_groups(affected, "change feed")
+            # the semi-join is the EXACT filter, but without help it
+            # still scans every source file first; the log-held per-file
+            # min/max stats (the same machinery MERGE's finding pass
+            # uses) prove files outside the affected keys' bounds out of
+            # the scan — on a key-clustered layout a narrow change
+            # window reads O(affected-span) files, not the table
+            snap = self.source.snapshot(to)
+            bounds = self.source._source_key_bounds(
+                affected, self.group_cols
+            )
+            cand = self.source._stats_candidates(
+                snap, bounds, self.group_cols, null_safe=False
+            )
+            if cand:
+                scan = self.source._read_files(spark, snap, cand)
+            else:  # change window touched only since-deleted groups
+                scan = self.source.read(spark, version=to).limit(0)
             fresh = (
-                self.source.read(spark, version=to)
-                .join(affected, self.group_cols, "left_semi")
+                scan.join(affected, self.group_cols, "left_semi")
                 .groupBy(*self.group_cols)
                 .agg(*self._state_exprs())
             )

@@ -316,3 +316,50 @@ def test_read_before_build_raises(spark, tmp_path):
         mv.read(spark)
     with pytest.raises(FileNotFoundError, match="build"):
         mv.refresh(spark)
+
+
+def test_minmax_recompute_prunes_scan_by_affected_bounds(spark, tmp_path):
+    """The recompute path stats-prunes the source scan to files that can
+    hold an affected group (r10 second review follow-up): on a
+    key-clustered multi-file layout, a window touching one group still
+    recomputes exactly, a window touching only since-deleted groups
+    leaves an exact view, and the candidate set really shrinks."""
+    src = TxLogTable(str(tmp_path / "src"))
+    # three key-disjoint files: g0 | g1 | g2
+    for g, base in (("g0", 0), ("g1", 100), ("g2", 200)):
+        src.append(
+            spark.createDataFrame(
+                [(base + i, g, float(base + i)) for i in range(5)],
+                "id long, grp string, val double",
+            ).coalesce(1)
+        )
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"mx": ("max", "val"), "n": ("count", "1")},
+    )
+    mv.build(spark)
+    src.delete(spark, "grp = 'g1' AND val >= 103")  # touches ONE group
+    # the pruning machinery itself: only g1's file is a candidate
+    snap = src.snapshot()
+    aff = spark.createDataFrame([("g1",)], ["grp"])
+    cand = src._stats_candidates(
+        snap, src._source_key_bounds(aff, ["grp"]), ["grp"], False
+    )
+    assert len(cand) < len(snap.files)
+    mv.refresh(spark)
+    got = _rows(mv.read(spark), ["mx", "n"])
+    oracle = _oracle(
+        spark, src, {"mx": F.max("val"), "n": F.count(F.lit(1))}
+    )
+    assert got == oracle and got["g1"] == (102.0, 3)
+    # a window that only VANISHES a group (empty candidate scan path)
+    src.delete(spark, "grp = 'g2'")
+    mv.refresh(spark)
+    got = _rows(mv.read(spark), ["mx", "n"])
+    assert got == _oracle(
+        spark, src, {"mx": F.max("val"), "n": F.count(F.lit(1))}
+    )
+    assert "g2" not in got
