@@ -15,11 +15,18 @@ primitives:
   conditional MERGE applies them — update surviving groups, delete
   groups whose row count reaches zero, insert new groups. Refresh cost
   is O(|changes|); the source is never read.
-- **recompute mode** (any min/max — not additive under deletes): the
-  CDF window only names the AFFECTED groups; those groups are
-  recomputed from the current source snapshot via one semi-join and
-  merged in (vanished groups deleted). Refresh cost is
-  O(|changes| + rows of affected groups) — still never O(source).
+- **recompute mode** (min/max under a window containing deletes — a
+  removed extreme cannot be subtracted back out): the CDF window only
+  names the AFFECTED groups; those groups are recomputed from the
+  current source snapshot via one semi-join (the scan stats-pruned to
+  the affected keys' bounds) and merged in (vanished groups deleted).
+  Refresh cost is O(|changes| + rows of affected groups) — still never
+  O(source).
+- **insert-only fast path**: when a metadata-only proof over the
+  window's commit entries shows every commit purely ADDED rows (the
+  streaming-append common case), even min/max views refresh additively
+  — extremes fold monotonically (greatest/least) — so append-driven
+  sources never read back regardless of the aggregate set.
 
 At 100 TB this is the difference between a nightly full re-aggregation
 of the fact table and a refresh proportional to the day's churn; the
@@ -292,12 +299,34 @@ class IncrementalAggView:
         if to <= frm:
             return frm
         ch = self.source.read_cdf(spark, frm, to)
-        if self.additive:
+        if self.additive or self._window_insert_only(frm, to):
+            # min/max are non-additive only because of DELETES (a
+            # removed extreme cannot be subtracted back out); under a
+            # pure-insert window they fold monotonically
+            # (greatest/least), so a streaming-append source keeps even
+            # min/max views source-read-free
             self._apply_additive(spark, ch, to)
         else:
             self._apply_recompute(spark, ch, to)
         self.view.alter_properties({_CURSOR_KEY: str(to)})
         return to
+
+    def _window_insert_only(self, frm: int, to: int) -> bool:
+        """METADATA-ONLY proof that every commit in ``(frm, to]`` adds
+        rows without removing or masking any — O(window commits) driver
+        file reads, no data pass. Conservative: a commit carrying
+        removes, deletion vectors, or a materialized change map with
+        any non-insert class fails the proof (compaction is exempt —
+        pure layout, content unchanged, and read_cdf skips it too)."""
+        for e in self.source.commits_between(frm, to):
+            if e.get("op") == "compact":
+                continue
+            if e.get("remove") or e.get("dv"):
+                return False
+            cdf = e.get("cdf")
+            if cdf and set(cdf) - {"insert"}:
+                return False
+        return True
 
     # -------------------------------------------------- additive path --
     def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
@@ -326,7 +355,7 @@ class IncrementalAggView:
                 )
                 upd[f"_c_{out}"] = f"t._c_{out} + s._d_c_{out}"
                 ins[f"_c_{out}"] = f"s._d_c_{out}"
-            else:  # sum / avg share (sum, non-null count) state
+            elif fn in ("sum", "avg"):  # shared (sum, non-null count) state
                 d_exprs.append(
                     F.sum(F.when(col.isNotNull(), sign * col)).alias(
                         f"_d_s_{out}"
@@ -348,6 +377,25 @@ class IncrementalAggView:
                 upd[f"_c_{out}"] = f"t._c_{out} + s._d_c_{out}"
                 ins[f"_s_{out}"] = f"s._d_s_{out}"
                 ins[f"_c_{out}"] = f"s._d_c_{out}"
+        for out, (fn, expr) in self.aggs.items():
+            if fn not in ("min", "max"):
+                continue
+            # reached ONLY under an insert-only window (refresh's
+            # metadata proof): every change row is an insert, so the
+            # extreme folds monotonically with the stored one — no
+            # subtraction ever needed. NULL-correct: an all-NULL delta
+            # keeps the stored value; an all-NULL stored value adopts
+            # the delta (SQL MIN/MAX ignore NULLs).
+            col = F.expr(expr)
+            agg = F.min(col) if fn == "min" else F.max(col)
+            d_exprs.append(agg.alias(f"_d_m_{out}"))
+            fold = "least" if fn == "min" else "greatest"
+            upd[f"_m_{out}"] = (
+                f"CASE WHEN s._d_m_{out} IS NULL THEN t._m_{out} "
+                f"WHEN t._m_{out} IS NULL THEN s._d_m_{out} "
+                f"ELSE {fold}(t._m_{out}, s._d_m_{out}) END"
+            )
+            ins[f"_m_{out}"] = f"s._d_m_{out}"
         deltas = ch.groupBy(*self.group_cols).agg(*d_exprs)
         # drop groups whose window nets to NOTHING — zero row delta AND
         # zero on every value delta (insert+delete of identical rows) —

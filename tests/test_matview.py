@@ -363,3 +363,93 @@ def test_minmax_recompute_prunes_scan_by_affected_bounds(spark, tmp_path):
         spark, src, {"mx": F.max("val"), "n": F.count(F.lit(1))}
     )
     assert "g2" not in got
+
+
+def test_minmax_insert_only_window_is_additive(spark, tmp_path):
+    """Append-only windows keep even min/max views source-read-free: the
+    metadata proof sees pure adds, extremes fold with greatest/least,
+    and the result equals a from-scratch aggregate — including a NULL
+    delta keeping the stored extreme and a new all-NULL group."""
+    import unittest.mock as mock
+
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"mx": ("max", "val"), "mn": ("min", "val"), "n": ("count", "1")},
+    )
+    mv.build(spark)
+    src.append(
+        spark.createDataFrame(
+            [
+                (100, "g0", 999.0),   # new max for g0
+                (101, "g1", -5.0),    # new min for g1
+                (102, "g2", None),    # NULL: extremes unchanged
+                (103, "g9", None),    # brand-new all-NULL group
+            ],
+            "id long, grp string, val double",
+        )
+    )
+    with mock.patch.object(
+        src,
+        "read",
+        side_effect=AssertionError(
+            "insert-only min/max refresh must not read source"
+        ),
+    ):
+        mv.refresh(spark)
+    got = _rows(mv.read(spark), ["mx", "mn", "n"])
+    assert got == _oracle(
+        spark,
+        src,
+        {"mx": F.max("val"), "mn": F.min("val"), "n": F.count(F.lit(1))},
+    )
+    assert got["g0"][0] == 999.0 and got["g1"][1] == -5.0
+    assert got["g9"] == (None, None, 1)
+
+
+def test_minmax_delete_window_still_recomputes(spark, tmp_path):
+    """A window containing ANY delete fails the insert-only proof and
+    falls back to affected-group recompute — appending then deleting the
+    new max in one window must not leave the folded (stale) extreme."""
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"mx": ("max", "val"), "n": ("count", "1")},
+    )
+    mv.build(spark)
+    src.append(
+        spark.createDataFrame(
+            [(100, "g0", 999.0)], "id long, grp string, val double"
+        )
+    )
+    src.delete(spark, "id = 100")  # the appended max is gone again
+    mv.refresh(spark)
+    got = _rows(mv.read(spark), ["mx", "n"])
+    assert got == _oracle(
+        spark, src, {"mx": F.max("val"), "n": F.count(F.lit(1))}
+    )
+    assert got["g0"][0] < 999.0  # folding would have kept 999
+
+
+def test_insert_only_proof_is_metadata_only(spark, tmp_path):
+    """_window_insert_only judges commit entries, not data: appends and
+    compaction pass, any remove/DV/non-insert change map fails."""
+    src = _source(spark, tmp_path)
+    v0 = src.version()
+    src.append(
+        spark.createDataFrame(
+            [(50, "g0", 1.0)], "id long, grp string, val double"
+        )
+    )
+    mv = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")}
+    )
+    assert mv._window_insert_only(v0, src.version())
+    src.compact(spark)  # layout-only: exempt
+    assert mv._window_insert_only(v0, src.version())
+    src.delete(spark, "id = 50")
+    assert not mv._window_insert_only(v0, src.version())
