@@ -60,6 +60,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from .merge_clauses import (
     when_matched_delete,
@@ -299,34 +300,18 @@ class IncrementalAggView:
         if to <= frm:
             return frm
         ch = self.source.read_cdf(spark, frm, to)
-        if self.additive or self._window_insert_only(frm, to):
+        if self.additive or self.source.window_is_insert_only(frm, to):
             # min/max are non-additive only because of DELETES (a
             # removed extreme cannot be subtracted back out); under a
-            # pure-insert window they fold monotonically
-            # (greatest/least), so a streaming-append source keeps even
-            # min/max views source-read-free
+            # pure-insert single-schema window (the txlog owns that
+            # proof — it knows its own commit-entry layout) they fold
+            # monotonically (greatest/least), so a streaming-append
+            # source keeps even min/max views source-read-free
             self._apply_additive(spark, ch, to)
         else:
             self._apply_recompute(spark, ch, to)
         self.view.alter_properties({_CURSOR_KEY: str(to)})
         return to
-
-    def _window_insert_only(self, frm: int, to: int) -> bool:
-        """METADATA-ONLY proof that every commit in ``(frm, to]`` adds
-        rows without removing or masking any — O(window commits) driver
-        file reads, no data pass. Conservative: a commit carrying
-        removes, deletion vectors, or a materialized change map with
-        any non-insert class fails the proof (compaction is exempt —
-        pure layout, content unchanged, and read_cdf skips it too)."""
-        for e in self.source.commits_between(frm, to):
-            if e.get("op") == "compact":
-                continue
-            if e.get("remove") or e.get("dv"):
-                return False
-            cdf = e.get("cdf")
-            if cdf and set(cdf) - {"insert"}:
-                return False
-        return True
 
     # -------------------------------------------------- additive path --
     def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
@@ -453,8 +438,13 @@ class IncrementalAggView:
             )
             if cand:
                 scan = self.source._read_files(spark, snap, cand)
-            else:  # change window touched only since-deleted groups
-                scan = self.source.read(spark, version=to).limit(0)
+            else:
+                # window touched only since-deleted groups: a zero-row
+                # frame from the snapshot ALREADY IN HAND (no second
+                # O(log) resolution via read())
+                scan = spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(snap.schema_json))
+                )
             fresh = (
                 scan.join(affected, self.group_cols, "left_semi")
                 .groupBy(*self.group_cols)

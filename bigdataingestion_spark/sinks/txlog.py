@@ -5880,6 +5880,40 @@ class TxLogTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         return self._read_snapshot(spark, snap)
 
+    def window_is_insert_only(
+        self, from_version: int, to_version: int
+    ) -> bool:
+        """METADATA-ONLY proof that every commit in ``(from_version,
+        to_version]`` purely ADDED rows under ONE unchanged schema —
+        O(window commits) driver file reads, no data pass. This is the
+        gate incremental consumers (the matview additive fast path) use
+        to fold monotone aggregates without reading the table back.
+
+        Lives HERE because it hardcodes this log's commit-entry layout:
+        any future mechanism that removes or masks rows, or rewrites
+        them under a new shape, must be classified in this one place.
+        Conservative by construction — a commit carrying removes,
+        deletion vectors, a materialized change map with any non-insert
+        class, or a DIFFERENT schema serialization fails the proof
+        (mixed schemas would NULL-pad one side of ``read_cdf``'s
+        ``unionByName(allowMissingColumns=True)``, silently feeding
+        NULLs where renamed/dropped columns held data). Compaction is
+        exempt: pure layout, content unchanged, and ``read_cdf`` skips
+        it too."""
+        schemas: set[str] = set()
+        for e in self.commits_between(from_version, to_version):
+            if e.get("op") == "compact":
+                continue
+            if e.get("remove") or e.get("dv"):
+                return False
+            cdf = e.get("cdf")
+            if cdf and set(cdf) - {"insert"}:
+                return False
+            schemas.add(e["schema"])
+            if len(schemas) > 1:
+                return False
+        return True
+
     def read_changes(
         self,
         spark: SparkSession,

@@ -126,11 +126,13 @@ def test_additive_never_reads_source(spark, tmp_path):
     mv = _additive(spark, tmp_path, src)
     mv.build(spark)
     src.update(spark, "id % 3 = 0", {"val": "val + 1"})
-    with mock.patch.object(
-        src,
-        "read",
-        side_effect=AssertionError("additive refresh must not read source"),
-    ):
+    boom = AssertionError("additive refresh must not read source")
+    # read() guards a direct source scan; _stats_candidates is the
+    # recompute path's first step, so mocking it catches a silent
+    # fallback to recompute (whose scan goes through _read_files, which
+    # can NOT be mocked here — read_cdf's window read shares it)
+    with mock.patch.object(src, "read", side_effect=boom), \
+         mock.patch.object(src, "_stats_candidates", side_effect=boom):
         mv.refresh(spark)
     assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
         spark, src, _add_oracle()
@@ -391,13 +393,12 @@ def test_minmax_insert_only_window_is_additive(spark, tmp_path):
             "id long, grp string, val double",
         )
     )
-    with mock.patch.object(
-        src,
-        "read",
-        side_effect=AssertionError(
-            "insert-only min/max refresh must not read source"
-        ),
-    ):
+    boom = AssertionError("insert-only min/max refresh must not read source")
+    # read() guards a direct scan; _stats_candidates guards a silent
+    # fallback to the recompute path (its first step — the pruned scan
+    # itself shares _read_files with read_cdf, so that can't be mocked)
+    with mock.patch.object(src, "read", side_effect=boom), \
+         mock.patch.object(src, "_stats_candidates", side_effect=boom):
         mv.refresh(spark)
     got = _rows(mv.read(spark), ["mx", "mn", "n"])
     assert got == _oracle(
@@ -436,8 +437,11 @@ def test_minmax_delete_window_still_recomputes(spark, tmp_path):
 
 
 def test_insert_only_proof_is_metadata_only(spark, tmp_path):
-    """_window_insert_only judges commit entries, not data: appends and
-    compaction pass, any remove/DV/non-insert change map fails."""
+    """window_is_insert_only judges commit entries, not data: appends
+    and compaction pass; any remove/DV/non-insert change map fails; and
+    a SCHEMA CHANGE inside the window fails too (mixed schemas would
+    NULL-pad one side of read_cdf's union and feed the monotone fold
+    NULLs where a renamed/dropped column held data)."""
     src = _source(spark, tmp_path)
     v0 = src.version()
     src.append(
@@ -445,11 +449,23 @@ def test_insert_only_proof_is_metadata_only(spark, tmp_path):
             [(50, "g0", 1.0)], "id long, grp string, val double"
         )
     )
-    mv = IncrementalAggView(
-        src, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")}
-    )
-    assert mv._window_insert_only(v0, src.version())
+    assert src.window_is_insert_only(v0, src.version())
     src.compact(spark)  # layout-only: exempt
-    assert mv._window_insert_only(v0, src.version())
+    assert src.window_is_insert_only(v0, src.version())
+    v1 = src.version()
+    src.enable_column_mapping()  # schema serialization changes
+    src.append(
+        spark.createDataFrame(
+            [(51, "g0", 3.0)], "id long, grp string, val double"
+        )
+    )
+    # a window whose DATA commits span both schemas: refused — their
+    # CDF parts would union under mixed schemas (the NULL-pad hazard)
+    assert not src.window_is_insert_only(v0, src.version())
+    # a window where the schema change precedes every data commit is
+    # SOUND to pass: metadata commits emit no CDF part, so all parts
+    # carry one schema — a view definition naming a column the change
+    # removed fails loudly at the delta aggregation, never silently
+    assert src.window_is_insert_only(v1, src.version())
     src.delete(spark, "id = 50")
-    assert not mv._window_insert_only(v0, src.version())
+    assert not src.window_is_insert_only(v1 + 1, src.version())
