@@ -70,7 +70,11 @@ from .merge_clauses import (
 from .txlog import TxLogTable
 
 _ADDITIVE = {"count", "sum", "avg"}
-_FNS = _ADDITIVE | {"min", "max"}
+# insert-only-additive: monotone folds (min/max) and mergeable sketches
+# (approx_distinct's HLL registers are max-merged — order-independent,
+# so an additive refresh yields the BIT-IDENTICAL sketch a rebuild
+# would); under windows with deletes they recompute
+_FNS = _ADDITIVE | {"min", "max", "approx_distinct"}
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _DEF_KEY = "matview.definition"
 _CURSOR_KEY = "matview.source.version"
@@ -99,13 +103,20 @@ class IncrementalAggView:
             },
         )
 
-    ``fn`` ∈ {count, sum, avg, min, max}; ``expr`` is any SQL expression
-    over source columns (``count`` counts its expression's NON-NULL
-    rows, so ``("count", "1")`` is COUNT(*)). SQL NULL semantics are
-    preserved through the incremental path: a group whose expression
-    values are all NULL reports NULL sum/avg, exactly as a from-scratch
-    aggregation would (the stored state keeps a non-null count per
-    sum/avg aggregate for this).
+    ``fn`` ∈ {count, sum, avg, min, max, approx_distinct}; ``expr`` is
+    any SQL expression over source columns (``count`` counts its
+    expression's NON-NULL rows, so ``("count", "1")`` is COUNT(*)).
+    ``approx_distinct`` stores an HLL sketch (Spark's datasketches
+    ``hll_sketch_agg``) and surfaces its estimate — distinct counting
+    is the canonical non-additive aggregate, and the sketch is what
+    makes it maintainable: under insert-only windows sketches union
+    additively (register-max — the refreshed sketch is bit-identical
+    to a rebuild's), under deletes the affected groups recompute like
+    min/max. SQL NULL semantics are preserved through the incremental
+    path: a group whose expression values are all NULL reports NULL
+    sum/avg (the stored state keeps a non-null count per sum/avg
+    aggregate for this) and approx_distinct 0, exactly as a
+    from-scratch aggregation would.
 
     NULL group keys are REFUSED (build and refresh both probe): the
     refresh MERGE joins on the group columns, and SQL equi-joins never
@@ -191,6 +202,10 @@ class IncrementalAggView:
                 exprs.append(F.count(col).alias(f"_c_{out}"))
             elif fn == "count":
                 exprs.append(F.count(col).alias(f"_c_{out}"))
+            elif fn == "approx_distinct":
+                # the STORED state is the HLL sketch itself (binary),
+                # not the estimate — sketches merge, estimates don't
+                exprs.append(F.hll_sketch_agg(col).alias(f"_h_{out}"))
             else:  # min / max
                 agg = F.min(col) if fn == "min" else F.max(col)
                 exprs.append(agg.alias(f"_m_{out}"))
@@ -203,6 +218,8 @@ class IncrementalAggView:
                 out += [f"_s_{name}", f"_c_{name}"]
             elif fn == "count":
                 out.append(f"_c_{name}")
+            elif fn == "approx_distinct":
+                out.append(f"_h_{name}")
             else:
                 out.append(f"_m_{name}")
         return list(dict.fromkeys(out))
@@ -363,15 +380,29 @@ class IncrementalAggView:
                 ins[f"_s_{out}"] = f"s._d_s_{out}"
                 ins[f"_c_{out}"] = f"s._d_c_{out}"
         for out, (fn, expr) in self.aggs.items():
-            if fn not in ("min", "max"):
+            if fn not in ("min", "max", "approx_distinct"):
                 continue
             # reached ONLY under an insert-only window (refresh's
-            # metadata proof): every change row is an insert, so the
-            # extreme folds monotonically with the stored one — no
-            # subtraction ever needed. NULL-correct: an all-NULL delta
-            # keeps the stored value; an all-NULL stored value adopts
-            # the delta (SQL MIN/MAX ignore NULLs).
+            # metadata proof): every change row is an insert, so these
+            # fold without subtraction — extremes monotonically
+            # (least/greatest), sketches by register-max union (which
+            # yields the BIT-IDENTICAL sketch a full rebuild would).
+            # NULL-correct: an all-NULL delta keeps the stored value; an
+            # all-NULL stored value adopts the delta (SQL MIN/MAX ignore
+            # NULLs; an all-NULL sketch is the EMPTY sketch, never NULL,
+            # so its union is a no-op — the CASE is pure defense).
             col = F.expr(expr)
+            if fn == "approx_distinct":
+                d_exprs.append(
+                    F.hll_sketch_agg(col).alias(f"_d_h_{out}")
+                )
+                upd[f"_h_{out}"] = (
+                    f"CASE WHEN s._d_h_{out} IS NULL THEN t._h_{out} "
+                    f"WHEN t._h_{out} IS NULL THEN s._d_h_{out} "
+                    f"ELSE hll_union(t._h_{out}, s._d_h_{out}) END"
+                )
+                ins[f"_h_{out}"] = f"s._d_h_{out}"
+                continue
             agg = F.min(col) if fn == "min" else F.max(col)
             d_exprs.append(agg.alias(f"_d_m_{out}"))
             fold = "least" if fn == "min" else "greatest"
@@ -507,6 +538,10 @@ class IncrementalAggView:
                 )
             elif fn == "count":
                 cols.append(F.col(f"_c_{out}").alias(out))
+            elif fn == "approx_distinct":
+                cols.append(
+                    F.hll_sketch_estimate(F.col(f"_h_{out}")).alias(out)
+                )
             else:
                 cols.append(F.col(f"_m_{out}").alias(out))
         return df.select(*cols)

@@ -469,3 +469,78 @@ def test_insert_only_proof_is_metadata_only(spark, tmp_path):
     assert src.window_is_insert_only(v1, src.version())
     src.delete(spark, "id = 50")
     assert not src.window_is_insert_only(v1 + 1, src.version())
+
+
+def test_approx_distinct_additive_equals_rebuild(spark, tmp_path):
+    """approx_distinct views: insert-only windows union HLL sketches
+    additively (source-read-free) and land the EXACT estimate a full
+    rebuild computes (register-max union is order-independent); small
+    cardinalities make the estimate exact, so it also equals
+    countDistinct."""
+    import unittest.mock as mock
+
+    rows = [(i, f"g{i % 2}", f"u{i % 7}") for i in range(1, 29)]
+    src = TxLogTable(str(tmp_path / "src2"))
+    src.append(
+        spark.createDataFrame(rows, "id long, grp string, u string")
+    )
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv2"),
+        ["grp"],
+        {"users": ("approx_distinct", "u"), "n": ("count", "1")},
+    )
+    assert not mv.additive  # sketches are insert-only-additive
+    mv.build(spark)
+    src.append(
+        spark.createDataFrame(
+            [(100, "g0", "u-new"), (101, "g2", "u1"), (102, "g2", None)],
+            "id long, grp string, u string",
+        )
+    )
+    boom = AssertionError("insert-only sketch refresh must not read source")
+    with mock.patch.object(src, "read", side_effect=boom), \
+         mock.patch.object(src, "_stats_candidates", side_effect=boom):
+        mv.refresh(spark)
+    got = _rows(mv.read(spark), ["users", "n"])
+    # rebuild into a second view: estimates must MATCH the additive ones
+    mv2 = IncrementalAggView(
+        src,
+        str(tmp_path / "mv3"),
+        ["grp"],
+        {"users": ("approx_distinct", "u"), "n": ("count", "1")},
+    )
+    mv2.build(spark)
+    assert got == _rows(mv2.read(spark), ["users", "n"])
+    # and at this cardinality the estimate is exact
+    exact = _oracle(
+        spark, src,
+        {"users": F.countDistinct("u"), "n": F.count(F.lit(1))},
+    )
+    assert got == exact
+    assert got["g0"] == (8, 15)  # u0..u6 + u-new
+    assert got["g2"] == (1, 2)  # NULL ignored by distinct, counted by n
+
+
+def test_approx_distinct_delete_window_recomputes(spark, tmp_path):
+    """A delete window rebuilds the affected groups' sketches from the
+    source — removing the only row carrying a value must DROP it from
+    the distinct estimate (a fold could never subtract it)."""
+    src = TxLogTable(str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [(1, "g0", "a"), (2, "g0", "b"), (3, "g0", "b")],
+            "id long, grp string, u string",
+        )
+    )
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"],
+        {"users": ("approx_distinct", "u")},
+    )
+    mv.build(spark)
+    assert _rows(mv.read(spark), ["users"])["g0"] == (2,)
+    src.delete(spark, "id = 1")  # the only 'a'
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["users"])["g0"] == (1,)
