@@ -56,6 +56,7 @@ it; row-level DML does not — ``read_cdf`` raises a clear error).
 from __future__ import annotations
 
 import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,6 +86,26 @@ _TXN_PREFIX = "matview.cursor."
 class MatviewDefinitionError(ValueError):
     """The view table on disk was built from a DIFFERENT definition
     (group columns / aggregates / source path) than this instance."""
+
+
+class MatviewStaleDimensionError(ValueError):
+    """A join view's DIMENSION table moved past the version the view was
+    built against. Refresh is refused: the CDF delta rows must be
+    enriched at the SAME dim snapshot the existing state was computed
+    from, or the additive arithmetic silently mixes two dimension
+    worlds. ``build()`` re-pins every dimension and heals the view.
+
+    (Upgrade path, intentionally not implemented yet: read the dim's own
+    CDF, recompute only the groups whose dim attributes changed — the
+    affected-group machinery already exists — and keep fact-side deltas
+    incremental. Refusal is the cheapest rule that is always correct.)"""
+
+
+class MatviewWindowUnreadableError(RuntimeError):
+    """The CDF window ``(cursor, source-version]`` cannot be replayed —
+    a RESTORE commit sits in it (its logical diff spans arbitrary
+    history) or its change files were VACUUMed away. The view is NOT
+    advanced; ``build()`` re-anchors it from the current snapshot."""
 
 
 class IncrementalAggView:
@@ -131,7 +152,11 @@ class IncrementalAggView:
         path: str,
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
+        rebuild_ratio: float | None = 1.0,
     ):
+        if rebuild_ratio is not None and rebuild_ratio <= 0:
+            raise ValueError("rebuild_ratio must be positive (or None to "
+                             "always refresh incrementally)")
         if not group_cols:
             raise ValueError("group_cols must name at least one column")
         if not aggs:
@@ -160,7 +185,12 @@ class IncrementalAggView:
         self.path = path
         self.group_cols = list(group_cols)
         self.aggs = {k: (fn, expr) for k, (fn, expr) in aggs.items()}
+        self.rebuild_ratio = rebuild_ratio
         self.view = TxLogTable(path)
+        # (files scanned, files in snapshot) of the last recompute-path
+        # refresh — introspection for prune measurements, never read by
+        # the maintenance logic itself
+        self.last_recompute_files: tuple[int, int] | None = None
 
     # ------------------------------------------------------ definition --
     def _definition_json(self) -> str:
@@ -260,6 +290,15 @@ class IncrementalAggView:
         if to < 0:
             raise FileNotFoundError(f"source {self.source.path} is empty")
         src = self.source.read(spark, version=to)
+        return self._build_state(spark, to, src, {})
+
+    def _build_state(
+        self, spark, to: int, src: DataFrame, pin_props: dict
+    ) -> int:
+        """Shared build tail: aggregate ``src`` into the stored state and
+        publish it with the cursor pinned at ``to`` (plus any extra
+        ``pin_props`` a subclass records — the join view's dimension
+        versions)."""
         state = (
             src.groupBy(*self.group_cols).agg(*self._state_exprs())
         ).persist()
@@ -271,7 +310,11 @@ class IncrementalAggView:
                 # clearly
                 self.view.append(state)
                 self.view.alter_properties(
-                    {_DEF_KEY: self._definition_json(), _CURSOR_KEY: str(to)}
+                    {
+                        _DEF_KEY: self._definition_json(),
+                        _CURSOR_KEY: str(to),
+                        **pin_props,
+                    }
                 )
             else:
                 self.view.alter_properties({_PENDING_KEY: "true"})
@@ -281,6 +324,7 @@ class IncrementalAggView:
                         _DEF_KEY: self._definition_json(),
                         _CURSOR_KEY: str(to),
                         _PENDING_KEY: None,
+                        **pin_props,
                     }
                 )
         finally:
@@ -300,12 +344,65 @@ class IncrementalAggView:
                     continue
         return frm
 
+    # ------------------------------------------------- refresh costing --
+    def _window_bytes(self, frm: int, to: int) -> int:
+        """On-disk bytes a refresh of ``(frm, to]`` must process: every
+        file the window's commits added, removed, or materialized under
+        ``_cdf/`` (an update counts pre+post images — exactly what the
+        delta aggregation will read). Vacuumed/absent files count 0 here;
+        the read path raises loudly for them."""
+        total = 0
+        for e in self.source.commits_between(frm, to):
+            if e.get("op") == "compact":
+                continue  # layout-only; read_cdf skips it too
+            rels: set[str] = set(e.get("add") or ())
+            rels.update(e.get("remove") or ())
+            for cdf_rels in (e.get("cdf") or {}).values():
+                rels.update(cdf_rels)
+            for r in rels:
+                try:
+                    total += os.path.getsize(os.path.join(self.source.path, r))
+                except OSError:
+                    continue
+        return total
+
+    def _window_wants_rebuild(self, frm: int, to: int) -> bool:
+        """Cost-based refresh-vs-rebuild decision (metadata-only: commit
+        entries + file sizes, no data pass). Incremental refresh costs
+        O(window churn) plus a fixed CDF/merge overhead; a full build
+        costs one source scan. When the window's bytes reach
+        ``rebuild_ratio`` × the source snapshot's bytes (default 1.0 —
+        "the delta is as big as the table"), replaying the delta cannot
+        beat rescanning, so refresh() falls back to build(), which also
+        re-anchors additive float drift for free. Bytes are the proxy
+        (rows aren't in the log); under one schema they track rows
+        closely. ``rebuild_ratio=None`` disables the fallback (tests
+        that pin the incremental path use this)."""
+        if self.rebuild_ratio is None:
+            return False
+        win = self._window_bytes(frm, to)
+        if win == 0:
+            return False  # metadata-only window: nothing to replay
+        snap = self.source.snapshot(to)
+        src = 0
+        for f in snap.files if snap else ():
+            try:
+                src += os.path.getsize(os.path.join(self.source.path, f))
+            except OSError:
+                continue
+        # src == 0 (everything deleted): the rebuild is one empty scan —
+        # cheaper than replaying the deletes through a merge
+        return win >= self.rebuild_ratio * src
+
     def refresh(self, spark: SparkSession) -> int:
         """Advance the view to the source's current version by applying
         the CDF window ``(cursor, current]``. Additive when every
         aggregate allows it, affected-group recompute otherwise (see
-        module docstring for both cost shapes). No-op when the source
-        has not moved. Returns the source version now reflected."""
+        module docstring for both cost shapes); falls back to a full
+        ``build()`` when the window's churn bytes reach ``rebuild_ratio``
+        × the source's size (see :meth:`_window_wants_rebuild`). No-op
+        when the source has not moved. Returns the source version now
+        reflected."""
         snap = self.view.snapshot()
         if snap is None:
             raise FileNotFoundError(
@@ -316,8 +413,24 @@ class IncrementalAggView:
         to = self.source.version()
         if to <= frm:
             return frm
-        ch = self.source.read_cdf(spark, frm, to)
+        if self._window_wants_rebuild(frm, to):
+            return self.build(spark)
+        try:
+            ch = self._window_changes(spark, frm, to)
+        except (ValueError, FileNotFoundError) as e:
+            # a RESTORE in the window (its logical diff spans arbitrary
+            # history) or vacuumed change files: the window is gone for
+            # good — re-trying cannot help, and silently skipping it
+            # would corrupt the additive state. The view is untouched.
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: CDF window ({frm}, {to}] of "
+                f"{self.source.path} cannot be replayed ({e}); the view "
+                "was NOT advanced — call build() to re-anchor it from "
+                "the current source snapshot"
+            ) from e
         if self.additive or self.source.window_is_insert_only(frm, to):
+            # (join views enrich `ch` in _window_changes; the insert-only
+            # proof stays valid there because dims are version-pinned)
             # min/max are non-additive only because of DELETES (a
             # removed extreme cannot be subtracted back out); under a
             # pure-insert single-schema window (the txlog owns that
@@ -329,6 +442,13 @@ class IncrementalAggView:
             self._apply_recompute(spark, ch, to)
         self.view.alter_properties({_CURSOR_KEY: str(to)})
         return to
+
+    def _window_changes(
+        self, spark: SparkSession, frm: int, to: int
+    ) -> DataFrame:
+        """The change rows a refresh folds in — the source's CDF window,
+        hook for subclasses (the join view enriches it here)."""
+        return self.source.read_cdf(spark, frm, to)
 
     # -------------------------------------------------- additive path --
     def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
@@ -467,6 +587,7 @@ class IncrementalAggView:
             cand = self.source._stats_candidates(
                 snap, bounds, self.group_cols, null_safe=False
             )
+            self.last_recompute_files = (len(cand), len(snap.files))
             if cand:
                 scan = self.source._read_files(spark, snap, cand)
             else:
@@ -481,33 +602,40 @@ class IncrementalAggView:
                 .groupBy(*self.group_cols)
                 .agg(*self._state_exprs())
             )
-            vanished = affected.join(fresh, self.group_cols, "left_anti")
-            src = fresh.withColumn("_vanish", F.lit(0)).unionByName(
-                vanished.withColumn("_vanish", F.lit(1)),
-                allowMissingColumns=True,
-            )
-            state_cols = self._state_cols()
-            self.view.merge(
-                spark,
-                src,
-                keys=list(self.group_cols),
-                clauses=[
-                    when_matched_delete(condition="s._vanish = 1"),
-                    when_matched_update(
-                        set={c: f"s.{c}" for c in state_cols}
-                    ),
-                    when_not_matched_insert(
-                        condition="_vanish = 0",  # bare source scope
-                        values={
-                            **{g: f"s.{g}" for g in self.group_cols},
-                            **{c: f"s.{c}" for c in state_cols},
-                        },
-                    ),
-                ],
-                txn_id=f"{_TXN_PREFIX}{to}",
-            )
+            self._merge_fresh_state(spark, affected, fresh, to)
         finally:
             affected.unpersist()
+
+    def _merge_fresh_state(
+        self, spark, affected: DataFrame, fresh: DataFrame, to: int
+    ) -> None:
+        """Recompute-path merge tail: replace the affected groups' state
+        with ``fresh``, delete groups the recompute proved vanished."""
+        vanished = affected.join(fresh, self.group_cols, "left_anti")
+        src = fresh.withColumn("_vanish", F.lit(0)).unionByName(
+            vanished.withColumn("_vanish", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        state_cols = self._state_cols()
+        self.view.merge(
+            spark,
+            src,
+            keys=list(self.group_cols),
+            clauses=[
+                when_matched_delete(condition="s._vanish = 1"),
+                when_matched_update(
+                    set={c: f"s.{c}" for c in state_cols}
+                ),
+                when_not_matched_insert(
+                    condition="_vanish = 0",  # bare source scope
+                    values={
+                        **{g: f"s.{g}" for g in self.group_cols},
+                        **{c: f"s.{c}" for c in state_cols},
+                    },
+                ),
+            ],
+            txn_id=f"{_TXN_PREFIX}{to}",
+        )
 
     # ----------------------------------------------------------- read --
     def read(self, spark: SparkSession) -> DataFrame:
@@ -545,3 +673,345 @@ class IncrementalAggView:
             else:
                 cols.append(F.col(f"_m_{out}").alias(out))
         return df.select(*cols)
+
+
+# ===================================================================== #
+# join views: GROUP-BY aggregates over fact ⋈ dimension(s)              #
+# ===================================================================== #
+
+
+class DimJoin:
+    """One dimension joined onto the fact (or onto an earlier dimension
+    — snowflake chains work) in an :class:`IncrementalJoinAggView`.
+
+    - ``on``: equi-join pairs ``(left_col, dim_col)`` — ``left_col``
+      names a column of the frame enriched SO FAR (fact columns plus
+      earlier dims' carried columns), ``dim_col`` a column of this
+      dimension. Inner-join semantics: fact rows with no dimension match
+      contribute nothing, exactly like the defining query.
+    - ``select``: the dimension columns carried into the enriched frame
+      (defaults to all). Carried names must not collide with columns
+      already present — the view refuses rather than shadow.
+    - ``broadcast``: hint the dimension side (default True — dimensions
+      are bounded; disable for a dimension too large to broadcast)."""
+
+    def __init__(
+        self,
+        table: TxLogTable,
+        on: list[tuple[str, str]],
+        select: list[str] | None = None,
+        broadcast: bool = True,
+    ):
+        if not on:
+            raise ValueError("DimJoin.on must name at least one key pair")
+        for lc, dc in on:
+            for c in (lc, dc):
+                if not _NAME_RE.match(c):
+                    raise ValueError(
+                        f"join column {c!r} is not a plain SQL identifier"
+                    )
+        if select is not None:
+            for c in select:
+                if not _NAME_RE.match(c):
+                    raise ValueError(
+                        f"selected dim column {c!r} is not a plain SQL "
+                        "identifier"
+                    )
+        self.table = table
+        self.on = [(lc, dc) for lc, dc in on]
+        self.select = list(select) if select is not None else None
+        self.broadcast = broadcast
+
+
+class IncrementalJoinAggView(IncrementalAggView):
+    """An aggregate view over ``fact ⋈ dim_1 ⋈ … ⋈ dim_k`` — the most
+    common real rollup shape (revenue by nation = lineitem ⋈ supplier ⋈
+    nation) — maintained incrementally from the FACT table's change feed.
+
+    The increment is delta-enrichment: the fact CDF window's rows are
+    joined to the dimension snapshots the view was built against
+    (broadcast for bounded dims), after which the additive /
+    insert-only / affected-group machinery of the base class applies
+    unchanged — a preimage row enriches to exactly the contribution it
+    made when it was added, BECAUSE the dimensions are frozen.
+
+    That freeze is load-bearing, so each dimension's table version is
+    pinned in the view's properties at build time and every refresh
+    re-checks it: a moved dimension raises
+    :class:`MatviewStaleDimensionError` and the view is untouched —
+    ``build()`` re-pins and heals. (The incremental upgrade for
+    dimension changes — recompute the groups whose dim attributes
+    moved, from the dim's own CDF — is documented on the error class;
+    refusal is the cheapest always-correct rule, matching how Delta MVs
+    fall back to full recompute on dimension updates.)
+
+    The recompute path (min/max under deletes) prunes the FACT scan
+    through the dimensions: the affected groups name dimension
+    attributes, the restricted dimension rows name fact join-key values,
+    and the fact's log-held per-file key stats prove files outside those
+    bounds out of the scan — on a fact laid out by join key, a narrow
+    change window reads O(affected-span) files even though the group
+    columns live two joins away."""
+
+    _DIM_KEY = "matview.dim.{i}.version"
+
+    def __init__(
+        self,
+        source: TxLogTable,
+        path: str,
+        group_cols: list[str],
+        aggs: dict[str, tuple[str, str]],
+        dims: list[DimJoin],
+        rebuild_ratio: float | None = 1.0,
+    ):
+        super().__init__(source, path, group_cols, aggs, rebuild_ratio)
+        if not dims:
+            raise ValueError(
+                "dims must name at least one dimension (use "
+                "IncrementalAggView for single-table views)"
+            )
+        self.dims = list(dims)
+
+    # ------------------------------------------------------ definition --
+    def _definition_json(self) -> str:
+        return json.dumps(
+            {
+                "source": self.source.path,
+                "group_cols": self.group_cols,
+                "aggs": {k: list(v) for k, v in self.aggs.items()},
+                "dims": [
+                    {
+                        "path": d.table.path,
+                        "on": [list(p) for p in d.on],
+                        "select": d.select,
+                    }
+                    for d in self.dims
+                ],
+            },
+            sort_keys=True,
+        )
+
+    # ------------------------------------------------------ dim pinning --
+    def _dim_props(self, versions: list[int]) -> dict:
+        return {
+            self._DIM_KEY.format(i=i): str(v)
+            for i, v in enumerate(versions)
+        }
+
+    def _pinned_dim_versions(self, snap) -> list[int]:
+        out = []
+        for i, d in enumerate(self.dims):
+            key = self._DIM_KEY.format(i=i)
+            if key not in snap.properties:
+                raise MatviewDefinitionError(
+                    f"view at {self.path} has no pinned version for "
+                    f"dimension {i} ({d.table.path}); re-run build()"
+                )
+            out.append(int(snap.properties[key]))
+        return out
+
+    def _check_dims_unmoved(self, snap) -> list[int]:
+        pinned = self._pinned_dim_versions(snap)
+        for i, (d, v) in enumerate(zip(self.dims, pinned)):
+            cur = d.table.version()
+            if cur != v:
+                raise MatviewStaleDimensionError(
+                    f"view at {self.path}: dimension {d.table.path} moved "
+                    f"(pinned v{v}, now v{cur}); the CDF deltas must be "
+                    "enriched at the pinned snapshot — call build() to "
+                    "re-pin every dimension"
+                )
+        return pinned
+
+    # ------------------------------------------------------ enrichment --
+    def _enrich(
+        self, spark: SparkSession, df: DataFrame, versions: list[int]
+    ) -> DataFrame:
+        """Fold the dimensions onto ``df`` (fact rows or CDF change rows)
+        at the given pinned versions. Inner joins; each dim contributes
+        its carried columns (``select`` minus its own join keys), with
+        name collisions refused."""
+        for d, v in zip(self.dims, versions):
+            dim_df = d.table.read(spark, version=v)
+            on_dim = [dc for _, dc in d.on]
+            want = d.select if d.select is not None else list(dim_df.columns)
+            missing = [
+                c
+                for c in {*on_dim, *want}
+                if c not in dim_df.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"dimension {d.table.path} has no column(s) "
+                    f"{sorted(missing)}"
+                )
+            carried = [c for c in want if c not in on_dim]
+            dim_df = dim_df.select(
+                *dict.fromkeys([*on_dim, *carried])
+            )
+            clash = [c for c in carried if c in df.columns]
+            if clash:
+                raise ValueError(
+                    f"dimension {d.table.path} columns {clash} collide "
+                    "with the enriched frame; narrow DimJoin.select or "
+                    "rename upstream"
+                )
+            bad = [lc for lc, _ in d.on if lc not in df.columns]
+            if bad:
+                raise ValueError(
+                    f"join column(s) {bad} not present on the enriched "
+                    f"frame (have: {df.columns}); order dims so each "
+                    "joins on fact or earlier-dim columns"
+                )
+            cond = None
+            for lc, dc in d.on:
+                c = df[lc] == dim_df[dc]
+                cond = c if cond is None else cond & c
+            right = F.broadcast(dim_df) if d.broadcast else dim_df
+            df = df.join(right, cond, "inner").select(
+                *[df[c] for c in df.columns],
+                *[dim_df[c] for c in carried],
+            )
+        return df
+
+    # --------------------------------------------------------- actions --
+    def build(self, spark: SparkSession) -> int:
+        # pin the dim versions FIRST, then read everything at the pins —
+        # a dimension advancing mid-build cannot split the state between
+        # two dimension worlds
+        to = self.source.version()
+        if to < 0:
+            raise FileNotFoundError(f"source {self.source.path} is empty")
+        versions = []
+        for d in self.dims:
+            v = d.table.version()
+            if v < 0:
+                raise FileNotFoundError(
+                    f"dimension {d.table.path} is empty"
+                )
+            versions.append(v)
+        enriched = self._enrich(
+            spark, self.source.read(spark, version=to), versions
+        )
+        return self._build_state(
+            spark, to, enriched, self._dim_props(versions)
+        )
+
+    def refresh(self, spark: SparkSession) -> int:
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        self._check_definition(snap)
+        self._check_dims_unmoved(snap)
+        return super().refresh(spark)
+
+    def _window_changes(
+        self, spark: SparkSession, frm: int, to: int
+    ) -> DataFrame:
+        ch = self.source.read_cdf(spark, frm, to)
+        versions = self._pinned_dim_versions(self.view.snapshot())
+        # enrichment is change-type-agnostic: _change_type /
+        # _commit_version ride through the joins untouched, and a
+        # preimage row joining k dim rows contributes -k exactly as its
+        # insert contributed +k (same frozen snapshot, same fan-out)
+        return self._enrich(spark, ch, versions)
+
+    # ------------------------------------------------- recompute path --
+    def _apply_recompute(self, spark, ch: DataFrame, to: int) -> None:
+        """Affected-group recompute with the fact scan pruned THROUGH the
+        dimensions: project the affected groups onto each connected
+        dimension component, restrict the component's joined rows to
+        them, and turn the restricted rows' fact-side join-key values
+        into per-file stats bounds on the fact. ``ch`` arrives already
+        enriched (from :meth:`_window_changes`)."""
+        versions = self._pinned_dim_versions(self.view.snapshot())
+        affected = ch.select(*self.group_cols).distinct().persist()
+        try:
+            self._refuse_null_groups(affected, "change feed")
+            snap = self.source.snapshot(to)
+            fact_cols = {
+                f.name
+                for f in StructType.fromJson(
+                    json.loads(snap.schema_json)
+                ).fields
+            }
+            bound_sets: list[tuple[DataFrame, str, str]] = []
+            # fact-side group columns bound the fact directly
+            fact_g = [g for g in self.group_cols if g in fact_cols]
+            for g in fact_g:
+                bound_sets.append((affected, g, g))
+            # dimension components: fold dims into connected frames so a
+            # snowflake chain (nation -> supplier) restricts jointly
+            comps: list[dict] = []
+            for d, v in zip(self.dims, versions):
+                dim_df = d.table.read(spark, version=v)
+                on_dim = [dc for _, dc in d.on]
+                want = (
+                    d.select if d.select is not None else list(dim_df.columns)
+                )
+                dim_df = dim_df.select(*dict.fromkeys([*on_dim, *want]))
+                fact_pairs = [(lc, dc) for lc, dc in d.on if lc in fact_cols]
+                dim_pairs = [(lc, dc) for lc, dc in d.on if lc not in fact_cols]
+                owners = [
+                    c
+                    for c in comps
+                    if any(lc in c["cols"] for lc, _ in dim_pairs)
+                ]
+                if owners:
+                    comp = owners[0]
+                    cond = None
+                    for lc, dc in dim_pairs:
+                        if lc not in comp["cols"]:
+                            continue
+                        c = comp["frame"][lc] == dim_df[dc]
+                        cond = c if cond is None else cond & c
+                    comp["frame"] = comp["frame"].join(
+                        dim_df, cond, "inner"
+                    )
+                    comp["cols"] |= set(dim_df.columns)
+                    comp["links"] += fact_pairs
+                else:
+                    comps.append(
+                        {
+                            "frame": dim_df,
+                            "cols": set(dim_df.columns),
+                            "links": list(fact_pairs),
+                        }
+                    )
+            for comp in comps:
+                gcols = [g for g in self.group_cols if g in comp["cols"]]
+                frame = comp["frame"]
+                if gcols:
+                    frame = frame.join(
+                        affected.select(*gcols).distinct(), gcols, "left_semi"
+                    )
+                for lc, dc in comp["links"]:
+                    bound_sets.append((frame, lc, dc))
+            cand: set | None = None
+            for frame, lc, dc in bound_sets:
+                b = self.source._source_key_bounds(frame.select(dc), [dc])
+                files = set(
+                    self.source._stats_candidates(
+                        snap, {lc: b[dc]}, [lc], null_safe=False
+                    )
+                )
+                cand = files if cand is None else cand & files
+            files = sorted(cand) if cand is not None else list(snap.files)
+            self.last_recompute_files = (len(files), len(snap.files))
+            if files:
+                scan = self.source._read_files(spark, snap, files)
+            else:
+                scan = spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(snap.schema_json))
+                )
+            fresh = (
+                self._enrich(spark, scan, versions)
+                .join(affected, self.group_cols, "left_semi")
+                .groupBy(*self.group_cols)
+                .agg(*self._state_exprs())
+            )
+            self._merge_fresh_state(spark, affected, fresh, to)
+        finally:
+            affected.unpersist()
