@@ -119,11 +119,17 @@ def test_additive_multiple_windows(spark, tmp_path):
 
 def test_additive_never_reads_source(spark, tmp_path):
     """The additive cost claim, structurally: refresh never calls
-    source.read — deltas come from the CDF alone."""
+    source.read — deltas come from the CDF alone. rebuild_ratio=None
+    pins the incremental path: at this toy scale the update's rewrite
+    churn exceeds the table's bytes, so the (correct, r11) cost-based
+    fallback would otherwise legitimately choose build() — which reads
+    the source by design (see test_churn_heavy_window_triggers_rebuild
+    in test_matview_join.py)."""
     import unittest.mock as mock
 
     src = _source(spark, tmp_path)
     mv = _additive(spark, tmp_path, src)
+    mv.rebuild_ratio = None
     mv.build(spark)
     src.update(spark, "id % 3 = 0", {"val": "val + 1"})
     boom = AssertionError("additive refresh must not read source")
@@ -544,3 +550,70 @@ def test_approx_distinct_delete_window_recomputes(spark, tmp_path):
     src.delete(spark, "id = 1")  # the only 'a'
     mv.refresh(spark)
     assert _rows(mv.read(spark), ["users"])["g0"] == (1,)
+
+
+# ------------------------------------------------------------------ #
+# time-travel interaction (r11): RESTORE / VACUUM across the cursor  #
+# ------------------------------------------------------------------ #
+
+
+def test_restore_in_window_raises_with_rebuild_hint(spark, tmp_path):
+    """A RESTORE commit inside the refresh window is unreplayable (its
+    logical diff spans arbitrary history — read_cdf refuses it); refresh
+    must surface that LOUDLY with the build() hint and must NOT advance
+    the view — a silent skip would desynchronize the additive state
+    forever."""
+    from bigdataingestion_spark.sinks.matview import (
+        MatviewWindowUnreadableError,
+    )
+
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.rebuild_ratio = None  # pin the incremental path: the fallback
+    # would LEGITIMATELY heal a churn-heavy restore window via build()
+    mv.build(spark)
+    before = _rows(mv.read(spark), ["n", "s", "a"])
+    src.delete(spark, "id <= 3")
+    src.restore(src.version() - 1)  # undo the delete
+    with pytest.raises(MatviewWindowUnreadableError, match="build\\(\\)"):
+        mv.refresh(spark)
+    # untouched: same state, same cursor — and build() heals
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == before
+    mv.build(spark)
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+    src.append(
+        spark.createDataFrame(
+            [(600, "g0", 6.0)], "id long, grp string, val double"
+        )
+    )
+    mv.refresh(spark)  # incremental resumes past the restore
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
+
+
+def test_vacuumed_window_raises_with_rebuild_hint(spark, tmp_path):
+    """Change files vacuumed out from under the cursor window: refresh
+    must raise (never silently skip the lost changes), leave the view
+    untouched, and build() must re-anchor it."""
+    from bigdataingestion_spark.sinks.matview import (
+        MatviewWindowUnreadableError,
+    )
+
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.rebuild_ratio = None
+    mv.build(spark)
+    before = _rows(mv.read(spark), ["n", "s", "a"])
+    src.delete(spark, "id % 2 = 0")  # materializes _cdf delete rows
+    src.compact(spark)  # rewrites layout so the deleted-window files age out
+    src.vacuum(retention_seconds=0.0)
+    with pytest.raises(MatviewWindowUnreadableError, match="build\\(\\)"):
+        mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == before
+    mv.build(spark)
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )
