@@ -1287,11 +1287,12 @@ def doc_fingerprints(spark, sf_dir):
     return text.fingerprints(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "training_data_pipeline",
-    f"""
-    WITH scored AS (
-      SELECT doc_id, lang,
+# Shared dedup+quality survivor CTEs — ONE constant for the composed
+# pipeline oracles (training_data_pipeline and its DSIR extension), so
+# the gate thresholds and fingerprint math cannot drift between them.
+_PIPE_SURVIVOR_CTES = f"""
+    scored AS (
+      SELECT doc_id, lang, source, text,
              CAST({_WC_SQL} AS BIGINT) AS word_count,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text) END AS punct_ratio,
@@ -1303,9 +1304,18 @@ def doc_fingerprints(spark, sf_dir):
     ),
     deduped AS (
       SELECT min(doc_id) AS doc_id FROM gated GROUP BY fingerprint
+    ),
+    survivors AS (
+      SELECT g.* FROM gated g JOIN deduped d ON g.doc_id = d.doc_id
     )
-    SELECT g.doc_id, g.lang, g.word_count
-    FROM gated g JOIN deduped d ON g.doc_id = d.doc_id
+"""
+
+
+@register(
+    "training_data_pipeline",
+    f"""
+    WITH {_PIPE_SURVIVOR_CTES}
+    SELECT doc_id, lang, word_count FROM survivors
     """,
     headline=True,
 )
@@ -2601,15 +2611,19 @@ def docs_stratified_sample(spark, sf_dir):
 
 
 # Shared DSIR CTEs (hashed 1..2-gram bag, Laplace-smoothed raw/target
-# models, per-doc log importance weights) — ONE generator so the two
-# DSIR oracles cannot drift from each other; mirrors
+# models, per-doc log importance weights) — ONE generator so the DSIR
+# oracles cannot drift from each other; mirrors
 # operators/selection.py exactly: same normalization, same n-gram bag,
 # same md5[:8] % 10000 bucketing, same (n+1)/(N+10000) smoothing, same
-# round-6 on the final weight.
-_DSIR_CTES = f"""
+# round-6 on the final weight. ``base`` is the corpus relation — the
+# standalone queries score all documents; the composed pipeline scores
+# its dedup+quality survivors (the target is always the corpus's 'en'
+# slice: the in-corpus DSIR shape).
+def _dsir_ctes(base: str = "documents") -> str:
+    return f"""
     dwords AS (
       SELECT doc_id, lang, regexp_split_to_array({_NORM_SQL}, ' ') AS w
-      FROM documents WHERE length({_NORM_SQL}) > 0
+      FROM {base} WHERE length({_NORM_SQL}) > 0
     ),
     dsir_grams AS (
       SELECT doc_id, lang, unnest(w) AS g FROM dwords
@@ -2649,9 +2663,20 @@ _DSIR_CTES = f"""
     ),
     dsir_all AS (
       SELECT d.doc_id, coalesce(dsir_wts.log_weight, 0.0) AS log_weight
-      FROM documents d LEFT JOIN dsir_wts USING (doc_id)
+      FROM {base} d LEFT JOIN dsir_wts USING (doc_id)
     )
 """
+
+
+_DSIR_CTES = _dsir_ctes()
+
+# Deterministic Gumbel noise + top-k score over dsir_all's log_weight —
+# shared by the standalone resample oracle and the composed pipeline's
+# (one constant, no drift); mirrors operators/selection.py gumbel_top_k.
+_DSIR_SCORE_SQL = """round(log_weight - ln(-ln(
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000) + 0.5) / 1000000.0
+           )), 6)"""
 
 
 @register(
@@ -2682,10 +2707,7 @@ def docs_dsir_weights(spark, sf_dir):
     f"""
     WITH {_DSIR_CTES}
     SELECT doc_id, log_weight,
-           round(log_weight - ln(-ln(
-             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-               % 1000000) + 0.5) / 1000000.0
-           )), 6) AS score
+           {_DSIR_SCORE_SQL} AS score
     FROM dsir_all
     ORDER BY score DESC, doc_id
     LIMIT 100
@@ -2702,6 +2724,86 @@ def docs_dsir_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return selection.dsir_resample(
         docs, docs.filter(F.col("lang") == "en"), k=100
+    )
+
+
+@register(
+    "training_data_pipeline_dsir",
+    f"""
+    WITH {_PIPE_SURVIVOR_CTES},
+    {_dsir_ctes("survivors")},
+    sel AS (
+      SELECT doc_id, log_weight, {_DSIR_SCORE_SQL} AS score
+      FROM dsir_all
+      ORDER BY score DESC, doc_id
+      LIMIT 200
+    ),
+    toks AS (
+      SELECT s.doc_id, s.source AS shard, s.word_count AS n_tokens,
+             sel.log_weight, sel.score
+      FROM survivors s JOIN sel ON s.doc_id = sel.doc_id
+    ),
+    c AS (
+      SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS prev
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(prev // 512 AS BIGINT) AS seq_id,
+           CAST(prev % 512 AS BIGINT) AS token_offset,
+           log_weight, score
+    FROM c
+    """,
+)
+def training_data_pipeline_dsir(spark, sf_dir):
+    """[EXT] The END-TO-END LLM training-data pipeline (r11): quality
+    gate -> fingerprint dedup -> DSIR importance resampling
+    (arXiv:2302.03169, target = the survivors' own 'en' slice) -> GPT-
+    style sequence packing of the selected 200 docs. The stages SHARE
+    work instead of re-exploding the corpus per stage: the survivor set
+    is computed once and cache-tracked (scoring pass + one dedup
+    shuffle), and the DSIR stage featurizes it ONCE — the target model
+    derives from the cached (id, bucket, cnt) features by a semi-join on
+    the 'en' ids (selection.dsir_weights_in_corpus), never a second
+    n-gram explode. Selection is deterministic Gumbel-top-k
+    (TakeOrderedAndProject); packing is all-integer window arithmetic
+    over (shard, id, n_tokens). At 100 TB this is one corpus read, one
+    featurization, two bounded model collects, and a k-row selection."""
+    from bigdataingestion_spark.caching import cache_tracked
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        text.word_count(t).cast("long").alias("word_count"),
+        text.punct_ratio(t).alias("punct_ratio"),
+        text.fingerprint(t).alias("fingerprint"),
+    )
+    gated = scored.filter(
+        (F.col("word_count") >= 20) & (F.col("punct_ratio") < 0.2)
+    )
+    keep = gated.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    survivors = cache_tracked(
+        gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+    )
+    sel = selection.dsir_resample_in_corpus(
+        survivors, F.col("lang") == "en", k=200
+    )
+    chosen = survivors.join(sel.select("doc_id"), "doc_id", "left_semi")
+    packed = text.pack_sequences(chosen, budget=512)
+    return packed.join(sel, "doc_id").select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "seq_id",
+        "token_offset",
+        "log_weight",
+        "score",
     )
 
 
@@ -5500,6 +5602,98 @@ def txlog_matview_minmax(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_matview_join",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_suppkey, l_quantity,
+             CASE WHEN l_suppkey % 10 = 0 THEN l_extendedprice * 1.05
+                  ELSE l_extendedprice END AS price,
+             l_discount
+      FROM lineitem WHERE l_orderkey % 4 IN (0, 1, 2)
+    ),
+    survivors AS (
+      SELECT * FROM base WHERE l_quantity <= 45
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(price * (1 - l_discount)), 2) AS revenue
+    FROM survivors s
+    JOIN supplier ON s_suppkey = s.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def txlog_matview_join(spark, sf_dir):
+    """[EXT] JOIN-VIEW incremental maintenance (r11, sinks/matview.py
+    IncrementalJoinAggView): revenue by nation — the canonical
+    fact⋈dim⋈dim rollup (lineitem⋈supplier⋈nation) — maintained from
+    the FACT table's change feed alone. The view pins the dimension
+    snapshots at build time; each refresh enriches the CDF window's
+    rows against those frozen broadcast snapshots (a preimage joins the
+    same dim rows its insert did, so the additive arithmetic stays
+    exact) and applies ONE merge commit. Exercised through an
+    insert-only window (the %4==2 append) and a mixed update (+5% for
+    %10 suppliers) + delete (quantity > 45) window; the final view must
+    hash-match a from-scratch DuckDB aggregation of the same final
+    join. At 100 TB: refresh cost is O(fact churn) — the fact is never
+    re-scanned, dimensions are broadcast-size."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import (
+        DimJoin,
+        IncrementalJoinAggView,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount",
+    )
+    k = F.col("l_orderkey")
+    fact = _fresh_txlog()
+    fact.append(li.filter(k % 4 < 2))
+    fact.alter_properties({"cdf.enabled": "true"})
+    supp = _fresh_txlog()
+    supp.append(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nat = _fresh_txlog()
+    nat.append(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    mv = IncrementalJoinAggView(
+        fact,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["n_name"],
+        {
+            "n_items": ("count", "1"),
+            "revenue": ("sum", "l_extendedprice * (1 - l_discount)"),
+        },
+        dims=[
+            DimJoin(supp, on=[("l_suppkey", "s_suppkey")],
+                    select=["s_nationkey"]),
+            DimJoin(nat, on=[("s_nationkey", "n_nationkey")],
+                    select=["n_name"]),
+        ],
+        # pin the incremental path: the point of the query is the
+        # CDF-refresh arithmetic, not the (tested elsewhere) fallback
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    fact.append(li.filter(k % 4 == 2))
+    mv.refresh(spark)  # insert-only window: additive fold
+    fact.update(
+        spark, "l_suppkey % 10 = 0",
+        {"l_extendedprice": "l_extendedprice * 1.05"},
+    )
+    fact.delete(spark, "l_quantity > 45")
+    mv.refresh(spark)  # mixed window: per-group deltas, one merge
+    return mv.read(spark).select(
+        "n_name",
+        "n_items",
+        F.round("revenue", 2).alias("revenue"),
+    )
+
+
 def _semantic_dedup_sql() -> str:
     # the k-means-lite CTEs are SHARED with _kmeans_cells_sql
     # (_KMEANS_CTES — same seeding, one Lloyd iteration, same
@@ -5743,77 +5937,76 @@ def docs_dup_span_profile(spark, sf_dir):
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # Round-10 window, re-planned around DELIVERED evidence (the r9
-    # verdict's item 1: CORRECTNESS_r08.json never landed, so the r8
-    # gate is phantom — from delivered files the r5 cohort is four
-    # rounds stale and four queries have no driver evidence at all).
+    # Round-11 window, per the r10 verdict's recorded rotation plan.
     # Standing policy: queries NEW this round lead (zero evidence
-    # first) — the two r10 additions, then the 4 never-delivered, then
-    # the full 30-query r5 cohort, then the 14 oldest r6-age entries.
-    # After a green r10 gate no query's delivered driver evidence is
-    # older than r6, and no query lacks delivered evidence entirely.
-    "txlog_cdc_ops_final_state",
-    "txlog_auto_compact_invariance",
-    # --- 4 queries with no delivered driver-gate row ever ---
-    "docs_dup_span_profile",
-    "q17_small_quantity_revenue",
-    "txlog_nested_rename",
-    "txlog_update_recompute",
-    # --- the 30-query r5 cohort ---
-    "corpus_token_frequency",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_near_clusters",
-    "doc_fingerprints",
-    "docs_chunked",
-    "docs_contamination",
-    "embedding_cosine_topk",
-    "embedding_cosine_topk_arrow",
-    "events_multires_rollup",
-    "events_value_percentiles",
-    "ingest_chunk_profile",
-    "ingest_config_union",
-    "ingest_distinct_years",
-    "ingest_months_below_limit",
-    "ingest_next_surrogate_key",
-    "ingest_watermark_filter_count",
-    "ingest_watermark_next",
-    "ingest_years_above_limit",
-    "minhash_signatures",
-    "multimodal_meta",
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "simhash64",
-    "small_quantity_revenue",
-    "top_customers_by_spend",
-    "top_parts_by_revenue",
-    # --- 14 oldest r6-age entries ---
-    "customer_order_moving_avg",
-    "customer_order_timeline",
-    "customer_top_order",
-    "docs_repetition_stats",
-    "docs_source_mix_weights",
-    "docs_stratified_sample",
-    "docs_train_test_split",
-    "embedding_knn_vote",
-    "embedding_label_centroids",
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "event_type_daily",
-    "lineitem_cube_stats",
-    "part_best_supplier",
-    # Exactly 50 names (2 new r10 + 4 never-delivered + 30 r5 cohort +
-    # 14 r6-age). r11 queue: the 4 queries added after this window
-    # froze (txlog_matview_additive, txlog_matview_minmax,
-    # docs_dsir_weights, docs_dsir_sample — zero
-    # driver evidence), then the 3 remaining r6-age entries
-    # (q10_returned_items, q11_major_part_types,
-    # q13_customer_order_distribution), then the r9-window cohort
-    # (txlog_merge_conditional .. docs_tfidf_top_terms) as the then-
-    # oldest delivered evidence.
+    # first) — the two r11 additions, then the 4 registered after the
+    # r10 window froze (judge-sweep green, zero driver evidence), then
+    # the last 3 r6-age entries, then the first 41 of the r9-window
+    # cohort (the oldest delivered driver evidence). After a green r11
+    # gate every query has delivered evidence and none is older than
+    # the r9 window.
+    # --- new this round (r11) ---
+    "txlog_matview_join",
+    "training_data_pipeline_dsir",
+    # --- added after the r10 window froze: zero driver evidence ---
+    "txlog_matview_additive",
+    "txlog_matview_minmax",
+    "docs_dsir_weights",
+    "docs_dsir_sample",
+    # --- the 3 remaining r6-age entries ---
+    "q10_returned_items",
+    "q11_major_part_types",
+    "q13_customer_order_distribution",
+    # --- first 41 of the r9-window cohort (oldest delivered) ---
+    "txlog_merge_conditional",
+    "txlog_identity_assign",
+    "embedding_semantic_dedup",
+    "embedding_semantic_dedup_incremental",
+    "docs_duplicate_spans",
+    "docs_span_dup_clusters",
+    "q14_promo_revenue",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_customers",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "similar_part_names",
+    "streaming_hourly_counts",
+    "user_funnel_set_ops",
+    "user_purchase_error_overlap",
+    "streaming_user_sessions",
+    "minhash_lsh_pairs",
+    "minhash_incremental_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "asof_last_purchase",
+    "training_data_pipeline",
+    "text_quality_stats",
+    "lang_histogram",
+    "user_sessions",
+    "user_sessions_native",
+    "multimodal_features",
+    "events_latest_state",
+    "events_range_pairs",
+    "events_hourly_gapfill",
+    "events_retention_cohorts",
+    "events_window_funnel",
+    "customer_cohort_ltv",
+    "docs_bigram_quality",
+    "txlog_backfill_replace",
+    "txlog_rename_migration",
+    # Exactly 50 names (2 new r11 + 4 post-freeze r10 + 3 r6-age +
+    # 41 r9 cohort). r12 queue: any queries new in r12 lead, then the
+    # 9 remaining r9-cohort entries (txlog_dv_point_delete,
+    # txlog_cdf_audit, txlog_generated_bucket, docs_boilerplate_ngrams,
+    # docs_length_profile, docs_pack_sequences, docs_pii_redacted,
+    # docs_temperature_sample, docs_tfidf_top_terms), then the
+    # r10-window cohort (txlog_cdc_ops_final_state ..
+    # part_best_supplier) as the then-oldest delivered evidence.
 ]
 
 

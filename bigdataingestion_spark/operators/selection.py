@@ -154,6 +154,44 @@ def dsir_importance_weights(
         hashed_ngram_counts(raw, text_col, id_col, n_max, buckets)
     )
     t_feats = hashed_ngram_counts(target, text_col, id_col, n_max, buckets)
+    return _weights_from_features(raw, feats, t_feats, id_col, buckets)
+
+
+def dsir_weights_in_corpus(
+    raw: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 2,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR weights when the TARGET is a slice of the raw corpus itself
+    (the common composed-pipeline shape: "more like my curated subset").
+    Mathematically identical to
+    ``dsir_importance_weights(raw, raw.filter(is_target))``, but the
+    corpus is featurized ONCE: the target model derives from the cached
+    feature table by a semi-join on the target ids instead of a second
+    explode of the target slice's text — in a dedup → gate → select
+    pipeline this halves the featurization work, the dominant cost."""
+    feats = _cache(
+        hashed_ngram_counts(raw, text_col, id_col, n_max, buckets)
+    )
+    t_feats = feats.join(
+        raw.filter(is_target).select(id_col), id_col, "left_semi"
+    )
+    return _weights_from_features(raw, feats, t_feats, id_col, buckets)
+
+
+def _weights_from_features(
+    raw: DataFrame,
+    feats: DataFrame,
+    t_feats: DataFrame,
+    id_col: str,
+    buckets: int,
+) -> DataFrame:
+    """Shared scoring tail: fit both models, broadcast them onto the
+    per-document features, sum per document (see
+    :func:`dsir_importance_weights` for the contract)."""
     lp_raw, def_raw = _bucket_log_probs(feats, buckets)
     lp_tgt, def_tgt = _bucket_log_probs(t_feats, buckets)
     scored = (
@@ -215,6 +253,31 @@ def dsir_resample(
     w = dsir_importance_weights(
         raw, target, text_col, id_col, n_max, buckets
     )
+    return gumbel_top_k(w, k, id_col)
+
+
+def dsir_resample_in_corpus(
+    raw: DataFrame,
+    is_target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 2,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """:func:`dsir_resample` with an in-corpus target slice — one corpus
+    featurization (see :func:`dsir_weights_in_corpus`), same
+    deterministic Gumbel-top-k selection."""
+    w = dsir_weights_in_corpus(
+        raw, is_target, text_col, id_col, n_max, buckets
+    )
+    return gumbel_top_k(w, k, id_col)
+
+
+def gumbel_top_k(w: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Gumbel-top-k over a ``(id, log_weight)`` frame (the
+    shared selection tail — see :func:`dsir_resample` for the noise
+    construction and the TakeOrderedAndProject execution shape)."""
     u = (
         (
             F.conv(
