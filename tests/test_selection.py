@@ -123,3 +123,39 @@ def test_resample_plan_uses_topk_not_global_sort(spark, corpora):
     plan = selection.dsir_resample(raw, target, k=5)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_in_corpus_variant_equals_two_frame_variant(spark):
+    """dsir_weights_in_corpus / dsir_resample_in_corpus (r11): the
+    shared-featurization in-corpus path must be EXACTLY the two-frame
+    path with target = raw.filter(pred) — same weights, same selection —
+    while featurizing the corpus once (the target model derives from the
+    cached features by semi-join, not a second explode)."""
+    rows = [
+        (
+            i,
+            "en" if i % 3 == 0 else "de",
+            (
+                f"the quick brown fox jumps over token{i % 5} "
+                if i % 3 == 0
+                else f"der schnelle braune fuchs springt wort{i % 5} "
+            )
+            * (1 + i % 4),
+        )
+        for i in range(1, 61)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    pred = F.col("lang") == "en"
+    a = selection.dsir_importance_weights(docs, docs.filter(pred))
+    b = selection.dsir_weights_in_corpus(docs, pred)
+    da = {r["doc_id"]: r["log_weight"] for r in a.collect()}
+    db = {r["doc_id"]: r["log_weight"] for r in b.collect()}
+    assert da == db
+    sa = [(r["doc_id"], r["score"])
+          for r in selection.dsir_resample(docs, docs.filter(pred), 10).collect()]
+    sb = [(r["doc_id"], r["score"])
+          for r in selection.dsir_resample_in_corpus(docs, pred, 10).collect()]
+    assert sa == sb
+    # the selection favors the target slice: en docs dominate the top-k
+    en = sum(1 for d, _ in sb if d % 3 == 0)
+    assert en >= 6
