@@ -159,3 +159,33 @@ def test_in_corpus_variant_equals_two_frame_variant(spark):
     # the selection favors the target slice: en docs dominate the top-k
     en = sum(1 for d, _ in sb if d % 3 == 0)
     assert en >= 6
+
+
+def test_in_corpus_path_featurizes_once(spark, monkeypatch):
+    """The composed-pipeline claim (r11): dsir_weights_in_corpus
+    featurizes the corpus EXACTLY once — the target model derives from
+    the cached features by semi-join — where the two-frame path
+    featurizes twice (raw + target). The cache is what makes the single
+    featurization shared across the model collect and the scoring probe
+    (plan strings can't show this — InMemoryTableScan inlines its cached
+    plan — so the proof is at the construction seam)."""
+    calls = []
+    orig = selection.hashed_ngram_counts
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(selection, "hashed_ngram_counts", counting)
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", f"word{i} alpha beta")
+         for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    selection.dsir_weights_in_corpus(docs, F.col("lang") == "en").collect()
+    assert len(calls) == 1
+    calls.clear()
+    selection.dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en")
+    ).collect()
+    assert len(calls) == 2
