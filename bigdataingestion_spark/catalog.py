@@ -5518,6 +5518,11 @@ def txlog_matview_additive(spark, sf_dir):
             "sum_price": ("sum", "o_totalprice"),
             "avg_price": ("avg", "o_totalprice"),
         },
+        # pin the incremental path: this query IS the driver evidence
+        # for the additive CDF refresh — at fixture scale the r11
+        # cost-based fallback could legitimately pick build() instead,
+        # which would leave the refresh arithmetic unexercised
+        rebuild_ratio=None,
     )
     mv.build(spark)
     src.append(orders.filter(k % 3 == 1))
@@ -5525,6 +5530,9 @@ def txlog_matview_additive(spark, sf_dir):
     src.update(spark, "o_orderkey % 10 = 0", {"o_totalprice": "o_totalprice * 1.1"})
     src.delete(spark, "o_orderkey % 15 = 0")
     mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    # self-evidencing: the gate row must prove the INCREMENTAL path ran
+    assert ops.count("merge") == 2, f"expected 2 refresh merges, got {ops}"
     return mv.read(spark).select(
         "o_orderstatus",
         "n_orders",
@@ -5587,6 +5595,10 @@ def txlog_matview_minmax(spark, sf_dir):
             "min_price": ("min", "o_totalprice"),
             "max_price": ("max", "o_totalprice"),
         },
+        # pin the incremental path — this query evidences the
+        # affected-group RECOMPUTE refresh, not the (tested elsewhere)
+        # cost-based rebuild fallback
+        rebuild_ratio=None,
     )
     mv.build(spark)
     src.delete(spark, "o_totalprice > 400000")
@@ -5594,6 +5606,9 @@ def txlog_matview_minmax(spark, sf_dir):
     mv.refresh(spark)
     src.update(spark, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice * 0.5"})
     mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 2, f"expected 2 refresh merges, got {ops}"
+    assert mv.last_recompute_files is not None  # recompute path really ran
     return mv.read(spark).select(
         "o_orderstatus",
         "n_orders",
@@ -5687,6 +5702,9 @@ def txlog_matview_join(spark, sf_dir):
     )
     fact.delete(spark, "l_quantity > 45")
     mv.refresh(spark)  # mixed window: per-group deltas, one merge
+    ops = [h["op"] for h in mv.view.history()]
+    # self-evidencing: both refreshes must have run INCREMENTALLY
+    assert ops.count("merge") == 2, f"expected 2 refresh merges, got {ops}"
     return mv.read(spark).select(
         "n_name",
         "n_items",

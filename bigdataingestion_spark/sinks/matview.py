@@ -346,19 +346,37 @@ class IncrementalAggView:
 
     # ------------------------------------------------- refresh costing --
     def _window_bytes(self, frm: int, to: int) -> int:
-        """On-disk bytes a refresh of ``(frm, to]`` must process: every
-        file the window's commits added, removed, or materialized under
-        ``_cdf/`` (an update counts pre+post images — exactly what the
-        delta aggregation will read). Vacuumed/absent files count 0 here;
-        the read path raises loudly for them."""
+        """On-disk bytes a refresh of ``(frm, to]`` must actually READ,
+        mirroring ``read_cdf``'s per-op branches: appends/overwrites
+        replay their add (and, for overwrite, removed pre-image) files;
+        row-level DML with a materialized change map replays ONLY its
+        ``_cdf/`` images — its add/remove files are copy-on-write
+        rewrite amplification the replay never touches, so counting
+        them would overestimate a one-row update on a 1 GB file by the
+        whole gigabyte and flip update-heavy-but-row-light workloads to
+        needless rebuilds. Vacuumed/absent files count 0 here; the read
+        path raises loudly for them (refresh wraps that in
+        :class:`MatviewWindowUnreadableError`)."""
         total = 0
         for e in self.source.commits_between(frm, to):
-            if e.get("op") == "compact":
+            op = e.get("op")
+            cdf = e.get("cdf")
+            if op == "compact":
                 continue  # layout-only; read_cdf skips it too
-            rels: set[str] = set(e.get("add") or ())
-            rels.update(e.get("remove") or ())
-            for cdf_rels in (e.get("cdf") or {}).values():
-                rels.update(cdf_rels)
+            if cdf is not None:
+                # materialized change map: the replay reads exactly these
+                rels: set[str] = {r for fs in cdf.values() for r in fs}
+            elif op in ("overwrite", "overwrite_partitions"):
+                rels = set(e.get("add") or ())
+                rels.update(e.get("remove") or ())  # pre-image deletes
+            elif not e.get("remove") and not e.get("dv"):
+                # append/convert/clone, or DML that matched nothing:
+                # synthesized inserts from the added files
+                rels = set(e.get("add") or ())
+            else:
+                # rewrite without a change map: read_cdf raises for this
+                # window; nothing will be read
+                continue
             for r in rels:
                 try:
                     total += os.path.getsize(os.path.join(self.source.path, r))
@@ -409,6 +427,12 @@ class IncrementalAggView:
                 f"view at {self.path} has no committed build; call build()"
             )
         self._check_definition(snap)
+        return self._refresh_checked(spark, snap)
+
+    def _refresh_checked(self, spark: SparkSession, snap) -> int:
+        """Refresh tail after the existence/definition checks — takes
+        the already-resolved view snapshot so subclasses (and the hooks
+        below) never replay the view's commit log a second time."""
         frm = self._cursor(snap)
         to = self.source.version()
         if to <= frm:
@@ -416,7 +440,7 @@ class IncrementalAggView:
         if self._window_wants_rebuild(frm, to):
             return self.build(spark)
         try:
-            ch = self._window_changes(spark, frm, to)
+            ch = self._window_changes(spark, frm, to, snap)
         except (ValueError, FileNotFoundError) as e:
             # a RESTORE in the window (its logical diff spans arbitrary
             # history) or vacuumed change files: the window is gone for
@@ -439,15 +463,17 @@ class IncrementalAggView:
             # source keeps even min/max views source-read-free
             self._apply_additive(spark, ch, to)
         else:
-            self._apply_recompute(spark, ch, to)
+            self._apply_recompute(spark, ch, to, snap)
         self.view.alter_properties({_CURSOR_KEY: str(to)})
         return to
 
     def _window_changes(
-        self, spark: SparkSession, frm: int, to: int
+        self, spark: SparkSession, frm: int, to: int, view_snap
     ) -> DataFrame:
         """The change rows a refresh folds in — the source's CDF window,
-        hook for subclasses (the join view enriches it here)."""
+        hook for subclasses (the join view enriches it here, reading its
+        pinned dim versions from ``view_snap`` without another log
+        replay)."""
         return self.source.read_cdf(spark, frm, to)
 
     # -------------------------------------------------- additive path --
@@ -568,7 +594,12 @@ class IncrementalAggView:
             deltas.unpersist()
 
     # ------------------------------------------------- recompute path --
-    def _apply_recompute(self, spark, ch: DataFrame, to: int) -> None:
+    def _apply_recompute(
+        self, spark, ch: DataFrame, to: int, view_snap=None
+    ) -> None:
+        # (view_snap unused here: the single-table recompute needs only
+        # the SOURCE snapshot; the join subclass reads its dim pins from
+        # it)
         # persisted: the affected-key list feeds the semi-join, the
         # vanished anti-join, AND the NULL-key probe
         affected = ch.select(*self.group_cols).distinct().persist()
@@ -898,6 +929,9 @@ class IncrementalJoinAggView(IncrementalAggView):
         )
 
     def refresh(self, spark: SparkSession) -> int:
+        # one snapshot resolution serves the existence check, the
+        # definition check, the dim-pin check, the cursor read, and both
+        # hooks below (threaded through _refresh_checked as view_snap)
         snap = self.view.snapshot()
         if snap is None:
             raise FileNotFoundError(
@@ -905,13 +939,13 @@ class IncrementalJoinAggView(IncrementalAggView):
             )
         self._check_definition(snap)
         self._check_dims_unmoved(snap)
-        return super().refresh(spark)
+        return self._refresh_checked(spark, snap)
 
     def _window_changes(
-        self, spark: SparkSession, frm: int, to: int
+        self, spark: SparkSession, frm: int, to: int, view_snap
     ) -> DataFrame:
         ch = self.source.read_cdf(spark, frm, to)
-        versions = self._pinned_dim_versions(self.view.snapshot())
+        versions = self._pinned_dim_versions(view_snap)
         # enrichment is change-type-agnostic: _change_type /
         # _commit_version ride through the joins untouched, and a
         # preimage row joining k dim rows contributes -k exactly as its
@@ -919,14 +953,18 @@ class IncrementalJoinAggView(IncrementalAggView):
         return self._enrich(spark, ch, versions)
 
     # ------------------------------------------------- recompute path --
-    def _apply_recompute(self, spark, ch: DataFrame, to: int) -> None:
+    def _apply_recompute(
+        self, spark, ch: DataFrame, to: int, view_snap=None
+    ) -> None:
         """Affected-group recompute with the fact scan pruned THROUGH the
         dimensions: project the affected groups onto each connected
         dimension component, restrict the component's joined rows to
         them, and turn the restricted rows' fact-side join-key values
         into per-file stats bounds on the fact. ``ch`` arrives already
         enriched (from :meth:`_window_changes`)."""
-        versions = self._pinned_dim_versions(self.view.snapshot())
+        versions = self._pinned_dim_versions(
+            view_snap if view_snap is not None else self.view.snapshot()
+        )
         affected = ch.select(*self.group_cols).distinct().persist()
         try:
             self._refuse_null_groups(affected, "change feed")

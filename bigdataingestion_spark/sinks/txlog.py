@@ -6023,6 +6023,24 @@ class TxLogTable:
                 ).withColumn("_commit_version", F.lit(_v))
 
             def _read_table_files(rels, dvs=None, _schema=schema, _pcols=pcols):
+                # EAGER existence check, mirroring the materialized-cdf
+                # branch below: a synthesized replay (append adds,
+                # overwrite pre-images) whose files were vacuumed must
+                # fail HERE with the retention story, not later inside
+                # whatever action consumes the lazy frame (an
+                # incremental consumer turns this into its typed
+                # "window unreadable, rebuild" error)
+                missing = [
+                    r
+                    for r in rels
+                    if not os.path.exists(os.path.join(self.path, r))
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change files of v{v} were vacuumed "
+                        f"(first: {missing[0]}); CDF reads are bounded "
+                        "by the vacuum retention window"
+                    )
                 fake = Snapshot(
                     version=v,
                     files=tuple(rels),
