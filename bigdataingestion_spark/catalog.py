@@ -5712,6 +5712,93 @@ def txlog_matview_join(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_matview_dim_change",
+    """
+    WITH supp2 AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 10 = 0 THEN (s_nationkey + 1) % 25
+                  ELSE s_nationkey END AS s_nationkey
+      FROM supplier WHERE s_suppkey % 17 <> 0
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supp2 ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l_orderkey % 2 = 0
+    GROUP BY n_name
+    """,
+)
+def txlog_matview_dim_change(spark, sf_dir):
+    """[EXT] DIMENSION maintenance of a join view (r11,
+    sinks/matview.py refresh_dimensions): after the revenue-by-nation
+    view is built, the SUPPLIER dimension itself changes — every %10
+    supplier migrates to the next nation and every %17 supplier is
+    deleted — and the view folds those changes in WITHOUT a rebuild:
+    the dim's own CDF window names the changed supplier keys, the
+    groups those keys reach through the fact (under the old dims = the
+    losing nations, under the new dims = the gaining ones) are
+    recomputed from the fact snapshot AT THE CURSOR with the
+    stats-pruned scan, one merge commit, dims re-pinned. Cost is
+    O(dim churn + reached-group rows), never O(fact) — at 100 TB,
+    moving a supplier recomputes two nations, not the fact table. The
+    final view must hash-match a from-scratch DuckDB aggregation over
+    the post-change dimension."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import (
+        DimJoin,
+        IncrementalJoinAggView,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    fact = _fresh_txlog()
+    fact.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    fact.alter_properties({"cdf.enabled": "true"})
+    supp = _fresh_txlog()
+    supp.append(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    supp.alter_properties({"cdf.enabled": "true"})
+    nat = _fresh_txlog()
+    nat.append(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    mv = IncrementalJoinAggView(
+        fact,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["n_name"],
+        {
+            "n_items": ("count", "1"),
+            "revenue": ("sum", "l_extendedprice * (1 - l_discount)"),
+        },
+        dims=[
+            DimJoin(supp, on=[("l_suppkey", "s_suppkey")],
+                    select=["s_nationkey"]),
+            DimJoin(nat, on=[("s_nationkey", "n_nationkey")],
+                    select=["n_name"]),
+        ],
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    supp.update(
+        spark, "s_suppkey % 10 = 0",
+        {"s_nationkey": "(s_nationkey + 1) % 25"},
+    )
+    supp.delete(spark, "s_suppkey % 17 = 0")
+    mv.refresh_dimensions(spark)  # one merge folds both dim commits
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 1, f"expected 1 dim-refresh merge, got {ops}"
+    return mv.read(spark).select(
+        "n_name",
+        "n_items",
+        F.round("revenue", 2).alias("revenue"),
+    )
+
+
 def _semantic_dedup_sql() -> str:
     # the k-means-lite CTEs are SHARED with _kmeans_cells_sql
     # (_KMEANS_CTES — same seeding, one Lloyd iteration, same
@@ -5966,6 +6053,7 @@ _GATE_FIRST = [
     # --- new this round (r11) ---
     "txlog_matview_join",
     "training_data_pipeline_dsir",
+    "txlog_matview_dim_change",
     # --- added after the r10 window froze: zero driver evidence ---
     "txlog_matview_additive",
     "txlog_matview_minmax",
@@ -6016,14 +6104,13 @@ _GATE_FIRST = [
     "customer_cohort_ltv",
     "docs_bigram_quality",
     "txlog_backfill_replace",
-    "txlog_rename_migration",
-    # Exactly 50 names (2 new r11 + 4 post-freeze r10 + 3 r6-age +
-    # 41 r9 cohort). r12 queue: any queries new in r12 lead, then the
-    # 9 remaining r9-cohort entries (txlog_dv_point_delete,
-    # txlog_cdf_audit, txlog_generated_bucket, docs_boilerplate_ngrams,
-    # docs_length_profile, docs_pack_sequences, docs_pii_redacted,
-    # docs_temperature_sample, docs_tfidf_top_terms), then the
-    # r10-window cohort (txlog_cdc_ops_final_state ..
+    # Exactly 50 names (3 new r11 + 4 post-freeze r10 + 3 r6-age +
+    # 40 r9 cohort). r12 queue: any queries new in r12 lead, then the
+    # 10 remaining r9-cohort entries (txlog_rename_migration,
+    # txlog_dv_point_delete, txlog_cdf_audit, txlog_generated_bucket,
+    # docs_boilerplate_ngrams, docs_length_profile, docs_pack_sequences,
+    # docs_pii_redacted, docs_temperature_sample, docs_tfidf_top_terms),
+    # then the r10-window cohort (txlog_cdc_ops_final_state ..
     # part_best_supplier) as the then-oldest delivered evidence.
 ]
 

@@ -90,15 +90,14 @@ class MatviewDefinitionError(ValueError):
 
 class MatviewStaleDimensionError(ValueError):
     """A join view's DIMENSION table moved past the version the view was
-    built against. Refresh is refused: the CDF delta rows must be
-    enriched at the SAME dim snapshot the existing state was computed
-    from, or the additive arithmetic silently mixes two dimension
-    worlds. ``build()`` re-pins every dimension and heals the view.
-
-    (Upgrade path, intentionally not implemented yet: read the dim's own
-    CDF, recompute only the groups whose dim attributes changed — the
-    affected-group machinery already exists — and keep fact-side deltas
-    incremental. Refusal is the cheapest rule that is always correct.)"""
+    built against. ``refresh()`` is refused: the fact CDF delta rows
+    must be enriched at the SAME dim snapshot the existing state was
+    computed from, or the additive arithmetic silently mixes two
+    dimension worlds. Two remedies, both explicit:
+    :meth:`IncrementalJoinAggView.refresh_dimensions` folds the
+    dimension changes in INCREMENTALLY (recompute only the groups the
+    changed dim rows touch, from the dim's own CDF) and re-pins;
+    ``build()`` re-pins everything from scratch."""
 
 
 class MatviewWindowUnreadableError(RuntimeError):
@@ -633,15 +632,21 @@ class IncrementalAggView:
                 .groupBy(*self.group_cols)
                 .agg(*self._state_exprs())
             )
-            self._merge_fresh_state(spark, affected, fresh, to)
+            self._merge_fresh_state(
+                spark, affected, fresh, f"{_TXN_PREFIX}{to}"
+            )
         finally:
             affected.unpersist()
 
     def _merge_fresh_state(
-        self, spark, affected: DataFrame, fresh: DataFrame, to: int
+        self, spark, affected: DataFrame, fresh: DataFrame, txn_id: str
     ) -> None:
         """Recompute-path merge tail: replace the affected groups' state
-        with ``fresh``, delete groups the recompute proved vanished."""
+        with ``fresh``, delete groups the recompute proved vanished.
+        ``txn_id`` carries the exactly-once identity: fact-cursor
+        refreshes use ``matview.cursor.<to>``, dimension refreshes
+        ``matview.dims.<version-vector>`` — distinct spaces, so a dim
+        merge can never be deduplicated against a fact merge."""
         vanished = affected.join(fresh, self.group_cols, "left_anti")
         src = fresh.withColumn("_vanish", F.lit(0)).unionByName(
             vanished.withColumn("_vanish", F.lit(1)),
@@ -665,7 +670,7 @@ class IncrementalAggView:
                     },
                 ),
             ],
-            txn_id=f"{_TXN_PREFIX}{to}",
+            txn_id=txn_id,
         )
 
     # ----------------------------------------------------------- read --
@@ -849,8 +854,9 @@ class IncrementalJoinAggView(IncrementalAggView):
                 raise MatviewStaleDimensionError(
                     f"view at {self.path}: dimension {d.table.path} moved "
                     f"(pinned v{v}, now v{cur}); the CDF deltas must be "
-                    "enriched at the pinned snapshot — call build() to "
-                    "re-pin every dimension"
+                    "enriched at the pinned snapshot — call "
+                    "refresh_dimensions() to fold the dim changes in "
+                    "incrementally, or build() to re-pin from scratch"
                 )
         return pinned
 
@@ -952,6 +958,112 @@ class IncrementalJoinAggView(IncrementalAggView):
         # insert contributed +k (same frozen snapshot, same fan-out)
         return self._enrich(spark, ch, versions)
 
+    # ------------------------------------------- dimension maintenance --
+    def refresh_dimensions(self, spark: SparkSession) -> list[int]:
+        """Fold MOVED dimensions into the view incrementally — the
+        upgrade path past :class:`MatviewStaleDimensionError` — and
+        re-pin them. The fact cursor is untouched: the state stays
+        consistent at (fact = cursor, dims = current), and a subsequent
+        :meth:`refresh` advances the fact side as usual.
+
+        The increment: each moved dimension's OWN CDF window
+        ``(pinned, current]`` names the changed dim rows by their join
+        keys; the affected groups are the groups those keys reach
+        through the fact — computed under the OLD dims (groups losing
+        contributions) and the NEW dims (groups gaining them, including
+        fact rows that only NOW find a match) — and exactly those
+        groups are recomputed from the fact snapshot at the cursor,
+        enriched with the new dims, via the same stats-pruned machinery
+        the fact-CDF recompute path uses. Cost is O(dim churn + rows of
+        reached groups), never O(fact): moving one supplier to another
+        nation recomputes two nations, not the table.
+
+        Requirements, enforced loudly: the moved dims need
+        ``cdf.enabled=true`` before their DML (their change rows are
+        what names the affected keys), no dim may have REWOUND
+        (restore), and the fact snapshot at the cursor must still be
+        readable (not vacuumed) — any of these raises
+        :class:`MatviewWindowUnreadableError` with the ``build()``
+        hint and the view is untouched. Exactly-once: the merge carries
+        txn id ``matview.dims.<new-version-vector>`` (distinct from the
+        fact-cursor id space), so a crash between the merge and the
+        re-pin replays as a committed no-op. Returns the dim versions
+        now pinned."""
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        self._check_definition(snap)
+        pinned = self._pinned_dim_versions(snap)
+        current = [d.table.version() for d in self.dims]
+        if current == pinned:
+            return pinned
+        cursor = self._cursor(snap)
+        src_snap = self.source.snapshot(cursor)
+        gone = [
+            f
+            for f in (src_snap.files if src_snap else ())
+            if not os.path.exists(os.path.join(self.source.path, f))
+        ]
+        if gone:
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: the fact snapshot at cursor "
+                f"v{cursor} was vacuumed (first missing: {gone[0]}); "
+                "the affected groups cannot be recomputed at the pinned "
+                "fact version — call build() to re-anchor"
+            )
+        changed: list[tuple[int, DataFrame]] = []
+        for i, (d, old, new) in enumerate(zip(self.dims, pinned, current)):
+            if new == old:
+                continue
+            if new < old:
+                raise MatviewWindowUnreadableError(
+                    f"view at {self.path}: dimension {d.table.path} "
+                    f"REWOUND (pinned v{old}, now v{new} — a restore?); "
+                    "its forward diff is gone — call build() to re-anchor"
+                )
+            try:
+                ch = d.table.read_cdf(spark, old, new)
+            except (ValueError, FileNotFoundError) as e:
+                raise MatviewWindowUnreadableError(
+                    f"view at {self.path}: dimension {d.table.path} "
+                    f"window (v{old}, v{new}] cannot be replayed ({e}); "
+                    "the view was NOT advanced — call build() to re-pin "
+                    "from the current snapshots"
+                ) from e
+            on_dim = [dc for _, dc in d.on]
+            changed.append((i, ch.select(*on_dim).distinct()))
+        # groups reached by the changed dim keys through the fact, under
+        # the OLD dims (losing contributions) and the NEW dims (gaining
+        # them — including fact rows that only now match). The fact is
+        # read AT THE CURSOR so the recomputed state composes with the
+        # deltas already applied.
+        fact = self.source.read(spark, version=cursor)
+        affected = None
+        for versions in (pinned, current):
+            enr = self._enrich(spark, fact, versions)
+            for i, keys in changed:
+                d = self.dims[i]
+                # the enriched frame carries every join's LEFT columns;
+                # rename the dim-key frame to those names and semi-join
+                k = keys
+                for lc, dc in d.on:
+                    k = k.withColumnRenamed(dc, lc)
+                g = enr.join(
+                    k, [lc for lc, _ in d.on], "left_semi"
+                ).select(*self.group_cols)
+                affected = g if affected is None else affected.unionByName(g)
+        affected = affected.distinct().persist()
+        try:
+            self._refuse_null_groups(affected, "dimension change feed")
+            txn = "matview.dims." + "-".join(str(v) for v in current)
+            self._recompute_groups(spark, affected, cursor, current, txn)
+        finally:
+            affected.unpersist()
+        self.view.alter_properties(self._dim_props(current))
+        return current
+
     # ------------------------------------------------- recompute path --
     def _apply_recompute(
         self, spark, ch: DataFrame, to: int, view_snap=None
@@ -968,88 +1080,105 @@ class IncrementalJoinAggView(IncrementalAggView):
         affected = ch.select(*self.group_cols).distinct().persist()
         try:
             self._refuse_null_groups(affected, "change feed")
-            snap = self.source.snapshot(to)
-            fact_cols = {
-                f.name
-                for f in StructType.fromJson(
-                    json.loads(snap.schema_json)
-                ).fields
-            }
-            bound_sets: list[tuple[DataFrame, str, str]] = []
-            # fact-side group columns bound the fact directly
-            fact_g = [g for g in self.group_cols if g in fact_cols]
-            for g in fact_g:
-                bound_sets.append((affected, g, g))
-            # dimension components: fold dims into connected frames so a
-            # snowflake chain (nation -> supplier) restricts jointly
-            comps: list[dict] = []
-            for d, v in zip(self.dims, versions):
-                dim_df = d.table.read(spark, version=v)
-                on_dim = [dc for _, dc in d.on]
-                want = (
-                    d.select if d.select is not None else list(dim_df.columns)
-                )
-                dim_df = dim_df.select(*dict.fromkeys([*on_dim, *want]))
-                fact_pairs = [(lc, dc) for lc, dc in d.on if lc in fact_cols]
-                dim_pairs = [(lc, dc) for lc, dc in d.on if lc not in fact_cols]
-                owners = [
-                    c
-                    for c in comps
-                    if any(lc in c["cols"] for lc, _ in dim_pairs)
-                ]
-                if owners:
-                    comp = owners[0]
-                    cond = None
-                    for lc, dc in dim_pairs:
-                        if lc not in comp["cols"]:
-                            continue
-                        c = comp["frame"][lc] == dim_df[dc]
-                        cond = c if cond is None else cond & c
-                    comp["frame"] = comp["frame"].join(
-                        dim_df, cond, "inner"
-                    )
-                    comp["cols"] |= set(dim_df.columns)
-                    comp["links"] += fact_pairs
-                else:
-                    comps.append(
-                        {
-                            "frame": dim_df,
-                            "cols": set(dim_df.columns),
-                            "links": list(fact_pairs),
-                        }
-                    )
-            for comp in comps:
-                gcols = [g for g in self.group_cols if g in comp["cols"]]
-                frame = comp["frame"]
-                if gcols:
-                    frame = frame.join(
-                        affected.select(*gcols).distinct(), gcols, "left_semi"
-                    )
-                for lc, dc in comp["links"]:
-                    bound_sets.append((frame, lc, dc))
-            cand: set | None = None
-            for frame, lc, dc in bound_sets:
-                b = self.source._source_key_bounds(frame.select(dc), [dc])
-                files = set(
-                    self.source._stats_candidates(
-                        snap, {lc: b[dc]}, [lc], null_safe=False
-                    )
-                )
-                cand = files if cand is None else cand & files
-            files = sorted(cand) if cand is not None else list(snap.files)
-            self.last_recompute_files = (len(files), len(snap.files))
-            if files:
-                scan = self.source._read_files(spark, snap, files)
-            else:
-                scan = spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(snap.schema_json))
-                )
-            fresh = (
-                self._enrich(spark, scan, versions)
-                .join(affected, self.group_cols, "left_semi")
-                .groupBy(*self.group_cols)
-                .agg(*self._state_exprs())
+            self._recompute_groups(
+                spark, affected, to, versions, f"{_TXN_PREFIX}{to}"
             )
-            self._merge_fresh_state(spark, affected, fresh, to)
         finally:
             affected.unpersist()
+
+    def _recompute_groups(
+        self,
+        spark,
+        affected: DataFrame,
+        to: int,
+        versions: list[int],
+        txn_id: str,
+    ) -> None:
+        """Re-derive ``affected`` groups from the fact snapshot at
+        version ``to`` enriched with the dims at ``versions``, pruning
+        the fact scan through the dimensions, and merge the fresh state
+        in (vanished groups deleted). Shared by the fact-CDF recompute
+        path and :meth:`refresh_dimensions`."""
+        snap = self.source.snapshot(to)
+        fact_cols = {
+            f.name
+            for f in StructType.fromJson(
+                json.loads(snap.schema_json)
+            ).fields
+        }
+        bound_sets: list[tuple[DataFrame, str, str]] = []
+        # fact-side group columns bound the fact directly
+        fact_g = [g for g in self.group_cols if g in fact_cols]
+        for g in fact_g:
+            bound_sets.append((affected, g, g))
+        # dimension components: fold dims into connected frames so a
+        # snowflake chain (nation -> supplier) restricts jointly
+        comps: list[dict] = []
+        for d, v in zip(self.dims, versions):
+            dim_df = d.table.read(spark, version=v)
+            on_dim = [dc for _, dc in d.on]
+            want = (
+                d.select if d.select is not None else list(dim_df.columns)
+            )
+            dim_df = dim_df.select(*dict.fromkeys([*on_dim, *want]))
+            fact_pairs = [(lc, dc) for lc, dc in d.on if lc in fact_cols]
+            dim_pairs = [(lc, dc) for lc, dc in d.on if lc not in fact_cols]
+            owners = [
+                c
+                for c in comps
+                if any(lc in c["cols"] for lc, _ in dim_pairs)
+            ]
+            if owners:
+                comp = owners[0]
+                cond = None
+                for lc, dc in dim_pairs:
+                    if lc not in comp["cols"]:
+                        continue
+                    c = comp["frame"][lc] == dim_df[dc]
+                    cond = c if cond is None else cond & c
+                comp["frame"] = comp["frame"].join(
+                    dim_df, cond, "inner"
+                )
+                comp["cols"] |= set(dim_df.columns)
+                comp["links"] += fact_pairs
+            else:
+                comps.append(
+                    {
+                        "frame": dim_df,
+                        "cols": set(dim_df.columns),
+                        "links": list(fact_pairs),
+                    }
+                )
+        for comp in comps:
+            gcols = [g for g in self.group_cols if g in comp["cols"]]
+            frame = comp["frame"]
+            if gcols:
+                frame = frame.join(
+                    affected.select(*gcols).distinct(), gcols, "left_semi"
+                )
+            for lc, dc in comp["links"]:
+                bound_sets.append((frame, lc, dc))
+        cand: set | None = None
+        for frame, lc, dc in bound_sets:
+            b = self.source._source_key_bounds(frame.select(dc), [dc])
+            files = set(
+                self.source._stats_candidates(
+                    snap, {lc: b[dc]}, [lc], null_safe=False
+                )
+            )
+            cand = files if cand is None else cand & files
+        files = sorted(cand) if cand is not None else list(snap.files)
+        self.last_recompute_files = (len(files), len(snap.files))
+        if files:
+            scan = self.source._read_files(spark, snap, files)
+        else:
+            scan = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap.schema_json))
+            )
+        fresh = (
+            self._enrich(spark, scan, versions)
+            .join(affected, self.group_cols, "left_semi")
+            .groupBy(*self.group_cols)
+            .agg(*self._state_exprs())
+        )
+        self._merge_fresh_state(spark, affected, fresh, txn_id)

@@ -424,3 +424,222 @@ def test_rebuild_ratio_validation_and_opt_out(spark, tmp_path):
     mv.refresh(spark)  # None: incremental even for a full overwrite
     new_ops = [h["op"] for h in mv.view.history()[n_hist:]]
     assert "overwrite" not in new_ops
+
+
+# ------------------------------------------------------------------ #
+# refresh_dimensions (r11): incremental maintenance through MOVED dims
+# ------------------------------------------------------------------ #
+
+
+def _dims_cdf(spark, tmp_path):
+    """Dims with cdf.enabled (their own change feeds drive
+    refresh_dimensions)."""
+    supp, nat = _dims(spark, tmp_path)
+    supp.alter_properties({"cdf.enabled": "true"})
+    nat.alter_properties({"cdf.enabled": "true"})
+    return supp, nat
+
+
+def test_dim_update_migrates_groups(spark, tmp_path):
+    """Moving a supplier to another nation: refresh() refuses with the
+    refresh_dimensions hint; refresh_dimensions() recomputes exactly the
+    reached groups — the losing nation shrinks, the gaining nation
+    (previously ABSENT from the view) appears — and the view equals a
+    from-scratch join of the current state."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims_cdf(spark, tmp_path)
+    # nation 9 exists in the dim but no supplier maps to it yet
+    nat.append(
+        spark.createDataFrame([(9, "N9")], "nat_key long, n_name string")
+    )
+    mv = _view(fact, supp, nat, tmp_path, rebuild_ratio=None)
+    mv.build(spark)
+    assert "N9" not in _rows(mv.read(spark), ["n", "rev"])
+    supp.update(spark, "s_id = 2", {"nat_id": "9"})
+    with pytest.raises(MatviewStaleDimensionError, match="refresh_dimensions"):
+        mv.refresh(spark)
+    mv.refresh_dimensions(spark)
+    got = _rows(mv.read(spark), ["n", "rev"])
+    aggs = {"n": F.count(F.lit(1)), "rev": F.sum("amount")}
+    assert got == _oracle(spark, fact, supp, nat, aggs)
+    assert "N9" in got
+    # and the fact side refreshes normally against the new pins
+    fact.delete(spark, "supp = 2 and id < 10")
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "rev"]) == _oracle(
+        spark, fact, supp, nat, aggs
+    )
+
+
+def test_dim_delete_and_insert(spark, tmp_path):
+    """Deleting a supplier drops its fact rows from the view; inserting
+    a supplier makes previously-UNMATCHED fact rows visible (they
+    contributed nothing under the inner join until the dim row
+    existed)."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims_cdf(spark, tmp_path)
+    mv = _view(fact, supp, nat, tmp_path, rebuild_ratio=None)
+    mv.build(spark)
+    aggs = {"n": F.count(F.lit(1)), "rev": F.sum("amount")}
+    supp.delete(spark, "s_id = 5")
+    mv.refresh_dimensions(spark)
+    assert _rows(mv.read(spark), ["n", "rev"]) == _oracle(
+        spark, fact, supp, nat, aggs
+    )
+    # unmatched fact rows first (fact-side refresh sees them vanish into
+    # the inner join), then the dim row arrives
+    fact.append(
+        spark.createDataFrame(
+            [(900, 42, 777.0)], "id long, supp long, amount double"
+        )
+    )
+    mv.refresh(spark)
+    before = _rows(mv.read(spark), ["n", "rev"])
+    supp.append(spark.createDataFrame([(42, 0)], "s_id long, nat_id long"))
+    mv.refresh_dimensions(spark)
+    got = _rows(mv.read(spark), ["n", "rev"])
+    assert got == _oracle(spark, fact, supp, nat, aggs)
+    assert got != before  # the 777.0 row became visible
+
+
+def test_dim_group_key_attribute_change(spark, tmp_path):
+    """Renaming a nation (the GROUP KEY value itself) vanishes the old
+    group and inserts the new one — both sides of the reached-group
+    union (old dims name the loser, new dims the gainer)."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims_cdf(spark, tmp_path)
+    mv = _view(
+        fact, supp, nat, tmp_path,
+        aggs={"n": ("count", "1"), "mx": ("max", "amount")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    nat.update(spark, "nat_key = 1", {"n_name": "'N1x'"})
+    mv.refresh_dimensions(spark)
+    got = _rows(mv.read(spark), ["n", "mx"])
+    assert "N1" not in got and "N1x" in got
+    assert got == _oracle(
+        spark, fact, supp, nat,
+        {"n": F.count(F.lit(1)), "mx": F.max("amount")},
+    )
+
+
+def test_dim_refresh_reads_fact_at_cursor(spark, tmp_path):
+    """Fact DML commits BEFORE the dim change, then refresh_dimensions,
+    then refresh: the dim recompute must read the fact AT THE CURSOR
+    (not head) so the later fact-window replay composes exactly."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims_cdf(spark, tmp_path)
+    mv = _view(fact, supp, nat, tmp_path, rebuild_ratio=None)
+    mv.build(spark)
+    fact.delete(spark, "id % 4 = 0")  # ahead of the cursor
+    supp.update(spark, "s_id = 3", {"nat_id": "0"})
+    mv.refresh_dimensions(spark)
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "rev"]) == _oracle(
+        spark, fact, supp, nat,
+        {"n": F.count(F.lit(1)), "rev": F.sum("amount")},
+    )
+
+
+def test_dim_refresh_crash_replay_is_exactly_once(spark, tmp_path):
+    """Crash between the dim-recompute merge and the pin advance: the
+    merge carries txn id matview.dims.<vector>, so the replay commits as
+    a no-op and the pins then advance — never a double-apply."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims_cdf(spark, tmp_path)
+    mv = _view(fact, supp, nat, tmp_path, rebuild_ratio=None)
+    mv.build(spark)
+    old_pins = {
+        k: v for k, v in mv.view.snapshot().properties.items()
+        if k.startswith("matview.dim.")
+    }
+    supp.update(spark, "s_id = 2", {"nat_id": "0"})
+    mv.refresh_dimensions(spark)
+    after = _rows(mv.read(spark), ["n", "rev"])
+    # simulate the crash: rewind the pins as if alter_properties never ran
+    mv.view.alter_properties(old_pins)
+    mv.refresh_dimensions(spark)  # replay
+    assert _rows(mv.read(spark), ["n", "rev"]) == after
+    assert _rows(mv.read(spark), ["n", "rev"]) == _oracle(
+        spark, fact, supp, nat,
+        {"n": F.count(F.lit(1)), "rev": F.sum("amount")},
+    )
+
+
+def test_dim_refresh_requires_dim_cdf(spark, tmp_path):
+    """A moved dim WITHOUT cdf.enabled cannot name its changed rows:
+    refresh_dimensions raises the typed window error (build() hint) and
+    the view is untouched."""
+    from bigdataingestion_spark.sinks.matview import (
+        MatviewWindowUnreadableError,
+    )
+
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims(spark, tmp_path)  # NO cdf on dims
+    mv = _view(fact, supp, nat, tmp_path, rebuild_ratio=None)
+    mv.build(spark)
+    before = _rows(mv.read(spark), ["n", "rev"])
+    supp.update(spark, "s_id = 2", {"nat_id": "0"})
+    with pytest.raises(MatviewWindowUnreadableError, match="build\\(\\)"):
+        mv.refresh_dimensions(spark)
+    assert _rows(mv.read(spark), ["n", "rev"]) == before
+    mv.build(spark)  # heals
+
+
+def test_dim_restored_raises(spark, tmp_path):
+    """A RESTOREd dimension: restore COMMITS forward (the version
+    advances), so the dim's CDF window contains an unreplayable restore
+    commit — refresh_dimensions surfaces read_cdf's refusal as the typed
+    window error with the build() hint, view untouched."""
+    from bigdataingestion_spark.sinks.matview import (
+        MatviewWindowUnreadableError,
+    )
+
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims_cdf(spark, tmp_path)
+    supp.append(spark.createDataFrame([(99, 0)], "s_id long, nat_id long"))
+    mv = _view(fact, supp, nat, tmp_path, rebuild_ratio=None)
+    mv.build(spark)
+    before = _rows(mv.read(spark), ["n", "rev"])
+    supp.restore(supp.version() - 1)
+    with pytest.raises(MatviewWindowUnreadableError, match="build\\(\\)"):
+        mv.refresh_dimensions(spark)
+    assert _rows(mv.read(spark), ["n", "rev"]) == before
+    mv.build(spark)  # heals and re-pins past the restore
+
+
+def test_dim_refresh_prunes_fact_scan(spark, tmp_path):
+    """The dim recompute reuses the stats-pruned machinery: one moved
+    supplier on a supp-clustered fact touches O(its span) files."""
+    fact = TxLogTable(str(tmp_path / "fact"))
+    fact.append(
+        spark.createDataFrame(
+            [(i, i % 20, float(i)) for i in range(1, 2001)],
+            "id long, supp long, amount double",
+        ).repartitionByRange(10, "supp")
+    )
+    fact.alter_properties({"cdf.enabled": "true"})
+    supp = TxLogTable(str(tmp_path / "supp"))
+    supp.append(
+        spark.createDataFrame(
+            [(s, s % 5) for s in range(20)], "s_id long, nat_id long"
+        )
+    )
+    supp.alter_properties({"cdf.enabled": "true"})
+    nat = TxLogTable(str(tmp_path / "nat"))
+    nat.append(
+        spark.createDataFrame(
+            [(n, f"N{n}") for n in range(5)], "nat_key long, n_name string"
+        )
+    )
+    mv = _view(fact, supp, nat, tmp_path, rebuild_ratio=None)
+    mv.build(spark)
+    supp.update(spark, "s_id = 7", {"nat_id": "0"})
+    mv.refresh_dimensions(spark)
+    scanned, total = mv.last_recompute_files
+    assert scanned < total
+    assert _rows(mv.read(spark), ["n", "rev"]) == _oracle(
+        spark, fact, supp, nat,
+        {"n": F.count(F.lit(1)), "rev": F.sum("amount")},
+    )
