@@ -264,3 +264,62 @@ def test_stream_cdc_apply_ops_maintains_views(spark, tmp_path):
     )
     assert q2.awaitTermination(180)
     assert table.version() == t_v and mv.view.version() == mv_v
+
+
+def test_stream_ingest_maintains_join_view(spark, tmp_path):
+    """A JOIN view (r11) rides the same ``views=`` hook: each
+    micro-batch merge is followed by an incremental refresh that
+    enriches the batch's CDF window against the version-pinned
+    broadcast dimension; after the stream drains the view equals a
+    from-scratch fact⋈dim aggregation — dimensions never move during
+    the stream, so the pin check is a no-op, and the refresh never
+    scans the fact."""
+    from bigdataingestion_spark.sinks.matview import (
+        DimJoin,
+        IncrementalJoinAggView,
+    )
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    src = tmp_path / "src"
+    for base in (0, 20):
+        spark.createDataFrame(
+            [(base + i, (base + i) % 4, float(base + i)) for i in range(20)],
+            "id bigint, cat bigint, amt double",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    dim = TxLogTable(str(tmp_path / "dim"))
+    dim.append(
+        spark.createDataFrame(
+            [(c, f"C{c % 2}") for c in range(4)],
+            "cat_id bigint, bucket string",
+        )
+    )
+    target, ckpt = str(tmp_path / "fact"), str(tmp_path / "ckpt")
+    fact = TxLogTable(target)
+    fact.append(spark.createDataFrame([], "id bigint, cat bigint, amt double"))
+    fact.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalJoinAggView(
+        fact,
+        str(tmp_path / "mv"),
+        ["bucket"],
+        {"n": ("count", "1"), "s": ("sum", "amt")},
+        dims=[DimJoin(dim, on=[("cat", "cat_id")], select=["bucket"])],
+        rebuild_ratio=None,
+    )
+    mv.build(spark)  # empty anchor
+
+    q = stream_txlog_ingest(
+        spark, str(src), target, ckpt,
+        max_files_per_trigger=1, views=[mv],
+    )
+    assert q.awaitTermination(180)
+    got = {r["bucket"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+    oracle = {
+        r["bucket"]: (r["n"], r["s"])
+        for r in fact.read(spark)
+        .join(dim.read(spark), F.col("cat") == F.col("cat_id"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert got == oracle and len(got) == 2
