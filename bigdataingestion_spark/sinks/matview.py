@@ -862,14 +862,27 @@ class IncrementalJoinAggView(IncrementalAggView):
 
     # ------------------------------------------------------ enrichment --
     def _enrich(
-        self, spark: SparkSession, df: DataFrame, versions: list[int]
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        versions: list[int],
+        dim_filters: dict[int, DataFrame] | None = None,
     ) -> DataFrame:
         """Fold the dimensions onto ``df`` (fact rows or CDF change rows)
         at the given pinned versions. Inner joins; each dim contributes
         its carried columns (``select`` minus its own join keys), with
-        name collisions refused."""
-        for d, v in zip(self.dims, versions):
+        name collisions refused. ``dim_filters`` (dim index → frame of
+        that dim's join-key values) semi-joins a dimension down before
+        the fold — refresh_dimensions uses it to make the enrichment
+        mean "fact rows whose path passes through a CHANGED dim row"."""
+        for idx, (d, v) in enumerate(zip(self.dims, versions)):
             dim_df = d.table.read(spark, version=v)
+            if dim_filters and idx in dim_filters:
+                dim_df = dim_df.join(
+                    dim_filters[idx],
+                    [dc for _, dc in d.on],
+                    "left_semi",
+                )
             on_dim = [dc for _, dc in d.on]
             want = d.select if d.select is not None else list(dim_df.columns)
             missing = [
@@ -1033,25 +1046,39 @@ class IncrementalJoinAggView(IncrementalAggView):
                     "from the current snapshots"
                 ) from e
             on_dim = [dc for _, dc in d.on]
-            changed.append((i, ch.select(*on_dim).distinct()))
+            changed.append((i, ch.select(*on_dim).distinct().persist()))
         # groups reached by the changed dim keys through the fact, under
         # the OLD dims (losing contributions) and the NEW dims (gaining
         # them — including fact rows that only now match). The fact is
         # read AT THE CURSOR so the recomputed state composes with the
-        # deltas already applied.
-        fact = self.source.read(spark, version=cursor)
+        # deltas already applied. Per changed dim and per side, the dim
+        # chain is restricted to the changed keys FIRST, and the
+        # restricted chain's fact-link bounds stats-prune the discovery
+        # scan — at 100 TB finding the reached groups costs O(span of
+        # the changed keys' fact rows), never a full fact pass. (One
+        # scan per changed dim per side because "reached" is an OR
+        # across changed dims; a single multi-filter enrichment would
+        # compute the AND.)
+        fact_cols = self._fact_cols(src_snap)
         affected = None
         for versions in (pinned, current):
-            enr = self._enrich(spark, fact, versions)
             for i, keys in changed:
-                d = self.dims[i]
-                # the enriched frame carries every join's LEFT columns;
-                # rename the dim-key frame to those names and semi-join
-                k = keys
-                for lc, dc in d.on:
-                    k = k.withColumnRenamed(dc, lc)
-                g = enr.join(
-                    k, [lc for lc, _ in d.on], "left_semi"
+                comps = self._dim_components(
+                    spark, versions, fact_cols, dim_filters={i: keys}
+                )
+                bound_sets = [
+                    (comp["frame"], lc, dc)
+                    for comp in comps
+                    if comp["filtered"]
+                    for lc, dc in comp["links"]
+                ]
+                scan = self._scan_files(
+                    spark,
+                    src_snap,
+                    self._fact_candidates(src_snap, bound_sets),
+                )
+                g = self._enrich(
+                    spark, scan, versions, dim_filters={i: keys}
                 ).select(*self.group_cols)
                 affected = g if affected is None else affected.unionByName(g)
         affected = affected.distinct().persist()
@@ -1061,6 +1088,8 @@ class IncrementalJoinAggView(IncrementalAggView):
             self._recompute_groups(spark, affected, cursor, current, txn)
         finally:
             affected.unpersist()
+            for _, keys in changed:
+                keys.unpersist()
         self.view.alter_properties(self._dim_props(current))
         return current
 
@@ -1100,27 +1129,65 @@ class IncrementalJoinAggView(IncrementalAggView):
         in (vanished groups deleted). Shared by the fact-CDF recompute
         path and :meth:`refresh_dimensions`."""
         snap = self.source.snapshot(to)
-        fact_cols = {
-            f.name
-            for f in StructType.fromJson(
-                json.loads(snap.schema_json)
-            ).fields
-        }
+        fact_cols = self._fact_cols(snap)
         bound_sets: list[tuple[DataFrame, str, str]] = []
         # fact-side group columns bound the fact directly
         fact_g = [g for g in self.group_cols if g in fact_cols]
         for g in fact_g:
             bound_sets.append((affected, g, g))
-        # dimension components: fold dims into connected frames so a
-        # snowflake chain (nation -> supplier) restricts jointly
+        for comp in self._dim_components(spark, versions, fact_cols):
+            gcols = [g for g in self.group_cols if g in comp["cols"]]
+            frame = comp["frame"]
+            if gcols:
+                frame = frame.join(
+                    affected.select(*gcols).distinct(), gcols, "left_semi"
+                )
+            for lc, dc in comp["links"]:
+                bound_sets.append((frame, lc, dc))
+        files = self._fact_candidates(snap, bound_sets)
+        self.last_recompute_files = (len(files), len(snap.files))
+        scan = self._scan_files(spark, snap, files)
+        fresh = (
+            self._enrich(spark, scan, versions)
+            .join(affected, self.group_cols, "left_semi")
+            .groupBy(*self.group_cols)
+            .agg(*self._state_exprs())
+        )
+        self._merge_fresh_state(spark, affected, fresh, txn_id)
+
+    # -------------------------------------------------- prune plumbing --
+    @staticmethod
+    def _fact_cols(snap) -> set[str]:
+        return {
+            f.name
+            for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+        }
+
+    def _dim_components(
+        self,
+        spark,
+        versions: list[int],
+        fact_cols: set[str],
+        dim_filters: dict[int, DataFrame] | None = None,
+    ) -> list[dict]:
+        """The dimensions folded into CONNECTED components (a snowflake
+        chain like nation→supplier becomes one joined frame, so
+        restrictions propagate jointly), each carrying its fact-side
+        join links ``(lc, dc)``. ``dim_filters`` semi-joins a dimension
+        to a key set before the fold and marks the component
+        ``filtered`` — refresh_dimensions restricts to CHANGED dim
+        rows this way."""
         comps: list[dict] = []
-        for d, v in zip(self.dims, versions):
+        for idx, (d, v) in enumerate(zip(self.dims, versions)):
             dim_df = d.table.read(spark, version=v)
             on_dim = [dc for _, dc in d.on]
             want = (
                 d.select if d.select is not None else list(dim_df.columns)
             )
             dim_df = dim_df.select(*dict.fromkeys([*on_dim, *want]))
+            filtered = bool(dim_filters) and idx in dim_filters
+            if filtered:
+                dim_df = dim_df.join(dim_filters[idx], on_dim, "left_semi")
             fact_pairs = [(lc, dc) for lc, dc in d.on if lc in fact_cols]
             dim_pairs = [(lc, dc) for lc, dc in d.on if lc not in fact_cols]
             owners = [
@@ -1136,28 +1203,26 @@ class IncrementalJoinAggView(IncrementalAggView):
                         continue
                     c = comp["frame"][lc] == dim_df[dc]
                     cond = c if cond is None else cond & c
-                comp["frame"] = comp["frame"].join(
-                    dim_df, cond, "inner"
-                )
+                comp["frame"] = comp["frame"].join(dim_df, cond, "inner")
                 comp["cols"] |= set(dim_df.columns)
                 comp["links"] += fact_pairs
+                comp["filtered"] = comp["filtered"] or filtered
             else:
                 comps.append(
                     {
                         "frame": dim_df,
                         "cols": set(dim_df.columns),
                         "links": list(fact_pairs),
+                        "filtered": filtered,
                     }
                 )
-        for comp in comps:
-            gcols = [g for g in self.group_cols if g in comp["cols"]]
-            frame = comp["frame"]
-            if gcols:
-                frame = frame.join(
-                    affected.select(*gcols).distinct(), gcols, "left_semi"
-                )
-            for lc, dc in comp["links"]:
-                bound_sets.append((frame, lc, dc))
+        return comps
+
+    def _fact_candidates(self, snap, bound_sets) -> list[str]:
+        """Fact files that can intersect EVERY bound set (each a
+        ``(frame, fact_col, frame_col)`` triple): per-set stats pruning,
+        intersected — sound because a contributing fact row must satisfy
+        all of them simultaneously."""
         cand: set | None = None
         for frame, lc, dc in bound_sets:
             b = self.source._source_key_bounds(frame.select(dc), [dc])
@@ -1167,18 +1232,11 @@ class IncrementalJoinAggView(IncrementalAggView):
                 )
             )
             cand = files if cand is None else cand & files
-        files = sorted(cand) if cand is not None else list(snap.files)
-        self.last_recompute_files = (len(files), len(snap.files))
+        return sorted(cand) if cand is not None else list(snap.files)
+
+    def _scan_files(self, spark, snap, files: list[str]) -> DataFrame:
         if files:
-            scan = self.source._read_files(spark, snap, files)
-        else:
-            scan = spark.createDataFrame(
-                [], StructType.fromJson(json.loads(snap.schema_json))
-            )
-        fresh = (
-            self._enrich(spark, scan, versions)
-            .join(affected, self.group_cols, "left_semi")
-            .groupBy(*self.group_cols)
-            .agg(*self._state_exprs())
+            return self.source._read_files(spark, snap, files)
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(snap.schema_json))
         )
-        self._merge_fresh_state(spark, affected, fresh, txn_id)
