@@ -643,3 +643,46 @@ def test_dim_refresh_prunes_fact_scan(spark, tmp_path):
         spark, fact, supp, nat,
         {"n": F.count(F.lit(1)), "rev": F.sum("amount")},
     )
+
+
+def test_join_view_approx_distinct(spark, tmp_path):
+    """approx_distinct rides the join machinery unchanged: HLL sketches
+    fold under insert-only fact windows and recompute under deletes /
+    dim changes, matching a from-scratch countDistinct at small
+    cardinalities."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims_cdf(spark, tmp_path)
+    mv = _view(
+        fact, supp, nat, tmp_path,
+        aggs={"n": ("count", "1"), "supps": ("approx_distinct", "supp")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+
+    def oracle():
+        f, s, n = fact.read(spark), supp.read(spark), nat.read(spark)
+        j = (
+            f.join(s, f.supp == s.s_id)
+            .join(n, s.nat_id == n.nat_key)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("supp").alias("supps"),
+            )
+        )
+        return _rows(j, ["n", "supps"])
+
+    assert _rows(mv.read(spark), ["n", "supps"]) == oracle()
+    fact.append(
+        spark.createDataFrame(
+            [(300, 1, 5.0), (301, 4, 6.0)], "id long, supp long, amount double"
+        )
+    )
+    mv.refresh(spark)  # insert-only: sketch register-max fold
+    assert _rows(mv.read(spark), ["n", "supps"]) == oracle()
+    fact.delete(spark, "supp = 1")  # recompute: a supplier vanishes
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "supps"]) == oracle()
+    supp.update(spark, "s_id = 2", {"nat_id": "0"})  # dim migration
+    mv.refresh_dimensions(spark)
+    assert _rows(mv.read(spark), ["n", "supps"]) == oracle()
