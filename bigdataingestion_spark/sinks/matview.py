@@ -81,6 +81,7 @@ _DEF_KEY = "matview.definition"
 _CURSOR_KEY = "matview.source.version"
 _PENDING_KEY = "matview.rebuild.pending"
 _TXN_PREFIX = "matview.cursor."
+_DIMS_TXN_PREFIX = "matview.dims."
 
 
 class MatviewDefinitionError(ValueError):
@@ -368,9 +369,14 @@ class IncrementalAggView:
             elif op in ("overwrite", "overwrite_partitions"):
                 rels = set(e.get("add") or ())
                 rels.update(e.get("remove") or ())  # pre-image deletes
+            elif op in ("append", "convert", "clone"):
+                # synthesized inserts from the added files — a clone may
+                # ALSO carry deletion vectors (its bootstrap reads the
+                # unmasked rows of the same adds), so this branch must
+                # come before the dv check below
+                rels = set(e.get("add") or ())
             elif not e.get("remove") and not e.get("dv"):
-                # append/convert/clone, or DML that matched nothing:
-                # synthesized inserts from the added files
+                # DML that matched nothing: synthesized like an append
                 rels = set(e.get("add") or ())
             else:
                 # rewrite without a change map: read_cdf raises for this
@@ -835,6 +841,14 @@ class IncrementalJoinAggView(IncrementalAggView):
         }
 
     def _pinned_dim_versions(self, snap) -> list[int]:
+        """The dim versions the STATE actually reflects: the pinned
+        properties, raised componentwise by any committed
+        ``matview.dims.<v0>-<v1>-…`` merge txn id whose property advance
+        was lost to a crash — the dim-side mirror of :meth:`_cursor`.
+        Without the recovery, a crash between a dim merge and its
+        re-pin followed by ANOTHER dim movement would compute the next
+        affected-group window from the stale pins and permanently miss
+        the groups the committed merge already rewrote."""
         out = []
         for i, d in enumerate(self.dims):
             key = self._DIM_KEY.format(i=i)
@@ -844,6 +858,17 @@ class IncrementalJoinAggView(IncrementalAggView):
                     f"dimension {i} ({d.table.path}); re-run build()"
                 )
             out.append(int(snap.properties[key]))
+        for t in snap.txn_ids:
+            if not t.startswith(_DIMS_TXN_PREFIX):
+                continue
+            parts = t[len(_DIMS_TXN_PREFIX):].split("-")
+            if len(parts) != len(out):
+                continue
+            try:
+                vec = [int(p) for p in parts]
+            except ValueError:
+                continue
+            out = [max(a, b) for a, b in zip(out, vec)]
         return out
 
     def _check_dims_unmoved(self, snap) -> list[int]:
@@ -1008,90 +1033,128 @@ class IncrementalJoinAggView(IncrementalAggView):
                 f"view at {self.path} has no committed build; call build()"
             )
         self._check_definition(snap)
+        # crash-recovered: property pins raised by committed dim-merge
+        # txn ids (see _pinned_dim_versions) — a replay after a lost
+        # pin advance windows from the state the MERGE left, never from
+        # the stale property
         pinned = self._pinned_dim_versions(snap)
         current = [d.table.version() for d in self.dims]
         if current == pinned:
+            # state already reflects the current dims; heal the property
+            # pins if only the metadata advance was lost (txn ids can
+            # age out of the snapshot — the property must not lag
+            # forever)
+            stored = [
+                int(snap.properties[self._DIM_KEY.format(i=i)])
+                for i in range(len(self.dims))
+            ]
+            if stored != pinned:
+                self.view.alter_properties(self._dim_props(pinned))
             return pinned
         cursor = self._cursor(snap)
-        src_snap = self.source.snapshot(cursor)
-        gone = [
-            f
-            for f in (src_snap.files if src_snap else ())
-            if not os.path.exists(os.path.join(self.source.path, f))
-        ]
-        if gone:
-            raise MatviewWindowUnreadableError(
-                f"view at {self.path}: the fact snapshot at cursor "
-                f"v{cursor} was vacuumed (first missing: {gone[0]}); "
-                "the affected groups cannot be recomputed at the pinned "
-                "fact version — call build() to re-anchor"
-            )
+        src_snap = self._require_snapshot(
+            self.source, cursor, "the fact snapshot at the cursor"
+        )
         changed: list[tuple[int, DataFrame]] = []
-        for i, (d, old, new) in enumerate(zip(self.dims, pinned, current)):
-            if new == old:
-                continue
-            if new < old:
-                raise MatviewWindowUnreadableError(
-                    f"view at {self.path}: dimension {d.table.path} "
-                    f"REWOUND (pinned v{old}, now v{new} — a restore?); "
-                    "its forward diff is gone — call build() to re-anchor"
-                )
-            try:
-                ch = d.table.read_cdf(spark, old, new)
-            except (ValueError, FileNotFoundError) as e:
-                raise MatviewWindowUnreadableError(
-                    f"view at {self.path}: dimension {d.table.path} "
-                    f"window (v{old}, v{new}] cannot be replayed ({e}); "
-                    "the view was NOT advanced — call build() to re-pin "
-                    "from the current snapshots"
-                ) from e
-            on_dim = [dc for _, dc in d.on]
-            changed.append((i, ch.select(*on_dim).distinct().persist()))
-        # groups reached by the changed dim keys through the fact, under
-        # the OLD dims (losing contributions) and the NEW dims (gaining
-        # them — including fact rows that only now match). The fact is
-        # read AT THE CURSOR so the recomputed state composes with the
-        # deltas already applied. Per changed dim and per side, the dim
-        # chain is restricted to the changed keys FIRST, and the
-        # restricted chain's fact-link bounds stats-prune the discovery
-        # scan — at 100 TB finding the reached groups costs O(span of
-        # the changed keys' fact rows), never a full fact pass. (One
-        # scan per changed dim per side because "reached" is an OR
-        # across changed dims; a single multi-filter enrichment would
-        # compute the AND.)
-        fact_cols = self._fact_cols(src_snap)
         affected = None
-        for versions in (pinned, current):
-            for i, keys in changed:
-                comps = self._dim_components(
-                    spark, versions, fact_cols, dim_filters={i: keys}
-                )
-                bound_sets = [
-                    (comp["frame"], lc, dc)
-                    for comp in comps
-                    if comp["filtered"]
-                    for lc, dc in comp["links"]
-                ]
-                scan = self._scan_files(
-                    spark,
-                    src_snap,
-                    self._fact_candidates(src_snap, bound_sets),
-                )
-                g = self._enrich(
-                    spark, scan, versions, dim_filters={i: keys}
-                ).select(*self.group_cols)
-                affected = g if affected is None else affected.unionByName(g)
-        affected = affected.distinct().persist()
         try:
+            for i, (d, old, new) in enumerate(
+                zip(self.dims, pinned, current)
+            ):
+                if new == old:
+                    continue
+                if new < old:
+                    raise MatviewWindowUnreadableError(
+                        f"view at {self.path}: dimension {d.table.path} "
+                        f"REWOUND (pinned v{old}, now v{new} — a "
+                        "restore?); its forward diff is gone — call "
+                        "build() to re-anchor"
+                    )
+                # the discovery reads this dim at BOTH versions; the old
+                # snapshot may have been vacuumed out from under the pin
+                self._require_snapshot(
+                    d.table, old,
+                    f"dimension {d.table.path} at its pinned v{old}",
+                )
+                try:
+                    ch = d.table.read_cdf(spark, old, new)
+                except (ValueError, FileNotFoundError) as e:
+                    raise MatviewWindowUnreadableError(
+                        f"view at {self.path}: dimension {d.table.path} "
+                        f"window (v{old}, v{new}] cannot be replayed "
+                        f"({e}); the view was NOT advanced — call "
+                        "build() to re-pin from the current snapshots"
+                    ) from e
+                on_dim = [dc for _, dc in d.on]
+                changed.append((i, ch.select(*on_dim).distinct().persist()))
+            # groups reached by the changed dim keys through the fact,
+            # under the OLD dims (losing contributions) and the NEW dims
+            # (gaining them — including fact rows that only now match).
+            # The fact is read AT THE CURSOR so the recomputed state
+            # composes with the deltas already applied. Per changed dim
+            # and per side, the dim chain is restricted to the changed
+            # keys FIRST, and the restricted chain's fact-link bounds
+            # stats-prune the discovery scan — at 100 TB finding the
+            # reached groups costs O(span of the changed keys' fact
+            # rows), never a full fact pass. (One scan per changed dim
+            # per side because "reached" is an OR across changed dims; a
+            # single multi-filter enrichment would compute the AND.)
+            fact_cols = self._fact_cols(src_snap)
+            for versions in (pinned, current):
+                for i, keys in changed:
+                    comps = self._dim_components(
+                        spark, versions, fact_cols, dim_filters={i: keys}
+                    )
+                    bound_sets = [
+                        (comp["frame"], lc, dc)
+                        for comp in comps
+                        if comp["filtered"]
+                        for lc, dc in comp["links"]
+                    ]
+                    scan = self._scan_files(
+                        spark,
+                        src_snap,
+                        self._fact_candidates(src_snap, bound_sets),
+                    )
+                    g = self._enrich(
+                        spark, scan, versions, dim_filters={i: keys}
+                    ).select(*self.group_cols)
+                    affected = (
+                        g if affected is None else affected.unionByName(g)
+                    )
+            affected = affected.distinct().persist()
             self._refuse_null_groups(affected, "dimension change feed")
-            txn = "matview.dims." + "-".join(str(v) for v in current)
+            txn = _DIMS_TXN_PREFIX + "-".join(str(v) for v in current)
             self._recompute_groups(spark, affected, cursor, current, txn)
         finally:
-            affected.unpersist()
+            if affected is not None:
+                affected.unpersist()
             for _, keys in changed:
                 keys.unpersist()
         self.view.alter_properties(self._dim_props(current))
         return current
+
+    def _require_snapshot(self, table: TxLogTable, version: int, what: str):
+        """Snapshot ``version`` of ``table``, with the typed error when
+        the log cannot resolve it or its files were vacuumed — callers
+        depend on reading HISTORY, which only retention guarantees."""
+        snap = table.snapshot(version)
+        if snap is None:
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: {what} (v{version}) cannot be "
+                "resolved from the log — call build() to re-anchor"
+            )
+        gone = [
+            f
+            for f in snap.files
+            if not os.path.exists(os.path.join(table.path, f))
+        ]
+        if gone:
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: {what} (v{version}) was vacuumed "
+                f"(first missing: {gone[0]}) — call build() to re-anchor"
+            )
+        return snap
 
     # ------------------------------------------------- recompute path --
     def _apply_recompute(

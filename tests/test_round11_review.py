@@ -144,7 +144,7 @@ def test_read_cdf_vacuumed_append_files_fail_eagerly(spark, tmp_path):
         src.read_cdf(spark, v0, v1)
 
 
-def test_matview_gate_queries_are_self_evidencing(spark):
+def test_matview_gate_queries_are_self_evidencing(spark, sf_smoke_dir):
     """Finding 3: the three matview gate queries pin rebuild_ratio=None
     and assert internally that their refreshes committed as merges —
     run them at the smoke scale to prove the asserts hold (if the
@@ -152,10 +152,9 @@ def test_matview_gate_queries_are_self_evidencing(spark):
     themselves would fail, not just lose evidentiary value)."""
     from bigdataingestion_spark import catalog
 
-    sf = "/root/testdata/sf0.001"
-    assert catalog.txlog_matview_additive(spark, sf).count() > 0
-    assert catalog.txlog_matview_minmax(spark, sf).count() > 0
-    assert catalog.txlog_matview_join(spark, sf).count() > 0
+    assert catalog.txlog_matview_additive(spark, sf_smoke_dir).count() > 0
+    assert catalog.txlog_matview_minmax(spark, sf_smoke_dir).count() > 0
+    assert catalog.txlog_matview_join(spark, sf_smoke_dir).count() > 0
 
 
 def test_join_refresh_resolves_view_snapshot_once(spark, tmp_path):
@@ -216,3 +215,182 @@ def test_join_refresh_resolves_view_snapshot_once(spark, tmp_path):
     )
     want = {r["d_name"]: (r["n"], r["mx"]) for r in j.collect()}
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# late-round review findings (r11 second pass)                        #
+# ------------------------------------------------------------------ #
+
+
+def _join_setup(spark, tmp_path):
+    fact = TxLogTable(str(tmp_path / "fact"))
+    fact.append(
+        spark.createDataFrame(
+            [(i, i % 7, float(i * 10)) for i in range(1, 41)],
+            "id long, supp long, amount double",
+        )
+    )
+    fact.alter_properties({"cdf.enabled": "true"})
+    supp = TxLogTable(str(tmp_path / "supp"))
+    supp.append(
+        spark.createDataFrame(
+            [(s, s % 3) for s in range(7)], "s_id long, nat_id long"
+        )
+    )
+    supp.alter_properties({"cdf.enabled": "true"})
+    nat = TxLogTable(str(tmp_path / "nat"))
+    nat.append(
+        spark.createDataFrame(
+            [(n, f"N{n}") for n in range(3)], "nat_key long, n_name string"
+        )
+    )
+    mv = IncrementalJoinAggView(
+        fact, str(tmp_path / "mv"), ["n_name"],
+        {"n": ("count", "1"), "rev": ("sum", "amount")},
+        dims=[DimJoin(supp, on=[("supp", "s_id")], select=["nat_id"]),
+              DimJoin(nat, on=[("nat_id", "nat_key")], select=["n_name"])],
+        rebuild_ratio=None,
+    )
+    return fact, supp, nat, mv
+
+
+def _join_oracle(spark, fact, supp, nat):
+    f, s, n = fact.read(spark), supp.read(spark), nat.read(spark)
+    j = (
+        f.join(s, f.supp == s.s_id)
+        .join(n, s.nat_id == n.nat_key)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("rev"))
+    )
+    return {r["n_name"]: (r["n"], round(r["rev"], 6)) for r in j.collect()}
+
+
+def _join_view_rows(spark, mv):
+    return {
+        r["n_name"]: (r["n"], round(r["rev"], 6))
+        for r in mv.read(spark).collect()
+    }
+
+
+def test_dim_crash_then_second_move_recovers_from_txn(spark, tmp_path):
+    """CONFIRMED corruption repro from the late review: a crash between
+    the dim merge and the pin advance, followed by ANOTHER dim movement,
+    must window the replay from the versions the committed merge
+    reflects (recovered from the matview.dims txn id) — windowing from
+    the stale property pins misses the groups the intermediate merge
+    rewrote and leaves phantom rows forever."""
+    fact, supp, nat, mv = _join_setup(spark, tmp_path)
+    mv.build(spark)
+    old_pins = {
+        k: v for k, v in mv.view.snapshot().properties.items()
+        if k.startswith("matview.dim.")
+    }
+    supp.update(spark, "s_id = 2", {"nat_id": "1"})  # N2 -> N1
+    mv.refresh_dimensions(spark)
+    # crash: the merge committed, the pin advance is lost
+    mv.view.alter_properties(old_pins)
+    supp.update(spark, "s_id = 2", {"nat_id": "2"})  # back: N1 -> N2
+    mv.refresh_dimensions(spark)
+    assert _join_view_rows(spark, mv) == _join_oracle(spark, fact, supp, nat)
+
+
+def test_dim_old_snapshot_vacuumed_raises_typed(spark, tmp_path):
+    """The discovery reads each moved dim at its PINNED (old) version;
+    if that snapshot was vacuumed, refresh_dimensions must raise the
+    typed window error (build() hint), never a raw Spark failure."""
+    from bigdataingestion_spark.sinks.matview import (
+        MatviewWindowUnreadableError,
+    )
+
+    fact, supp, nat, mv = _join_setup(spark, tmp_path)
+    mv.build(spark)
+    before = _join_view_rows(spark, mv)
+    supp.update(spark, "s_id = 2", {"nat_id": "0"})  # CoW rewrite
+    supp.vacuum(retention_seconds=0.0)  # reaps the pinned version's file
+    with pytest.raises(MatviewWindowUnreadableError, match="build\\(\\)"):
+        mv.refresh_dimensions(spark)
+    assert _join_view_rows(spark, mv) == before
+    mv.build(spark)  # heals
+    assert _join_view_rows(spark, mv) == _join_oracle(spark, fact, supp, nat)
+
+
+def test_unresolvable_cursor_snapshot_raises_typed(spark, tmp_path):
+    """snapshot(cursor) returning None (log no longer resolves the
+    version) must surface as the typed window error, not an
+    AttributeError two lines later."""
+    import unittest.mock as mock
+
+    from bigdataingestion_spark.sinks.matview import (
+        MatviewWindowUnreadableError,
+    )
+
+    fact, supp, nat, mv = _join_setup(spark, tmp_path)
+    mv.build(spark)
+    supp.update(spark, "s_id = 2", {"nat_id": "0"})
+    with mock.patch.object(fact, "snapshot", return_value=None):
+        with pytest.raises(
+            MatviewWindowUnreadableError, match="cannot be resolved"
+        ):
+            mv.refresh_dimensions(spark)
+
+
+def test_window_bytes_mirrors_replay_branches(spark, tmp_path):
+    """Unit pin of the cost model against read_cdf's branches: a
+    clone-with-deletion-vectors commit replays its ADD files (must cost
+    > 0 — the dv check cannot shadow the clone branch); a row-level DML
+    with a materialized change map costs ONLY its _cdf images (its CoW
+    add/remove amplification is never read)."""
+    import unittest.mock as mock
+
+    src = _source(spark, tmp_path, n=50)
+    mv = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")},
+    )
+    rel = next(iter(src.snapshot().files))
+    clone = {
+        "op": "clone", "add": [rel], "remove": [],
+        "dv": {rel: "dv-sidecar"}, "version": 99,
+    }
+    with mock.patch.object(src, "commits_between", return_value=[clone]):
+        assert mv._window_bytes(0, 99) > 0
+    dml = {
+        "op": "update", "add": [rel], "remove": [rel],
+        "cdf": {"update_postimage": []}, "version": 99,
+    }
+    with mock.patch.object(src, "commits_between", return_value=[dml]):
+        assert mv._window_bytes(0, 99) == 0
+
+
+def test_dim_keys_unpersisted_when_later_dim_raises(spark, tmp_path):
+    """A later dim failing mid-discovery (no cdf) must not leak the
+    earlier dims' persisted key frames."""
+    from pyspark import StorageLevel
+
+    from bigdataingestion_spark.sinks.matview import (
+        MatviewWindowUnreadableError,
+    )
+
+    fact, supp, nat, mv = _join_setup(spark, tmp_path)
+    # nat has NO cdf.enabled in this setup variant: disable it by using
+    # a fresh nat without the property, wired into a new view
+    nat2 = TxLogTable(str(tmp_path / "nat2"))
+    nat2.append(
+        spark.createDataFrame(
+            [(n, f"N{n}") for n in range(3)], "nat_key long, n_name string"
+        )
+    )
+    mv2 = IncrementalJoinAggView(
+        fact, str(tmp_path / "mv2"), ["n_name"],
+        {"n": ("count", "1")},
+        dims=[DimJoin(supp, on=[("supp", "s_id")], select=["nat_id"]),
+              DimJoin(nat2, on=[("nat_id", "nat_key")], select=["n_name"])],
+        rebuild_ratio=None,
+    )
+    mv2.build(spark)
+    supp.update(spark, "s_id = 1", {"nat_id": "0"})  # dim 0: fine (cdf on)
+    nat2.update(spark, "nat_key = 0", {"n_name": "'NX'"})  # dim 1: no cdf
+    jvm_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    with pytest.raises(MatviewWindowUnreadableError):
+        mv2.refresh_dimensions(spark)
+    jvm_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert jvm_after <= jvm_before
