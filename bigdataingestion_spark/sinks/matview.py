@@ -82,6 +82,7 @@ _CURSOR_KEY = "matview.source.version"
 _PENDING_KEY = "matview.rebuild.pending"
 _TXN_PREFIX = "matview.cursor."
 _DIMS_TXN_PREFIX = "matview.dims."
+_DIM_EPOCH_KEY = "matview.dims.epoch"
 
 
 class MatviewDefinitionError(ValueError):
@@ -843,12 +844,21 @@ class IncrementalJoinAggView(IncrementalAggView):
     def _pinned_dim_versions(self, snap) -> list[int]:
         """The dim versions the STATE actually reflects: the pinned
         properties, raised componentwise by any committed
-        ``matview.dims.<v0>-<v1>-…`` merge txn id whose property advance
-        was lost to a crash — the dim-side mirror of :meth:`_cursor`.
-        Without the recovery, a crash between a dim merge and its
-        re-pin followed by ANOTHER dim movement would compute the next
-        affected-group window from the stale pins and permanently miss
-        the groups the committed merge already rewrote."""
+        ``matview.dims.e<epoch>.<v0>-<v1>-…`` merge txn id whose
+        property advance was lost to a crash — the dim-side mirror of
+        :meth:`_cursor`. Without the recovery, a crash between a dim
+        merge and its re-pin followed by ANOTHER dim movement would
+        compute the next affected-group window from the stale pins and
+        permanently miss the groups the committed merge already rewrote.
+
+        Only txn ids of the CURRENT build epoch count: ``build()`` bumps
+        ``matview.dims.epoch``, so (a) a lingering txn id from before a
+        re-anchor can never override a fresh build's pins (a re-created
+        dim table restarting at v1 would otherwise be stuck behind a
+        max() with the dead epoch's vector until txn retention expired),
+        and (b) a post-rebuild dim refresh reaching the same version
+        vector as a pre-rebuild one is a NEW txn, never deduplicated
+        into a silent no-op."""
         out = []
         for i, d in enumerate(self.dims):
             key = self._DIM_KEY.format(i=i)
@@ -858,10 +868,11 @@ class IncrementalJoinAggView(IncrementalAggView):
                     f"dimension {i} ({d.table.path}); re-run build()"
                 )
             out.append(int(snap.properties[key]))
+        prefix = self._dims_txn_prefix(snap)
         for t in snap.txn_ids:
-            if not t.startswith(_DIMS_TXN_PREFIX):
+            if not t.startswith(prefix):
                 continue
-            parts = t[len(_DIMS_TXN_PREFIX):].split("-")
+            parts = t[len(prefix):].split("-")
             if len(parts) != len(out):
                 continue
             try:
@@ -870,6 +881,24 @@ class IncrementalJoinAggView(IncrementalAggView):
                 continue
             out = [max(a, b) for a, b in zip(out, vec)]
         return out
+
+    @staticmethod
+    def _dims_txn_prefix(snap) -> str:
+        epoch = snap.properties.get(_DIM_EPOCH_KEY, "0")
+        return f"{_DIMS_TXN_PREFIX}e{epoch}."
+
+    def _heal_dim_pins(self, snap, pinned: list[int]) -> None:
+        """Persist txn-recovered pins into the properties: txn ids age
+        out of the snapshot at checkpoint roll (retention), so a pin
+        advance lost to a crash must be re-recorded the first time any
+        maintenance path observes the recovery — not only when
+        refresh_dimensions happens to be called."""
+        stored = [
+            int(snap.properties[self._DIM_KEY.format(i=i)])
+            for i in range(len(self.dims))
+        ]
+        if stored != pinned:
+            self.view.alter_properties(self._dim_props(pinned))
 
     def _check_dims_unmoved(self, snap) -> list[int]:
         pinned = self._pinned_dim_versions(snap)
@@ -968,8 +997,16 @@ class IncrementalJoinAggView(IncrementalAggView):
         enriched = self._enrich(
             spark, self.source.read(spark, version=to), versions
         )
+        # a (re)build starts a new dim epoch: txn ids of earlier epochs
+        # stop participating in pin recovery and can never collide with
+        # this anchor's future dim-refresh txn ids
+        prev = self.view.snapshot()
+        epoch = int((prev.properties if prev else {}).get(_DIM_EPOCH_KEY, 0))
         return self._build_state(
-            spark, to, enriched, self._dim_props(versions)
+            spark,
+            to,
+            enriched,
+            {**self._dim_props(versions), _DIM_EPOCH_KEY: str(epoch + 1)},
         )
 
     def refresh(self, spark: SparkSession) -> int:
@@ -982,7 +1019,9 @@ class IncrementalJoinAggView(IncrementalAggView):
                 f"view at {self.path} has no committed build; call build()"
             )
         self._check_definition(snap)
-        self._check_dims_unmoved(snap)
+        pinned = self._check_dims_unmoved(snap)
+        # persist txn-recovered pins before they age out of the snapshot
+        self._heal_dim_pins(snap, pinned)
         return self._refresh_checked(spark, snap)
 
     def _window_changes(
@@ -1044,12 +1083,7 @@ class IncrementalJoinAggView(IncrementalAggView):
             # pins if only the metadata advance was lost (txn ids can
             # age out of the snapshot — the property must not lag
             # forever)
-            stored = [
-                int(snap.properties[self._DIM_KEY.format(i=i)])
-                for i in range(len(self.dims))
-            ]
-            if stored != pinned:
-                self.view.alter_properties(self._dim_props(pinned))
+            self._heal_dim_pins(snap, pinned)
             return pinned
         cursor = self._cursor(snap)
         src_snap = self._require_snapshot(
@@ -1124,7 +1158,9 @@ class IncrementalJoinAggView(IncrementalAggView):
                     )
             affected = affected.distinct().persist()
             self._refuse_null_groups(affected, "dimension change feed")
-            txn = _DIMS_TXN_PREFIX + "-".join(str(v) for v in current)
+            txn = self._dims_txn_prefix(snap) + "-".join(
+                str(v) for v in current
+            )
             self._recompute_groups(spark, affected, cursor, current, txn)
         finally:
             if affected is not None:
@@ -1146,7 +1182,11 @@ class IncrementalJoinAggView(IncrementalAggView):
             )
         gone = [
             f
-            for f in snap.files
+            # deletion-vector sidecars are read alongside their data
+            # files (and vacuum reclaims superseded ones), so the check
+            # must cover both — a missing dv would otherwise erupt as a
+            # raw FileNotFoundError inside the scan action
+            for f in [*snap.files, *snap.dvs.values()]
             if not os.path.exists(os.path.join(table.path, f))
         ]
         if gone:

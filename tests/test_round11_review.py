@@ -394,3 +394,107 @@ def test_dim_keys_unpersisted_when_later_dim_raises(spark, tmp_path):
         mv2.refresh_dimensions(spark)
     jvm_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert jvm_after <= jvm_before
+
+
+def test_fact_refresh_heals_crash_recovered_pins(spark, tmp_path):
+    """Third-pass finding: txn-recovered pins must be re-persisted by
+    ANY maintenance path that observes them — txn ids age out of the
+    snapshot at checkpoint retention, so leaving the heal to a
+    refresh_dimensions call nothing triggers would let the stale
+    property pins resurface and reproduce the corruption."""
+    fact, supp, nat, mv = _join_setup(spark, tmp_path)
+    mv.build(spark)
+    old_pins = {
+        k: v for k, v in mv.view.snapshot().properties.items()
+        if k.startswith("matview.dim.") and not k.endswith("epoch")
+    }
+    supp.update(spark, "s_id = 2", {"nat_id": "1"})
+    mv.refresh_dimensions(spark)
+    healed = {
+        k: v for k, v in mv.view.snapshot().properties.items()
+        if k in old_pins
+    }
+    # crash: lose the pin advance
+    mv.view.alter_properties(old_pins)
+    fact.delete(spark, "id = 4")
+    mv.refresh(spark)  # fact-side refresh recovers AND re-persists
+    props = mv.view.snapshot().properties
+    assert {k: props[k] for k in old_pins} == healed
+    assert _join_view_rows(spark, mv) == _join_oracle(spark, fact, supp, nat)
+
+
+def test_rebuilt_dim_table_does_not_loop_on_stale_txn(spark, tmp_path):
+    """Third-pass finding: a dim table dropped and RE-CREATED at the
+    same path (versions restart) left a lingering matview.dims txn id
+    whose vector exceeded the new dim head — before the epoch scheme,
+    build() could never clear it and every refresh looped on
+    stale/REWOUND errors until txn retention expired. build() bumps the
+    epoch, so the dead epoch's txn ids stop participating."""
+    import shutil
+
+    fact, supp, nat, mv = _join_setup(spark, tmp_path)
+    mv.build(spark)
+    # advance the supp dim a few versions and fold them in (commits a
+    # matview.dims.e1.<high-vector> txn id)
+    for v in ("1", "0", "2"):
+        supp.update(spark, "s_id = 2", {"nat_id": v})
+        mv.refresh_dimensions(spark)
+    high = supp.version()
+    # drop + re-create the dim at the same path, versions restart low
+    shutil.rmtree(str(tmp_path / "supp"))
+    supp2 = TxLogTable(str(tmp_path / "supp"))
+    supp2.append(
+        spark.createDataFrame(
+            [(s, s % 3) for s in range(7)], "s_id long, nat_id long"
+        )
+    )
+    supp2.alter_properties({"cdf.enabled": "true"})
+    assert supp2.version() < high
+    mv2 = IncrementalJoinAggView(
+        fact, str(tmp_path / "mv"), ["n_name"],
+        {"n": ("count", "1"), "rev": ("sum", "amount")},
+        dims=[DimJoin(supp2, on=[("supp", "s_id")], select=["nat_id"]),
+              DimJoin(nat, on=[("nat_id", "nat_key")], select=["n_name"])],
+        rebuild_ratio=None,
+    )
+    mv2.build(spark)  # the prescribed remedy must actually heal
+    assert _join_view_rows(spark, mv2) == _join_oracle(
+        spark, fact, supp2, nat
+    )
+    fact.delete(spark, "id = 6")
+    mv2.refresh(spark)  # no stale/REWOUND loop
+    assert _join_view_rows(spark, mv2) == _join_oracle(
+        spark, fact, supp2, nat
+    )
+    supp2.update(spark, "s_id = 3", {"nat_id": "0"})
+    mv2.refresh_dimensions(spark)  # dim maintenance works in epoch 2
+    assert _join_view_rows(spark, mv2) == _join_oracle(
+        spark, fact, supp2, nat
+    )
+
+
+def test_require_snapshot_covers_dv_sidecars(spark, tmp_path):
+    """Third-pass finding: the history-readability guard must cover
+    deletion-vector sidecars too — a vacuumed dv of the pinned snapshot
+    is read alongside its (still present) data file."""
+    import dataclasses
+    import unittest.mock as mock
+
+    fact, supp, nat, mv = _join_setup(spark, tmp_path)
+    pin = supp.version()  # the version build() will pin
+    mv.build(spark)
+    supp.update(spark, "s_id = 2", {"nat_id": "0"})
+    real = supp.snapshot(pin)
+    fake = dataclasses.replace(
+        real, dvs={real.files[0]: "_dv/reaped-by-vacuum.json"}
+    )
+    orig = supp.snapshot
+
+    def patched(version=None):
+        return fake if version == pin else orig(version)
+
+    with mock.patch.object(supp, "snapshot", side_effect=patched):
+        with pytest.raises(
+            MatviewWindowUnreadableError, match="vacuum"
+        ):
+            mv.refresh_dimensions(spark)
