@@ -5713,6 +5713,88 @@ def txlog_matview_join(spark, sf_dir):
 
 
 @register(
+    "txlog_matview_filtered",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 150000
+                  WHEN o_orderkey % 6 = 3 THEN o_totalprice - 150000
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 14 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM base
+    WHERE price < 200000
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_filtered(spark, sf_dir):
+    """[EXT] FILTERED incremental view (r11, sinks/matview.py `where`):
+    the view aggregates only rows its predicate accepts, and the
+    maintenance filters the CHANGE rows by the same row-local predicate
+    — so the update windows here, which push some orders ACROSS the
+    price boundary in both directions (+150k leaves the view, −150k
+    re-enters it), net exactly: a passing preimage contributes −1, a
+    failing postimage contributes nothing. Built over the %3==0 slice,
+    then an append (%3==1), two boundary-crossing updates and a delete
+    (%14==0), two incremental refreshes (self-asserted merges); the
+    final view must hash-match a from-scratch filtered DuckDB
+    aggregation. The sum aggregates integer CENTS, so the additive fold
+    is exact and order-independent (a double sum's last-bit drift at
+    1e8 magnitudes straddles any fixed rounding). At 100 TB a filtered
+    rollup costs O(churn), not a re-filtering of the table."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = _fresh_txlog()
+    src.append(orders.filter(k % 3 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("count", "1"),
+            "sum_cents": (
+                "sum", "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ),
+        },
+        rebuild_ratio=None,
+        where="o_totalprice < 200000",
+    )
+    mv.build(spark)
+    src.append(orders.filter(k % 3 == 1))
+    mv.refresh(spark)
+    src.update(
+        spark, "o_orderkey % 6 = 0",
+        {"o_totalprice": "o_totalprice + 150000"},
+    )
+    src.update(
+        spark, "o_orderkey % 6 = 3",
+        {"o_totalprice": "o_totalprice - 150000"},
+    )
+    src.delete(spark, "o_orderkey % 14 = 0")
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 2, f"expected 2 refresh merges, got {ops}"
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
     "txlog_matview_dim_change",
     """
     WITH supp2 AS (
@@ -6105,7 +6187,9 @@ _GATE_FIRST = [
     "docs_bigram_quality",
     "txlog_backfill_replace",
     # Exactly 50 names (3 new r11 + 4 post-freeze r10 + 3 r6-age +
-    # 40 r9 cohort). r12 queue: any queries new in r12 lead, then the
+    # 40 r9 cohort). r12 queue: txlog_matview_filtered (added after this
+    # window froze — judge-sweep green, zero driver evidence) and any
+    # queries new in r12 lead, then the
     # 10 remaining r9-cohort entries (txlog_rename_migration,
     # txlog_dv_point_delete, txlog_cdf_audit, txlog_generated_bucket,
     # docs_boilerplate_ngrams, docs_length_profile, docs_pack_sequences,

@@ -145,6 +145,21 @@ class IncrementalAggView:
     match NULL to NULL, so a NULL-keyed group could not be maintained —
     the same restriction Delta MERGE keys carry. COALESCE the key
     expression into a sentinel upstream if NULL groups are meaningful.
+
+    ``where`` (optional) is a SQL predicate over source columns — the
+    view aggregates only rows it accepts (``GROUP BY … WHERE …``, SQL
+    three-valued semantics: NULL = excluded). Because the predicate is
+    ROW-LOCAL and deterministic, incremental maintenance just filters
+    the change rows by it: an update moving a row ACROSS the boundary
+    nets exactly right (a passing preimage contributes −1, a failing
+    postimage contributes nothing), the insert-only proof is unaffected
+    (a filtered insert window is still insert-only), and the recompute
+    scan applies the same filter. On a join view the predicate is
+    evaluated AFTER enrichment, so it may reference the dimension
+    columns the joins CARRY (each dim's ``select`` minus its own join
+    keys — the same namespace group/aggregate expressions see); an
+    uncarried column fails loudly at build() with an unresolved-column
+    error.
     """
 
     def __init__(
@@ -154,6 +169,7 @@ class IncrementalAggView:
         group_cols: list[str],
         aggs: dict[str, tuple[str, str]],
         rebuild_ratio: float | None = 1.0,
+        where: str | None = None,
     ):
         if rebuild_ratio is not None and rebuild_ratio <= 0:
             raise ValueError("rebuild_ratio must be positive (or None to "
@@ -187,6 +203,7 @@ class IncrementalAggView:
         self.group_cols = list(group_cols)
         self.aggs = {k: (fn, expr) for k, (fn, expr) in aggs.items()}
         self.rebuild_ratio = rebuild_ratio
+        self.where = where
         self.view = TxLogTable(path)
         # (files scanned, files in snapshot) of the last recompute-path
         # refresh — introspection for prune measurements, never read by
@@ -195,14 +212,18 @@ class IncrementalAggView:
 
     # ------------------------------------------------------ definition --
     def _definition_json(self) -> str:
-        return json.dumps(
-            {
-                "source": self.source.path,
-                "group_cols": self.group_cols,
-                "aggs": {k: list(v) for k, v in self.aggs.items()},
-            },
-            sort_keys=True,
-        )
+        d = {
+            "source": self.source.path,
+            "group_cols": self.group_cols,
+            "aggs": {k: list(v) for k, v in self.aggs.items()},
+        }
+        # key present only when set: views persisted before the filter
+        # feature stored no "where" key, and _check_definition compares
+        # exact strings — emitting "where": null would force an
+        # O(source) rebuild of every existing unfiltered view
+        if self.where is not None:
+            d["where"] = self.where
+        return json.dumps(d, sort_keys=True)
 
     def _check_definition(self, snap) -> None:
         if snap.properties.get(_PENDING_KEY) == "true":
@@ -293,6 +314,14 @@ class IncrementalAggView:
         src = self.source.read(spark, version=to)
         return self._build_state(spark, to, src, {})
 
+    def _filtered(self, df: DataFrame) -> DataFrame:
+        """Apply the view's ``where`` predicate (no-op when absent) —
+        the ONE seam every path shares: build aggregates filtered rows,
+        the additive path filters change rows (row-local predicate, so
+        boundary-crossing updates net exactly), the recompute scan
+        filters before aggregating."""
+        return df.filter(F.expr(self.where)) if self.where else df
+
     def _build_state(
         self, spark, to: int, src: DataFrame, pin_props: dict
     ) -> int:
@@ -300,6 +329,7 @@ class IncrementalAggView:
         publish it with the cursor pinned at ``to`` (plus any extra
         ``pin_props`` a subclass records — the join view's dimension
         versions)."""
+        src = self._filtered(src)
         state = (
             src.groupBy(*self.group_cols).agg(*self._state_exprs())
         ).persist()
@@ -480,7 +510,7 @@ class IncrementalAggView:
         hook for subclasses (the join view enriches it here, reading its
         pinned dim versions from ``view_snap`` without another log
         replay)."""
-        return self.source.read_cdf(spark, frm, to)
+        return self._filtered(self.source.read_cdf(spark, frm, to))
 
     # -------------------------------------------------- additive path --
     def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
@@ -635,7 +665,8 @@ class IncrementalAggView:
                     [], StructType.fromJson(json.loads(snap.schema_json))
                 )
             fresh = (
-                scan.join(affected, self.group_cols, "left_semi")
+                self._filtered(scan)
+                .join(affected, self.group_cols, "left_semi")
                 .groupBy(*self.group_cols)
                 .agg(*self._state_exprs())
             )
@@ -806,8 +837,11 @@ class IncrementalJoinAggView(IncrementalAggView):
         aggs: dict[str, tuple[str, str]],
         dims: list[DimJoin],
         rebuild_ratio: float | None = 1.0,
+        where: str | None = None,
     ):
-        super().__init__(source, path, group_cols, aggs, rebuild_ratio)
+        super().__init__(
+            source, path, group_cols, aggs, rebuild_ratio, where
+        )
         if not dims:
             raise ValueError(
                 "dims must name at least one dimension (use "
@@ -822,6 +856,7 @@ class IncrementalJoinAggView(IncrementalAggView):
                 "source": self.source.path,
                 "group_cols": self.group_cols,
                 "aggs": {k: list(v) for k, v in self.aggs.items()},
+                **({"where": self.where} if self.where is not None else {}),
                 "dims": [
                     {
                         "path": d.table.path,
@@ -1032,8 +1067,10 @@ class IncrementalJoinAggView(IncrementalAggView):
         # enrichment is change-type-agnostic: _change_type /
         # _commit_version ride through the joins untouched, and a
         # preimage row joining k dim rows contributes -k exactly as its
-        # insert contributed +k (same frozen snapshot, same fan-out)
-        return self._enrich(spark, ch, versions)
+        # insert contributed +k (same frozen snapshot, same fan-out).
+        # The view predicate applies AFTER enrichment (it may reference
+        # dim columns)
+        return self._filtered(self._enrich(spark, ch, versions))
 
     # ------------------------------------------- dimension maintenance --
     def refresh_dimensions(self, spark: SparkSession) -> list[int]:
@@ -1150,8 +1187,10 @@ class IncrementalJoinAggView(IncrementalAggView):
                         src_snap,
                         self._fact_candidates(src_snap, bound_sets),
                     )
-                    g = self._enrich(
-                        spark, scan, versions, dim_filters={i: keys}
+                    g = self._filtered(
+                        self._enrich(
+                            spark, scan, versions, dim_filters={i: keys}
+                        )
                     ).select(*self.group_cols)
                     affected = (
                         g if affected is None else affected.unionByName(g)
@@ -1251,7 +1290,7 @@ class IncrementalJoinAggView(IncrementalAggView):
         self.last_recompute_files = (len(files), len(snap.files))
         scan = self._scan_files(spark, snap, files)
         fresh = (
-            self._enrich(spark, scan, versions)
+            self._filtered(self._enrich(spark, scan, versions))
             .join(affected, self.group_cols, "left_semi")
             .groupBy(*self.group_cols)
             .agg(*self._state_exprs())

@@ -617,3 +617,134 @@ def test_vacuumed_window_raises_with_rebuild_hint(spark, tmp_path):
     assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
         spark, src, _add_oracle()
     )
+
+
+# ------------------------------------------------------------------ #
+# filtered views (r11): WHERE predicate on the view definition       #
+# ------------------------------------------------------------------ #
+
+
+def _flt_oracle(spark, src, where):
+    return _rows(
+        src.read(spark).filter(where).groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+        ),
+        ["n", "s"],
+    )
+
+
+def test_filtered_view_tracks_boundary_crossing_updates(spark, tmp_path):
+    """A WHERE'd view under updates that move rows ACROSS the predicate
+    boundary in both directions: the change-row filter nets exactly (a
+    passing preimage is -1, a failing postimage adds nothing), and the
+    view equals a from-scratch filtered aggregation after every
+    window."""
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+        where="val < 20",
+    )
+    mv.build(spark)
+    assert _rows(mv.read(spark), ["n", "s"]) == _flt_oracle(
+        spark, src, "val < 20"
+    )
+    # push some in-rows out and some out-rows in, plus inserts each side
+    src.update(spark, "id <= 5", {"val": "val + 100"})   # leave the view
+    src.update(spark, "id >= 25", {"val": "val - 25"})   # enter the view
+    src.append(
+        spark.createDataFrame(
+            [(500, "g0", 3.0), (501, "g1", 999.0)],
+            "id long, grp string, val double",
+        )
+    )
+    src.delete(spark, "id % 7 = 0")
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "s"]) == _flt_oracle(
+        spark, src, "val < 20"
+    )
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 1  # incremental, not rebuilt
+
+
+def test_filtered_minmax_recompute_and_insert_only_fold(spark, tmp_path):
+    """Min/max + WHERE: the recompute scan applies the filter (a delete
+    of the in-filter max drops it to the next IN-FILTER value, never to
+    an excluded row's), and the insert-only fold filters the appended
+    rows without reading the source back."""
+    import unittest.mock as mock
+
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"],
+        {"mx": ("max", "val"), "n": ("count", "1")},
+        rebuild_ratio=None,
+        where="val <= 25",
+    )
+    mv.build(spark)
+
+    def oracle():
+        return _rows(
+            src.read(spark).filter("val <= 25").groupBy("grp").agg(
+                F.max("val").alias("mx"), F.count(F.lit(1)).alias("n")
+            ),
+            ["mx", "n"],
+        )
+
+    # insert-only window: one row inside the filter, one outside
+    src.append(
+        spark.createDataFrame(
+            [(600, "g0", 24.5), (601, "g0", 9e9)],
+            "id long, grp string, val double",
+        )
+    )
+    boom = AssertionError("insert-only filtered refresh must not scan")
+    with mock.patch.object(src, "read", side_effect=boom), \
+         mock.patch.object(src, "_stats_candidates", side_effect=boom):
+        mv.refresh(spark)
+    got = _rows(mv.read(spark), ["mx", "n"])
+    assert got == oracle()
+    assert got["g0"][0] == 24.5  # the 9e9 row never entered
+    src.delete(spark, "val = 24.5")  # in-filter max gone -> recompute
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["mx", "n"]) == oracle()
+
+
+def test_where_is_part_of_the_definition(spark, tmp_path):
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")},
+        where="val < 20",
+    )
+    mv.build(spark)
+    other = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")},
+        where="val < 10",
+    )
+    with pytest.raises(MatviewDefinitionError):
+        other.refresh(spark)
+
+
+def test_unfiltered_definition_format_is_unchanged(spark, tmp_path):
+    """Backward compat: an UNFILTERED view's stored definition carries
+    no "where" key (exact-string compare — views persisted before the
+    filter feature must keep refreshing without a rebuild)."""
+    import json as _json
+
+    src = _source(spark, tmp_path)
+    mv = _additive(spark, tmp_path, src)
+    mv.build(spark)
+    stored = _json.loads(
+        mv.view.snapshot().properties["matview.definition"]
+    )
+    assert "where" not in stored
+    src.append(
+        spark.createDataFrame(
+            [(700, "g0", 1.0)], "id long, grp string, val double"
+        )
+    )
+    mv.refresh(spark)  # still accepted
+    assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
+        spark, src, _add_oracle()
+    )

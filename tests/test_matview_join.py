@@ -686,3 +686,43 @@ def test_join_view_approx_distinct(spark, tmp_path):
     supp.update(spark, "s_id = 2", {"nat_id": "0"})  # dim migration
     mv.refresh_dimensions(spark)
     assert _rows(mv.read(spark), ["n", "supps"]) == oracle()
+
+
+def test_filtered_join_view_predicate_on_dim_column(spark, tmp_path):
+    """WHERE on a join view may reference DIMENSION columns (evaluated
+    post-enrichment): fact DML and a dim migration both maintain the
+    filtered rollup exactly."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims_cdf(spark, tmp_path)
+    mv = IncrementalJoinAggView(
+        fact, str(tmp_path / "mv"), ["n_name"],
+        {"n": ("count", "1"), "rev": ("sum", "amount")},
+        dims=[DimJoin(supp, on=[("supp", "s_id")], select=["nat_id"]),
+              DimJoin(nat, on=[("nat_id", "nat_key")], select=["n_name"])],
+        rebuild_ratio=None,
+        where="n_name <> 'N1' AND amount < 500",
+    )
+    mv.build(spark)
+
+    def oracle():
+        f, s, n = fact.read(spark), supp.read(spark), nat.read(spark)
+        j = (
+            f.join(s, f.supp == s.s_id)
+            .join(n, s.nat_id == n.nat_key)
+            .filter("n_name <> 'N1' AND amount < 500")
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("rev"))
+        )
+        return _rows(j, ["n", "rev"])
+
+    assert _rows(mv.read(spark), ["n", "rev"]) == oracle()
+    fact.update(spark, "id % 3 = 0", {"amount": "amount + 400"})
+    fact.delete(spark, "id % 11 = 0")
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "rev"]) == oracle()
+    # migrate a supplier INTO the excluded nation: its rows leave the
+    # view; and one OUT of it: its rows (re)enter
+    supp.update(spark, "s_id = 2", {"nat_id": "1"})
+    supp.update(spark, "s_id = 4", {"nat_id": "2"})
+    mv.refresh_dimensions(spark)
+    assert _rows(mv.read(spark), ["n", "rev"]) == oracle()
