@@ -171,23 +171,10 @@ class IncrementalAggView:
         rebuild_ratio: float | None = 1.0,
         where: str | None = None,
     ):
-        if rebuild_ratio is not None and rebuild_ratio <= 0:
-            raise ValueError("rebuild_ratio must be positive (or None to "
-                             "always refresh incrementally)")
-        if not group_cols:
-            raise ValueError("group_cols must name at least one column")
+        self._init_common(source, path, group_cols, rebuild_ratio, where)
         if not aggs:
             raise ValueError("aggs must declare at least one aggregate")
         lowered = {g.lower() for g in group_cols}
-        for g in group_cols:
-            # group columns are interpolated into merge SQL assignment
-            # strings (``s.<col>``) — a space or dot would parse as a
-            # syntax error or a struct-field reference at refresh time;
-            # refuse at construction like aggregate output names
-            if not _NAME_RE.match(g):
-                raise ValueError(
-                    f"group column {g!r} is not a plain SQL identifier"
-                )
         for out, (fn, expr) in aggs.items():
             if not _NAME_RE.match(out):
                 raise ValueError(f"aggregate output name {out!r} is not a "
@@ -198,10 +185,35 @@ class IncrementalAggView:
             if out.lower() in lowered:
                 raise ValueError(f"aggregate {out!r} collides with a "
                                  "group column")
+        self.aggs = {k: (fn, expr) for k, (fn, expr) in aggs.items()}
+
+    def _init_common(
+        self,
+        source: TxLogTable,
+        path: str,
+        group_cols: list[str],
+        rebuild_ratio: float | None,
+        where: str | None,
+    ) -> None:
+        """Field validation/assignment every view kind shares (the top-k
+        subclass has no ``aggs`` dict, so it calls this directly)."""
+        if rebuild_ratio is not None and rebuild_ratio <= 0:
+            raise ValueError("rebuild_ratio must be positive (or None to "
+                             "always refresh incrementally)")
+        if not group_cols:
+            raise ValueError("group_cols must name at least one column")
+        for g in group_cols:
+            # group columns are interpolated into merge SQL assignment
+            # strings (``s.<col>``) — a space or dot would parse as a
+            # syntax error or a struct-field reference at refresh time;
+            # refuse at construction like aggregate output names
+            if not _NAME_RE.match(g):
+                raise ValueError(
+                    f"group column {g!r} is not a plain SQL identifier"
+                )
         self.source = source
         self.path = path
         self.group_cols = list(group_cols)
-        self.aggs = {k: (fn, expr) for k, (fn, expr) in aggs.items()}
         self.rebuild_ratio = rebuild_ratio
         self.where = where
         self.view = TxLogTable(path)
@@ -330,9 +342,7 @@ class IncrementalAggView:
         ``pin_props`` a subclass records — the join view's dimension
         versions)."""
         src = self._filtered(src)
-        state = (
-            src.groupBy(*self.group_cols).agg(*self._state_exprs())
-        ).persist()
+        state = self._compute_state(src).persist()
         try:
             self._refuse_null_groups(state, "source")
             if self.view.snapshot() is None:
@@ -361,6 +371,13 @@ class IncrementalAggView:
         finally:
             state.unpersist()
         return to
+
+    def _compute_state(self, src: DataFrame) -> DataFrame:
+        """The stored state rows for an (already-filtered) source-shaped
+        frame — the one hook build and the recompute path share. The
+        aggregate view's state is one groupBy; :class:`IncrementalTopKView`
+        overrides this to RANK rows instead."""
+        return src.groupBy(*self.group_cols).agg(*self._state_exprs())
 
     def _cursor(self, snap) -> int:
         """Applied-through source version: the recorded property, raised
@@ -664,11 +681,10 @@ class IncrementalAggView:
                 scan = spark.createDataFrame(
                     [], StructType.fromJson(json.loads(snap.schema_json))
                 )
-            fresh = (
-                self._filtered(scan)
-                .join(affected, self.group_cols, "left_semi")
-                .groupBy(*self.group_cols)
-                .agg(*self._state_exprs())
+            fresh = self._compute_state(
+                self._filtered(scan).join(
+                    affected, self.group_cols, "left_semi"
+                )
             )
             self._merge_fresh_state(
                 spark, affected, fresh, f"{_TXN_PREFIX}{to}"
@@ -1289,11 +1305,10 @@ class IncrementalJoinAggView(IncrementalAggView):
         files = self._fact_candidates(snap, bound_sets)
         self.last_recompute_files = (len(files), len(snap.files))
         scan = self._scan_files(spark, snap, files)
-        fresh = (
-            self._filtered(self._enrich(spark, scan, versions))
-            .join(affected, self.group_cols, "left_semi")
-            .groupBy(*self.group_cols)
-            .agg(*self._state_exprs())
+        fresh = self._compute_state(
+            self._filtered(self._enrich(spark, scan, versions)).join(
+                affected, self.group_cols, "left_semi"
+            )
         )
         self._merge_fresh_state(spark, affected, fresh, txn_id)
 
@@ -1381,4 +1396,255 @@ class IncrementalJoinAggView(IncrementalAggView):
             return self.source._read_files(spark, snap, files)
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(snap.schema_json))
+        )
+
+
+# ===================================================================== #
+# top-k views: the k best ROWS per group, maintained incrementally      #
+# ===================================================================== #
+
+
+class IncrementalTopKView(IncrementalAggView):
+    """The k best ROWS per group — leaderboards, per-key latest-n,
+    per-domain best-quality documents — maintained incrementally from
+    the source's change feed. Where :class:`IncrementalAggView` stores
+    one aggregate row per group, this view stores up to ``k`` ranked
+    rows per group (``group_cols`` + ``rank`` 1..k + the ``payload``
+    columns + the ranking value), so SELECTing the current leaderboard
+    never re-sorts the source.
+
+    - ``order_by``: SQL expression over source columns whose value ranks
+      rows (``descending=True`` keeps the k LARGEST). Rows where it
+      evaluates NULL are excluded from the view, the same rows a
+      ``WHERE ord IS NOT NULL`` top-k query would skip.
+    - ``payload``: source columns stored with each ranked row. Ties in
+      ``order_by`` break by the payload columns ASCENDING in declared
+      order; include a unique key so the ordering is TOTAL per group —
+      with ties left ambiguous, an incremental fold and a from-scratch
+      rebuild may legitimately keep different (equal-ranked) rows.
+
+    Maintenance mirrors the min/max story, one rank deeper:
+
+    - **insert-only windows** (txlog's metadata proof): the new top-k of
+      a group is the top-k of (stored top-k rows ∪ window inserts) —
+      rows below the stored horizon can never climb into it when
+      nothing was removed — so the refresh re-ranks ONLY the affected
+      groups' ≤k stored rows unioned with the window's inserts and
+      merges the changed ranks. The source is never read.
+    - **windows with deletes/updates**: a removed row may RESURFACE the
+      row it displaced, which the stored top-k no longer holds; affected
+      groups recompute from the source via the same stats-pruned
+      semi-join the aggregate view uses (cost O(|changes| + affected-
+      group rows), never O(source)).
+
+    Cursor recovery, the cost-based rebuild fallback, the ``where``
+    filter seam, and the unreadable-window errors are all inherited.
+    Single-table sources only (compose a join upstream or denormalize;
+    the join-view delta-enrichment machinery is aggregate-specific).
+    """
+
+    def __init__(
+        self,
+        source: TxLogTable,
+        path: str,
+        group_cols: list[str],
+        order_by: str,
+        k: int,
+        payload: list[str],
+        descending: bool = True,
+        order_name: str = "order_value",
+        rebuild_ratio: float | None = 1.0,
+        where: str | None = None,
+    ):
+        self._init_common(source, path, group_cols, rebuild_ratio, where)
+        if not isinstance(k, int) or k < 1:
+            raise ValueError(f"k must be a positive int, got {k!r}")
+        if not payload:
+            raise ValueError(
+                "payload must name at least one column (include a "
+                "unique key so ties in order_by break deterministically)"
+            )
+        if not order_by or not str(order_by).strip():
+            raise ValueError("order_by must be a SQL expression")
+        lowered = {g.lower() for g in group_cols}
+        for c in payload:
+            if not _NAME_RE.match(c):
+                raise ValueError(
+                    f"payload column {c!r} is not a plain SQL identifier"
+                )
+            if c.lower() in lowered:
+                raise ValueError(
+                    f"payload column {c!r} collides with a group column"
+                )
+            if c.startswith("_mv_"):
+                raise ValueError(
+                    f"payload column {c!r} collides with the view's "
+                    "internal _mv_* namespace"
+                )
+        if len({c.lower() for c in payload}) != len(payload):
+            raise ValueError(f"payload names repeat: {payload}")
+        if not _NAME_RE.match(order_name):
+            raise ValueError(
+                f"order_name {order_name!r} is not a plain SQL identifier"
+            )
+        if (
+            order_name.lower() in lowered
+            or order_name.lower() in {c.lower() for c in payload}
+            or order_name.lower() == "rank"
+        ):
+            raise ValueError(
+                f"order_name {order_name!r} collides with a group, "
+                "payload, or the rank output column"
+            )
+        self.order_by = str(order_by)
+        self.k = k
+        self.payload = list(payload)
+        self.descending = bool(descending)
+        self.order_name = order_name
+        self.aggs = {}  # no aggregate state; satisfies inherited probes
+
+    # ------------------------------------------------------ definition --
+    def _definition_json(self) -> str:
+        d = {
+            "source": self.source.path,
+            "group_cols": self.group_cols,
+            "topk": {
+                "order_by": self.order_by,
+                "k": self.k,
+                "payload": self.payload,
+                "descending": self.descending,
+            },
+        }
+        if self.where is not None:
+            d["where"] = self.where
+        return json.dumps(d, sort_keys=True)
+
+    @property
+    def additive(self) -> bool:
+        # truncation is not invertible: a delete below rank k is
+        # unobservable in the stored state, so nothing about a top-k
+        # folds additively under general windows. (all() over the empty
+        # aggs dict would otherwise answer True here and route deletes
+        # through the insert-only fold.)
+        return False
+
+    # ----------------------------------------------------- state shape --
+    def _candidate_rows(self, df: DataFrame) -> DataFrame:
+        """Source-shaped (or CDF-shaped) rows projected to ranking
+        candidates: group keys + payload + the evaluated order value,
+        NULL order values excluded (change-feed metadata columns fall
+        away here)."""
+        return (
+            df.withColumn("_mv_ord", F.expr(self.order_by))
+            .filter(F.col("_mv_ord").isNotNull())
+            .select(*self.group_cols, *self.payload, "_mv_ord")
+        )
+
+    def _rank(self, cand: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        ordc = (
+            F.col("_mv_ord").desc()
+            if self.descending
+            else F.col("_mv_ord").asc()
+        )
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            ordc, *[F.col(c).asc() for c in self.payload]
+        )
+        return (
+            cand.withColumn("_mv_rank", F.row_number().over(w))
+            .filter(F.col("_mv_rank") <= F.lit(self.k))
+        )
+
+    def _compute_state(self, src: DataFrame) -> DataFrame:
+        return self._rank(self._candidate_rows(src))
+
+    def _state_cols(self) -> list[str]:
+        return [*self.payload, "_mv_ord"]
+
+    # ------------------------------------------------ insert-only fold --
+    def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
+        """Reached only under the txlog's insert-only window proof
+        (``additive`` is False): re-rank stored rows ∪ inserted rows
+        within the affected groups — a bounded frame (≤k stored rows per
+        group plus the window), never the source."""
+        delta = self._candidate_rows(ch)
+        affected = delta.select(*self.group_cols).distinct().persist()
+        try:
+            self._refuse_null_groups(affected, "change feed")
+            stored = (
+                self.view.read(spark)
+                .join(affected, self.group_cols, "left_semi")
+                .select(*self.group_cols, *self.payload, "_mv_ord")
+            )
+            fresh = self._rank(stored.unionByName(delta))
+            self._merge_fresh_state(
+                spark, affected, fresh, f"{_TXN_PREFIX}{to}"
+            )
+        finally:
+            affected.unpersist()
+
+    # -------------------------------------------------- merge (by rank) --
+    def _merge_fresh_state(
+        self, spark, affected: DataFrame, fresh: DataFrame, txn_id: str
+    ) -> None:
+        """Replace the affected groups' ranked rows. Keyed on
+        (group, rank): rank r gets the row now holding it, ranks past a
+        group's new depth (shrunk or vanished groups) are deleted — one
+        conditional MERGE, same commit shape as the aggregate view."""
+        keys = [*self.group_cols, "_mv_rank"]
+        state_cols = self._state_cols()
+        stored = (
+            self.view.read(spark)
+            .join(affected, self.group_cols, "left_semi")
+            .select(*keys, *state_cols)
+        )
+        vanished = stored.select(*keys).join(fresh, keys, "left_anti")
+        # ranks whose content is byte-identical to the stored row need no
+        # rewrite — drop them so the MERGE's touched-file set tracks the
+        # ranks that genuinely moved (an insert below every stored
+        # horizon otherwise rewrites the whole affected leaderboard).
+        # NULL payload values fail the equi-join and conservatively count
+        # as changed — an extra rewrite, never a missed one.
+        changed = fresh.join(stored, [*keys, *state_cols], "left_anti")
+        src = changed.withColumn("_vanish", F.lit(0)).unionByName(
+            vanished.withColumn("_vanish", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        self.view.merge(
+            spark,
+            src,
+            keys=keys,
+            clauses=[
+                when_matched_delete(condition="s._vanish = 1"),
+                when_matched_update(
+                    set={c: f"s.{c}" for c in state_cols}
+                ),
+                when_not_matched_insert(
+                    condition="_vanish = 0",  # bare source scope
+                    values={
+                        **{g: f"s.{g}" for g in self.group_cols},
+                        "_mv_rank": "s._mv_rank",
+                        **{c: f"s.{c}" for c in state_cols},
+                    },
+                ),
+            ],
+            txn_id=txn_id,
+        )
+
+    # ----------------------------------------------------------- read --
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The leaderboard: group columns, ``rank`` (1 = best), the
+        ranking value under ``order_name``, then the payload columns."""
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        self._check_definition(snap)
+        return self.view.read(spark).select(
+            *self.group_cols,
+            F.col("_mv_rank").alias("rank"),
+            F.col("_mv_ord").alias(self.order_name),
+            *self.payload,
         )
