@@ -45,6 +45,7 @@ from bigdataingestion_spark.operators import (
     similarity,
     temporal,
     text,
+    vocab,
 )
 
 # ---------------------------------------------------------------------------
@@ -6120,22 +6121,207 @@ def docs_dup_span_profile(spark, sf_dir):
 
 # The correctness driver gates the FIRST 50 entries of queries() in
 # declaration order (verified in r1/r2: gated set == list(queries())[:50]).
+@register(
+    "txlog_matview_topk",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.5
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 11 <> 0
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderkey, price,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY price DESC, o_orderkey) AS rnk
+      FROM base
+    )
+    SELECT o_orderstatus, CAST(rnk AS INT) AS rnk,
+           round(price, 2) AS price, o_orderkey
+    FROM r WHERE rnk <= 3
+    """,
+)
+def txlog_matview_topk(spark, sf_dir):
+    """[EXT] Incremental TOP-K materialized view (r11,
+    sinks/matview.py::IncrementalTopKView): the 3 highest-priced orders
+    per status, maintained from the change feed. Window 1 is
+    append-only — the refresh re-ranks (stored top-3 ∪ inserts) per
+    affected group, source never read; window 2 updates (%7 half-price,
+    demoting leaders) and deletes (%11, resurfacing displaced rows) —
+    affected groups recompute via the stats-pruned semi-join. The final
+    leaderboard must equal the oracle's from-scratch ranked window over
+    the same final state; tie-break (price DESC, o_orderkey ASC) is
+    total, so fold and rebuild keep identical rows."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalTopKView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = _fresh_txlog()
+    src.append(orders.filter(k % 3 < 2))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalTopKView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        order_by="o_totalprice",
+        k=3,
+        payload=["o_orderkey"],
+        order_name="price",
+        # pin the incremental path: this query IS the driver evidence
+        # for both maintenance modes — the cost fallback could
+        # legitimately pick build() at fixture scale
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(orders.filter(k % 3 == 2))
+    mv.refresh(spark)  # insert-only fold
+    assert mv.last_recompute_files is None, "fold must not read source"
+    src.update(
+        spark, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice * 0.5"}
+    )
+    src.delete(spark, "o_orderkey % 11 = 0")
+    mv.refresh(spark)  # affected-group recompute
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 2, f"expected 2 refresh merges, got {ops}"
+    return mv.read(spark).select(
+        "o_orderstatus",
+        F.col("rank").cast("int").alias("rnk"),
+        F.round("price", 2).alias("price"),
+        "o_orderkey",
+    )
+
+
+@register(
+    "corpus_bpe_top_pairs",
+    f"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, count(*) AS freq FROM words WHERE word <> '' GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substr(word, i, 1) AS lhs,
+             CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                  ELSE '</w>' END AS rhs,
+             freq
+      FROM vocab, LATERAL unnest(generate_series(1, length(word))) AS t(i)
+    )
+    SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_freq
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_freq DESC, lhs, rhs
+    LIMIT 50
+    """,
+)
+def corpus_bpe_top_pairs(spark, sf_dir):
+    """[EXT] BPE tokenizer-training statistic (operators/vocab.py,
+    Sennrich et al. arXiv:1508.07909): the 50 most frequent adjacent
+    character pairs (with </w> end-of-word markers) weighted by word
+    frequency — the argmax surface of BPE's first merge. One corpus
+    pass builds the word vocabulary; pair counting then explodes the
+    BOUNDED vocab (distinct words), not the corpus, and the shuffle
+    carries ~|alphabet|² aggregate keys. Top-50 is a
+    TakeOrderedAndProject under a total order (freq DESC, lhs, rhs) —
+    deterministic across engines and partitionings."""
+    pc = vocab.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+    return (
+        pc.orderBy(F.desc("pair_freq"), F.asc("lhs"), F.asc("rhs"))
+        .limit(50)
+        .select("lhs", "rhs", F.col("pair_freq").cast("long").alias("pair_freq"))
+    )
+
+
+@register(
+    "docs_epoch_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('ep1:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 8 AS INT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def docs_epoch_shuffle(spark, sf_dir):
+    """[EXT] Deterministic epoch shuffle (operators.text.epoch_shuffle):
+    every doc gets a reproducible (shard, pos) training-order address
+    from a keyed md5 — resume-safe, audit-safe, identical on any
+    partitioning or engine. NO global sort: shards assign at the scan
+    (narrow), positions are n_shards INDEPENDENT row_number windows —
+    the 100 TB shape (a single-ordering window would serialize the
+    corpus through one partition). New seed = new epoch order."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return text.epoch_shuffle(docs, n_shards=8, seed="ep1")
+
+
+@register(
+    "docs_adaptive_quality",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST({_WC_SQL} AS BIGINT) AS wc
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang, quantile_cont(wc, 0.25) AS cut FROM d GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.wc
+    FROM d JOIN cuts USING (lang)
+    WHERE d.wc > cut
+    """,
+)
+def docs_adaptive_quality(spark, sf_dir):
+    """[EXT] Per-language adaptive quality gate
+    (operators.text.adaptive_quality_filter): keep docs strictly above
+    their OWN language's 25th-percentile word count — a fixed global
+    cutoff over-prunes low-resource languages and under-prunes dominant
+    ones; the per-group exact percentile self-calibrates. Thresholds
+    are one |langs|-row aggregate broadcast back, so the corpus side
+    stays a narrow filter (oracle: percentile_cont semantics match
+    Spark's ``percentile`` linear interpolation exactly on integer
+    scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "wc", text.word_count(F.col("text")).cast("long")
+    )
+    return text.adaptive_quality_filter(
+        scored, "wc", by="lang", frac=0.25
+    ).select("doc_id", "lang", "wc")
+
+
 # _GATE_FIRST rotates queries that still need driver evidence into that
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
     # Round-11 window, per the r10 verdict's recorded rotation plan.
     # Standing policy: queries NEW this round lead (zero evidence
-    # first) — the two r11 additions, then the 4 registered after the
-    # r10 window froze (judge-sweep green, zero driver evidence), then
-    # the last 3 r6-age entries, then the first 41 of the r9-window
-    # cohort (the oldest delivered driver evidence). After a green r11
-    # gate every query has delivered evidence and none is older than
-    # the r9 window.
+    # first) — the 8 r11 additions (3 early-round, then the top-k /
+    # BPE / shuffle / adaptive-quality batch and the filtered view),
+    # then the 4 registered after the r10 window froze (judge-sweep
+    # green, zero driver evidence), then the last 3 r6-age entries,
+    # then the first 35 of the r9-window cohort (the oldest delivered
+    # driver evidence). After a green r11 gate every query has
+    # delivered evidence and none is older than the r9 window.
     # --- new this round (r11) ---
     "txlog_matview_join",
     "training_data_pipeline_dsir",
     "txlog_matview_dim_change",
+    "txlog_matview_filtered",
+    "txlog_matview_topk",
+    "corpus_bpe_top_pairs",
+    "docs_epoch_shuffle",
+    "docs_adaptive_quality",
     # --- added after the r10 window froze: zero driver evidence ---
     "txlog_matview_additive",
     "txlog_matview_minmax",
@@ -6181,16 +6367,11 @@ _GATE_FIRST = [
     "events_latest_state",
     "events_range_pairs",
     "events_hourly_gapfill",
-    "events_retention_cohorts",
-    "events_window_funnel",
-    "customer_cohort_ltv",
-    "docs_bigram_quality",
-    "txlog_backfill_replace",
-    # Exactly 50 names (3 new r11 + 4 post-freeze r10 + 3 r6-age +
-    # 40 r9 cohort). r12 queue: txlog_matview_filtered (added after this
-    # window froze — judge-sweep green, zero driver evidence) and any
-    # queries new in r12 lead, then the
-    # 10 remaining r9-cohort entries (txlog_rename_migration,
+    # Exactly 50 names (8 new r11 + 4 post-freeze r10 + 3 r6-age +
+    # 35 r9 cohort). r12 queue: any queries new in r12 lead, then the
+    # 15 remaining r9-cohort entries (events_retention_cohorts,
+    # events_window_funnel, customer_cohort_ltv, docs_bigram_quality,
+    # txlog_backfill_replace, txlog_rename_migration,
     # txlog_dv_point_delete, txlog_cdf_audit, txlog_generated_bucket,
     # docs_boilerplate_ngrams, docs_length_profile, docs_pack_sequences,
     # docs_pii_redacted, docs_temperature_sample, docs_tfidf_top_terms),

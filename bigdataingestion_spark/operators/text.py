@@ -279,6 +279,71 @@ def stratified_sample(
     return df.filter(bucket < rate)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, pos) address from a keyed hash of its id — the reproducible
+    epoch ordering a training run needs (resume, audit, multi-host
+    loaders reading disjoint shards).
+
+    Scale shape: NO global sort. The hash assigns shards at the scan
+    (narrow); positions are per-shard ``row_number`` windows — n_shards
+    independent sorts of |rows|/n_shards each, exactly the layout the
+    downstream loader consumes. Changing ``seed`` reshuffles every
+    epoch; the same seed replays identically on any partitioning or
+    engine (md5, no RNG). Adds ``shard`` and ``pos`` columns.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    for c in ("shard", "pos"):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} already present; rename it")
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_shards)
+    ).cast("int")
+    out = df.withColumn("_shuf_key", key).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_shuf_key"), F.col(id_col)
+    )
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("_shuf_key")
+
+
+def adaptive_quality_filter(
+    df: DataFrame,
+    score_col: str,
+    by: str = "lang",
+    frac: float = 0.25,
+) -> DataFrame:
+    """Keep rows STRICTLY ABOVE their own group's ``frac`` quantile of
+    ``score_col`` — per-domain adaptive quality gating (a fixed global
+    cutoff over-prunes low-resource languages and under-prunes dominant
+    ones; a per-group quantile self-calibrates).
+
+    Exact linear-interpolated percentile (``percentile``, matching ANSI
+    ``percentile_cont``), computed per group in one aggregation and
+    broadcast back — the thresholds frame is |groups| rows, so the join
+    adds no shuffle to the corpus side.
+    """
+    if not 0.0 <= frac < 1.0:
+        raise ValueError(f"frac must be in [0, 1), got {frac}")
+    cuts = df.groupBy(by).agg(
+        F.percentile(F.col(score_col), F.lit(frac)).alias("_cut")
+    )
+    return (
+        df.join(F.broadcast(cuts), by)
+        .filter(F.col(score_col) > F.col("_cut"))
+        .drop("_cut")
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

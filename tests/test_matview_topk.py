@@ -345,3 +345,79 @@ def test_order_by_expression_not_just_column(spark, tmp_path):
         (r["grp"], r["rank"], r["id"]) for r in mv.read(spark).collect()
     )
     assert got == want
+
+
+# ------------------------------------------------------ model-based --
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_uniq = itertools.count()
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    # tmp_path is function-scoped but reused across examples; every
+    # example isolates itself in a unique subdir below
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_dml_matches_from_scratch_topk(spark, tmp_path, data):
+    """Random interleavings of appends (including NULL scores and new
+    groups), slice updates, slice deletes, and whole-group deletes,
+    refreshed at random batch boundaries, must keep the view equal to a
+    from-scratch ranked window over the live source — across the
+    insert-only fold, the affected-group recompute, rank shrink, and
+    group vanish."""
+    base = tmp_path / f"ex{next(_uniq)}"
+    src = TxLogTable(str(base / "src"))
+    src.append(
+        spark.createDataFrame(
+            [(i, f"g{i % 4}", float((i * 13) % 37)) for i in range(1, 25)],
+            SCHEMA,
+        )
+    )
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalTopKView(
+        src,
+        str(base / "mv"),
+        ["grp"],
+        order_by="score",
+        k=3,
+        payload=["id"],
+        order_name="score",
+        rebuild_ratio=None,  # pin the incremental machinery under test
+    )
+    mv.build(spark)
+    next_id = 1000
+    n_ops = data.draw(st.integers(2, 5), label="n_ops")
+    for step in range(n_ops):
+        op = data.draw(st.integers(0, 3), label=f"op{step}")
+        if op == 0:  # append: new/old group, real/NULL/tied score
+            g = data.draw(st.integers(0, 5), label=f"g{step}")
+            s = data.draw(
+                st.sampled_from([None, 0.0, 13.0, 99.0]), label=f"s{step}"
+            )
+            src.append(
+                spark.createDataFrame(
+                    [(next_id, f"g{g}", s)], SCHEMA
+                )
+            )
+            next_id += 1
+        elif op == 1:  # update a slice (demote/promote leaders)
+            m = data.draw(st.integers(2, 5), label=f"m{step}")
+            d = data.draw(st.sampled_from([-20, 15]), label=f"dv{step}")
+            src.update(spark, f"id % {m} = 0", {"score": f"score + {d}"})
+        elif op == 2:  # delete a slice (resurface displaced rows)
+            m = data.draw(st.integers(2, 6), label=f"d{step}")
+            src.delete(spark, f"id % {m} = 1")
+        else:  # delete a whole group
+            g = data.draw(st.integers(0, 4), label=f"dg{step}")
+            src.delete(spark, f"grp = 'g{g}'")
+        if data.draw(st.booleans(), label=f"maint{step}"):
+            mv.refresh(spark)
+            assert _rows(mv.read(spark)) == _oracle(spark, src)
+    mv.refresh(spark)
+    assert _rows(mv.read(spark)) == _oracle(spark, src)

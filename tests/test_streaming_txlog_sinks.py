@@ -323,3 +323,65 @@ def test_stream_ingest_maintains_join_view(spark, tmp_path):
         .collect()
     }
     assert got == oracle and len(got) == 2
+
+
+def test_stream_ingest_maintains_topk_view(spark, tmp_path):
+    """A TOP-K view (r11) rides the ``views=`` hook: a pure-append
+    stream keeps every per-batch refresh on the insert-only fold
+    (stored top-k ∪ batch inserts, fact never scanned — pinned by
+    last_recompute_files staying None); after the stream drains the
+    leaderboard equals a from-scratch ranked window over the table."""
+    from pyspark.sql.window import Window
+
+    from bigdataingestion_spark.sinks.matview import IncrementalTopKView
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    src = tmp_path / "src"
+    for base in (0, 20):
+        spark.createDataFrame(
+            [
+                (base + i, f"g{(base + i) % 3}", float((base + i) * 7 % 31))
+                for i in range(20)
+            ],
+            "id bigint, grp string, score double",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    target, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    table = TxLogTable(target)
+    table.append(
+        spark.createDataFrame([], "id bigint, grp string, score double")
+    )
+    table.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalTopKView(
+        table,
+        str(tmp_path / "mv"),
+        ["grp"],
+        order_by="score",
+        k=3,
+        payload=["id"],
+        order_name="score",
+        rebuild_ratio=None,
+    )
+    mv.build(spark)  # empty anchor
+
+    q = stream_txlog_ingest(
+        spark, str(src), target, ckpt,
+        max_files_per_trigger=1, views=[mv],
+    )
+    assert q.awaitTermination(180)
+    assert mv.last_recompute_files is None  # every batch used the fold
+    got = sorted(
+        (r["grp"], r["rank"], r["score"], r["id"])
+        for r in mv.read(spark).collect()
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    want = sorted(
+        (r["grp"], r["rank"], r["score"], r["id"])
+        for r in table.read(spark)
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .collect()
+    )
+    assert got == want and len({g for g, *_ in got}) == 3
