@@ -6198,6 +6198,77 @@ def txlog_matview_topk(spark, sf_dir):
 
 
 @register(
+    "txlog_matview_median",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.5
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 11 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(price, 0.5), 4) AS med_price,
+           round(quantile_cont(price, 0.9), 4) AS p90_price
+    FROM base GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_median(spark, sf_dir):
+    """[EXT] Incremental materialized view over an ARBITRARY SQL
+    aggregate (r11, sinks/matview.py ("sql", expr) mode): exact median
+    and P90 price per order status, maintained through an append window
+    and an update+delete window. Percentiles have no incremental form,
+    so BOTH windows route to the affected-group recompute — even the
+    pure-append one (the insert-only fold would corrupt a quantile);
+    cost stays O(|changes| + affected-group rows), never O(source). The
+    final view must equal the oracle's from-scratch quantile_cont
+    (Spark's ``percentile`` uses the same linear interpolation)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = _fresh_txlog()
+    src.append(orders.filter(k % 3 < 2))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("count", "1"),
+            "med_price": ("sql", "percentile(o_totalprice, 0.5)"),
+            "p90_price": ("sql", "percentile(o_totalprice, 0.9)"),
+        },
+        rebuild_ratio=None,  # pin the incremental path under test
+    )
+    mv.build(spark)
+    src.append(orders.filter(k % 3 == 2))
+    mv.refresh(spark)
+    assert mv.last_recompute_files is not None, (
+        "sql aggregates must recompute even on an insert-only window"
+    )
+    src.update(
+        spark, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice * 0.5"}
+    )
+    src.delete(spark, "o_orderkey % 11 = 0")
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 2, f"expected 2 refresh merges, got {ops}"
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("med_price", 4).alias("med_price"),
+        F.round("p90_price", 4).alias("p90_price"),
+    )
+
+
+@register(
     "corpus_bpe_top_pairs",
     f"""
     WITH words AS (
@@ -6319,6 +6390,7 @@ _GATE_FIRST = [
     "txlog_matview_dim_change",
     "txlog_matview_filtered",
     "txlog_matview_topk",
+    "txlog_matview_median",
     "corpus_bpe_top_pairs",
     "docs_epoch_shuffle",
     "docs_adaptive_quality",
@@ -6366,10 +6438,10 @@ _GATE_FIRST = [
     "multimodal_features",
     "events_latest_state",
     "events_range_pairs",
-    "events_hourly_gapfill",
-    # Exactly 50 names (8 new r11 + 4 post-freeze r10 + 3 r6-age +
-    # 35 r9 cohort). r12 queue: any queries new in r12 lead, then the
-    # 15 remaining r9-cohort entries (events_retention_cohorts,
+    # Exactly 50 names (9 new r11 + 4 post-freeze r10 + 3 r6-age +
+    # 34 r9 cohort). r12 queue: any queries new in r12 lead, then the
+    # 16 remaining r9-cohort entries (events_hourly_gapfill,
+    # events_retention_cohorts,
     # events_window_funnel, customer_cohort_ltv, docs_bigram_quality,
     # txlog_backfill_replace, txlog_rename_migration,
     # txlog_dv_point_delete, txlog_cdf_audit, txlog_generated_bucket,

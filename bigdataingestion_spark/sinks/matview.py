@@ -74,8 +74,12 @@ _ADDITIVE = {"count", "sum", "avg"}
 # insert-only-additive: monotone folds (min/max) and mergeable sketches
 # (approx_distinct's HLL registers are max-merged — order-independent,
 # so an additive refresh yields the BIT-IDENTICAL sketch a rebuild
-# would); under windows with deletes they recompute
-_FNS = _ADDITIVE | {"min", "max", "approx_distinct"}
+# would); under windows with deletes they recompute. "sql" is the
+# recompute-ONLY escape hatch: any complete Spark aggregate expression
+# (percentile, stddev, collect_set cardinality, …) — never foldable,
+# always maintained by affected-group recompute, still O(|changes| +
+# affected-group rows), never O(source)
+_FNS = _ADDITIVE | {"min", "max", "approx_distinct", "sql"}
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _DEF_KEY = "matview.definition"
 _CURSOR_KEY = "matview.source.version"
@@ -125,9 +129,16 @@ class IncrementalAggView:
             },
         )
 
-    ``fn`` ∈ {count, sum, avg, min, max, approx_distinct}; ``expr`` is
-    any SQL expression over source columns (``count`` counts its
-    expression's NON-NULL rows, so ``("count", "1")`` is COUNT(*)).
+    ``fn`` ∈ {count, sum, avg, min, max, approx_distinct, sql};
+    ``expr`` is any SQL expression over source columns (``count`` counts
+    its expression's NON-NULL rows, so ``("count", "1")`` is COUNT(*)).
+    ``("sql", <aggregate expression>)`` maintains ANY complete Spark
+    aggregate — ``percentile(price, 0.5)``, ``stddev(v)``,
+    ``count(DISTINCT k)`` — with recompute-ONLY maintenance: such
+    aggregates have no incremental form, so their view refreshes by
+    affected-group recompute under every window shape (including
+    insert-only; cost stays O(|changes| + affected-group rows)). A
+    non-aggregate expression fails loudly at build().
     ``approx_distinct`` stores an HLL sketch (Spark's datasketches
     ``hll_sketch_agg``) and surfaces its estimate — distinct counting
     is the canonical non-additive aggregate, and the sketch is what
@@ -270,6 +281,12 @@ class IncrementalAggView:
                 # the STORED state is the HLL sketch itself (binary),
                 # not the estimate — sketches merge, estimates don't
                 exprs.append(F.hll_sketch_agg(col).alias(f"_h_{out}"))
+            elif fn == "sql":
+                # a complete aggregate expression, evaluated verbatim —
+                # recompute-only state, never folded (a non-aggregate
+                # expression fails loudly at build with Spark's own
+                # grouping-expression AnalysisException)
+                exprs.append(F.expr(expr).alias(f"_q_{out}"))
             else:  # min / max
                 agg = F.min(col) if fn == "min" else F.max(col)
                 exprs.append(agg.alias(f"_m_{out}"))
@@ -284,6 +301,8 @@ class IncrementalAggView:
                 out.append(f"_c_{name}")
             elif fn == "approx_distinct":
                 out.append(f"_h_{name}")
+            elif fn == "sql":
+                out.append(f"_q_{name}")
             else:
                 out.append(f"_m_{name}")
         return list(dict.fromkeys(out))
@@ -291,6 +310,14 @@ class IncrementalAggView:
     @property
     def additive(self) -> bool:
         return all(fn in _ADDITIVE for fn, _ in self.aggs.values())
+
+    @property
+    def _insert_only_foldable(self) -> bool:
+        """Whether an insert-only window may use the additive fold:
+        min/max fold monotonically and HLL sketches union, but a "sql"
+        aggregate (percentile, stddev, …) has no incremental form at
+        all — its groups recompute under EVERY window shape."""
+        return all(fn != "sql" for fn, _ in self.aggs.values())
 
     def _refuse_null_groups(self, grouped: DataFrame, what: str) -> None:
         """NULL-group-key refusal, checked on an ALREADY-AGGREGATED
@@ -505,7 +532,10 @@ class IncrementalAggView:
                 "was NOT advanced — call build() to re-anchor it from "
                 "the current source snapshot"
             ) from e
-        if self.additive or self.source.window_is_insert_only(frm, to):
+        if self.additive or (
+            self._insert_only_foldable
+            and self.source.window_is_insert_only(frm, to)
+        ):
             # (join views enrich `ch` in _window_changes; the insert-only
             # proof stays valid there because dims are version-pinned)
             # min/max are non-additive only because of DELETES (a
@@ -531,6 +561,9 @@ class IncrementalAggView:
 
     # -------------------------------------------------- additive path --
     def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
+        # routing invariant: "sql" aggregates have no incremental form,
+        # so a window must never reach the fold when one is declared
+        assert self._insert_only_foldable, "sql aggregates never fold"
         sign = (
             F.when(
                 F.col("_change_type").isin("insert", "update_postimage"),
@@ -760,6 +793,8 @@ class IncrementalAggView:
                 cols.append(
                     F.hll_sketch_estimate(F.col(f"_h_{out}")).alias(out)
                 )
+            elif fn == "sql":
+                cols.append(F.col(f"_q_{out}").alias(out))
             else:
                 cols.append(F.col(f"_m_{out}").alias(out))
         return df.select(*cols)
@@ -1476,16 +1511,17 @@ class IncrementalTopKView(IncrementalAggView):
                 raise ValueError(
                     f"payload column {c!r} collides with a group column"
                 )
-            if c.startswith("_mv_"):
+            if c.startswith("_mv_") or c == "_vanish":
                 raise ValueError(
                     f"payload column {c!r} collides with the view's "
-                    "internal _mv_* namespace"
+                    "internal _mv_*/_vanish namespace"
                 )
         if len({c.lower() for c in payload}) != len(payload):
             raise ValueError(f"payload names repeat: {payload}")
-        if not _NAME_RE.match(order_name):
+        if not _NAME_RE.match(order_name) or order_name.startswith("_mv_"):
             raise ValueError(
-                f"order_name {order_name!r} is not a plain SQL identifier"
+                f"order_name {order_name!r} is not a plain SQL identifier "
+                "outside the internal _mv_* namespace"
             )
         if (
             order_name.lower() in lowered

@@ -748,3 +748,95 @@ def test_unfiltered_definition_format_is_unchanged(spark, tmp_path):
     assert _rows(mv.read(spark), ["n", "s", "a"]) == _oracle(
         spark, src, _add_oracle()
     )
+
+
+# ------------------------------------------------- "sql" aggregates --
+def test_sql_aggregate_median_through_dml(spark, tmp_path):
+    """("sql", percentile(...)) maintains an exact median through
+    append + update + delete windows — recompute-only, equal to a
+    from-scratch aggregation after every refresh."""
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {
+            "n": ("count", "1"),
+            "med": ("sql", "percentile(val, 0.5)"),
+            "sd": ("sql", "stddev_pop(val)"),
+        },
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(
+        spark.createDataFrame(
+            [(200, "g0", 3.5), (201, "g5", 9.0)],
+            "id long, grp string, val double",
+        )
+    )
+    mv.refresh(spark)
+    src.update(spark, "id % 4 = 0", {"val": "val * 3"})
+    src.delete(spark, "grp = 'g1'")
+    mv.refresh(spark)
+    want = _oracle(
+        spark,
+        src,
+        {
+            "n": F.count(F.lit(1)),
+            "med": F.expr("percentile(val, 0.5)"),
+            "sd": F.stddev_pop("val"),
+        },
+    )
+    assert _rows(mv.read(spark), ["n", "med", "sd"]) == want
+
+
+def test_sql_aggregate_insert_only_still_recomputes(spark, tmp_path):
+    """A percentile can't fold: even a pure-append window routes to the
+    affected-group recompute (the insert-only fold would corrupt it)."""
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"med": ("sql", "percentile(val, 0.5)")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(
+        spark.createDataFrame(
+            [(300, "g0", 100.0)], "id long, grp string, val double"
+        )
+    )
+    mv.refresh(spark)
+    assert mv.last_recompute_files is not None  # recompute path ran
+    want = _oracle(spark, src, {"med": F.expr("percentile(val, 0.5)")})
+    assert _rows(mv.read(spark), ["med"]) == want
+
+
+def test_sql_aggregate_all_null_group_yields_null(spark, tmp_path):
+    rows = [(1, "g0", None), (2, "g0", None), (3, "g1", 4.0)]
+    src = _source(spark, tmp_path, rows)
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"med": ("sql", "percentile(val, 0.5)")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    got = {r["grp"]: r["med"] for r in mv.read(spark).collect()}
+    assert got == {"g0": None, "g1": 4.0}
+
+
+def test_sql_aggregate_non_aggregate_expr_fails_loudly(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    src = _source(spark, tmp_path)
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv2"),
+        ["grp"],
+        {"bad": ("sql", "val + 1")},
+    )
+    with pytest.raises(AnalysisException):
+        mv.build(spark)

@@ -726,3 +726,50 @@ def test_filtered_join_view_predicate_on_dim_column(spark, tmp_path):
     supp.update(spark, "s_id = 4", {"nat_id": "2"})
     mv.refresh_dimensions(spark)
     assert _rows(mv.read(spark), ["n", "rev"]) == oracle()
+
+
+def test_join_view_sql_aggregate_recomputes_everywhere(spark, tmp_path):
+    """("sql", percentile) through a fact⋈supp⋈nat join view: no
+    incremental form exists, so BOTH an insert-only window and a
+    delete window route to the dim-pruned affected-group recompute;
+    after each refresh the view equals a from-scratch join-aggregate."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims(spark, tmp_path)
+    mv = _view(
+        fact, supp, nat, tmp_path,
+        aggs={
+            "n": ("count", "1"),
+            "med_amt": ("sql", "percentile(amount, 0.5)"),
+        },
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+
+    def oracle():
+        j = (
+            fact.read(spark)
+            .join(supp.read(spark), F.col("supp") == F.col("s_id"))
+            .join(nat.read(spark), F.col("nat_id") == F.col("nat_key"))
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("percentile(amount, 0.5)").alias("med_amt"),
+            )
+        )
+        return {r["n_name"]: (r["n"], r["med_amt"]) for r in j.collect()}
+
+    fact.append(
+        spark.createDataFrame(
+            [(100, 0, 5.0), (101, 3, 7.0)], "id long, supp long, amount double"
+        )
+    )
+    mv.refresh(spark)  # insert-only, still recompute
+    assert mv.last_recompute_files is not None
+    got = {r["n_name"]: (r["n"], r["med_amt"]) for r in mv.read(spark).collect()}
+    assert got == oracle()
+
+    fact.delete(spark, "id % 5 = 0")
+    fact.update(spark, "id % 3 = 0", {"amount": "amount + 1"})
+    mv.refresh(spark)
+    got = {r["n_name"]: (r["n"], r["med_amt"]) for r in mv.read(spark).collect()}
+    assert got == oracle()
