@@ -1476,6 +1476,16 @@ class IncrementalTopKView(IncrementalAggView):
     filter seam, and the unreadable-window errors are all inherited.
     Single-table sources only (compose a join upstream or denormalize;
     the join-view delta-enrichment machinery is aggregate-specific).
+
+    Both refresh modes read the view's OWN stored rows for the affected
+    groups; that read is stats-pruned by the view's log-held per-file
+    group bounds, so its cost follows the view's LAYOUT: the build's
+    hash-shuffled files span every group range (no pruning), while a
+    periodic ``view.compact(spark, zorder_by=group_cols)`` (numeric
+    keys — zorder buckets by quantile) clusters the
+    view so a narrow change window reads O(affected-span) view files —
+    the usual OPTIMIZE story, applied to the leaderboard itself
+    (``last_view_files`` records scanned/total per refresh).
     """
 
     def __init__(
@@ -1538,6 +1548,9 @@ class IncrementalTopKView(IncrementalAggView):
         self.descending = bool(descending)
         self.order_name = order_name
         self.aggs = {}  # no aggregate state; satisfies inherited probes
+        # (view files scanned, view files in snapshot) of the last
+        # refresh's stored-rows read — prune introspection only
+        self.last_view_files: tuple[int, int] | None = None
 
     # ------------------------------------------------------ definition --
     def _definition_json(self) -> str:
@@ -1608,10 +1621,8 @@ class IncrementalTopKView(IncrementalAggView):
         affected = delta.select(*self.group_cols).distinct().persist()
         try:
             self._refuse_null_groups(affected, "change feed")
-            stored = (
-                self.view.read(spark)
-                .join(affected, self.group_cols, "left_semi")
-                .select(*self.group_cols, *self.payload, "_mv_ord")
+            stored = self._read_view_groups(spark, affected).select(
+                *self.group_cols, *self.payload, "_mv_ord"
             )
             fresh = self._rank(stored.unionByName(delta))
             self._merge_fresh_state(
@@ -1619,6 +1630,30 @@ class IncrementalTopKView(IncrementalAggView):
             )
         finally:
             affected.unpersist()
+
+    def _read_view_groups(
+        self, spark, affected: DataFrame
+    ) -> DataFrame:
+        """The view's stored rows for the affected groups, with the scan
+        STATS-PRUNED to the affected keys' bounds before the exact
+        semi-join — the view is itself a txlog table with log-held
+        per-file min/max, so a leaderboard over millions of groups reads
+        O(affected-span) view files per refresh, not the whole view (on
+        a group-clustered layout; unclustered degrades to the semi-join
+        alone, same honest bound as the source-side prune)."""
+        snap = self.view.snapshot()
+        bounds = self.view._source_key_bounds(affected, self.group_cols)
+        cand = self.view._stats_candidates(
+            snap, bounds, self.group_cols, null_safe=False
+        )
+        self.last_view_files = (len(cand), len(snap.files))
+        if cand:
+            scan = self.view._read_files(spark, snap, cand)
+        else:
+            scan = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap.schema_json))
+            )
+        return scan.join(affected, self.group_cols, "left_semi")
 
     # -------------------------------------------------- merge (by rank) --
     def _merge_fresh_state(
@@ -1630,10 +1665,8 @@ class IncrementalTopKView(IncrementalAggView):
         conditional MERGE, same commit shape as the aggregate view."""
         keys = [*self.group_cols, "_mv_rank"]
         state_cols = self._state_cols()
-        stored = (
-            self.view.read(spark)
-            .join(affected, self.group_cols, "left_semi")
-            .select(*keys, *state_cols)
+        stored = self._read_view_groups(spark, affected).select(
+            *keys, *state_cols
         )
         vanished = stored.select(*keys).join(fresh, keys, "left_anti")
         # ranks whose content is byte-identical to the stored row need no

@@ -64,6 +64,12 @@ def bench_topk(spark, work: Path):
     )
     _, t_build = timed("top-k build (8M rows, 20k groups, k=5)",
                        lambda: mv.build(spark))
+    timed("zorder-cluster the view by group (64 KiB files)",
+          lambda: mv.view.compact(
+              spark, target_file_bytes=64 * 1024, zorder_by=["g"]
+          ))
+    print(f"  view files after clustering: "
+          f"{len(mv.view.snapshot().files)}")
 
     # insert-only window: 8k rows across 100 groups
     src.append(
@@ -76,6 +82,8 @@ def bench_topk(spark, work: Path):
     _, t_fold = timed("insert-only fold refresh (8k-row window)",
                       lambda: mv.refresh(spark))
     assert mv.last_recompute_files is None
+    print(f"  view files scanned by the fold: {mv.last_view_files[0]}"
+          f"/{mv.last_view_files[1]}")
 
     # delete window: a contiguous group span (clustered -> few files)
     src.delete(spark, "g >= 100 AND g < 200 AND score > 500000")

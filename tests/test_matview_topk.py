@@ -421,3 +421,52 @@ def test_random_dml_matches_from_scratch_topk(spark, tmp_path, data):
             assert _rows(mv.read(spark)) == _oracle(spark, src)
     mv.refresh(spark)
     assert _rows(mv.read(spark)) == _oracle(spark, src)
+
+
+def test_view_side_prune_after_zorder_compact(spark, tmp_path):
+    """The refresh's stored-rows read is stats-pruned by the VIEW's own
+    per-file group bounds: after clustering the view with
+    compact(zorder_by=<group>), a one-group window reads a strict
+    subset of the view's files (the build's hash-shuffled layout proves
+    nothing). Numeric group key — zorder_key quantile-buckets numerics."""
+    schema = "id long, g long, score double"
+    src = TxLogTable(str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [(i, i % 40, float(i)) for i in range(1, 401)], schema
+        )
+    )
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalTopKView(
+        src, str(tmp_path / "mv"), ["g"],
+        order_by="score", k=3, payload=["id"],
+        order_name="score", rebuild_ratio=None,
+    )
+    mv.build(spark)
+    # cluster the leaderboard by group and force a multi-file layout
+    mv.view.compact(spark, target_file_bytes=2048, zorder_by=["g"])
+    n_files = len(mv.view.snapshot().files)
+    assert n_files > 1, "need a multi-file view for the prune to show"
+    src.append(spark.createDataFrame([(500, 5, 999.0)], schema))
+    mv.refresh(spark)  # insert-only fold, one affected group
+    scanned, total = mv.last_view_files
+    assert total == n_files
+    assert scanned < total, (scanned, total)
+    want = sorted(
+        (r["g"], r["rank"], r["id"])
+        for r in src.read(spark)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(
+                    F.col("score").desc(), F.col("id").asc()
+                )
+            ),
+        )
+        .filter("rank <= 3")
+        .collect()
+    )
+    got = sorted(
+        (r["g"], r["rank"], r["id"]) for r in mv.read(spark).collect()
+    )
+    assert got == want
