@@ -258,3 +258,40 @@ def test_backfill_fills_only_missing_days(spark, sf_smoke_dir, tmp_path):
     (bad_day / "part-0000").write_text("x")
     (tmp_path / "lake" / "events" / "_SUCCESS").write_text("")
     assert planner.plan(ev, "ts", "events") == []
+
+
+def test_epoch_shuffle_has_no_global_sort(spark, sf_correct_dir):
+    """The epoch shuffle's positions are per-shard windows: the plan
+    must partition the window exchange by shard — never a
+    SinglePartition sort that would serialize the corpus through one
+    task at 100 TB."""
+    from bigdataingestion_spark import catalog
+
+    plan = _executed_plan(
+        catalog.CATALOG["docs_epoch_shuffle"].fn(spark, sf_correct_dir)
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_bpe_top_pairs_is_take_ordered(spark, sf_correct_dir):
+    """Top-50 pair selection must be TakeOrderedAndProject (bounded
+    per-partition heaps), not a full sort of the pair histogram."""
+    from bigdataingestion_spark import catalog
+
+    plan = _executed_plan(
+        catalog.CATALOG["corpus_bpe_top_pairs"].fn(spark, sf_correct_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_adaptive_quality_broadcasts_thresholds(spark, sf_correct_dir):
+    """The per-language cutoff join must broadcast the |langs|-row
+    threshold frame — the corpus side stays shuffle-free."""
+    from bigdataingestion_spark import catalog
+
+    plan = _executed_plan(
+        catalog.CATALOG["docs_adaptive_quality"].fn(spark, sf_correct_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
