@@ -6309,6 +6309,66 @@ def corpus_bpe_top_pairs(spark, sf_dir):
     )
 
 
+# Fixed merge list for the encoder gate query (rank order). The oracle
+# replays it as a sentinel-replace chain: every symbol is exactly ONE
+# character (originals map to themselves, </w> to chr(31), each merged
+# token to chr(1)..chr(5)), so leftmost non-overlapping string replace
+# IS the symbol-pair merge pass — and replaying merges in rank order
+# equals the greedy lowest-rank encoder because a merge's operand tokens
+# are always created by STRICTLY EARLIER merges (each token has a unique
+# creating merge), so later merges can never feed earlier ones.
+_BPE_MERGES = [("e", "r"), ("er", "</w>"), ("t", "h"), ("th", "e"), ("a", "n")]
+
+
+@register(
+    "docs_bpe_token_frequency",
+    f"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word
+      FROM documents
+    ),
+    enc AS (
+      SELECT replace(replace(replace(replace(replace(
+               word || chr(31),
+               'er', chr(1)),
+               chr(1) || chr(31), chr(2)),
+               'th', chr(3)),
+               chr(3) || 'e', chr(4)),
+               'an', chr(5)) AS s
+      FROM words WHERE word <> ''
+    ),
+    syms AS (
+      SELECT substr(s, i, 1) AS c
+      FROM enc, LATERAL unnest(generate_series(1, length(s))) AS t(i)
+    )
+    SELECT CASE c
+             WHEN chr(31) THEN '</w>'
+             WHEN chr(1) THEN 'er'
+             WHEN chr(2) THEN 'er</w>'
+             WHEN chr(3) THEN 'th'
+             WHEN chr(4) THEN 'the'
+             WHEN chr(5) THEN 'an'
+             ELSE c END AS token,
+           CAST(count(*) AS BIGINT) AS n
+    FROM syms GROUP BY 1
+    """,
+)
+def docs_bpe_token_frequency(spark, sf_dir):
+    """[EXT] BPE ENCODING over the corpus (operators.vocab.apply_bpe):
+    token frequencies after applying a fixed 5-merge vocabulary with the
+    greedy lowest-rank encoder (Arrow-batched pandas UDF, merge ranks
+    broadcast in the closure). The oracle replays the same merges as a
+    DuckDB sentinel-replace chain — an INDEPENDENT encoding route, so a
+    hash match pins the encoder's merge semantics (leftmost,
+    non-overlapping, rank order ≡ greedy) cross-engine, not just
+    against our own Python reference."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = vocab.apply_bpe(docs, _BPE_MERGES).select(
+        F.explode("bpe_tokens").alias("token")
+    )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register(
     "docs_epoch_shuffle",
     """
@@ -6392,6 +6452,7 @@ _GATE_FIRST = [
     "txlog_matview_topk",
     "txlog_matview_median",
     "corpus_bpe_top_pairs",
+    "docs_bpe_token_frequency",
     "docs_epoch_shuffle",
     "docs_adaptive_quality",
     # --- added after the r10 window froze: zero driver evidence ---
@@ -6437,10 +6498,10 @@ _GATE_FIRST = [
     "user_sessions_native",
     "multimodal_features",
     "events_latest_state",
-    "events_range_pairs",
-    # Exactly 50 names (9 new r11 + 4 post-freeze r10 + 3 r6-age +
-    # 34 r9 cohort). r12 queue: any queries new in r12 lead, then the
-    # 16 remaining r9-cohort entries (events_hourly_gapfill,
+    # Exactly 50 names (10 new r11 + 4 post-freeze r10 + 3 r6-age +
+    # 33 r9 cohort). r12 queue: any queries new in r12 lead, then the
+    # 17 remaining r9-cohort entries (events_range_pairs,
+    # events_hourly_gapfill,
     # events_retention_cohorts,
     # events_window_funnel, customer_cohort_ltv, docs_bigram_quality,
     # txlog_backfill_replace, txlog_rename_migration,

@@ -299,7 +299,7 @@ def epoch_shuffle(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    for c in ("shard", "pos"):
+    for c in ("shard", "pos", "_shuf_key"):
         if c in df.columns:
             raise ValueError(f"column {c!r} already present; rename it")
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))

@@ -1512,10 +1512,20 @@ class IncrementalTopKView(IncrementalAggView):
         if not order_by or not str(order_by).strip():
             raise ValueError("order_by must be a SQL expression")
         lowered = {g.lower() for g in group_cols}
+        if "rank" in lowered:
+            raise ValueError(
+                "group column 'rank' collides with the view's rank "
+                "output column"
+            )
         for c in payload:
             if not _NAME_RE.match(c):
                 raise ValueError(
                     f"payload column {c!r} is not a plain SQL identifier"
+                )
+            if c.lower() == "rank":
+                raise ValueError(
+                    "payload column 'rank' collides with the view's "
+                    "rank output column"
                 )
             if c.lower() in lowered:
                 raise ValueError(
@@ -1619,16 +1629,27 @@ class IncrementalTopKView(IncrementalAggView):
         group plus the window), never the source."""
         delta = self._candidate_rows(ch)
         affected = delta.select(*self.group_cols).distinct().persist()
+        stored = None
         try:
             self._refuse_null_groups(affected, "change feed")
-            stored = self._read_view_groups(spark, affected).select(
-                *self.group_cols, *self.payload, "_mv_ord"
+            # ONE pruned read serves both the re-rank (rank dropped) and
+            # the merge tail's vanished/changed anti-joins
+            stored = (
+                self._read_view_groups(spark, affected)
+                .select(
+                    *self.group_cols, "_mv_rank", *self._state_cols()
+                )
+                .persist()
             )
-            fresh = self._rank(stored.unionByName(delta))
+            fresh = self._rank(
+                stored.drop("_mv_rank").unionByName(delta)
+            )
             self._merge_fresh_state(
-                spark, affected, fresh, f"{_TXN_PREFIX}{to}"
+                spark, affected, fresh, f"{_TXN_PREFIX}{to}", stored=stored
             )
         finally:
+            if stored is not None:
+                stored.unpersist()
             affected.unpersist()
 
     def _read_view_groups(
@@ -1657,17 +1678,29 @@ class IncrementalTopKView(IncrementalAggView):
 
     # -------------------------------------------------- merge (by rank) --
     def _merge_fresh_state(
-        self, spark, affected: DataFrame, fresh: DataFrame, txn_id: str
+        self,
+        spark,
+        affected: DataFrame,
+        fresh: DataFrame,
+        txn_id: str,
+        stored: DataFrame | None = None,
     ) -> None:
         """Replace the affected groups' ranked rows. Keyed on
         (group, rank): rank r gets the row now holding it, ranks past a
         group's new depth (shrunk or vanished groups) are deleted — one
-        conditional MERGE, same commit shape as the aggregate view."""
+        conditional MERGE, same commit shape as the aggregate view.
+        ``stored`` (the affected groups' current view rows) is passed
+        through by the fold, which already read it; the recompute path
+        leaves it None and the pruned read happens here."""
         keys = [*self.group_cols, "_mv_rank"]
         state_cols = self._state_cols()
-        stored = self._read_view_groups(spark, affected).select(
-            *keys, *state_cols
-        )
+        own = stored is None
+        if own:
+            stored = (
+                self._read_view_groups(spark, affected)
+                .select(*keys, *state_cols)
+                .persist()
+            )
         vanished = stored.select(*keys).join(fresh, keys, "left_anti")
         # ranks whose content is byte-identical to the stored row need no
         # rewrite — drop them so the MERGE's touched-file set tracks the
@@ -1680,26 +1713,30 @@ class IncrementalTopKView(IncrementalAggView):
             vanished.withColumn("_vanish", F.lit(1)),
             allowMissingColumns=True,
         )
-        self.view.merge(
-            spark,
-            src,
-            keys=keys,
-            clauses=[
-                when_matched_delete(condition="s._vanish = 1"),
-                when_matched_update(
-                    set={c: f"s.{c}" for c in state_cols}
-                ),
-                when_not_matched_insert(
-                    condition="_vanish = 0",  # bare source scope
-                    values={
-                        **{g: f"s.{g}" for g in self.group_cols},
-                        "_mv_rank": "s._mv_rank",
-                        **{c: f"s.{c}" for c in state_cols},
-                    },
-                ),
-            ],
-            txn_id=txn_id,
-        )
+        try:
+            self.view.merge(
+                spark,
+                src,
+                keys=keys,
+                clauses=[
+                    when_matched_delete(condition="s._vanish = 1"),
+                    when_matched_update(
+                        set={c: f"s.{c}" for c in state_cols}
+                    ),
+                    when_not_matched_insert(
+                        condition="_vanish = 0",  # bare source scope
+                        values={
+                            **{g: f"s.{g}" for g in self.group_cols},
+                            "_mv_rank": "s._mv_rank",
+                            **{c: f"s.{c}" for c in state_cols},
+                        },
+                    ),
+                ],
+                txn_id=txn_id,
+            )
+        finally:
+            if own:
+                stored.unpersist()
 
     # ----------------------------------------------------------- read --
     def read(self, spark: SparkSession) -> DataFrame:

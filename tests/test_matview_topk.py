@@ -470,3 +470,19 @@ def test_view_side_prune_after_zorder_compact(spark, tmp_path):
         (r["g"], r["rank"], r["id"]) for r in mv.read(spark).collect()
     )
     assert got == want
+
+
+def test_rank_column_collisions_refused(spark, tmp_path):
+    """read() emits a 'rank' output column; a payload or group column of
+    that name would produce ambiguous duplicates."""
+    src = _source(spark, tmp_path)
+    with pytest.raises(ValueError, match="rank output column"):
+        IncrementalTopKView(
+            src, str(tmp_path / "mv"), ["grp"],
+            order_by="score", k=3, payload=["rank"],
+        )
+    with pytest.raises(ValueError, match="rank output column"):
+        IncrementalTopKView(
+            src, str(tmp_path / "mv"), ["rank"],
+            order_by="score", k=3, payload=["id"],
+        )

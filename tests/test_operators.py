@@ -844,3 +844,13 @@ def test_duplicate_spans_within_doc_repeat_counts_once(spark):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["n_spans"] == 1  # doc 1's internal repeat not double-counted
+
+
+def test_epoch_shuffle_refuses_colliding_columns(spark):
+    from bigdataingestion_spark.operators import text as _text
+
+    base = spark.createDataFrame([(1,)], "doc_id long")
+    for col in ("shard", "pos", "_shuf_key"):
+        bad = base.withColumn(col, F.lit(0))
+        with pytest.raises(ValueError, match="already present"):
+            _text.epoch_shuffle(bad, n_shards=4, id_col="doc_id")
