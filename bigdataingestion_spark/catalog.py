@@ -6309,6 +6309,82 @@ def corpus_bpe_top_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_matview_union",
+    """
+    WITH base AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 7 = 0
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM base GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_union(spark, sf_dir):
+    """[EXT] UNION materialized view (r11,
+    sinks/matview.py::IncrementalUnionAggView): revenue by status over a
+    fact SHARDED into two txlog tables (even/odd order keys), maintained
+    from each shard's CDF under a version-VECTOR cursor. Window 1
+    appends to both shards (one merge folds both deltas); window 2
+    moves only parts of each shard (a price update on the even shard, a
+    delete on the odd one) — the additive deltas still sum across
+    shards because every group spans both. The final view must equal
+    the oracle's from-scratch aggregate of the union; exactly-once via
+    the epoch-scoped vector txn id. The summed expression is integer
+    CENTS: additive IVM accumulates float drift relative to a
+    from-scratch double sum (documented module caveat — re-anchor via
+    build()), so the cross-engine hash gate sums exactly."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalUnionAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    shards = []
+    for parity in (0, 1):
+        t = _fresh_txlog()
+        t.append(orders.filter((k % 2 == parity) & (k % 3 < 2)))
+        t.alter_properties({"cdf.enabled": "true"})
+        shards.append(t)
+    mv = IncrementalUnionAggView(
+        shards,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("count", "1"),
+            "sum_cents": (
+                "sum", "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ),
+        },
+        rebuild_ratio=None,  # pin the incremental path under test
+    )
+    mv.build(spark)
+    for parity, t in enumerate(shards):
+        t.append(orders.filter((k % 2 == parity) & (k % 3 == 2)))
+    mv.refresh(spark)  # one merge folds BOTH shards' windows
+    shards[0].update(
+        spark, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice * 1.1"}
+    )
+    shards[1].delete(spark, "o_orderkey % 5 = 0")
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 2, f"expected 2 refresh merges, got {ops}"
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
 # Fixed merge list for the encoder gate query (rank order). The oracle
 # replays it as a sentinel-replace chain: every symbol is exactly ONE
 # character (originals map to themselves, </w> to chr(31), each merged
@@ -6451,6 +6527,7 @@ _GATE_FIRST = [
     "txlog_matview_filtered",
     "txlog_matview_topk",
     "txlog_matview_median",
+    "txlog_matview_union",
     "corpus_bpe_top_pairs",
     "docs_bpe_token_frequency",
     "docs_epoch_shuffle",
@@ -6497,10 +6574,10 @@ _GATE_FIRST = [
     "user_sessions",
     "user_sessions_native",
     "multimodal_features",
-    "events_latest_state",
-    # Exactly 50 names (10 new r11 + 4 post-freeze r10 + 3 r6-age +
-    # 33 r9 cohort). r12 queue: any queries new in r12 lead, then the
-    # 17 remaining r9-cohort entries (events_range_pairs,
+    # Exactly 50 names (11 new r11 + 4 post-freeze r10 + 3 r6-age +
+    # 32 r9 cohort). r12 queue: any queries new in r12 lead, then the
+    # 18 remaining r9-cohort entries (events_latest_state,
+    # events_range_pairs,
     # events_hourly_gapfill,
     # events_retention_cohorts,
     # events_window_funnel, customer_cohort_ltv, docs_bigram_quality,

@@ -420,7 +420,9 @@ class IncrementalAggView:
         return frm
 
     # ------------------------------------------------- refresh costing --
-    def _window_bytes(self, frm: int, to: int) -> int:
+    def _window_bytes(
+        self, frm: int, to: int, table: TxLogTable | None = None
+    ) -> int:
         """On-disk bytes a refresh of ``(frm, to]`` must actually READ,
         mirroring ``read_cdf``'s per-op branches: appends/overwrites
         replay their add (and, for overwrite, removed pre-image) files;
@@ -432,8 +434,9 @@ class IncrementalAggView:
         needless rebuilds. Vacuumed/absent files count 0 here; the read
         path raises loudly for them (refresh wraps that in
         :class:`MatviewWindowUnreadableError`)."""
+        table = table if table is not None else self.source
         total = 0
-        for e in self.source.commits_between(frm, to):
+        for e in table.commits_between(frm, to):
             op = e.get("op")
             cdf = e.get("cdf")
             if op == "compact":
@@ -459,7 +462,7 @@ class IncrementalAggView:
                 continue
             for r in rels:
                 try:
-                    total += os.path.getsize(os.path.join(self.source.path, r))
+                    total += os.path.getsize(os.path.join(table.path, r))
                 except OSError:
                     continue
         return total
@@ -561,6 +564,14 @@ class IncrementalAggView:
 
     # -------------------------------------------------- additive path --
     def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
+        self._apply_additive_delta(spark, ch, f"{_TXN_PREFIX}{to}")
+
+    def _apply_additive_delta(
+        self, spark, ch: DataFrame, txn_id: str
+    ) -> None:
+        """Additive fold of a change frame under an explicit txn id —
+        the single-source path stamps ``matview.cursor.<to>``, the union
+        view a version VECTOR."""
         # routing invariant: "sql" aggregates have no incremental form,
         # so a window must never reach the fold when one is declared
         assert self._insert_only_foldable, "sql aggregates never fold"
@@ -674,7 +685,7 @@ class IncrementalAggView:
                         values=ins, condition="_d_n > 0"
                     ),
                 ],
-                txn_id=f"{_TXN_PREFIX}{to}",
+                txn_id=txn_id,
             )
         finally:
             deltas.unpersist()
@@ -697,23 +708,9 @@ class IncrementalAggView:
             # uses) prove files outside the affected keys' bounds out of
             # the scan — on a key-clustered layout a narrow change
             # window reads O(affected-span) files, not the table
-            snap = self.source.snapshot(to)
-            bounds = self.source._source_key_bounds(
-                affected, self.group_cols
+            scan, self.last_recompute_files = self._pruned_scan(
+                spark, self.source, to, affected
             )
-            cand = self.source._stats_candidates(
-                snap, bounds, self.group_cols, null_safe=False
-            )
-            self.last_recompute_files = (len(cand), len(snap.files))
-            if cand:
-                scan = self.source._read_files(spark, snap, cand)
-            else:
-                # window touched only since-deleted groups: a zero-row
-                # frame from the snapshot ALREADY IN HAND (no second
-                # O(log) resolution via read())
-                scan = spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(snap.schema_json))
-                )
             fresh = self._compute_state(
                 self._filtered(scan).join(
                     affected, self.group_cols, "left_semi"
@@ -724,6 +721,31 @@ class IncrementalAggView:
             )
         finally:
             affected.unpersist()
+
+    def _pruned_scan(
+        self, spark, table: TxLogTable, version: int, affected: DataFrame
+    ):
+        """One source's rows at ``version``, stats-pruned to the
+        affected keys' bounds before the exact semi-join the caller
+        applies: the log-held per-file min/max (the same machinery
+        MERGE's finding pass uses) prove files outside the bounds out
+        of the scan — on a key-clustered layout a narrow change window
+        reads O(affected-span) files, not the table. Returns
+        (scan, (files scanned, files in snapshot)); an empty candidate
+        set (window touched only since-deleted groups) yields a
+        zero-row frame from the snapshot already in hand."""
+        snap = table.snapshot(version)
+        bounds = table._source_key_bounds(affected, self.group_cols)
+        cand = table._stats_candidates(
+            snap, bounds, self.group_cols, null_safe=False
+        )
+        if cand:
+            scan = table._read_files(spark, snap, cand)
+        else:
+            scan = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap.schema_json))
+            )
+        return scan, (len(cand), len(snap.files))
 
     def _merge_fresh_state(
         self, spark, affected: DataFrame, fresh: DataFrame, txn_id: str
@@ -1622,7 +1644,9 @@ class IncrementalTopKView(IncrementalAggView):
         return [*self.payload, "_mv_ord"]
 
     # ------------------------------------------------ insert-only fold --
-    def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
+    def _apply_additive_delta(
+        self, spark, ch: DataFrame, txn_id: str
+    ) -> None:
         """Reached only under the txlog's insert-only window proof
         (``additive`` is False): re-rank stored rows ∪ inserted rows
         within the affected groups — a bounded frame (≤k stored rows per
@@ -1645,7 +1669,7 @@ class IncrementalTopKView(IncrementalAggView):
                 stored.drop("_mv_rank").unionByName(delta)
             )
             self._merge_fresh_state(
-                spark, affected, fresh, f"{_TXN_PREFIX}{to}", stored=stored
+                spark, affected, fresh, txn_id, stored=stored
             )
         finally:
             if stored is not None:
@@ -1754,3 +1778,250 @@ class IncrementalTopKView(IncrementalAggView):
             F.col("_mv_ord").alias(self.order_name),
             *self.payload,
         )
+
+
+# ===================================================================== #
+# union views: aggregates over a fact SHARDED across several tables     #
+# ===================================================================== #
+
+_UNION_EPOCH_KEY = "matview.union.epoch"
+
+
+class IncrementalUnionAggView(IncrementalAggView):
+    """A GROUP-BY aggregate view over the UNION ALL of several txlog
+    tables — the sharded-fact shape (per-region / per-tenant / per-year
+    physical tables feeding one logical rollup). Maintained from EACH
+    shard's change feed under a version-VECTOR cursor: a refresh folds
+    only the shards that moved, and a group whose rows span shards is
+    still maintained exactly (the additive deltas sum across shards;
+    the recompute path re-reads the group from every shard).
+
+    Same aggregate surface and maintenance modes as the single-source
+    view: additive for count/sum/avg, insert-only fold for min/max/HLL
+    when EVERY moved shard's window is insert-only (one non-append
+    shard demotes the whole refresh to recompute — correctness beats
+    optimism), affected-group recompute otherwise, with each shard's
+    scan independently stats-pruned to the affected keys' bounds.
+    Exactly-once: the refresh MERGE carries the target version vector
+    in its txn id (``matview.cursor.u<epoch>.<v0>-<v1>-…``), epoch-
+    scoped exactly like the join view's dimension ids, so a crash
+    between the merge and the property advance replays as a committed
+    no-op and a rebuild can never be overridden by a stale vector.
+
+    Shards must share a schema (``unionByName`` fails loudly) and every
+    shard needs ``cdf.enabled=true`` before the DML a refresh must see.
+    ``last_recompute_files`` sums (scanned, total) across shards.
+    """
+
+    _SRC_KEY = "matview.union.src.{i}.version"
+
+    def __init__(
+        self,
+        sources: list[TxLogTable],
+        path: str,
+        group_cols: list[str],
+        aggs: dict[str, tuple[str, str]],
+        rebuild_ratio: float | None = 1.0,
+        where: str | None = None,
+    ):
+        if len(sources) < 2:
+            raise ValueError(
+                "sources must name at least two tables (use "
+                "IncrementalAggView for a single source)"
+            )
+        paths = [t.path for t in sources]
+        if len(set(paths)) != len(paths):
+            raise ValueError(f"duplicate source paths: {paths}")
+        super().__init__(
+            sources[0], path, group_cols, aggs, rebuild_ratio, where
+        )
+        self.sources = list(sources)
+
+    # ------------------------------------------------------ definition --
+    def _definition_json(self) -> str:
+        d = {
+            "sources": [t.path for t in self.sources],
+            "group_cols": self.group_cols,
+            "aggs": {k: list(v) for k, v in self.aggs.items()},
+        }
+        if self.where is not None:
+            d["where"] = self.where
+        return json.dumps(d, sort_keys=True)
+
+    # --------------------------------------------------- vector cursor --
+    def _src_props(self, versions: list[int]) -> dict:
+        return {
+            self._SRC_KEY.format(i=i): str(v)
+            for i, v in enumerate(versions)
+        }
+
+    def _txn_prefix(self, snap) -> str:
+        epoch = snap.properties.get(_UNION_EPOCH_KEY, "0")
+        return f"{_TXN_PREFIX}u{epoch}."
+
+    def _cursor_vec(self, snap) -> list[int]:
+        """Applied-through version per shard: the pinned properties,
+        raised componentwise by committed refresh txn ids of the CURRENT
+        build epoch whose property advance was lost to a crash."""
+        out = []
+        for i, t in enumerate(self.sources):
+            key = self._SRC_KEY.format(i=i)
+            if key not in snap.properties:
+                raise MatviewDefinitionError(
+                    f"view at {self.path} has no pinned version for "
+                    f"source {i} ({t.path}); re-run build()"
+                )
+            out.append(int(snap.properties[key]))
+        prefix = self._txn_prefix(snap)
+        for t in snap.txn_ids:
+            if not t.startswith(prefix):
+                continue
+            parts = t[len(prefix):].split("-")
+            if len(parts) != len(out):
+                continue
+            try:
+                vec = [int(p) for p in parts]
+            except ValueError:
+                continue
+            out = [max(a, b) for a, b in zip(out, vec)]
+        return out
+
+    def _heal_cursor(self, snap, vec: list[int]) -> None:
+        """Persist txn-recovered pins before the ids age out of the
+        snapshot at checkpoint roll — the union mirror of the join
+        view's dim-pin healing."""
+        stored = [
+            int(snap.properties[self._SRC_KEY.format(i=i)])
+            for i in range(len(self.sources))
+        ]
+        if stored != vec:
+            self.view.alter_properties(self._src_props(vec))
+
+    # --------------------------------------------------------- actions --
+    def build(self, spark: SparkSession) -> list[int]:
+        """Aggregate the union of the CURRENT shard snapshots; pin the
+        version vector; bump the epoch so pre-rebuild txn ids stop
+        participating in cursor recovery. Returns the pinned vector."""
+        versions = []
+        for t in self.sources:
+            v = t.version()
+            if v < 0:
+                raise FileNotFoundError(f"source {t.path} is empty")
+            versions.append(v)
+        src = None
+        for t, v in zip(self.sources, versions):
+            fr = t.read(spark, version=v)
+            src = fr if src is None else src.unionByName(fr)
+        prev = self.view.snapshot()
+        epoch = int(
+            (prev.properties if prev else {}).get(_UNION_EPOCH_KEY, 0)
+        )
+        self._build_state(
+            spark,
+            versions[0],
+            src,
+            {**self._src_props(versions), _UNION_EPOCH_KEY: str(epoch + 1)},
+        )
+        return versions
+
+    def refresh(self, spark: SparkSession) -> list[int]:
+        """Advance the view to every shard's current version. Folds
+        only the moved shards' CDF windows; no-op when nothing moved.
+        Returns the version vector now reflected."""
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        self._check_definition(snap)
+        frm = self._cursor_vec(snap)
+        self._heal_cursor(snap, frm)
+        to = [t.version() for t in self.sources]
+        for t, f, c in zip(self.sources, frm, to):
+            if c < f:
+                raise MatviewWindowUnreadableError(
+                    f"view at {self.path}: source {t.path} REWOUND "
+                    f"(cursor v{f}, now v{c} — a restore?); its forward "
+                    "diff is gone — call build() to re-anchor"
+                )
+        if to == frm:
+            return frm
+        moved = [
+            (t, f, c)
+            for t, f, c in zip(self.sources, frm, to)
+            if c > f
+        ]
+        if self._union_wants_rebuild(moved, to):
+            self.build(spark)
+            return to
+        ch = None
+        try:
+            for t, f, c in moved:
+                w = self._filtered(t.read_cdf(spark, f, c))
+                ch = w if ch is None else ch.unionByName(w)
+        except (ValueError, FileNotFoundError) as e:
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: a shard's CDF window cannot be "
+                f"replayed ({e}); the view was NOT advanced — call "
+                "build() to re-anchor it from the current snapshots"
+            ) from e
+        txn = self._txn_prefix(snap) + "-".join(str(v) for v in to)
+        insert_only = all(
+            t.window_is_insert_only(f, c) for t, f, c in moved
+        )
+        if self.additive or (self._insert_only_foldable and insert_only):
+            self._apply_additive_delta(spark, ch, txn)
+        else:
+            self._apply_union_recompute(spark, ch, to, txn)
+        self.view.alter_properties(self._src_props(to))
+        return to
+
+    # ------------------------------------------------- refresh costing --
+    def _union_wants_rebuild(self, moved, to: list[int]) -> bool:
+        """Cost decision summed across shards: total window bytes vs
+        total snapshot bytes at the target vector (metadata-only, same
+        per-op accounting as the single-source ``_window_bytes``)."""
+        if self.rebuild_ratio is None:
+            return False
+        win = sum(
+            self._window_bytes(f, c, table=t) for t, f, c in moved
+        )
+        if win == 0:
+            return False
+        src = 0
+        for t, v in zip(self.sources, to):
+            snap = t.snapshot(v)
+            for fl in snap.files if snap else ():
+                try:
+                    src += os.path.getsize(os.path.join(t.path, fl))
+                except OSError:
+                    continue
+        return win >= self.rebuild_ratio * src
+
+    # ------------------------------------------------- recompute path --
+    def _apply_union_recompute(
+        self, spark, ch: DataFrame, to: list[int], txn_id: str
+    ) -> None:
+        """Affected-group recompute across EVERY shard: a group's rows
+        may live in shards whose windows didn't move, so all shards are
+        scanned — each independently stats-pruned to the affected keys'
+        bounds (sum recorded in ``last_recompute_files``)."""
+        affected = ch.select(*self.group_cols).distinct().persist()
+        try:
+            self._refuse_null_groups(affected, "change feed")
+            scan = None
+            scanned = total = 0
+            for t, v in zip(self.sources, to):
+                s, (c, n) = self._pruned_scan(spark, t, v, affected)
+                scanned += c
+                total += n
+                scan = s if scan is None else scan.unionByName(s)
+            self.last_recompute_files = (scanned, total)
+            fresh = self._compute_state(
+                self._filtered(scan).join(
+                    affected, self.group_cols, "left_semi"
+                )
+            )
+            self._merge_fresh_state(spark, affected, fresh, txn_id)
+        finally:
+            affected.unpersist()
