@@ -1952,8 +1952,10 @@ class IncrementalUnionAggView(IncrementalAggView):
             if c > f
         ]
         if self._union_wants_rebuild(moved, to):
-            self.build(spark)
-            return to
+            # build() re-reads current versions itself: a shard advancing
+            # between our vector read and the rebuild is pinned at its
+            # NEWER version, and the returned vector reflects that
+            return self.build(spark)
         ch = None
         try:
             for t, f, c in moved:
