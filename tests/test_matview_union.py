@@ -272,3 +272,92 @@ def test_sql_aggregate_over_union(spark, tmp_path):
     assert _rows(mv.read(spark), ["med"]) == _oracle(
         spark, shards, {"med": F.expr("percentile(val, 0.5)")}
     )
+
+
+# ------------------------------------------------------ model-based --
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_uniq = itertools.count()
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    # tmp_path is function-scoped but reused across examples; every
+    # example isolates itself in a unique subdir below
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_shard_dml_matches_union_oracle(spark, tmp_path, data):
+    """Random interleavings of per-shard appends (new groups included),
+    slice updates, slice deletes, and group deletes — on either shard —
+    refreshed at random batch boundaries, must keep the view equal to a
+    from-scratch aggregation of the union of the live shards (max in
+    the aggregate set, so both the insert-only fold and the all-shard
+    recompute are exercised)."""
+    base = tmp_path / f"uex{next(_uniq)}"
+    shards = []
+    for i in range(2):
+        t = TxLogTable(str(base / f"s{i}"))
+        t.append(
+            spark.createDataFrame(
+                [
+                    (j, f"g{j % 3}", float((j * 11) % 29))
+                    for j in range(1, 25)
+                    if j % 2 == i
+                ],
+                SCHEMA,
+            )
+        )
+        t.alter_properties({"cdf.enabled": "true"})
+        shards.append(t)
+    aggs = {"n": ("count", "1"), "s": ("sum", "val"), "mx": ("max", "val")}
+    oracle_aggs = {
+        "n": F.count(F.lit(1)),
+        "s": F.sum("val"),
+        "mx": F.max("val"),
+    }
+    mv = IncrementalUnionAggView(
+        shards,
+        str(base / "mv"),
+        ["grp"],
+        aggs,
+        rebuild_ratio=None,  # pin the incremental machinery under test
+    )
+    mv.build(spark)
+    next_id = 1000
+    n_ops = data.draw(st.integers(2, 5), label="n_ops")
+    for step in range(n_ops):
+        which = data.draw(st.integers(0, 1), label=f"shard{step}")
+        t = shards[which]
+        op = data.draw(st.integers(0, 3), label=f"op{step}")
+        if op == 0:  # append (possibly a brand-new group)
+            g = data.draw(st.integers(0, 4), label=f"g{step}")
+            v = data.draw(
+                st.sampled_from([0.0, 7.0, 40.0]), label=f"v{step}"
+            )
+            t.append(
+                spark.createDataFrame([(next_id, f"g{g}", v)], SCHEMA)
+            )
+            next_id += 1
+        elif op == 1:  # update a slice
+            m = data.draw(st.integers(2, 5), label=f"m{step}")
+            t.update(spark, f"id % {m} = 0", {"val": "val + 5"})
+        elif op == 2:  # delete a slice (extremes may vanish)
+            m = data.draw(st.integers(2, 6), label=f"d{step}")
+            t.delete(spark, f"id % {m} = 1")
+        else:  # delete a whole group from this shard
+            g = data.draw(st.integers(0, 3), label=f"dg{step}")
+            t.delete(spark, f"grp = 'g{g}'")
+        if data.draw(st.booleans(), label=f"maint{step}"):
+            mv.refresh(spark)
+            assert _rows(mv.read(spark), ["n", "s", "mx"]) == _oracle(
+                spark, shards, oracle_aggs
+            )
+    mv.refresh(spark)
+    assert _rows(mv.read(spark), ["n", "s", "mx"]) == _oracle(
+        spark, shards, oracle_aggs
+    )
