@@ -773,3 +773,33 @@ def test_join_view_sql_aggregate_recomputes_everywhere(spark, tmp_path):
     mv.refresh(spark)
     got = {r["n_name"]: (r["n"], r["med_amt"]) for r in mv.read(spark).collect()}
     assert got == oracle()
+
+
+def test_refresh_dimensions_with_sql_aggregate(spark, tmp_path):
+    """A moved dimension folds into a ("sql", percentile) join view
+    through refresh_dimensions: the dim-change path is recompute-based
+    already, so arbitrary aggregates ride it unchanged."""
+    fact = _fact(spark, tmp_path)
+    supp, nat = _dims(spark, tmp_path)
+    supp.alter_properties({"cdf.enabled": "true"})
+    nat.alter_properties({"cdf.enabled": "true"})
+    mv = _view(
+        fact, supp, nat, tmp_path,
+        aggs={"med_amt": ("sql", "percentile(amount, 0.5)")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    supp.update(spark, "s_id = 2", {"nat_id": "0"})  # migrate a supplier
+    mv.refresh_dimensions(spark)
+    mv.refresh(spark)
+    want = {
+        r["n_name"]: r["med_amt"]
+        for r in fact.read(spark)
+        .join(supp.read(spark), F.col("supp") == F.col("s_id"))
+        .join(nat.read(spark), F.col("nat_id") == F.col("nat_key"))
+        .groupBy("n_name")
+        .agg(F.expr("percentile(amount, 0.5)").alias("med_amt"))
+        .collect()
+    }
+    got = {r["n_name"]: r["med_amt"] for r in mv.read(spark).collect()}
+    assert got == want

@@ -385,3 +385,58 @@ def test_stream_ingest_maintains_topk_view(spark, tmp_path):
         .collect()
     )
     assert got == want and len({g for g, *_ in got}) == 3
+
+
+def test_stream_ingest_maintains_union_view(spark, tmp_path):
+    """A UNION view (r11) rides the ``views=`` hook on a stream feeding
+    ONE of its shards: each micro-batch refresh folds only that shard's
+    window (the other shard's cursor component is untouched); after the
+    stream drains the view equals a from-scratch union aggregate."""
+    from bigdataingestion_spark.sinks.matview import IncrementalUnionAggView
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    src = tmp_path / "src"
+    for base in (0, 20):
+        spark.createDataFrame(
+            [(base + i, f"g{(base + i) % 3}", float(base + i)) for i in range(20)],
+            "id bigint, grp string, val double",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    hot, ckpt = str(tmp_path / "hot"), str(tmp_path / "ckpt")
+    hot_t = TxLogTable(hot)
+    hot_t.append(
+        spark.createDataFrame([], "id bigint, grp string, val double")
+    )
+    hot_t.alter_properties({"cdf.enabled": "true"})
+    cold = TxLogTable(str(tmp_path / "cold"))
+    cold.append(
+        spark.createDataFrame(
+            [(1000 + i, f"g{i % 3}", float(i)) for i in range(12)],
+            "id bigint, grp string, val double",
+        )
+    )
+    cold.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalUnionAggView(
+        [cold, hot_t],
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+
+    q = stream_txlog_ingest(
+        spark, str(src), hot, ckpt,
+        max_files_per_trigger=1, views=[mv],
+    )
+    assert q.awaitTermination(180)
+    got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in cold.read(spark)
+        .unionByName(hot_t.read(spark))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
