@@ -222,6 +222,15 @@ class IncrementalAggView:
                 raise ValueError(
                     f"group column {g!r} is not a plain SQL identifier"
                 )
+            # the views' internal state/delta/sentinel columns all lead
+            # with an underscore (_mv_*, _d_*, _s_*, _vanish, …); a
+            # group key in that namespace would silently collide with
+            # them (e.g. '_mv_rank' is OVERWRITTEN by the top-k ranker)
+            if g.startswith("_"):
+                raise ValueError(
+                    f"group column {g!r} collides with the view's "
+                    "internal underscore-prefixed namespace"
+                )
         self.source = source
         self.path = path
         self.group_cols = list(group_cols)
@@ -484,16 +493,23 @@ class IncrementalAggView:
         win = self._window_bytes(frm, to)
         if win == 0:
             return False  # metadata-only window: nothing to replay
-        snap = self.source.snapshot(to)
-        src = 0
-        for f in snap.files if snap else ():
-            try:
-                src += os.path.getsize(os.path.join(self.source.path, f))
-            except OSError:
-                continue
+        src = self._snapshot_bytes(self.source, to)
         # src == 0 (everything deleted): the rebuild is one empty scan —
         # cheaper than replaying the deletes through a merge
         return win >= self.rebuild_ratio * src
+
+    @staticmethod
+    def _snapshot_bytes(table: TxLogTable, version: int) -> int:
+        """On-disk bytes of a snapshot's data files (vacuumed/absent
+        files count 0 — the read path raises for them)."""
+        snap = table.snapshot(version)
+        total = 0
+        for f in snap.files if snap else ():
+            try:
+                total += os.path.getsize(os.path.join(table.path, f))
+            except OSError:
+                continue
+        return total
 
     def refresh(self, spark: SparkSession) -> int:
         """Advance the view to the source's current version by applying
@@ -723,7 +739,12 @@ class IncrementalAggView:
             affected.unpersist()
 
     def _pruned_scan(
-        self, spark, table: TxLogTable, version: int, affected: DataFrame
+        self,
+        spark,
+        table: TxLogTable,
+        version: int,
+        affected: DataFrame,
+        bounds: dict | None = None,
     ):
         """One source's rows at ``version``, stats-pruned to the
         affected keys' bounds before the exact semi-join the caller
@@ -735,7 +756,8 @@ class IncrementalAggView:
         set (window touched only since-deleted groups) yields a
         zero-row frame from the snapshot already in hand."""
         snap = table.snapshot(version)
-        bounds = table._source_key_bounds(affected, self.group_cols)
+        if bounds is None:
+            bounds = table._source_key_bounds(affected, self.group_cols)
         cand = table._stats_candidates(
             snap, bounds, self.group_cols, null_safe=False
         )
@@ -1686,18 +1708,9 @@ class IncrementalTopKView(IncrementalAggView):
         O(affected-span) view files per refresh, not the whole view (on
         a group-clustered layout; unclustered degrades to the semi-join
         alone, same honest bound as the source-side prune)."""
-        snap = self.view.snapshot()
-        bounds = self.view._source_key_bounds(affected, self.group_cols)
-        cand = self.view._stats_candidates(
-            snap, bounds, self.group_cols, null_safe=False
+        scan, self.last_view_files = self._pruned_scan(
+            spark, self.view, self.view.version(), affected
         )
-        self.last_view_files = (len(cand), len(snap.files))
-        if cand:
-            scan = self.view._read_files(spark, snap, cand)
-        else:
-            scan = spark.createDataFrame(
-                [], StructType.fromJson(json.loads(snap.schema_json))
-            )
         return scan.join(affected, self.group_cols, "left_semi")
 
     # -------------------------------------------------- merge (by rank) --
@@ -1968,10 +1981,12 @@ class IncrementalUnionAggView(IncrementalAggView):
                 "build() to re-anchor it from the current snapshots"
             ) from e
         txn = self._txn_prefix(snap) + "-".join(str(v) for v in to)
-        insert_only = all(
-            t.window_is_insert_only(f, c) for t, f, c in moved
-        )
-        if self.additive or (self._insert_only_foldable and insert_only):
+        # proof evaluated lazily: an additive view never pays the
+        # per-shard commit-log walk (mirrors the single-source routing)
+        if self.additive or (
+            self._insert_only_foldable
+            and all(t.window_is_insert_only(f, c) for t, f, c in moved)
+        ):
             self._apply_additive_delta(spark, ch, txn)
         else:
             self._apply_union_recompute(spark, ch, to, txn)
@@ -1990,14 +2005,10 @@ class IncrementalUnionAggView(IncrementalAggView):
         )
         if win == 0:
             return False
-        src = 0
-        for t, v in zip(self.sources, to):
-            snap = t.snapshot(v)
-            for fl in snap.files if snap else ():
-                try:
-                    src += os.path.getsize(os.path.join(t.path, fl))
-                except OSError:
-                    continue
+        src = sum(
+            self._snapshot_bytes(t, v)
+            for t, v in zip(self.sources, to)
+        )
         return win >= self.rebuild_ratio * src
 
     # ------------------------------------------------- recompute path --
@@ -2013,8 +2024,15 @@ class IncrementalUnionAggView(IncrementalAggView):
             self._refuse_null_groups(affected, "change feed")
             scan = None
             scanned = total = 0
+            # the affected-key bounds depend only on the (persisted)
+            # affected frame — compute the collect once, not per shard
+            bounds = self.sources[0]._source_key_bounds(
+                affected, self.group_cols
+            )
             for t, v in zip(self.sources, to):
-                s, (c, n) = self._pruned_scan(spark, t, v, affected)
+                s, (c, n) = self._pruned_scan(
+                    spark, t, v, affected, bounds=bounds
+                )
                 scanned += c
                 total += n
                 scan = s if scan is None else scan.unionByName(s)

@@ -486,3 +486,21 @@ def test_rank_column_collisions_refused(spark, tmp_path):
             src, str(tmp_path / "mv"), ["rank"],
             order_by="score", k=3, payload=["id"],
         )
+
+
+def test_underscore_group_columns_refused(spark, tmp_path):
+    """A group key in the views' internal underscore namespace
+    (_mv_rank would be OVERWRITTEN by the ranker) is refused at
+    construction for every view kind."""
+    src = _source(spark, tmp_path)
+    with pytest.raises(ValueError, match="underscore-prefixed"):
+        IncrementalTopKView(
+            src, str(tmp_path / "mv"), ["_mv_rank"],
+            order_by="score", k=3, payload=["id"],
+        )
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    with pytest.raises(ValueError, match="underscore-prefixed"):
+        IncrementalAggView(
+            src, str(tmp_path / "mv"), ["_mv_n"], {"n": ("count", "1")}
+        )
