@@ -55,6 +55,7 @@ it; row-level DML does not — ``read_cdf`` raises a clear error).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -111,6 +112,39 @@ class MatviewWindowUnreadableError(RuntimeError):
     a RESTORE commit sits in it (its logical diff spans arbitrary
     history) or its change files were VACUUMed away. The view is NOT
     advanced; ``build()`` re-anchors it from the current snapshot."""
+
+
+class MatviewSourceSchemaError(MatviewWindowUnreadableError):
+    """A refresh window contains a SOURCE schema change the view's
+    definition does not survive: a group / aggregate / filter input
+    column was dropped, renamed, or retyped by a commit in the window
+    (append with mergeSchema can only ADD columns, but an overwrite
+    replaces the schema wholesale and rename_column / drop_column
+    reshape it in place). The view is NOT advanced.
+
+    The contract, uniform across all four view kinds (aggregate, join,
+    top-k, union):
+
+    - a PURELY ADDITIVE change — new columns the definition never
+      references — refreshes normally; the definition's projection is
+      unaffected and ``read_cdf``'s NULL-padding only touches the new
+      columns.
+    - a change that makes the definition UNRESOLVABLE under any
+      in-window schema, or that alters any state column's TYPE (a
+      retype can survive resolution — Spark will happily ``sum`` a
+      stringified numeric — while silently changing the arithmetic),
+      raises this error with the window and offending version named.
+      ``build()`` re-anchors under the current schema iff the
+      definition still resolves there: a rebuild replaces the whole
+      state in one commit, so no incremental replay ever spans two
+      schema worlds. For a union view the same rule applies per shard,
+      which also covers shard drift beyond ``unionByName``'s reach
+      (same column names, diverged types).
+
+    The cost-based fallback may reach the same rebuild on its own when
+    the schema change rode an overwrite large enough to trip
+    ``rebuild_ratio`` — that ordering is deliberate (a rebuild is
+    always schema-consistent, so it needs no window check)."""
 
 
 class IncrementalAggView:
@@ -270,6 +304,110 @@ class IncrementalAggView:
                 f"definition (or an interrupted first build); "
                 f"stored={stored}, this={self._definition_json()}"
             )
+
+    # ------------------------------------------- window schema contract --
+    def _definition_shape(
+        self, spark: SparkSession, schema: StructType, view_snap
+    ) -> dict[str, str]:
+        """name → type fingerprint of the definition evaluated against a
+        SOURCE carrying ``schema`` — pure analysis over an empty frame,
+        no job runs. Covers the state columns (group keys, aggregate
+        state) PLUS each non-"sql" aggregate's raw input-expression
+        type: Spark implicitly casts through many retypes (``sum`` over
+        a stringified numeric still analyzes to double), so the state
+        types alone would miss a ``double → string`` source retype that
+        silently starts NULLing unparseable values. The join subclass
+        widens the frame with the dimension columns its pinned joins
+        carry (``view_snap`` is how it reaches the pins; unused here)."""
+        empty = spark.createDataFrame([], schema)
+        return self._probe_shape(self._filtered(empty))
+
+    def _probe_shape(self, src: DataFrame) -> dict[str, str]:
+        shape = self._schema_shape(self._compute_state(src).schema)
+        for out, (fn, expr) in getattr(self, "aggs", {}).items():
+            if fn == "sql":
+                # a complete aggregate can't be projected row-wise; its
+                # STATE column type (above) is the probe — the same
+                # implicit-cast carve-out SQL itself has
+                continue
+            shape[f"_in_{out}"] = (
+                src.select(F.expr(expr).alias("_p"))
+                .schema[0]
+                .dataType.simpleString()
+            )
+        return shape
+
+    @staticmethod
+    def _schema_shape(schema: StructType) -> dict[str, str]:
+        """name → type comparison key, nullability-insensitive
+        (``simpleString`` drops it): the state is merged by NAME, and
+        parquet round-trips flip nullable bits freely."""
+        return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+    def _check_window_schema(
+        self, spark, frm: int, to: int, view_snap, table: TxLogTable | None = None
+    ) -> None:
+        """Refuse INCREMENTAL application of a window whose source
+        schema no longer supports the definition — see
+        :class:`MatviewSourceSchemaError` for the contract. The ANCHOR
+        is the source schema at the cursor (``frm``) — the last schema
+        the stored state provably reflects. Metadata-only cost:
+        O(window commits) driver log reads plus one analysis per
+        DISTINCT schema serialization in the window (almost always
+        exactly one, in which case the comparison short-circuits before
+        any analysis). Metadata-only commits (rename / drop) are
+        checked too: they contribute no CDF rows, but letting the
+        cursor slide past one would strand the definition against
+        every future window."""
+        from pyspark.errors import AnalysisException
+
+        table = table if table is not None else self.source
+        frm_snap = table.snapshot(frm)
+        anchor_json = (
+            frm_snap.schema_json if frm_snap is not None else None
+        )
+        anchor: dict[str, str] | None = None
+        seen: set[str] = set()
+        for e in table.commits_between(frm, to):
+            if e.get("op") == "compact":
+                continue
+            s = e.get("schema")
+            if s is None or s in seen or s == anchor_json:
+                continue
+            seen.add(s)
+            if anchor is None and anchor_json is not None:
+                # lazily: windows under the unchanged cursor schema (the
+                # overwhelmingly common case) never analyze anything
+                anchor = self._definition_shape(
+                    spark,
+                    StructType.fromJson(json.loads(anchor_json)),
+                    view_snap,
+                )
+            st = StructType.fromJson(json.loads(s))
+            try:
+                got = self._definition_shape(spark, st, view_snap)
+            except (AnalysisException, ValueError) as err:
+                raise MatviewSourceSchemaError(
+                    f"view at {self.path}: the definition does not "
+                    f"resolve against the schema of {table.path} "
+                    f"v{e['version']} (window ({frm}, {to}]): {err}; "
+                    "the view was NOT advanced — build() re-anchors iff "
+                    "the definition resolves under the CURRENT schema"
+                ) from err
+            if anchor is not None and got != anchor:
+                diff = sorted(
+                    k.removeprefix("_in_")
+                    for k in {**anchor, **got}
+                    if anchor.get(k) != got.get(k)
+                )
+                raise MatviewSourceSchemaError(
+                    f"view at {self.path}: the schema of {table.path} "
+                    f"v{e['version']} (window ({frm}, {to}]) RETYPES "
+                    f"definition input(s) {diff} (a source column the "
+                    "definition reads changed type); the view was NOT "
+                    "advanced — build() re-anchors the state under the "
+                    "current schema in one commit"
+                )
 
     # ---------------------------------------------------- state schema --
     def _state_exprs(self) -> list:
@@ -528,6 +666,27 @@ class IncrementalAggView:
         self._check_definition(snap)
         return self._refresh_checked(spark, snap)
 
+    def recover(self, spark: SparkSession):
+        """One-call remediation, mirroring ``recover_cdf_replica``'s
+        shape (streaming/ingest.py): refresh when the incremental path
+        is open, REBUILD when it is refused — an unreadable/vacuumed
+        window, a source schema break, an interrupted rebuild, a
+        definition mismatch, or a view that was never built. The
+        rebuild replaces the whole state in one commit, so recovery is
+        exactly-once regardless of what broke. Returns whatever the
+        successful path returns (the cursor; a version vector for union
+        views). Deliberately does NOT catch data-shaped errors (a NULL
+        group key, a dimension column collision): those need an
+        upstream fix, not a rebuild."""
+        try:
+            return self.refresh(spark)
+        except (
+            MatviewWindowUnreadableError,
+            MatviewDefinitionError,
+            FileNotFoundError,
+        ):
+            return self.build(spark)
+
     def _refresh_checked(self, spark: SparkSession, snap) -> int:
         """Refresh tail after the existence/definition checks — takes
         the already-resolved view snapshot so subclasses (and the hooks
@@ -538,6 +697,7 @@ class IncrementalAggView:
             return frm
         if self._window_wants_rebuild(frm, to):
             return self.build(spark)
+        self._check_window_schema(spark, frm, to, snap)
         try:
             ch = self._window_changes(spark, frm, to, snap)
         except (ValueError, FileNotFoundError) as e:
@@ -933,6 +1093,7 @@ class IncrementalJoinAggView(IncrementalAggView):
         dims: list[DimJoin],
         rebuild_ratio: float | None = 1.0,
         where: str | None = None,
+        register_pins: bool = False,
     ):
         super().__init__(
             source, path, group_cols, aggs, rebuild_ratio, where
@@ -943,6 +1104,15 @@ class IncrementalJoinAggView(IncrementalAggView):
                 "IncrementalAggView for single-table views)"
             )
         self.dims = list(dims)
+        # opt-in: record this view's pinned dim versions as
+        # ``matview.pin.<view-id>`` properties ON THE DIMENSIONS, which
+        # their vacuum() honors as a retention floor — a routine dim
+        # vacuum can then never strand the view's pinned snapshot or
+        # the CDF window refresh_dimensions() replays. Off by default
+        # because the floor retains dim history until the view re-pins
+        # (and forever if the view is dropped without unpin_dims()),
+        # and because each (re)pin is one property commit on the dim.
+        self.register_pins = bool(register_pins)
 
     # ------------------------------------------------------ definition --
     def _definition_json(self) -> str:
@@ -965,6 +1135,47 @@ class IncrementalJoinAggView(IncrementalAggView):
         )
 
     # ------------------------------------------------------ dim pinning --
+    def _pin_key(self) -> str:
+        """This view's pin property key on its dimensions — derived
+        from the view's absolute path, so re-pinning overwrites (one
+        floor per view per dim) and two views pinning the same dim
+        never collide."""
+        digest = hashlib.sha1(
+            os.path.abspath(self.path).encode("utf-8")
+        ).hexdigest()[:16]
+        return f"matview.pin.{digest}"
+
+    def _register_pin(self, d: DimJoin) -> int:
+        """Advance this view's vacuum floor on dimension ``d`` to its
+        current data and return the version to PIN. The property commit
+        itself bumps the dim, so the pin names the POST-commit version
+        and the floor the PRE-commit one — data-identical by
+        construction, verified by requiring the commit to land exactly
+        one version after the read (a concurrent writer interleaving
+        means the data we floored may no longer be the data we'd pin;
+        bounded retry, then refuse loudly)."""
+        key = self._pin_key()
+        for _ in range(5):
+            v = d.table.version()
+            got = d.table.alter_properties({key: str(v)})
+            if got == v + 1:
+                return got
+        raise RuntimeError(
+            f"view at {self.path}: could not register a vacuum pin on "
+            f"{d.table.path} — a concurrent writer kept interleaving; "
+            "retry when the dimension quiesces"
+        )
+
+    def unpin_dims(self) -> None:
+        """Remove this view's vacuum-floor pins from every dimension —
+        call when dropping the view, or the floors retain dim history
+        indefinitely. Safe when no pin was ever registered."""
+        key = self._pin_key()
+        for d in self.dims:
+            snap = d.table.snapshot()
+            if snap is not None and key in snap.properties:
+                d.table.alter_properties({key: None})
+
     def _dim_props(self, versions: list[int]) -> dict:
         return {
             self._DIM_KEY.format(i=i): str(v)
@@ -1123,7 +1334,9 @@ class IncrementalJoinAggView(IncrementalAggView):
                 raise FileNotFoundError(
                     f"dimension {d.table.path} is empty"
                 )
-            versions.append(v)
+            versions.append(
+                self._register_pin(d) if self.register_pins else v
+            )
         enriched = self._enrich(
             spark, self.source.read(spark, version=to), versions
         )
@@ -1154,6 +1367,33 @@ class IncrementalJoinAggView(IncrementalAggView):
         self._heal_dim_pins(snap, pinned)
         return self._refresh_checked(spark, snap)
 
+    def recover(self, spark: SparkSession):
+        """Join-view remediation ladder, cheapest rung first: plain
+        refresh; on moved dimensions the INCREMENTAL dim fold
+        (``refresh_dimensions``) then refresh; only when the dim window
+        itself is unreplayable (vacuumed pinned snapshot or CDF gap —
+        the case ``register_pins=True`` exists to prevent) fall back to
+        a full ``build()``, which re-pins everything from the current
+        snapshots in one commit."""
+        try:
+            return self.refresh(spark)
+        except MatviewStaleDimensionError:
+            try:
+                self.refresh_dimensions(spark)
+                return self.refresh(spark)
+            except (
+                MatviewWindowUnreadableError,
+                MatviewDefinitionError,
+                FileNotFoundError,
+            ):
+                return self.build(spark)
+        except (
+            MatviewWindowUnreadableError,
+            MatviewDefinitionError,
+            FileNotFoundError,
+        ):
+            return self.build(spark)
+
     def _window_changes(
         self, spark: SparkSession, frm: int, to: int, view_snap
     ) -> DataFrame:
@@ -1166,6 +1406,29 @@ class IncrementalJoinAggView(IncrementalAggView):
         # The view predicate applies AFTER enrichment (it may reference
         # dim columns)
         return self._filtered(self._enrich(spark, ch, versions))
+
+    def _definition_shape(
+        self, spark: SparkSession, schema: StructType, view_snap
+    ) -> dict[str, str]:
+        """Fact-schema check under the PINNED dimension joins: the empty
+        probe frame is enriched exactly like a CDF window would be, so
+        a fact schema change that breaks a join key, a carried-column
+        collision, or a group/agg input retype surfaces here — still
+        analysis-only (empty fact side; nothing executes)."""
+        empty = spark.createDataFrame([], schema)
+        versions = self._pinned_dim_versions(view_snap)
+        enriched = self._enrich(spark, empty, versions)
+        shape = self._probe_shape(self._filtered(enriched))
+        # fact-side JOIN KEY types are part of the contract too: an
+        # equi-join condition implicitly casts (long fact key vs long
+        # dim key retyped to string still analyzes), silently turning
+        # matches into NULL-compares — pin the pre-enrichment types
+        fact_types = {f.name: f.dataType.simpleString() for f in schema}
+        for d in self.dims:
+            for lc, _ in d.on:
+                if lc in fact_types:
+                    shape[f"_jk_{lc}"] = fact_types[lc]
+        return shape
 
     # ------------------------------------------- dimension maintenance --
     def refresh_dimensions(self, spark: SparkSession) -> list[int]:
@@ -1217,6 +1480,16 @@ class IncrementalJoinAggView(IncrementalAggView):
             # forever)
             self._heal_dim_pins(snap, pinned)
             return pinned
+        if self.register_pins:
+            # advance the vacuum floors FIRST (the floor-advancing
+            # property commit bumps the dim, so the fold target is the
+            # post-registration version — data-identical to what we
+            # just floored); only moved dims re-register, an unmoved
+            # dim keeps its standing floor and version
+            current = [
+                self._register_pin(d) if c != p else c
+                for d, c, p in zip(self.dims, current, pinned)
+            ]
         cursor = self._cursor(snap)
         src_snap = self._require_snapshot(
             self.source, cursor, "the fact snapshot at the cursor"
@@ -1969,11 +2242,25 @@ class IncrementalUnionAggView(IncrementalAggView):
             # between our vector read and the rebuild is pinned at its
             # NEWER version, and the returned vector reflects that
             return self.build(spark)
+        # per-shard schema contract: each moved shard's window must
+        # still support the definition at the view's anchored types —
+        # this also catches SHARD DRIFT beyond unionByName's reach
+        # (same column names, diverged types)
+        for t, f, c in moved:
+            self._check_window_schema(spark, f, c, snap, table=t)
         ch = None
         try:
             for t, f, c in moved:
                 w = self._filtered(t.read_cdf(spark, f, c))
-                ch = w if ch is None else ch.unionByName(w)
+                # allowMissingColumns: the schema check above proved
+                # every shard window compatible with the DEFINITION —
+                # a column one shard added (and no shard's definition
+                # input reads) may simply be absent on the others
+                ch = (
+                    w
+                    if ch is None
+                    else ch.unionByName(w, allowMissingColumns=True)
+                )
         except (ValueError, FileNotFoundError) as e:
             raise MatviewWindowUnreadableError(
                 f"view at {self.path}: a shard's CDF window cannot be "

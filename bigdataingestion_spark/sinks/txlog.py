@@ -6407,6 +6407,37 @@ class TxLogTable:
                 for st in snap.file_stats.values()
                 if isinstance(st, dict) and st.get("__bloom__")
             }
+            # registered matview pins are a RETENTION FLOOR: a join view
+            # enriches its fact deltas at a PINNED version of this table
+            # (see sinks/matview.py), and folding later dimension changes
+            # in replays this table's own change history since the pin —
+            # so each pin keeps its snapshot's files AND the change
+            # record (adds/removes/cdf images) of every commit after it.
+            # The floor moves when the view re-pins (refresh_dimensions /
+            # build) and disappears with unpin_dims(); a pin left behind
+            # by a dropped view retains history until the property is
+            # removed — the same trade Delta's CDC retention makes.
+            for key, val in snap.properties.items():
+                if not key.startswith("matview.pin."):
+                    continue
+                try:
+                    pv = int(val)
+                except (TypeError, ValueError):
+                    continue
+                ps = self.snapshot(pv) if 0 <= pv <= snap.version else None
+                if ps is not None:
+                    live |= set(ps.files) | set(ps.dvs.values())
+                    live |= {
+                        st["__bloom__"]
+                        for st in ps.file_stats.values()
+                        if isinstance(st, dict) and st.get("__bloom__")
+                    }
+                    for e in self.commits_between(pv, snap.version):
+                        cdf = e.get("cdf")
+                        if cdf:
+                            live |= {r for fs in cdf.values() for r in fs}
+                        live |= set(e.get("add") or ())
+                        live |= set(e.get("remove") or ())
         cutoff = time.time() - retention_seconds
         deleted = []
         for root, dirs, files in os.walk(self.path):

@@ -1,0 +1,83 @@
+"""Read-side SQL registration for txlog tables and materialized views.
+
+The lake's transactional tables (sinks/txlog.py) and incremental views
+(sinks/matview.py) are Python-API objects; pyspark's Python Data Source
+API has no catalog hook that would let ``spark.sql`` resolve them by
+name for DML (documented deviation #9 in COVERAGE.md). The READ half
+needs no such hook: :func:`register_tables` publishes each object's
+current SNAPSHOT as a temp view, so analysts can ``spark.sql("SELECT …
+FROM sales JOIN sales_by_region …")`` over transactionally-consistent
+data by name.
+
+Semantics — deliberately snapshot-scoped, like Delta's
+``DataFrame``-from-a-version reads:
+
+- each call RE-RESOLVES every table's latest snapshot; the registered
+  view is then FROZEN at it. Commits that land after registration are
+  invisible until the next ``register_tables`` call — queries joining
+  several registered names therefore see one consistent point-in-time
+  per name, never a torn mid-commit state.
+- registration is metadata-only (one driver-side log replay per
+  table); no data is read or cached. The temp view holds the
+  snapshot's file list, so Spark's scan planning (column pruning,
+  predicate pushdown into parquet, file-level stats skipping through
+  the snapshot reader) applies unchanged.
+- names are session-scoped temp views: they shadow nothing in a real
+  metastore and vanish with the session.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def register_tables(spark: SparkSession, tables: dict) -> dict[str, object]:
+    """Publish each object's current snapshot as a temp view under its
+    key. Values may be :class:`~bigdataingestion_spark.sinks.txlog.
+    TxLogTable` instances, any matview kind (aggregate / join / top-k /
+    union), or any object exposing ``read(spark) -> DataFrame`` — the
+    matview ``read`` surfaces the user-facing columns (e.g. the top-k
+    view's ``rank``), exactly what a SQL reader should see.
+
+    Returns ``{name: version}`` — the snapshot version each view was
+    frozen at (a version VECTOR for union views, ``None`` for objects
+    that don't expose one) so callers can record the read's provenance.
+    Call again to move every name to the tables' current snapshots.
+    """
+    for name in tables:
+        if not _NAME_RE.match(name):
+            raise ValueError(
+                f"view name {name!r} is not a plain SQL identifier"
+            )
+    versions: dict[str, object] = {}
+    for name, t in tables.items():
+        read = getattr(t, "read", None)
+        if read is None:
+            raise TypeError(
+                f"{name!r}: expected a TxLogTable or matview (an object "
+                f"with read(spark)), got {type(t).__name__}"
+            )
+        df = read(spark)
+        df.createOrReplaceTempView(name)
+        if hasattr(t, "version"):  # TxLogTable
+            versions[name] = t.version()
+        elif hasattr(t, "view") and hasattr(t.view, "version"):
+            # matviews: the version of the view's OWN storage table;
+            # union views additionally carry a source version vector in
+            # their properties, but the storage version is what the
+            # frozen frame reflects
+            versions[name] = t.view.version()
+        else:
+            versions[name] = None
+    return versions
+
+
+def unregister_tables(spark: SparkSession, names) -> None:
+    """Drop the given temp views; missing names are ignored (the
+    session may have been restarted since registration)."""
+    for name in names:
+        spark.catalog.dropTempView(name)

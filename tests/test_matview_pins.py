@@ -1,0 +1,208 @@
+"""Pin-aware dimension vacuum + one-call recover() (r12).
+
+A join view's incremental correctness depends on its PINNED dimension
+snapshots staying readable. Two remedies under test:
+
+- ``register_pins=True`` records the pin as a ``matview.pin.<view-id>``
+  property ON the dimension, which ``TxLogTable.vacuum()`` honors as a
+  retention floor — the pinned snapshot and the dim's change history
+  since it survive any vacuum, so refresh_dimensions() keeps working.
+- ``recover()`` is the one-call remediation ladder for views that DID
+  break (no pins registered, floor removed, window vacuumed): refresh →
+  incremental dim fold → full rebuild, cheapest rung that works.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataingestion_spark.sinks.matview import (
+    DimJoin,
+    IncrementalAggView,
+    IncrementalJoinAggView,
+    MatviewStaleDimensionError,
+    MatviewWindowUnreadableError,
+)
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+
+def _fixture(spark, tmp_path, register_pins):
+    fact = TxLogTable(str(tmp_path / "fact"))
+    fact.append(
+        spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(1, 41)],
+            "id long, dk long, amount double",
+        )
+    )
+    fact.alter_properties({"cdf.enabled": "true"})
+    dim = TxLogTable(str(tmp_path / "dim"))
+    dim.append(
+        spark.createDataFrame(
+            [(k, f"D{k % 2}") for k in range(4)], "dkey long, dname string"
+        )
+    )
+    dim.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalJoinAggView(
+        fact,
+        str(tmp_path / "mv"),
+        ["dname"],
+        {"n": ("count", "1"), "s": ("sum", "amount")},
+        [DimJoin(dim, on=[("dk", "dkey")])],
+        rebuild_ratio=None,
+        register_pins=register_pins,
+    )
+    mv.build(spark)
+    return fact, dim, mv
+
+
+def _oracle(spark, fact, dim):
+    j = fact.read(spark).join(
+        dim.read(spark), F.col("dk") == F.col("dkey")
+    )
+    return {
+        r["dname"]: (r["n"], round(r["s"], 6))
+        for r in j.groupBy("dname")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+
+
+def _state(mv, spark):
+    return {
+        r["dname"]: (r["n"], round(r["s"], 6))
+        for r in mv.read(spark).collect()
+    }
+
+
+def test_vacuum_honors_pin_floor(spark, tmp_path):
+    """Dim moves (rewrite), then a zero-retention vacuum runs: with a
+    registered pin the pinned snapshot and the CDF window survive, so
+    the incremental dim fold (not a rebuild) still works afterwards."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=True)
+    key = mv._pin_key()
+    assert key in dim.snapshot().properties  # build registered the floor
+    dim.update(spark, "dkey = 3", {"dname": "'D0'"})  # rewrites a file
+    dim.vacuum(retention_seconds=0)
+    # the pinned snapshot must still be fully readable post-vacuum
+    pinned = mv._pinned_dim_versions(mv.view.snapshot())[0]
+    snap = dim.snapshot(pinned)
+    assert all(
+        os.path.exists(os.path.join(dim.path, f)) for f in snap.files
+    )
+    mv.refresh_dimensions(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert "overwrite" not in ops[-3:]  # incremental fold, no rebuild
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+
+
+def test_repin_advances_floor_and_releases_history(spark, tmp_path):
+    """refresh_dimensions re-registers the floor at the new version;
+    a later vacuum may then reclaim pre-fold dim files — the floor is
+    a moving window, not an ever-growing archive."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=True)
+    old_files = set(dim.snapshot().files)
+    dim.update(spark, "dkey = 3", {"dname": "'D0'"})
+    mv.refresh_dimensions(spark)
+    deleted = dim.vacuum(retention_seconds=0)
+    # the rewritten pre-fold file is reclaimable once the pin moved past
+    assert any(f in old_files for f in deleted)
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+
+
+def test_unpin_releases_floor(spark, tmp_path):
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=True)
+    key = mv._pin_key()
+    mv.unpin_dims()
+    assert key not in dim.snapshot().properties
+    # idempotent when nothing is pinned
+    mv.unpin_dims()
+
+
+def test_vacuum_without_pin_breaks_then_recover(spark, tmp_path):
+    """The default (no pins): dim rewrite + zero-retention vacuum
+    strands the pinned snapshot; refresh refuses (stale dim), the
+    incremental fold refuses (vacuumed window), and recover() walks the
+    ladder down to a rebuild — after which incremental refresh works
+    again."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=False)
+    dim.update(spark, "dkey = 3", {"dname": "'D0'"})
+    dim.vacuum(retention_seconds=0)
+    with pytest.raises(MatviewStaleDimensionError):
+        mv.refresh(spark)
+    with pytest.raises(MatviewWindowUnreadableError):
+        mv.refresh_dimensions(spark)
+    mv.recover(spark)
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+    fact.append(
+        spark.createDataFrame([(100, 1, 9.0)], "id long, dk long, amount double")
+    )
+    mv.refresh(spark)
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+
+
+def test_recover_prefers_incremental_dim_fold(spark, tmp_path):
+    """When the dim window IS replayable, recover() must take the
+    incremental rung (refresh_dimensions + refresh), never a rebuild."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=True)
+    dim.update(spark, "dkey = 2", {"dname": "'D1'"})
+    fact.append(
+        spark.createDataFrame([(100, 2, 5.0)], "id long, dk long, amount double")
+    )
+    mv.recover(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert "overwrite" not in ops[1:]  # no rebuild after the first build
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+
+
+def test_recover_on_agg_view_vacuumed_window(spark, tmp_path):
+    """Base-class recover(): a source DML window whose CDF images were
+    vacuumed is unreplayable — recover() rebuilds and re-anchors."""
+    src = TxLogTable(str(tmp_path / "src"))
+    src.append(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i)) for i in range(1, 31)],
+            "id long, grp string, val double",
+        )
+    )
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.update(spark, "id % 5 = 0", {"val": "val * 2"})
+    src.vacuum(retention_seconds=0)  # reclaims the update's CDF images
+    with pytest.raises(MatviewWindowUnreadableError):
+        mv.refresh(spark)
+    mv.recover(spark)
+    want = {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in src.read(spark)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in mv.read(spark).collect()
+    } == want
+
+
+def test_recover_builds_never_built_view(spark, tmp_path):
+    src = TxLogTable(str(tmp_path / "src"))
+    src.append(spark.createDataFrame([(1, "g0", 1.0)], "id long, grp string, val double"))
+    mv = IncrementalAggView(
+        src, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")}
+    )
+    mv.recover(spark)
+    assert _rows_n(mv, spark) == {"g0": 1}
+
+
+def _rows_n(mv, spark):
+    return {r["grp"]: r["n"] for r in mv.read(spark).collect()}
