@@ -31,7 +31,8 @@ from bigdataingestion_spark.session import get_spark
 def _bench_pipeline(spark, sf_dir: str) -> float:
     """End-to-end ingestion throughput: stage events as a watermarked source,
     run the orchestrator's chunked load (partitioned strategy), return
-    seconds. This is the reference's core capability measured directly."""
+    (median seconds, max-min spread) over 3 fresh-lake runs. This is
+    the reference's core capability measured directly."""
     import shutil
     import tempfile
 
@@ -75,7 +76,9 @@ def _bench_pipeline(spark, sf_dir: str) -> float:
             results = orch.run(run_date="2026-01-01")
             times.append(time.perf_counter() - t0)
             assert all(r.strategy != "failed" for r in results)
-        return statistics.median(times)
+        # (median, max-min): every headliner reports a spread so any
+        # round-over-round movement is attributable against it
+        return statistics.median(times), max(times) - min(times)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -148,7 +151,9 @@ def _timed_pass(spark, sf_dir: str, reps: int) -> tuple[dict, dict]:
     spread = {
         n: round(max(s) - min(s), 3) for n, s in samples.items()
     }  # max-min over reps: cheap dispersion signal for regression triage
-    timings["pipeline_ingest_events"] = round(_bench_pipeline(spark, sf_dir), 3)
+    med, disp = _bench_pipeline(spark, sf_dir)
+    timings["pipeline_ingest_events"] = round(med, 3)
+    spread["pipeline_ingest_events"] = round(disp, 3)
     return timings, spread
 
 

@@ -6507,86 +6507,385 @@ def docs_adaptive_quality(spark, sf_dir):
     ).select("doc_id", "lang", "wc")
 
 
+@register(
+    "txlog_sql_snapshot_query",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_sql_snapshot_query(spark, sf_dir):
+    """[EXT] Read-side SQL registration (r12, sql_registry.py — the
+    analyst-facing half of COVERAGE.md deviation #9): a txlog table is
+    published as a temp view and queried BY NAME through ``spark.sql``,
+    frozen at a consistent snapshot per ``register_tables`` call.
+    Self-evidencing snapshot isolation: a commit landing AFTER
+    registration is asserted invisible until re-registration — the
+    returned aggregate reads the RE-registered (current) snapshot, so
+    the oracle is a plain GROUP BY over the final row set."""
+    from bigdataingestion_spark.sql_registry import register_tables
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    t = _fresh_txlog()
+    t.append(orders.filter(k % 2 == 0))
+    register_tables(spark, {"bdi_sql_sales": t})
+    n0 = spark.sql("SELECT count(*) AS c FROM bdi_sql_sales").first()["c"]
+    # a post-registration commit must be INVISIBLE to the frozen name
+    t.append(orders.filter((k % 2 != 0) & (k % 3 == 0)))
+    n_frozen = spark.sql(
+        "SELECT count(*) AS c FROM bdi_sql_sales"
+    ).first()["c"]
+    assert n_frozen == n0, f"snapshot tore: {n_frozen} != {n0}"
+    versions = register_tables(spark, {"bdi_sql_sales": t})  # re-resolve
+    assert versions["bdi_sql_sales"] == t.version()
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM bdi_sql_sales GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "txlog_matview_schema_add",
+    """
+    WITH healed AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 = 2
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(price), 2) AS sum_price
+    FROM healed GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_schema_add(spark, sf_dir):
+    """[EXT] Matview source-schema-evolution contract (r12,
+    sinks/matview.py MatviewSourceSchemaError): one rule for all view
+    kinds — an ADDITIVE column add in the refresh window folds
+    normally (the definition never reads it), while a RETYPE of a
+    definition input is refused with the view untouched and ``build()``
+    re-anchors. Exercised in sequence on one view: (1) append carrying
+    an extra ``note`` column → incremental refresh; (2) overwrite
+    retyping the price to string → typed refusal, state asserted
+    unchanged; (3) heal by overwriting a well-typed final base and
+    rebuilding; (4) a last append → incremental refresh again. The
+    oracle is the from-scratch GROUP BY of the healed final state."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import (
+        IncrementalAggView,
+        MatviewSourceSchemaError,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = _fresh_txlog()
+    src.append(orders.filter(k % 3 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {"n_orders": ("count", "1"), "sum_price": ("sum", "o_totalprice")},
+        rebuild_ratio=None,  # pin the incremental path under test
+    )
+    mv.build(spark)
+    # (1) column ADD in the window: refreshes fine
+    src.append(
+        orders.filter(k % 3 == 1).withColumn("note", F.lit("added"))
+    )
+    mv.refresh(spark)
+    before = {
+        (r["o_orderstatus"], r["n_orders"])
+        for r in mv.read(spark).collect()
+    }
+    # (2) RETYPE in the window: typed refusal, view untouched
+    src.overwrite(
+        orders.filter(k % 3 == 2)
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    )
+    refused = False
+    try:
+        mv.refresh(spark)
+    except MatviewSourceSchemaError:
+        refused = True
+    assert refused, "retype window must refuse"
+    assert {
+        (r["o_orderstatus"], r["n_orders"])
+        for r in mv.read(spark).collect()
+    } == before
+    # (3) heal: well-typed final base, re-anchor
+    src.overwrite(
+        orders.filter(k % 3 < 2).withColumn(
+            "o_totalprice",
+            F.when(k % 7 == 0, F.col("o_totalprice") * 1.05).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    mv.build(spark)
+    # (4) incremental again after the re-anchor
+    src.append(orders.filter(k % 3 == 2))
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 2, f"expected 2 refresh merges, got {ops}"
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+    )
+
+
+@register(
+    "txlog_matview_recover",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 5
+                  ELSE l_quantity END AS qty
+      FROM lineitem WHERE l_orderkey % 4 = 0
+      UNION ALL
+      SELECT l_returnflag, l_quantity AS qty
+      FROM lineitem WHERE l_orderkey % 4 = 1
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(qty), 2) AS sum_qty
+    FROM base GROUP BY l_returnflag
+    """,
+)
+def txlog_matview_recover(spark, sf_dir):
+    """[EXT] One-call matview recovery (r12, IncrementalAggView.recover
+    — mirroring recover_cdf_replica's shape): an update's CDF images
+    are vacuumed away, the refresh raises the typed unreadable-window
+    error, and ``recover()`` re-anchors with a rebuild — after which
+    INCREMENTAL refresh works again (asserted: the post-recovery append
+    folds via one merge commit, not another rebuild)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import (
+        IncrementalAggView,
+        MatviewWindowUnreadableError,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    k = F.col("l_orderkey")
+    src = _fresh_txlog()
+    src.append(li.filter(k % 4 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["l_returnflag"],
+        {"n_items": ("count", "1"), "sum_qty": ("sum", "l_quantity")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.update(spark, "l_orderkey % 10 = 0", {"l_quantity": "l_quantity + 5"})
+    src.vacuum(retention_seconds=0)  # reclaims the update's CDF images
+    broke = False
+    try:
+        mv.refresh(spark)
+    except MatviewWindowUnreadableError:
+        broke = True
+    assert broke, "vacuumed window must refuse"
+    mv.recover(spark)
+    src.append(li.filter(k % 4 == 1))
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 1, f"expected 1 post-recovery merge, got {ops}"
+    return mv.read(spark).select(
+        "l_returnflag",
+        "n_items",
+        F.round("sum_qty", 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "txlog_matview_pinned_vacuum",
+    """
+    WITH dim AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 10 = 0 THEN 0
+                  ELSE s_nationkey END AS nk
+      FROM supplier
+    ),
+    fact AS (
+      SELECT l_suppkey, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey % 5 IN (0, 1)
+    )
+    SELECT nk AS s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM fact JOIN dim ON s_suppkey = l_suppkey
+    GROUP BY nk
+    """,
+)
+def txlog_matview_pinned_vacuum(spark, sf_dir):
+    """[EXT] Pin-aware dimension vacuum (r12): a join view built with
+    ``register_pins=True`` records its pinned dim version as a
+    ``matview.pin.*`` property ON the dimension, which the dim's
+    ``vacuum()`` honors as a retention floor — so after the dimension
+    MOVES (suppliers %10==0 re-homed to nation 0) and a zero-retention
+    vacuum runs, the pinned snapshot is still readable and
+    ``refresh_dimensions()`` folds the change in INCREMENTALLY (no
+    rebuild — asserted on the view's history) before a fact append
+    refreshes as usual."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import (
+        DimJoin,
+        IncrementalJoinAggView,
+    )
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    k = F.col("l_orderkey")
+    work = _tempfile.mkdtemp(prefix="txlog-mv-")
+    fact = _fresh_txlog()
+    fact.append(li.filter(k % 5 == 0))
+    fact.alter_properties({"cdf.enabled": "true"})
+    dim = TxLogTable(_os.path.join(work, "dim"))
+    dim.append(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    dim.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalJoinAggView(
+        fact,
+        _os.path.join(work, "mv"),
+        ["s_nationkey"],
+        {
+            "n_items": ("count", "1"),
+            "revenue": ("sum", "l_extendedprice * (1 - l_discount)"),
+        },
+        [DimJoin(dim, on=[("l_suppkey", "s_suppkey")])],
+        rebuild_ratio=None,
+        register_pins=True,
+    )
+    mv.build(spark)
+    dim.update(spark, "s_suppkey % 10 = 0", {"s_nationkey": "0"})
+    deleted = dim.vacuum(retention_seconds=0)
+    # the pinned snapshot must have survived the vacuum (floor honored)
+    pinned = mv._pinned_dim_versions(mv.view.snapshot())[0]
+    snap = dim.snapshot(pinned)
+    assert all(
+        _os.path.exists(_os.path.join(dim.path, f)) for f in snap.files
+    ), f"pin floor breached (vacuum deleted {deleted})"
+    mv.refresh_dimensions(spark)
+    fact.append(li.filter(k % 5 == 1))
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert "overwrite" not in ops[1:], f"dim fold must not rebuild: {ops}"
+    return mv.read(spark).select(
+        "s_nationkey",
+        "n_items",
+        F.round("revenue", 2).alias("revenue"),
+    )
+
+
 # _GATE_FIRST rotates queries that still need driver evidence into that
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # Round-11 window, per the r10 verdict's recorded rotation plan.
+    # Round-12 window, per the r11 verdict's recorded rotation plan.
     # Standing policy: queries NEW this round lead (zero evidence
-    # first) — the 8 r11 additions (3 early-round, then the top-k /
-    # BPE / shuffle / adaptive-quality batch and the filtered view),
-    # then the 4 registered after the r10 window froze (judge-sweep
-    # green, zero driver evidence), then the last 3 r6-age entries,
-    # then the first 35 of the r9-window cohort (the oldest delivered
-    # driver evidence). After a green r11 gate every query has
-    # delivered evidence and none is older than the r9 window.
-    # --- new this round (r11) ---
-    "txlog_matview_join",
-    "training_data_pipeline_dsir",
-    "txlog_matview_dim_change",
-    "txlog_matview_filtered",
-    "txlog_matview_topk",
-    "txlog_matview_median",
-    "txlog_matview_union",
-    "corpus_bpe_top_pairs",
-    "docs_bpe_token_frequency",
-    "docs_epoch_shuffle",
-    "docs_adaptive_quality",
-    # --- added after the r10 window froze: zero driver evidence ---
-    "txlog_matview_additive",
-    "txlog_matview_minmax",
-    "docs_dsir_weights",
-    "docs_dsir_sample",
-    # --- the 3 remaining r6-age entries ---
-    "q10_returned_items",
-    "q11_major_part_types",
-    "q13_customer_order_distribution",
-    # --- first 41 of the r9-window cohort (oldest delivered) ---
-    "txlog_merge_conditional",
-    "txlog_identity_assign",
-    "embedding_semantic_dedup",
-    "embedding_semantic_dedup_incremental",
-    "docs_duplicate_spans",
-    "docs_span_dup_clusters",
-    "q14_promo_revenue",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_customers",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "similar_part_names",
-    "streaming_hourly_counts",
-    "user_funnel_set_ops",
-    "user_purchase_error_overlap",
-    "streaming_user_sessions",
-    "minhash_lsh_pairs",
-    "minhash_incremental_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_hamming_pairs",
-    "asof_last_purchase",
-    "training_data_pipeline",
-    "text_quality_stats",
-    "lang_histogram",
-    "user_sessions",
-    "user_sessions_native",
-    "multimodal_features",
-    # Exactly 50 names (11 new r11 + 4 post-freeze r10 + 3 r6-age +
-    # 32 r9 cohort). r12 queue: any queries new in r12 lead, then the
-    # 18 remaining r9-cohort entries (events_latest_state,
-    # events_range_pairs,
-    # events_hourly_gapfill,
-    # events_retention_cohorts,
-    # events_window_funnel, customer_cohort_ltv, docs_bigram_quality,
-    # txlog_backfill_replace, txlog_rename_migration,
-    # txlog_dv_point_delete, txlog_cdf_audit, txlog_generated_bucket,
-    # docs_boilerplate_ngrams, docs_length_profile, docs_pack_sequences,
-    # docs_pii_redacted, docs_temperature_sample, docs_tfidf_top_terms),
-    # then the r10-window cohort (txlog_cdc_ops_final_state ..
-    # part_best_supplier) as the then-oldest delivered evidence.
+    # first) — the 4 r12 additions (SQL registry, the schema-evolution
+    # contract, recover(), the pin-aware dim vacuum) — then the 18
+    # remaining r9-cohort entries (the oldest delivered driver
+    # evidence), then the first 28 of the r10-window cohort. After a
+    # green r12 gate no query's delivered evidence is older than r10
+    # except the r10-window tail the r13 queue already names below.
+    # --- new this round (r12) ---
+    "txlog_sql_snapshot_query",
+    "txlog_matview_schema_add",
+    "txlog_matview_recover",
+    "txlog_matview_pinned_vacuum",
+    # --- the 18 remaining r9-cohort entries ---
+    "events_latest_state",
+    "events_range_pairs",
+    "events_hourly_gapfill",
+    "events_retention_cohorts",
+    "events_window_funnel",
+    "customer_cohort_ltv",
+    "docs_bigram_quality",
+    "txlog_backfill_replace",
+    "txlog_rename_migration",
+    "txlog_dv_point_delete",
+    "txlog_cdf_audit",
+    "txlog_generated_bucket",
+    "docs_boilerplate_ngrams",
+    "docs_length_profile",
+    "docs_pack_sequences",
+    "docs_pii_redacted",
+    "docs_temperature_sample",
+    "docs_tfidf_top_terms",
+    # --- first 28 of the r10-window cohort (oldest delivered) ---
+    "txlog_cdc_ops_final_state",
+    "txlog_auto_compact_invariance",
+    "docs_dup_span_profile",
+    "q17_small_quantity_revenue",
+    "txlog_nested_rename",
+    "txlog_update_recompute",
+    "corpus_token_frequency",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_near_clusters",
+    "doc_fingerprints",
+    "docs_chunked",
+    "docs_contamination",
+    "embedding_cosine_topk",
+    "embedding_cosine_topk_arrow",
+    "events_multires_rollup",
+    "events_value_percentiles",
+    "ingest_chunk_profile",
+    "ingest_config_union",
+    "ingest_distinct_years",
+    "ingest_months_below_limit",
+    "ingest_next_surrogate_key",
+    "ingest_watermark_next",
+    "ingest_watermark_filter_count",
+    "ingest_years_above_limit",
+    "minhash_signatures",
+    "multimodal_meta",
+    "orders_status_pivot",
+    # Exactly 50 names (4 new r12 + 18 r9 cohort + 28 r10 cohort).
+    # r13 queue: any queries new in r13 lead, then the remaining 22
+    # r10-window entries (orders_status_unpivot, q1_pricing_summary,
+    # q3_shipping_priority, q5_local_supplier_volume, simhash64,
+    # small_quantity_revenue, top_customers_by_spend,
+    # top_parts_by_revenue, customer_order_moving_avg,
+    # customer_order_timeline, customer_top_order,
+    # docs_repetition_stats, docs_source_mix_weights,
+    # docs_stratified_sample, docs_train_test_split,
+    # embedding_knn_vote, embedding_label_centroids,
+    # embedding_label_stats, embedding_near_dup_pairs,
+    # event_type_daily, lineitem_cube_stats, part_best_supplier),
+    # then the r11-window cohort (txlog_matview_join ..
+    # multimodal_features) as the then-oldest delivered evidence.
 ]
 
 

@@ -126,11 +126,64 @@ def _merge_pass(syms: Column, lhs: str, rhs: str) -> Column:
     return F.aggregate(syms, init, step, fin)
 
 
+def _select_batch(
+    rows, probe: int, min_freq: int, limit: int
+) -> list[tuple[str, str]]:
+    """The longest PROVABLY sequential-equivalent prefix of the sorted
+    pair list: selecting pairs in (freq DESC, lhs, rhs) order is
+    identical to running the argmax one merge at a time as long as
+
+    1. selected pairs are pairwise SYMBOL-DISJOINT — merging (a, b)
+       only changes counts of pairs touching ``a`` or ``b`` (pairs
+       ``(x,a)`` lose the occurrences now glued, ``(b,y)`` likewise;
+       nothing else moves), so every later selected pair's count is
+       exactly what the sorted list says;
+    2. each selected pair's count strictly exceeds the running CAP on
+       any pair a previous selection could have CREATED — a merge of
+       (a, b) creates pairs ``(x, ab)`` with count ≤ count(x, a) and
+       ``(ab, y)`` with count ≤ count(b, y), both read off the same
+       sorted list (and bounded by the probe tail for pairs below it);
+    3. the scan STOPS at the first pair sharing a symbol with a
+       selection — its post-merge count is unknown (it may not have
+       decreased at all), so it could still be the true argmax.
+
+    Strict ``>`` against the cap sidesteps tie-break ambiguity with
+    created pairs; ties among selected pairs resolve in sort order,
+    which IS the sequential tie-break. Pure driver-side selection over
+    an already-collected bounded list."""
+    if not rows:
+        return []
+    tailmax = rows[-1]["pair_freq"] if len(rows) == probe else 0
+    max_by_lhs: dict[str, int] = {}
+    max_by_rhs: dict[str, int] = {}
+    for r in rows:  # sorted desc: first sighting is that symbol's max
+        max_by_lhs.setdefault(r["lhs"], r["pair_freq"])
+        max_by_rhs.setdefault(r["rhs"], r["pair_freq"])
+    used: set[str] = set()
+    cap = tailmax
+    out: list[tuple[str, str]] = []
+    for r in rows:
+        f, a, b = r["pair_freq"], r["lhs"], r["rhs"]
+        if (
+            len(out) >= limit
+            or f < min_freq
+            or f <= cap
+            or a in used
+            or b in used
+        ):
+            break
+        out.append((a, b))
+        used.update((a, b))
+        cap = max(cap, max_by_rhs.get(a, 0), max_by_lhs.get(b, 0))
+    return out
+
+
 def learn_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_freq: int = 2,
+    batch: int = 16,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns them
     in application order. Stops early when the best remaining pair's
@@ -138,16 +191,47 @@ def learn_bpe(
 
     Deterministic across partitionings and engines: the argmax
     tie-breaks by (pair_freq DESC, lhs ASC, rhs ASC) — a total order —
-    and runs as a bounded ``limit(1)`` collect (TakeOrdered), never a
-    driver-side scan. Each iteration touches only the vocabulary frame;
-    the corpus is read exactly once by :func:`word_vocab`.
-    """
+    and runs as a bounded TakeOrdered collect, never a driver-side
+    scan. Each iteration touches only the vocabulary frame; the corpus
+    is read exactly once by :func:`word_vocab`.
+
+    ``batch`` bounds how many merges one Spark pass may commit: the
+    naive loop costs one pair-count job PER MERGE (32k merges = 32k
+    driver round-trips — the scheduling floor, not the data, dominates
+    at real vocabulary sizes), so each pass collects a bounded sorted
+    pair window and takes the longest prefix :func:`_select_batch` can
+    PROVE equals the one-at-a-time argmax sequence — the merge list is
+    bit-identical for every ``batch`` value, only the job count
+    changes. ``batch=1`` recovers the single-merge loop."""
+    return learn_bpe_from_word_vocab(
+        word_vocab(df, text_col),
+        n_merges,
+        min_freq=min_freq,
+        batch=batch,
+    )
+
+
+def learn_bpe_from_word_vocab(
+    word_freq: DataFrame,
+    n_merges: int,
+    min_freq: int = 2,
+    batch: int = 16,
+) -> list[tuple[str, str]]:
+    """:func:`learn_bpe` starting from an ALREADY-MATERIALIZED
+    ``(word, freq)`` vocabulary frame — the common big-data shape: the
+    one corpus pass is expensive at 100 TB, so compute the word
+    vocabulary once, persist it, and learn (or re-learn with different
+    merge counts / min_freq) from the persisted table without touching
+    the corpus again. Identical semantics and determinism contract."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if min_freq < 1:
         raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    probe = max(256, 16 * batch)
     vocab = (
-        word_vocab(df, text_col)
+        word_freq
         .withColumn("syms", _symbolize(F.col("word")))
         .select("syms", "freq")
         .localCheckpoint()  # vocab is the loop's working set; drop the
@@ -155,28 +239,50 @@ def learn_bpe(
     )
     merges: list[tuple[str, str]] = []
     try:
-        for _ in range(n_merges):
-            best = (
+        while len(merges) < n_merges:
+            rows = (
                 pair_counts(vocab)
                 .orderBy(
                     F.desc("pair_freq"), F.asc("lhs"), F.asc("rhs")
                 )
-                .limit(1)
+                .limit(probe)
                 .collect()
             )
-            if not best or best[0]["pair_freq"] < min_freq:
+            if not rows or rows[0]["pair_freq"] < min_freq:
                 break
-            lhs, rhs = best[0]["lhs"], best[0]["rhs"]
-            merges.append((lhs, rhs))
-            has_pair = F.arrays_overlap(
-                F.col("syms"), F.array(F.lit(lhs))
-            ) & F.arrays_overlap(F.col("syms"), F.array(F.lit(rhs)))
+            selected = _select_batch(
+                rows, probe, min_freq, min(batch, n_merges - len(merges))
+            )
+            if not selected:
+                # the provable window is empty (e.g. the best pair is
+                # (x, x), whose own merge caps everything): fall back to
+                # the plain single-argmax step for this pass
+                selected = [(rows[0]["lhs"], rows[0]["rhs"])]
+            merges.extend(selected)
+            # one vocabulary rewrite applies the whole batch: the folds
+            # chain UNCONDITIONALLY in selection order (= sequential
+            # application order; each fold references its input exactly
+            # once, so the expression grows linearly in the batch size —
+            # per-merge when/otherwise guards would double references at
+            # every level). One word-level guard on the ORIGINAL symbols
+            # skips the whole chain for untouched words: any merge that
+            # could apply — directly, or to a token an earlier merge in
+            # this batch CREATED — requires some selected pair's symbols
+            # to be present up front
+            orig = F.col("syms")
+            col = orig
+            any_present = None
+            for lhs, rhs in selected:
+                col = _merge_pass(col, lhs, rhs)
+                has = F.arrays_overlap(
+                    orig, F.array(F.lit(lhs))
+                ) & F.arrays_overlap(orig, F.array(F.lit(rhs)))
+                any_present = (
+                    has if any_present is None else (any_present | has)
+                )
             nxt = vocab.withColumn(
-                "syms",
-                F.when(
-                    has_pair, _merge_pass(F.col("syms"), lhs, rhs)
-                ).otherwise(F.col("syms")),
-            ).localCheckpoint()  # truncate per-iteration lineage
+                "syms", F.when(any_present, col).otherwise(orig)
+            ).localCheckpoint()
             vocab.unpersist()
             vocab = nxt
     finally:

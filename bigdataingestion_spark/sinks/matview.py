@@ -1415,8 +1415,17 @@ class IncrementalJoinAggView(IncrementalAggView):
         a fact schema change that breaks a join key, a carried-column
         collision, or a group/agg input retype surfaces here — still
         analysis-only (empty fact side; nothing executes)."""
+        return self._shape_with_dims(
+            spark, schema, self._pinned_dim_versions(view_snap)
+        )
+
+    def _shape_with_dims(
+        self, spark: SparkSession, schema: StructType, versions: list[int]
+    ) -> dict[str, str]:
+        """The definition's shape under an explicit dim version vector —
+        shared by the fact-window check (pinned versions) and
+        refresh_dimensions' DIM-drift check (current versions)."""
         empty = spark.createDataFrame([], schema)
-        versions = self._pinned_dim_versions(view_snap)
         enriched = self._enrich(spark, empty, versions)
         shape = self._probe_shape(self._filtered(enriched))
         # fact-side JOIN KEY types are part of the contract too: an
@@ -1526,6 +1535,59 @@ class IncrementalJoinAggView(IncrementalAggView):
                     ) from e
                 on_dim = [dc for _, dc in d.on]
                 changed.append((i, ch.select(*on_dim).distinct().persist()))
+            # DIM-side schema contract (the dim mirror of
+            # _check_window_schema), checked AFTER the per-dim
+            # replayability checks above so a vacuumed pinned snapshot
+            # keeps its own typed error: the definition evaluated under
+            # the NEW dim versions must keep the shape it had under the
+            # pins — a dim dropping a carried column makes the fold
+            # unresolvable, a retyped carried group/agg column would
+            # silently corrupt the state merge. Analysis-only, anchored
+            # at the fact cursor schema both sides so only the DIM
+            # movement is measured.
+            from pyspark.errors import AnalysisException
+
+            src_schema = StructType.fromJson(
+                json.loads(src_snap.schema_json)
+            )
+            try:
+                fresh_shape = self._shape_with_dims(
+                    spark, src_schema, current
+                )
+            except (AnalysisException, ValueError) as err:
+                raise MatviewSourceSchemaError(
+                    f"view at {self.path}: the definition does not "
+                    f"resolve against the moved dimension schemas "
+                    f"(pinned {pinned} -> current {current}): {err}; "
+                    "the view was NOT advanced — build() re-anchors iff "
+                    "the definition resolves under the current schemas"
+                ) from err
+            try:
+                anchor_shape = self._shape_with_dims(
+                    spark, src_schema, pinned
+                )
+            except (AnalysisException, ValueError) as err:
+                # a pin vacuumed between the replayability checks and
+                # this analysis (race): same remedy as any lost window
+                raise MatviewWindowUnreadableError(
+                    f"view at {self.path}: the pinned dimension "
+                    f"snapshots {pinned} are no longer readable "
+                    f"({err}) — call build() to re-pin from the "
+                    "current snapshots"
+                ) from err
+            if fresh_shape != anchor_shape:
+                diff = sorted(
+                    k.removeprefix("_in_")
+                    for k in {**anchor_shape, **fresh_shape}
+                    if anchor_shape.get(k) != fresh_shape.get(k)
+                )
+                raise MatviewSourceSchemaError(
+                    f"view at {self.path}: the moved dimension schemas "
+                    f"RETYPE definition input(s) {diff} (pinned "
+                    f"{pinned} -> current {current}); the view was NOT "
+                    "advanced — build() re-anchors the state under the "
+                    "current schemas in one commit"
+                )
             # groups reached by the changed dim keys through the fact,
             # under the OLD dims (losing contributions) and the NEW dims
             # (gaining them — including fact rows that only now match).

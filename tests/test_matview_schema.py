@@ -372,3 +372,67 @@ def test_union_refusal_is_window_unreadable_subtype(spark, tmp_path):
     """API contract: callers already catching MatviewWindowUnreadableError
     (the generic rebuild-to-heal signal) catch the schema refusal too."""
     assert issubclass(MatviewSourceSchemaError, MatviewWindowUnreadableError)
+
+
+# ------------------------------------------- dim drift (join view) --
+
+
+def test_join_dim_column_add_folds_incrementally(spark, tmp_path):
+    """A moved dimension that only ADDED a column (plus row changes)
+    folds incrementally: the definition's shape is unchanged, so the
+    dim-drift check passes and refresh_dimensions proceeds."""
+    fact, dim, mv = _join_fixture(spark, tmp_path)
+    dim.alter_properties({"cdf.enabled": "true"})
+    dim.append(
+        spark.createDataFrame(
+            [(9, "D9", "note")], "dkey long, dname string, extra string"
+        )
+    )
+    mv.refresh_dimensions(spark)
+    got = {r["dname"]: r["n"] for r in mv.read(spark).collect()}
+    assert "D9" not in got  # no fact rows reach the new dim key
+    assert sum(got.values()) == 30
+
+
+def test_join_dim_carried_column_retype_refused(spark, tmp_path):
+    """The dim mirror of the window check: an overwrite retyping the
+    CARRIED group column (string → int) refuses with the typed error
+    and the view untouched — a silent fold would corrupt the state
+    merge on the retyped key."""
+    fact, dim, mv = _join_fixture(spark, tmp_path)
+    dim.alter_properties({"cdf.enabled": "true"})
+    before = sorted((r["dname"], r["n"]) for r in mv.read(spark).collect())
+    dim.overwrite(
+        spark.createDataFrame(
+            [(k, k % 2) for k in range(3)], "dkey long, dname int"
+        )
+    )
+    with pytest.raises(MatviewSourceSchemaError, match="RETYPE"):
+        mv.refresh_dimensions(spark)
+    assert sorted((r["dname"], r["n"]) for r in mv.read(spark).collect()) == before
+
+
+def test_join_dim_carried_column_drop_refused(spark, tmp_path):
+    fact, dim, mv = _join_fixture(spark, tmp_path)
+    dim.alter_properties({"cdf.enabled": "true"})
+    dim.overwrite(spark.createDataFrame([(0,)], "dkey long"))
+    with pytest.raises(MatviewSourceSchemaError, match="does not resolve"):
+        mv.refresh_dimensions(spark)
+
+
+def test_schema_check_free_on_unchanged_windows(spark, tmp_path, monkeypatch):
+    """Perf contract: a window whose commits all carry the cursor
+    schema (the overwhelmingly common case) must never pay a schema
+    analysis — the check short-circuits on the serialized-schema string
+    before building any probe frame."""
+    src = _source(spark, tmp_path)
+    mv = _agg_view(tmp_path, src)
+    mv.build(spark)
+
+    def boom(*a, **kw):
+        raise AssertionError("schema analysis ran on an unchanged window")
+
+    monkeypatch.setattr(IncrementalAggView, "_definition_shape", boom)
+    src.append(spark.createDataFrame([(100, "g0", 5.0)], SCHEMA))
+    src.delete(spark, "id = 2")
+    mv.refresh(spark)  # would raise if any analysis happened

@@ -187,3 +187,43 @@ def test_learn_is_partitioning_invariant(spark):
         spark.createDataFrame(rows, "text string").repartition(7), 12
     )
     assert a == b
+
+
+def test_batched_merges_equal_single_merge_path(spark):
+    """The PROVABLY-equivalent batch selection (r12): identical merge
+    lists at every batch size, on a tie-heavy corpus and on text with
+    created-token/self-pair hazards — batching changes only the Spark
+    job count, never the sequence."""
+    rows = [(t,) for t in TEXTS * 2] + [
+        ("abab abab cabd abd",),  # created token 'ab' feeds later pairs
+        ("xxxx yy xxxx yy zz",),  # self-pairs (x,x): batch caps at 1
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    base = vocab.learn_bpe(df, 20, min_freq=1, batch=1)
+    for b in (2, 4, 16, 64):
+        assert vocab.learn_bpe(df, 20, min_freq=1, batch=b) == base
+
+
+def test_batched_merges_match_reference_random_corpus(spark):
+    """Seeded random words: the batched learner still equals the
+    from-first-principles single-process reference end to end."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = "abcdef"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            for _ in range(30)
+        )
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = vocab.learn_bpe(df, 30, min_freq=2, batch=16)
+    assert got == _ref_learn(texts, 30, min_freq=2)
+
+
+def test_batch_param_validated(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="batch"):
+        vocab.learn_bpe(df, 1, batch=0)
