@@ -28,7 +28,7 @@ from bigdataingestion_spark.caching import release_caches
 from bigdataingestion_spark.session import get_spark
 
 
-def _bench_pipeline(spark, sf_dir: str) -> float:
+def _bench_pipeline(spark, sf_dir: str) -> tuple[float, float]:
     """End-to-end ingestion throughput: stage events as a watermarked source,
     run the orchestrator's chunked load (partitioned strategy), return
     (median seconds, max-min spread) over 3 fresh-lake runs. This is

@@ -88,6 +88,14 @@ _PENDING_KEY = "matview.rebuild.pending"
 _TXN_PREFIX = "matview.cursor."
 _DIMS_TXN_PREFIX = "matview.dims."
 _DIM_EPOCH_KEY = "matview.dims.epoch"
+# dim commits that CANNOT change what a version-pinned read sees —
+# the tolerated set for _check_dims_unmoved / refresh_dimensions
+_DIM_METADATA_ONLY_OPS = {
+    "set_properties",
+    "add_constraint",
+    "drop_constraint",
+    "enable_feature",
+}
 
 
 class MatviewDefinitionError(ValueError):
@@ -130,10 +138,16 @@ class MatviewSourceSchemaError(MatviewWindowUnreadableError):
       unaffected and ``read_cdf``'s NULL-padding only touches the new
       columns.
     - a change that makes the definition UNRESOLVABLE under any
-      in-window schema, or that alters any state column's TYPE (a
-      retype can survive resolution — Spark will happily ``sum`` a
-      stringified numeric — while silently changing the arithmetic),
-      raises this error with the window and offending version named.
+      in-window schema, or that alters any state column's TYPE or any
+      aggregate INPUT expression's type (a retype can survive
+      resolution — Spark will happily ``sum`` a stringified numeric —
+      while silently changing the arithmetic), raises this error with
+      the window and offending version named. Two documented
+      carve-outs follow SQL's own implicit-cast semantics instead of
+      refusing: a retype of a column referenced ONLY by the ``where``
+      predicate, and a retype under a ``("sql", …)`` aggregate that
+      leaves the aggregate's RESULT type unchanged — neither has a
+      row-wise projection whose type the probe could pin.
       ``build()`` re-anchors under the current schema iff the
       definition still resolves there: a rebuild replaces the whole
       state in one commit, so no incremental replay ever spans two
@@ -362,10 +376,16 @@ class IncrementalAggView:
         from pyspark.errors import AnalysisException
 
         table = table if table is not None else self.source
-        frm_snap = table.snapshot(frm)
-        anchor_json = (
-            frm_snap.schema_json if frm_snap is not None else None
-        )
+        # the cursor's own commit entry carries the anchor schema — one
+        # O(1) file read; a full snapshot(frm) resolution would pay a
+        # log-directory listing + checkpoint replay on EVERY refresh
+        head = table.commits_between(frm - 1, frm) if frm >= 0 else []
+        anchor_json = head[-1].get("schema") if head else None
+        if anchor_json is None:
+            frm_snap = table.snapshot(frm)
+            anchor_json = (
+                frm_snap.schema_json if frm_snap is not None else None
+            )
         anchor: dict[str, str] | None = None
         seen: set[str] = set()
         for e in table.commits_between(frm, to):
@@ -1147,24 +1167,20 @@ class IncrementalJoinAggView(IncrementalAggView):
 
     def _register_pin(self, d: DimJoin) -> int:
         """Advance this view's vacuum floor on dimension ``d`` to its
-        current data and return the version to PIN. The property commit
-        itself bumps the dim, so the pin names the POST-commit version
-        and the floor the PRE-commit one — data-identical by
-        construction, verified by requiring the commit to land exactly
-        one version after the read (a concurrent writer interleaving
-        means the data we floored may no longer be the data we'd pin;
-        bounded retry, then refuse loudly)."""
-        key = self._pin_key()
-        for _ in range(5):
-            v = d.table.version()
-            got = d.table.alter_properties({key: str(v)})
-            if got == v + 1:
-                return got
-        raise RuntimeError(
-            f"view at {self.path}: could not register a vacuum pin on "
-            f"{d.table.path} — a concurrent writer kept interleaving; "
-            "retry when the dimension quiesces"
-        )
+        current version and return that version to PIN. Enrichment
+        reads are VERSION-pinned, so commits landing after the read —
+        including the floor's own property commit, which
+        :meth:`_check_dims_unmoved` tolerates as metadata-only
+        movement — never affect them, and the floor keeps exactly the
+        snapshot the pin names. Failure window (build only): a rebuild
+        that dies after the floor moved leaves the PREVIOUS pin
+        unprotected — acceptable because recovery from a failed build
+        is ``build()`` again, which never replays the old pins.
+        ``refresh_dimensions`` closes the equivalent window on its side
+        by advancing floors only AFTER its fold commits."""
+        v = d.table.version()
+        d.table.alter_properties({self._pin_key(): str(v)})
+        return v
 
     def unpin_dims(self) -> None:
         """Remove this view's vacuum-floor pins from every dimension —
@@ -1241,18 +1257,40 @@ class IncrementalJoinAggView(IncrementalAggView):
         if stored != pinned:
             self.view.alter_properties(self._dim_props(pinned))
 
+    @staticmethod
+    def _dim_data_moved(d: DimJoin, frm: int, to: int) -> bool:
+        """Whether ``(frm, to]`` contains any commit that can change
+        what a VERSION-PINNED read of the dimension sees — property /
+        constraint / feature commits cannot (rename / drop / compact
+        CAN: schema reshaping matters to the enrichment, and layout
+        rewrites matter once vacuum reclaims the pinned files).
+        O(window commits) driver file reads, no listing."""
+        return any(
+            e.get("op") not in _DIM_METADATA_ONLY_OPS
+            for e in d.table.commits_between(frm, to)
+        )
+
     def _check_dims_unmoved(self, snap) -> list[int]:
         pinned = self._pinned_dim_versions(snap)
         for i, (d, v) in enumerate(zip(self.dims, pinned)):
             cur = d.table.version()
-            if cur != v:
-                raise MatviewStaleDimensionError(
-                    f"view at {self.path}: dimension {d.table.path} moved "
-                    f"(pinned v{v}, now v{cur}); the CDF deltas must be "
-                    "enriched at the pinned snapshot — call "
-                    "refresh_dimensions() to fold the dim changes in "
-                    "incrementally, or build() to re-pin from scratch"
-                )
+            if cur == v:
+                continue
+            if cur > v and not self._dim_data_moved(d, v, cur):
+                # metadata-only movement — typically this view's OWN
+                # vacuum-floor property advance, or cdf enablement:
+                # data at `cur` is bit-identical to the pin, so the
+                # version-pinned enrichment stays exact; tolerating it
+                # here avoids bouncing every refresh through a no-op
+                # refresh_dimensions cycle
+                continue
+            raise MatviewStaleDimensionError(
+                f"view at {self.path}: dimension {d.table.path} moved "
+                f"(pinned v{v}, now v{cur}); the CDF deltas must be "
+                "enriched at the pinned snapshot — call "
+                "refresh_dimensions() to fold the dim changes in "
+                "incrementally, or build() to re-pin from scratch"
+            )
         return pinned
 
     # ------------------------------------------------------ enrichment --
@@ -1437,6 +1475,25 @@ class IncrementalJoinAggView(IncrementalAggView):
             for lc, _ in d.on:
                 if lc in fact_types:
                     shape[f"_jk_{lc}"] = fact_types[lc]
+        # ... and the DIM side of each key: a dim key retyped between
+        # versions implicit-casts through the join exactly like a fact
+        # key would (join keys are excluded from the carried columns,
+        # so nothing else in the shape sees them). Metadata-only
+        # snapshot resolution; an unresolvable pin surfaces through the
+        # enrichment above with its own typed error.
+        for i, (d, v) in enumerate(zip(self.dims, versions)):
+            dsnap = d.table.snapshot(v)
+            if dsnap is None:
+                continue
+            dtypes = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(
+                    json.loads(dsnap.schema_json)
+                ).fields
+            }
+            for _, dc in d.on:
+                if dc in dtypes:
+                    shape[f"_dk_{i}_{dc}"] = dtypes[dc]
         return shape
 
     # ------------------------------------------- dimension maintenance --
@@ -1489,16 +1546,6 @@ class IncrementalJoinAggView(IncrementalAggView):
             # forever)
             self._heal_dim_pins(snap, pinned)
             return pinned
-        if self.register_pins:
-            # advance the vacuum floors FIRST (the floor-advancing
-            # property commit bumps the dim, so the fold target is the
-            # post-registration version — data-identical to what we
-            # just floored); only moved dims re-register, an unmoved
-            # dim keeps its standing floor and version
-            current = [
-                self._register_pin(d) if c != p else c
-                for d, c, p in zip(self.dims, current, pinned)
-            ]
         cursor = self._cursor(snap)
         src_snap = self._require_snapshot(
             self.source, cursor, "the fact snapshot at the cursor"
@@ -1518,6 +1565,11 @@ class IncrementalJoinAggView(IncrementalAggView):
                         "restore?); its forward diff is gone — call "
                         "build() to re-anchor"
                     )
+                if not self._dim_data_moved(d, old, new):
+                    # metadata-only lag (e.g. this view's own floor
+                    # advance): nothing to fold for this dim; the
+                    # re-pin at the end converges the window
+                    continue
                 # the discovery reads this dim at BOTH versions; the old
                 # snapshot may have been vacuumed out from under the pin
                 self._require_snapshot(
@@ -1535,6 +1587,12 @@ class IncrementalJoinAggView(IncrementalAggView):
                     ) from e
                 on_dim = [dc for _, dc in d.on]
                 changed.append((i, ch.select(*on_dim).distinct().persist()))
+            if not changed:
+                # every movement was metadata-only: the data is
+                # bit-identical at the new versions, so just re-pin —
+                # no fold, no schema check, no floor movement
+                self.view.alter_properties(self._dim_props(current))
+                return current
             # DIM-side schema contract (the dim mirror of
             # _check_window_schema), checked AFTER the per-dim
             # replayability checks above so a vacuumed pinned snapshot
@@ -1637,6 +1695,23 @@ class IncrementalJoinAggView(IncrementalAggView):
             for _, keys in changed:
                 keys.unpersist()
         self.view.alter_properties(self._dim_props(current))
+        if self.register_pins:
+            # advance the vacuum floors only NOW — after the fold and
+            # the re-pin committed — so any failure above leaves the
+            # OLD floor protecting the snapshot the view still
+            # reflects (a pre-fold advance would strand it, the r12
+            # review finding). Explicit values: the floor must name
+            # the version the view just pinned, never a concurrent
+            # writer's newer one. The floor commit's own bump is
+            # metadata-only movement, tolerated by
+            # _check_dims_unmoved; a crash before this line only
+            # leaves the floor lagging (protecting MORE), converged by
+            # the next fold.
+            key = self._pin_key()
+            for i, _ in changed:
+                self.dims[i].table.alter_properties(
+                    {key: str(current[i])}
+                )
         return current
 
     def _require_snapshot(self, table: TxLogTable, version: int, what: str):

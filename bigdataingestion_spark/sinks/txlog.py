@@ -6438,6 +6438,11 @@ class TxLogTable:
                             live |= {r for fs in cdf.values() for r in fs}
                         live |= set(e.get("add") or ())
                         live |= set(e.get("remove") or ())
+                        # DV sidecars too: read_cdf's overwrite branch
+                        # reads removed files under the PRE-commit dv
+                        # state (prior.dvs), so a post-pin point-delete's
+                        # sidecar must outlive the files it masks
+                        live |= set((e.get("dv") or {}).values())
         cutoff = time.time() - retention_seconds
         deleted = []
         for root, dirs, files in os.walk(self.path):

@@ -28,11 +28,11 @@ Semantics — deliberately snapshot-scoped, like Delta's
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import SparkSession
 
-_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# one source of truth for "plain SQL identifier" (shared with the
+# matviews' group/aggregate/payload name validation)
+from .sinks.matview import _NAME_RE
 
 
 def register_tables(spark: SparkSession, tables: dict) -> dict[str, object]:
@@ -44,35 +44,50 @@ def register_tables(spark: SparkSession, tables: dict) -> dict[str, object]:
     view's ``rank``), exactly what a SQL reader should see.
 
     Returns ``{name: version}`` — the snapshot version each view was
-    frozen at (a version VECTOR for union views, ``None`` for objects
-    that don't expose one) so callers can record the read's provenance.
+    frozen at (``None`` for objects that don't expose one) so callers
+    can record the read's provenance: txlog tables are read AT the
+    resolved version so the number is exact under concurrent writers;
+    a matview refreshed concurrently is re-read (bounded retries) until
+    frame and version agree, with ``None`` reported if it won't settle.
     Call again to move every name to the tables' current snapshots.
+
+    The whole dict is validated BEFORE any name is published — a bad
+    entry never leaves the session partially re-registered.
     """
-    for name in tables:
+    for name, t in tables.items():
         if not _NAME_RE.match(name):
             raise ValueError(
                 f"view name {name!r} is not a plain SQL identifier"
             )
-    versions: dict[str, object] = {}
-    for name, t in tables.items():
-        read = getattr(t, "read", None)
-        if read is None:
+        if getattr(t, "read", None) is None:
             raise TypeError(
                 f"{name!r}: expected a TxLogTable or matview (an object "
                 f"with read(spark)), got {type(t).__name__}"
             )
-        df = read(spark)
-        df.createOrReplaceTempView(name)
-        if hasattr(t, "version"):  # TxLogTable
-            versions[name] = t.version()
+    versions: dict[str, object] = {}
+    for name, t in tables.items():
+        if hasattr(t, "version") and hasattr(t, "snapshot"):
+            # TxLogTable: resolve the version FIRST and read AT it, so
+            # the returned provenance is exact even when a concurrent
+            # writer commits between the two
+            v = t.version()
+            df = t.read(spark, version=v)
+            versions[name] = v
         elif hasattr(t, "view") and hasattr(t.view, "version"):
-            # matviews: the version of the view's OWN storage table;
-            # union views additionally carry a source version vector in
-            # their properties, but the storage version is what the
-            # frozen frame reflects
-            versions[name] = t.view.version()
-        else:
+            # matview: read() resolves its own snapshot internally, so
+            # bracket it with version reads and retry on movement — a
+            # concurrently-refreshing view settles almost immediately
             versions[name] = None
+            for _ in range(5):
+                v = t.view.version()
+                df = t.read(spark)
+                if t.view.version() == v:
+                    versions[name] = v
+                    break
+        else:
+            df = t.read(spark)
+            versions[name] = None
+        df.createOrReplaceTempView(name)
     return versions
 
 

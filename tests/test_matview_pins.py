@@ -206,3 +206,105 @@ def test_recover_builds_never_built_view(spark, tmp_path):
 
 def _rows_n(mv, spark):
     return {r["grp"]: r["n"] for r in mv.read(spark).collect()}
+
+
+# ------------------------------------------- r12 review regressions --
+
+
+def test_floor_survives_failed_dim_fold(spark, tmp_path, monkeypatch):
+    """r12 review finding: the vacuum floor must advance only AFTER the
+    dim fold commits — a failure mid-fold leaves the OLD floor
+    protecting the snapshot the view still reflects, so a subsequent
+    vacuum cannot strand it and the retry folds incrementally."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=True)
+    key = mv._pin_key()
+    old_floor = dim.snapshot().properties[key]
+    dim.update(spark, "dkey = 3", {"dname": "'D0'"})
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected mid-fold failure")
+
+    monkeypatch.setattr(
+        type(mv), "_recompute_groups", boom, raising=True
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        mv.refresh_dimensions(spark)
+    # the floor did NOT move: the still-pinned snapshot stays protected
+    assert dim.snapshot().properties[key] == old_floor
+    dim.vacuum(retention_seconds=0)
+    pinned = mv._pinned_dim_versions(mv.view.snapshot())[0]
+    snap = dim.snapshot(pinned)
+    assert all(
+        os.path.exists(os.path.join(dim.path, f)) for f in snap.files
+    )
+    monkeypatch.undo()
+    mv.refresh_dimensions(spark)  # retry: incremental fold succeeds
+    ops = [h["op"] for h in mv.view.history()]
+    assert "overwrite" not in ops[1:]
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+    # ... and only the SUCCESSFUL fold advanced the floor
+    assert dim.snapshot().properties[key] != old_floor
+
+
+def test_metadata_only_dim_movement_tolerated(spark, tmp_path):
+    """A property commit on a dimension (cdf enablement, someone
+    else's pin, a constraint) is data-identical at the pinned read —
+    refresh() must NOT bounce through refresh_dimensions for it."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=False)
+    dim.alter_properties({"some.marker": "x"})
+    fact.append(
+        spark.createDataFrame([(100, 1, 9.0)], "id long, dk long, amount double")
+    )
+    mv.refresh(spark)  # would raise MatviewStaleDimensionError before r12
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+
+
+def test_dim_join_key_retype_refused(spark, tmp_path):
+    """r12 review finding: the DIM side of a join key is part of the
+    schema contract too — a dim overwrite retyping its key column
+    (long → string) implicit-casts through the equi-join, so the probe
+    pins it and refresh_dimensions refuses."""
+    from bigdataingestion_spark.sinks.matview import MatviewSourceSchemaError
+
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=False)
+    dim.overwrite(
+        spark.createDataFrame(
+            [(str(k), f"D{k % 2}") for k in range(4)],
+            "dkey string, dname string",
+        )
+    )
+    with pytest.raises(MatviewSourceSchemaError, match="RETYPE"):
+        mv.refresh_dimensions(spark)
+
+
+def test_pin_floor_keeps_dv_sidecars(spark, tmp_path):
+    """r12 review finding: a post-pin deletion-vector sidecar must
+    survive vacuum like the files it masks — read_cdf's overwrite
+    branch reads removed files under the PRE-commit dv state, so the
+    window replay needs it."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=True)
+    dim.delete(spark, "dkey = 1", deletion_vectors=True)
+    dim.overwrite(
+        spark.createDataFrame(
+            [(k, f"D{k % 2}") for k in range(4)], "dkey long, dname string"
+        )
+    )
+    dim.vacuum(retention_seconds=0)
+    mv.refresh_dimensions(spark)  # replays the dv-delete + overwrite window
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+
+
+def test_register_tables_validates_before_publishing(spark, tmp_path):
+    """r12 review finding: a bad entry must not leave earlier names
+    already (re-)registered — the dict validates before any side
+    effect."""
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+    from bigdataingestion_spark.sql_registry import register_tables
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(TypeError):
+        register_tables(spark, {"bdi_reg_good": t, "bdi_reg_bad": 42})
+    assert not any(
+        v.name == "bdi_reg_good" for v in spark.catalog.listTables()
+    )
