@@ -35,7 +35,9 @@ from pyspark.sql import SparkSession
 from .sinks.matview import _NAME_RE
 
 
-def register_tables(spark: SparkSession, tables: dict) -> dict[str, object]:
+def register_tables(
+    spark: SparkSession, tables: dict, at: dict | None = None
+) -> dict[str, object]:
     """Publish each object's current snapshot as a temp view under its
     key. Values may be :class:`~bigdataingestion_spark.sinks.txlog.
     TxLogTable` instances, any matview kind (aggregate / join / top-k /
@@ -51,9 +53,17 @@ def register_tables(spark: SparkSession, tables: dict) -> dict[str, object]:
     frame and version agree, with ``None`` reported if it won't settle.
     Call again to move every name to the tables' current snapshots.
 
+    ``at`` (optional) maps a subset of the names to explicit versions —
+    TIME TRAVEL for SQL readers: ``register_tables(spark, {"sales": t},
+    at={"sales": 4})`` publishes the v4 snapshot, so ``spark.sql`` can
+    compare a table against its own history by registering two names
+    over one table. Only txlog tables are travelable (a matview is
+    already a derived snapshot; rebuild/refresh it instead).
+
     The whole dict is validated BEFORE any name is published — a bad
     entry never leaves the session partially re-registered.
     """
+    at = dict(at) if at else {}
     for name, t in tables.items():
         if not _NAME_RE.match(name):
             raise ValueError(
@@ -64,13 +74,23 @@ def register_tables(spark: SparkSession, tables: dict) -> dict[str, object]:
                 f"{name!r}: expected a TxLogTable or matview (an object "
                 f"with read(spark)), got {type(t).__name__}"
             )
+        if name in at and not (
+            hasattr(t, "version") and hasattr(t, "snapshot")
+        ):
+            raise TypeError(
+                f"{name!r}: at= time travel needs a TxLogTable; "
+                f"{type(t).__name__} reads are always current-snapshot"
+            )
+    stray = sorted(set(at) - set(tables))
+    if stray:
+        raise ValueError(f"at= names not being registered: {stray}")
     versions: dict[str, object] = {}
     for name, t in tables.items():
         if hasattr(t, "version") and hasattr(t, "snapshot"):
             # TxLogTable: resolve the version FIRST and read AT it, so
             # the returned provenance is exact even when a concurrent
             # writer commits between the two
-            v = t.version()
+            v = int(at[name]) if name in at else t.version()
             df = t.read(spark, version=v)
             versions[name] = v
         elif hasattr(t, "view") and hasattr(t.view, "version"):

@@ -102,3 +102,33 @@ def test_bad_name_and_bad_object_refused(spark, tmp_path):
         register_tables(spark, {"bad name": t})
     with pytest.raises(TypeError, match="read"):
         register_tables(spark, {"x": object()})
+
+
+def test_time_travel_registration(spark, tmp_path):
+    """at= publishes a HISTORICAL snapshot under a name, so spark.sql
+    can diff a table against its own past by registering two names
+    over one table."""
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    t.delete(spark, "id <= 10")
+    register_tables(
+        spark, {"sales_now": t, "sales_then": t}, at={"sales_then": v0}
+    )
+    gone = spark.sql(
+        """
+        SELECT count(*) AS n FROM sales_then
+        WHERE id NOT IN (SELECT id FROM sales_now)
+        """
+    ).first()["n"]
+    assert gone == 10
+    with pytest.raises(TypeError, match="time travel"):
+        from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+        t.alter_properties({"cdf.enabled": "true"})
+        mv = IncrementalAggView(
+            t, str(tmp_path / "mv"), ["grp"], {"n": ("count", "1")}
+        )
+        mv.build(spark)
+        register_tables(spark, {"v": mv}, at={"v": 0})
+    with pytest.raises(ValueError, match="not being registered"):
+        register_tables(spark, {"sales_now": t}, at={"other": 1})
