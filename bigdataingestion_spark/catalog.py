@@ -6807,20 +6807,67 @@ def txlog_matview_pinned_vacuum(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_sql_time_travel",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_removed,
+           round(sum(o_totalprice), 2) AS removed_price
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_sql_time_travel(spark, sf_dir):
+    """[EXT] SQL time travel through the registry (r12,
+    sql_registry.register_tables ``at=``): the same txlog table is
+    published twice — once at its CURRENT snapshot, once pinned to a
+    PAST version — and one ``spark.sql`` statement diffs the table
+    against its own history (what a DELETE removed, by status). The
+    oracle recomputes the removed set relationally from the fixture;
+    the returned provenance versions are asserted exact."""
+    from bigdataingestion_spark.sql_registry import register_tables
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = _fresh_txlog()
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    v0 = t.version()
+    t.delete(spark, "o_orderkey % 2 = 0")
+    versions = register_tables(
+        spark,
+        {"bdi_tt_now": t, "bdi_tt_then": t},
+        at={"bdi_tt_then": v0},
+    )
+    assert versions == {"bdi_tt_now": t.version(), "bdi_tt_then": v0}
+    return spark.sql(
+        """
+        SELECT p.o_orderstatus,
+               count(*) AS n_removed,
+               round(sum(p.o_totalprice), 2) AS removed_price
+        FROM bdi_tt_then p
+        LEFT ANTI JOIN bdi_tt_now n ON p.o_orderkey = n.o_orderkey
+        GROUP BY p.o_orderstatus
+        """
+    )
+
+
 # _GATE_FIRST rotates queries that still need driver evidence into that
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
     # Round-12 window, per the r11 verdict's recorded rotation plan.
     # Standing policy: queries NEW this round lead (zero evidence
-    # first) — the 4 r12 additions (SQL registry, the schema-evolution
-    # contract, recover(), the pin-aware dim vacuum) — then the 18
-    # remaining r9-cohort entries (the oldest delivered driver
-    # evidence), then the first 28 of the r10-window cohort. After a
+    # first) — the 5 r12 additions (SQL registry + time travel, the
+    # schema-evolution contract, recover(), the pin-aware dim vacuum)
+    # — then the 18 remaining r9-cohort entries (the oldest delivered
+    # driver evidence), then the first 27 of the r10-window cohort. After a
     # green r12 gate no query's delivered evidence is older than r10
     # except the r10-window tail the r13 queue already names below.
     # --- new this round (r12) ---
     "txlog_sql_snapshot_query",
+    "txlog_sql_time_travel",
     "txlog_matview_schema_add",
     "txlog_matview_recover",
     "txlog_matview_pinned_vacuum",
@@ -6871,10 +6918,10 @@ _GATE_FIRST = [
     "ingest_years_above_limit",
     "minhash_signatures",
     "multimodal_meta",
-    "orders_status_pivot",
-    # Exactly 50 names (4 new r12 + 18 r9 cohort + 28 r10 cohort).
-    # r13 queue: any queries new in r13 lead, then the remaining 22
-    # r10-window entries (orders_status_unpivot, q1_pricing_summary,
+    # Exactly 50 names (5 new r12 + 18 r9 cohort + 27 r10 cohort).
+    # r13 queue: any queries new in r13 lead, then the remaining 23
+    # r10-window entries (orders_status_pivot,
+    # orders_status_unpivot, q1_pricing_summary,
     # q3_shipping_priority, q5_local_supplier_volume, simhash64,
     # small_quantity_revenue, top_customers_by_spend,
     # top_parts_by_revenue, customer_order_moving_avg,
