@@ -69,7 +69,7 @@ from .merge_clauses import (
     when_matched_update,
     when_not_matched_insert,
 )
-from .txlog import TxLogTable
+from .txlog import ConcurrentWriteError, TxLogTable
 
 _ADDITIVE = {"count", "sum", "avg"}
 # insert-only-additive: monotone folds (min/max) and mergeable sketches
@@ -88,14 +88,6 @@ _PENDING_KEY = "matview.rebuild.pending"
 _TXN_PREFIX = "matview.cursor."
 _DIMS_TXN_PREFIX = "matview.dims."
 _DIM_EPOCH_KEY = "matview.dims.epoch"
-# dim commits that CANNOT change what a version-pinned read sees —
-# the tolerated set for _check_dims_unmoved / refresh_dimensions
-_DIM_METADATA_ONLY_OPS = {
-    "set_properties",
-    "add_constraint",
-    "drop_constraint",
-    "enable_feature",
-}
 
 
 class MatviewDefinitionError(ValueError):
@@ -1165,22 +1157,25 @@ class IncrementalJoinAggView(IncrementalAggView):
         ).hexdigest()[:16]
         return f"matview.pin.{digest}"
 
-    def _register_pin(self, d: DimJoin) -> int:
-        """Advance this view's vacuum floor on dimension ``d`` to its
-        current version and return that version to PIN. Enrichment
-        reads are VERSION-pinned, so commits landing after the read —
-        including the floor's own property commit, which
-        :meth:`_check_dims_unmoved` tolerates as metadata-only
-        movement — never affect them, and the floor keeps exactly the
-        snapshot the pin names. Failure window (build only): a rebuild
-        that dies after the floor moved leaves the PREVIOUS pin
-        unprotected — acceptable because recovery from a failed build
-        is ``build()`` again, which never replays the old pins.
-        ``refresh_dimensions`` closes the equivalent window on its side
-        by advancing floors only AFTER its fold commits."""
-        v = d.table.version()
-        d.table.alter_properties({self._pin_key(): str(v)})
-        return v
+    def _advance_floor(self, d: DimJoin, v: int) -> None:
+        """Set this view's vacuum floor on dimension ``d`` to version
+        ``v``. Called only AFTER the state that depends on ``v`` is
+        committed (build's publish, refresh_dimensions' fold + re-pin),
+        so a failure anywhere earlier leaves the OLD floor protecting
+        the snapshot the view still reflects. The floor commit's own
+        bump on the dim is metadata-only movement, tolerated by
+        :meth:`_check_dims_unmoved`. A concurrent dim writer can
+        conflict the property commit — bounded retry, then SWALLOW: the
+        view state is already durable and a lagging floor only protects
+        MORE history (the next successful advance converges it), so a
+        committed maintenance operation must never be reported failed
+        over its floor bookkeeping."""
+        for _ in range(3):
+            try:
+                d.table.alter_properties({self._pin_key(): str(v)})
+                return
+            except ConcurrentWriteError:
+                continue
 
     def unpin_dims(self) -> None:
         """Remove this view's vacuum-floor pins from every dimension —
@@ -1260,18 +1255,14 @@ class IncrementalJoinAggView(IncrementalAggView):
     @staticmethod
     def _dim_data_moved(d: DimJoin, frm: int, to: int) -> bool:
         """Whether ``(frm, to]`` contains any commit that can change
-        what a VERSION-PINNED read of the dimension sees — property /
-        constraint / feature commits cannot (rename / drop / compact
-        CAN: schema reshaping matters to the enrichment, and layout
-        rewrites matter once vacuum reclaims the pinned files).
-        O(window commits) driver file reads, no listing."""
-        return any(
-            e.get("op") not in _DIM_METADATA_ONLY_OPS
-            for e in d.table.commits_between(frm, to)
-        )
+        what a VERSION-PINNED read of the dimension sees. The
+        classification itself lives on the txlog (it owns its commit-op
+        taxonomy, next to ``window_is_insert_only``)."""
+        return not d.table.window_is_metadata_only(frm, to)
 
     def _check_dims_unmoved(self, snap) -> list[int]:
         pinned = self._pinned_dim_versions(snap)
+        effective = list(pinned)
         for i, (d, v) in enumerate(zip(self.dims, pinned)):
             cur = d.table.version()
             if cur == v:
@@ -1283,6 +1274,7 @@ class IncrementalJoinAggView(IncrementalAggView):
                 # version-pinned enrichment stays exact; tolerating it
                 # here avoids bouncing every refresh through a no-op
                 # refresh_dimensions cycle
+                effective[i] = cur
                 continue
             raise MatviewStaleDimensionError(
                 f"view at {self.path}: dimension {d.table.path} moved "
@@ -1291,6 +1283,16 @@ class IncrementalJoinAggView(IncrementalAggView):
                 "refresh_dimensions() to fold the dim changes in "
                 "incrementally, or build() to re-pin from scratch"
             )
+        if effective != pinned:
+            # heal the stored pins forward so the tolerated window does
+            # not grow without bound (each refresh would otherwise
+            # re-read every trailing metadata commit): one view-side
+            # property commit amortizes all future scans. Safe because
+            # the dim data is bit-identical across the window; this
+            # refresh still enriches at the OLD pins (they are what the
+            # resolved snapshot carries), the next one starts from the
+            # healed values.
+            self.view.alter_properties(self._dim_props(effective))
         return pinned
 
     # ------------------------------------------------------ enrichment --
@@ -1372,9 +1374,7 @@ class IncrementalJoinAggView(IncrementalAggView):
                 raise FileNotFoundError(
                     f"dimension {d.table.path} is empty"
                 )
-            versions.append(
-                self._register_pin(d) if self.register_pins else v
-            )
+            versions.append(v)
         enriched = self._enrich(
             spark, self.source.read(spark, version=to), versions
         )
@@ -1383,12 +1383,19 @@ class IncrementalJoinAggView(IncrementalAggView):
         # this anchor's future dim-refresh txn ids
         prev = self.view.snapshot()
         epoch = int((prev.properties if prev else {}).get(_DIM_EPOCH_KEY, 0))
-        return self._build_state(
+        out = self._build_state(
             spark,
             to,
             enriched,
             {**self._dim_props(versions), _DIM_EPOCH_KEY: str(epoch + 1)},
         )
+        if self.register_pins:
+            # floors advance only AFTER the publish commit — a rebuild
+            # dying anywhere above leaves the OLD floor protecting the
+            # pins the (still-live) previous state reads at
+            for d, v in zip(self.dims, versions):
+                self._advance_floor(d, v)
+        return out
 
     def refresh(self, spark: SparkSession) -> int:
         # one snapshot resolution serves the existence check, the
@@ -1702,16 +1709,11 @@ class IncrementalJoinAggView(IncrementalAggView):
             # reflects (a pre-fold advance would strand it, the r12
             # review finding). Explicit values: the floor must name
             # the version the view just pinned, never a concurrent
-            # writer's newer one. The floor commit's own bump is
-            # metadata-only movement, tolerated by
-            # _check_dims_unmoved; a crash before this line only
-            # leaves the floor lagging (protecting MORE), converged by
-            # the next fold.
-            key = self._pin_key()
+            # writer's newer one. A crash before this line only leaves
+            # the floor lagging (protecting MORE), converged by the
+            # next fold; conflict handling lives in _advance_floor.
             for i, _ in changed:
-                self.dims[i].table.alter_properties(
-                    {key: str(current[i])}
-                )
+                self._advance_floor(self.dims[i], current[i])
         return current
 
     def _require_snapshot(self, table: TxLogTable, version: int, what: str):

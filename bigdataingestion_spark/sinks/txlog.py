@@ -5914,6 +5914,37 @@ class TxLogTable:
                 return False
         return True
 
+    # commit ops that cannot change what a VERSION-PINNED read sees:
+    # pure table-property / constraint / feature toggles. Everything
+    # else either changes rows, reshapes the schema (rename/drop), or
+    # rewrites layout (compact — which matters to a pinned reader once
+    # vacuum reclaims the superseded files).
+    _METADATA_ONLY_OPS = frozenset(
+        {
+            "set_properties",
+            "add_constraint",
+            "drop_constraint",
+            "enable_feature",
+        }
+    )
+
+    def window_is_metadata_only(
+        self, from_version: int, to_version: int
+    ) -> bool:
+        """METADATA-ONLY proof that every commit in ``(from_version,
+        to_version]`` left the table's DATA and SCHEMA untouched — a
+        version-pinned read at ``from_version`` sees exactly what a
+        read at ``to_version`` would. Lives HERE for the same reason as
+        :meth:`window_is_insert_only`: it hardcodes this log's
+        commit-op taxonomy, so any future op must be classified in one
+        place. O(window commits) driver file reads, no listing.
+        Consumers: the matview dim-pin tolerance (a pin property commit
+        on a dimension must not read as the dimension 'moving')."""
+        return all(
+            e.get("op") in self._METADATA_ONLY_OPS
+            for e in self.commits_between(from_version, to_version)
+        )
+
     def read_changes(
         self,
         spark: SparkSession,

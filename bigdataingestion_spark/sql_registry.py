@@ -60,8 +60,10 @@ def register_tables(
     over one table. Only txlog tables are travelable (a matview is
     already a derived snapshot; rebuild/refresh it instead).
 
-    The whole dict is validated BEFORE any name is published — a bad
-    entry never leaves the session partially re-registered.
+    The whole dict is validated AND resolved before any name is
+    published — a bad entry (wrong type, garbage or out-of-range
+    ``at`` version, empty table, unbuilt matview) raises with the
+    session untouched, never partially re-registered.
     """
     at = dict(at) if at else {}
     for name, t in tables.items():
@@ -74,40 +76,47 @@ def register_tables(
                 f"{name!r}: expected a TxLogTable or matview (an object "
                 f"with read(spark)), got {type(t).__name__}"
             )
-        if name in at and not (
-            hasattr(t, "version") and hasattr(t, "snapshot")
-        ):
-            raise TypeError(
-                f"{name!r}: at= time travel needs a TxLogTable; "
-                f"{type(t).__name__} reads are always current-snapshot"
-            )
+        if name in at:
+            if not (hasattr(t, "version") and hasattr(t, "snapshot")):
+                raise TypeError(
+                    f"{name!r}: at= time travel needs a TxLogTable; "
+                    f"{type(t).__name__} reads are always "
+                    "current-snapshot"
+                )
+            at[name] = int(at[name])  # raises on garbage BEFORE publish
     stray = sorted(set(at) - set(tables))
     if stray:
         raise ValueError(f"at= names not being registered: {stray}")
-    versions: dict[str, object] = {}
+    # resolve EVERY frame before publishing ANY name: a bad at=
+    # version, an empty table, or an unbuilt matview raises here with
+    # the session untouched — publication below cannot fail partway
+    resolved: list[tuple[str, object, object]] = []
     for name, t in tables.items():
         if hasattr(t, "version") and hasattr(t, "snapshot"):
             # TxLogTable: resolve the version FIRST and read AT it, so
             # the returned provenance is exact even when a concurrent
             # writer commits between the two
-            v = int(at[name]) if name in at else t.version()
-            df = t.read(spark, version=v)
-            versions[name] = v
+            v = at[name] if name in at else t.version()
+            resolved.append((name, t.read(spark, version=v), v))
         elif hasattr(t, "view") and hasattr(t.view, "version"):
             # matview: read() resolves its own snapshot internally, so
             # bracket it with version reads and retry on movement — a
             # concurrently-refreshing view settles almost immediately
-            versions[name] = None
+            ver = None
+            df = None
             for _ in range(5):
                 v = t.view.version()
                 df = t.read(spark)
                 if t.view.version() == v:
-                    versions[name] = v
+                    ver = v
                     break
+            resolved.append((name, df, ver))
         else:
-            df = t.read(spark)
-            versions[name] = None
+            resolved.append((name, t.read(spark), None))
+    versions: dict[str, object] = {}
+    for name, df, v in resolved:
         df.createOrReplaceTempView(name)
+        versions[name] = v
     return versions
 
 

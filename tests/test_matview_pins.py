@@ -308,3 +308,102 @@ def test_register_tables_validates_before_publishing(spark, tmp_path):
     assert not any(
         v.name == "bdi_reg_good" for v in spark.catalog.listTables()
     )
+
+
+# -------------------------------------- r12 second-review regressions --
+
+
+def test_build_floor_advances_only_after_publish(spark, tmp_path, monkeypatch):
+    """Second-review finding: build() must not move the floor before
+    its publish commit — a failed REBUILD leaves refresh() working
+    against the OLD pins, so those must stay vacuum-protected."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=True)
+    key = mv._pin_key()
+    old_floor = dim.snapshot().properties[key]
+    dim.append(spark.createDataFrame([(9, "D1")], "dkey long, dname string"))
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected pre-publish failure")
+
+    monkeypatch.setattr(type(mv), "_build_state", boom, raising=True)
+    with pytest.raises(RuntimeError, match="injected"):
+        mv.build(spark)
+    assert dim.snapshot().properties[key] == old_floor  # floor untouched
+    monkeypatch.undo()
+    # the OLD state is still live and vacuum-safe: the pinned snapshot
+    # survives a zero-retention vacuum, so the INCREMENTAL dim fold
+    # (not a rebuild) digests the movement the failed build left behind
+    dim.vacuum(retention_seconds=0)
+    mv.refresh_dimensions(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert "overwrite" not in ops[1:]
+    fact.append(
+        spark.createDataFrame([(100, 1, 9.0)], "id long, dk long, amount double")
+    )
+    mv.refresh(spark)
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+    # ... and the successful fold advanced the floor
+    assert dim.snapshot().properties[key] != old_floor
+
+
+def test_metadata_window_healed_forward(spark, tmp_path):
+    """Second-review finding: tolerated metadata-only dim movement must
+    CONVERGE — the first refresh heals the stored pins forward so later
+    refreshes stop re-scanning the trailing metadata commits."""
+    fact, dim, mv = _fixture(spark, tmp_path, register_pins=False)
+    dim.alter_properties({"some.marker": "1"})
+    dim.alter_properties({"some.marker": "2"})
+    cur = dim.version()
+    fact.append(
+        spark.createDataFrame([(100, 1, 9.0)], "id long, dk long, amount double")
+    )
+    mv.refresh(spark)
+    stored = int(
+        mv.view.snapshot().properties[mv._DIM_KEY.format(i=0)]
+    )
+    assert stored == cur  # healed to the tolerated current version
+    assert _state(mv, spark) == _oracle(spark, fact, dim)
+
+
+def test_window_is_metadata_only_taxonomy(spark, tmp_path):
+    """The classification lives on the txlog, beside its sibling
+    window_is_insert_only: property windows pass, data/schema/layout
+    windows fail."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    v0 = t.version()
+    t.alter_properties({"x": "1"})
+    t.add_constraint(spark, "c_pos", "id > 0")
+    assert t.window_is_metadata_only(v0, t.version())
+    v1 = t.version()
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert not t.window_is_metadata_only(v1, t.version())
+    v2 = t.version()
+    t.compact(spark)
+    assert not t.window_is_metadata_only(v2, t.version())
+
+
+def test_register_tables_bad_at_version_publishes_nothing(spark, tmp_path):
+    """Second-review finding (reproduced by the reviewer): a bad at=
+    version must not leave EARLIER names re-registered — every frame
+    resolves before any name publishes."""
+    from bigdataingestion_spark.sql_registry import register_tables
+
+    t1 = TxLogTable(str(tmp_path / "t1"))
+    t1.append(spark.createDataFrame([(1,)], "id long"))
+    t2 = TxLogTable(str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(2,)], "id long"))
+    with pytest.raises(Exception):
+        register_tables(
+            spark, {"bdi_tt_a": t1, "bdi_tt_b": t2}, at={"bdi_tt_b": 999}
+        )
+    assert not any(
+        v.name == "bdi_tt_a" for v in spark.catalog.listTables()
+    )
+    with pytest.raises(ValueError):
+        register_tables(
+            spark, {"bdi_tt_a": t1}, at={"bdi_tt_a": "garbage"}
+        )
+    assert not any(
+        v.name == "bdi_tt_a" for v in spark.catalog.listTables()
+    )
