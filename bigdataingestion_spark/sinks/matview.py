@@ -59,6 +59,7 @@ import hashlib
 import json
 import os
 import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1169,13 +1170,27 @@ class IncrementalJoinAggView(IncrementalAggView):
         view state is already durable and a lagging floor only protects
         MORE history (the next successful advance converges it), so a
         committed maintenance operation must never be reported failed
-        over its floor bookkeeping."""
-        for _ in range(3):
+        over its floor bookkeeping — EXCEPT when no floor exists at all
+        (the first registration): swallowing there would leave the pins
+        silently unprotected, the one state register_pins promises
+        cannot happen, so that case raises after the retries."""
+        key = self._pin_key()
+        for attempt in range(6):
             try:
-                d.table.alter_properties({self._pin_key(): str(v)})
+                d.table.alter_properties({key: str(v)})
                 return
             except ConcurrentWriteError:
-                continue
+                time.sleep(0.02 * (attempt + 1))  # back off past the burst
+        snap = d.table.snapshot()
+        if snap is not None and key in snap.properties:
+            return  # an older floor stands: lagging only protects more
+        raise RuntimeError(
+            f"view at {self.path}: could not register the FIRST vacuum "
+            f"floor on {d.table.path} (concurrent writers kept "
+            "conflicting); the view state is committed, but its pins "
+            "are NOT vacuum-protected — retry the operation (or call "
+            "refresh_dimensions()) when the dimension quiesces"
+        )
 
     def unpin_dims(self) -> None:
         """Remove this view's vacuum-floor pins from every dimension —
@@ -1283,16 +1298,28 @@ class IncrementalJoinAggView(IncrementalAggView):
                 "refresh_dimensions() to fold the dim changes in "
                 "incrementally, or build() to re-pin from scratch"
             )
-        if effective != pinned:
-            # heal the stored pins forward so the tolerated window does
-            # not grow without bound (each refresh would otherwise
-            # re-read every trailing metadata commit): one view-side
-            # property commit amortizes all future scans. Safe because
-            # the dim data is bit-identical across the window; this
-            # refresh still enriches at the OLD pins (they are what the
-            # resolved snapshot carries), the next one starts from the
-            # healed values.
-            self.view.alter_properties(self._dim_props(effective))
+        stored = [
+            int(snap.properties[self._DIM_KEY.format(i=i)])
+            for i in range(len(self.dims))
+        ]
+        if effective != stored:
+            # ONE heal write covers both recovery shapes: txn-recovered
+            # pins (pinned > stored after a crash between a dim merge
+            # and its re-pin) and tolerated metadata-only windows
+            # (effective > pinned) — effective is the componentwise max
+            # of the two, so neither heal can clobber the other. Safe
+            # because the dim data is bit-identical across the
+            # tolerated window; this refresh still enriches at the OLD
+            # pins (they are what the resolved snapshot carries), the
+            # next one starts from the healed values, bounding the
+            # trailing-commit re-scan. Best-effort bookkeeping: a
+            # concurrent refresher racing the same commit must not fail
+            # an otherwise-healthy refresh — the loser re-heals next
+            # time.
+            try:
+                self.view.alter_properties(self._dim_props(effective))
+            except ConcurrentWriteError:
+                pass
         return pinned
 
     # ------------------------------------------------------ enrichment --
@@ -1375,6 +1402,18 @@ class IncrementalJoinAggView(IncrementalAggView):
                     f"dimension {d.table.path} is empty"
                 )
             versions.append(v)
+        if self.register_pins:
+            # dims with NO standing floor get one BEFORE the read — a
+            # first registration has nothing a failed build could
+            # strand, and the floor protects the (possibly long) build
+            # read from a concurrent vacuum. Dims with an existing
+            # floor keep it until the publish commits (below): a
+            # failed REBUILD must leave the old pins protected.
+            key = self._pin_key()
+            for d, v in zip(self.dims, versions):
+                dsnap = d.table.snapshot()
+                if dsnap is None or key not in dsnap.properties:
+                    self._advance_floor(d, v)
         enriched = self._enrich(
             spark, self.source.read(spark, version=to), versions
         )
@@ -1407,9 +1446,9 @@ class IncrementalJoinAggView(IncrementalAggView):
                 f"view at {self.path} has no committed build; call build()"
             )
         self._check_definition(snap)
+        # _check_dims_unmoved also heals the stored pins (txn-recovered
+        # values AND tolerated metadata-only windows) in one write
         pinned = self._check_dims_unmoved(snap)
-        # persist txn-recovered pins before they age out of the snapshot
-        self._heal_dim_pins(snap, pinned)
         return self._refresh_checked(spark, snap)
 
     def recover(self, spark: SparkSession):

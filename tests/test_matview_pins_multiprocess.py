@@ -62,7 +62,7 @@ mv = IncrementalJoinAggView(
     rebuild_ratio=None,
     register_pins=True,
 )
-res = {"folds": 0, "pin_advances": 0, "stale_races": 0, "error": None}
+res = {"loops": 0, "pin_advances": 0, "stale_races": 0, "error": None}
 while not os.path.exists(barrier):
     time.sleep(0.02)
 deadline = time.time() + run_secs
@@ -77,8 +77,10 @@ try:
             # next loop iteration folds it; a legitimate race, counted
             res["stale_races"] += 1
         after = mv._pinned_dim_versions(mv.view.snapshot())
-        res["folds"] += 1
+        res["loops"] += 1
         if after != before:
+            # only pin movement counts as a FOLD actually happening —
+            # a loop spin against an idle dim proves nothing
             res["pin_advances"] += 1
         time.sleep(0.15)
 except Exception as e:  # any OTHER failure breaks the contract
