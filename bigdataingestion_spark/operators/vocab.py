@@ -150,7 +150,20 @@ def _select_batch(
     Strict ``>`` against the cap sidesteps tie-break ambiguity with
     created pairs; ties among selected pairs resolve in sort order,
     which IS the sequential tie-break. Pure driver-side selection over
-    an already-collected bounded list."""
+    an already-collected bounded list.
+
+    Conditions 1–2 additionally assume each CREATED token string
+    (``lhs + rhs``) is FRESH — no pair in the window already uses it as
+    a symbol. If a created string aliased an existing symbol, that
+    symbol's pair counts could INCREASE mid-batch (created occurrences
+    pool with pre-existing ones), which the decrease-only cap argument
+    cannot bound. Genuine left-to-right BPE derivations cannot alias: a
+    symbol equal to ``lhs + rhs`` would have had to be produced by its
+    own (lhs, rhs)-boundary merge, which the current merge's operands
+    prove was never applied at this frequency tier — but the guard
+    below enforces it anyway (costs one set lookup per row): the scan
+    BREAKS at the first row whose lhs/rhs equals an already-created
+    string, exactly like the shared-symbol stop in condition 3."""
     if not rows:
         return []
     tailmax = rows[-1]["pair_freq"] if len(rows) == probe else 0
@@ -160,6 +173,7 @@ def _select_batch(
         max_by_lhs.setdefault(r["lhs"], r["pair_freq"])
         max_by_rhs.setdefault(r["rhs"], r["pair_freq"])
     used: set[str] = set()
+    created: set[str] = set()
     cap = tailmax
     out: list[tuple[str, str]] = []
     for r in rows:
@@ -170,10 +184,13 @@ def _select_batch(
             or f <= cap
             or a in used
             or b in used
+            or a in created
+            or b in created
         ):
             break
         out.append((a, b))
         used.update((a, b))
+        created.add(a + b)
         cap = max(cap, max_by_rhs.get(a, 0), max_by_lhs.get(b, 0))
     return out
 

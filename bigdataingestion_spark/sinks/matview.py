@@ -388,7 +388,23 @@ class IncrementalAggView:
             if s is None or s in seen or s == anchor_json:
                 continue
             seen.add(s)
-            if anchor is None and anchor_json is not None:
+            if anchor_json is None:
+                # a schema-carrying commit in the window but NO anchor
+                # recoverable (pre-schema-recording legacy log whose
+                # cursor snapshot also aged out): the retype comparison
+                # has nothing to compare AGAINST, so degrading to
+                # resolution-only would let a silent retype through —
+                # refuse conservatively; build() re-anchors under the
+                # current schema in one commit (recover() does this)
+                raise MatviewSourceSchemaError(
+                    f"view at {self.path}: the window ({frm}, {to}] of "
+                    f"{table.path} carries a schema change at "
+                    f"v{e['version']} but no anchor schema is "
+                    "recoverable at the cursor (legacy log); retype "
+                    "safety cannot be verified — the view was NOT "
+                    "advanced; call build() (or recover()) to re-anchor"
+                )
+            if anchor is None:
                 # lazily: windows under the unchanged cursor schema (the
                 # overwhelmingly common case) never analyze anything
                 anchor = self._definition_shape(
@@ -429,8 +445,18 @@ class IncrementalAggView:
         condition) plus, per aggregate, the columns its output derives
         from. sum/avg carry a companion non-null count so NULL semantics
         survive incremental updates."""
-        exprs = [F.count(F.lit(1)).alias("_mv_n")]
-        for out, (fn, expr) in self.aggs.items():
+        return [
+            F.count(F.lit(1)).alias("_mv_n"),
+            *self._agg_state_exprs(self.aggs),
+        ]
+
+    @staticmethod
+    def _agg_state_exprs(aggs: dict) -> list:
+        """The per-aggregate state expressions for ``aggs`` alone (no
+        ``_mv_n``) — shared by the full state computation and
+        :meth:`alter`'s backfill of just the ADDED aggregates."""
+        exprs = []
+        for out, (fn, expr) in aggs.items():
             col = F.expr(expr)
             if fn in ("sum", "avg"):
                 exprs.append(F.sum(col).alias(f"_s_{out}"))
@@ -453,8 +479,14 @@ class IncrementalAggView:
         return exprs
 
     def _state_cols(self) -> list[str]:
-        out = ["_mv_n"]
-        for name, (fn, _) in self.aggs.items():
+        return list(
+            dict.fromkeys(["_mv_n", *self._agg_state_cols(self.aggs)])
+        )
+
+    @staticmethod
+    def _agg_state_cols(aggs: dict) -> list[str]:
+        out = []
+        for name, (fn, _) in aggs.items():
             if fn in ("sum", "avg"):
                 out += [f"_s_{name}", f"_c_{name}"]
             elif fn == "count":
@@ -465,11 +497,14 @@ class IncrementalAggView:
                 out.append(f"_q_{name}")
             else:
                 out.append(f"_m_{name}")
-        return list(dict.fromkeys(out))
+        return out
 
     @property
     def additive(self) -> bool:
         return all(fn in _ADDITIVE for fn, _ in self.aggs.values())
+
+    # (IncrementalTopKView overrides alter() with a typed refusal: it
+    # has no aggregate surface to extend)
 
     @property
     def _insert_only_foldable(self) -> bool:
@@ -699,6 +734,106 @@ class IncrementalAggView:
             FileNotFoundError,
         ):
             return self.build(spark)
+
+    # ------------------------------------------- definition evolution --
+    def alter(self, spark: SparkSession, add_aggs: dict):
+        """ADDITIVE definition evolution: extend the view with new
+        aggregate columns over existing source columns, WITHOUT a full
+        rebuild and without disturbing the cursor. The new aggregates'
+        state is backfilled in ONE source read at the version the
+        stored state already reflects (the cursor; for a join view the
+        fact at the cursor enriched at the PINNED dimension versions;
+        for a union view every shard at its vector component), then
+        joined onto the existing state and published with the updated
+        definition — existing aggregates are never recomputed, so a
+        wide state pays only the new columns' aggregation.
+
+        ``add_aggs`` has the constructor's ``{out: (fn, expr)}`` shape
+        and may use every supported fn (a new ``("sql", …)`` aggregate
+        simply makes future refreshes route to recompute, exactly as if
+        declared at construction). NON-additive edits — renaming,
+        retyping, or removing an existing aggregate, or touching
+        ``group_cols``/``where`` — are refused (name collisions raise
+        here; anything else is a different definition: define a new
+        view or ``build()`` one). A new aggregate that does not resolve
+        against the anchored source schema raises
+        :class:`MatviewDefinitionError` before anything is written.
+
+        Crash contract: the state overwrite rides the same
+        ``matview.rebuild.pending`` flag a rebuild uses — an alter()
+        interrupted between overwrite and definition commit is
+        remediated exactly like an interrupted rebuild (``recover()``
+        / ``build()``; the object in hand already carries the full
+        post-alter ``aggs``). Returns what refresh() returns (the
+        cursor; a version vector for union views)."""
+        from pyspark.errors import AnalysisException
+
+        if not add_aggs:
+            raise ValueError("add_aggs must declare at least one "
+                             "aggregate")
+        taken = {g.lower() for g in self.group_cols} | {
+            a.lower() for a in self.aggs
+        }
+        for out, (fn, expr) in add_aggs.items():
+            if not _NAME_RE.match(out):
+                raise ValueError(f"aggregate output name {out!r} is not "
+                                 "a plain SQL identifier")
+            if fn not in _FNS:
+                raise ValueError(f"unsupported aggregate fn {fn!r} for "
+                                 f"{out!r}; supported: {sorted(_FNS)}")
+            if out.lower() in taken:
+                raise ValueError(
+                    f"aggregate {out!r} collides with an existing "
+                    "aggregate or group column — alter() is additive "
+                    "only; a changed aggregate is a different "
+                    "definition (build a new view)"
+                )
+            taken.add(out.lower())
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        self._check_definition(snap)
+        src, cursor_props, ret = self._alter_anchor(spark, snap)
+        try:
+            new_cols = self._filtered(src).groupBy(*self.group_cols).agg(
+                *self._agg_state_exprs(add_aggs)
+            )
+            new_cols.schema  # analysis only — no job
+        except AnalysisException as e:
+            raise MatviewDefinitionError(
+                f"view at {self.path}: new aggregate(s) "
+                f"{sorted(add_aggs)} do not resolve against the "
+                f"anchored source schema: {e}"
+            ) from e
+        # groups match EXACTLY (the stored state is the aggregate of the
+        # same filtered read) — left join so a group is never dropped
+        merged = self.view.read(spark).join(
+            new_cols, self.group_cols, "left"
+        )
+        self.view.alter_properties({_PENDING_KEY: "true"})
+        self.view.overwrite(merged)
+        self.aggs = {**self.aggs, **add_aggs}
+        self.view.alter_properties(
+            {
+                _DEF_KEY: self._definition_json(),
+                _PENDING_KEY: None,
+                **cursor_props,
+            }
+        )
+        return ret
+
+    def _alter_anchor(self, spark: SparkSession, snap):
+        """The source frame alter() backfills from, the cursor
+        properties its final commit re-asserts, and its return value —
+        the one hook each view kind anchors differently."""
+        cur = self._cursor(snap)
+        return (
+            self.source.read(spark, version=cur),
+            {_CURSOR_KEY: str(cur)},
+            cur,
+        )
 
     def _refresh_checked(self, spark: SparkSession, snap) -> int:
         """Refresh tail after the existence/definition checks — takes
@@ -1478,6 +1613,24 @@ class IncrementalJoinAggView(IncrementalAggView):
         ):
             return self.build(spark)
 
+    def _alter_anchor(self, spark: SparkSession, snap):
+        """alter() anchor for the join view: the fact at the cursor,
+        enriched at the PINNED dimension versions — new aggregates
+        (which may reference carried dim columns) are computed in the
+        same dimension world the stored state reflects. Moved
+        dimensions refuse first (run ``refresh_dimensions`` /
+        ``recover()`` before altering); the pins themselves are
+        untouched."""
+        pinned = self._check_dims_unmoved(snap)
+        cur = self._cursor(snap)
+        return (
+            self._enrich(
+                spark, self.source.read(spark, version=cur), pinned
+            ),
+            {_CURSOR_KEY: str(cur)},
+            cur,
+        )
+
     def _window_changes(
         self, spark: SparkSession, frm: int, to: int, view_snap
     ) -> DataFrame:
@@ -2082,6 +2235,17 @@ class IncrementalTopKView(IncrementalAggView):
         # through the insert-only fold.)
         return False
 
+    def alter(self, spark: SparkSession, add_aggs: dict):
+        """Typed refusal: a top-k view stores RANKED ROWS, not
+        aggregate state — there is no aggregate surface to extend.
+        Changing ``k``/``order_by``/``payload`` is a different
+        definition; construct the new view and ``build()`` it."""
+        raise MatviewDefinitionError(
+            f"view at {self.path}: top-k views have no aggregate "
+            "surface alter() could extend; a changed ranking/payload "
+            "is a new definition — build() a new view"
+        )
+
     # ----------------------------------------------------- state shape --
     def _candidate_rows(self, df: DataFrame) -> DataFrame:
         """Source-shaped (or CDF-shaped) rows projected to ranking
@@ -2249,6 +2413,12 @@ class IncrementalTopKView(IncrementalAggView):
 # ===================================================================== #
 
 _UNION_EPOCH_KEY = "matview.union.epoch"
+# half-finished shard-membership changes (attach_shard / detach_shard):
+# JSON {"path", "version", "index"} — set before the fold, cleared by
+# the atomic definition commit; a pending view refuses refresh()/read()
+# until the SAME operation is re-run to completion (or build() supersedes)
+_ATTACH_PENDING_KEY = "matview.union.attach.pending"
+_DETACH_PENDING_KEY = "matview.union.detach.pending"
 
 
 class IncrementalUnionAggView(IncrementalAggView):
@@ -2303,14 +2473,36 @@ class IncrementalUnionAggView(IncrementalAggView):
 
     # ------------------------------------------------------ definition --
     def _definition_json(self) -> str:
+        return self._definition_json_for(self.sources)
+
+    def _definition_json_for(self, sources: list[TxLogTable]) -> str:
+        """The definition for an explicit shard membership — attach /
+        detach validate the stored definition against the PRE-change
+        membership while ``self.sources`` may already reflect either
+        side (resume after a crash)."""
         d = {
-            "sources": [t.path for t in self.sources],
+            "sources": [t.path for t in sources],
             "group_cols": self.group_cols,
             "aggs": {k: list(v) for k, v in self.aggs.items()},
         }
         if self.where is not None:
             d["where"] = self.where
         return json.dumps(d, sort_keys=True)
+
+    def _check_definition(self, snap) -> None:
+        for key, what in (
+            (_ATTACH_PENDING_KEY, "attach_shard"),
+            (_DETACH_PENDING_KEY, "detach_shard"),
+        ):
+            p = snap.properties.get(key)
+            if p:
+                info = json.loads(p)
+                raise MatviewDefinitionError(
+                    f"view at {self.path} has an interrupted {what} of "
+                    f"{info['path']}; re-run {what} with that table to "
+                    "complete it (or build() to supersede it)"
+                )
+        super()._check_definition(snap)
 
     # --------------------------------------------------- vector cursor --
     def _src_props(self, versions: list[int]) -> dict:
@@ -2323,12 +2515,15 @@ class IncrementalUnionAggView(IncrementalAggView):
         epoch = snap.properties.get(_UNION_EPOCH_KEY, "0")
         return f"{_TXN_PREFIX}u{epoch}."
 
-    def _cursor_vec(self, snap) -> list[int]:
+    def _cursor_vec(self, snap, sources=None) -> list[int]:
         """Applied-through version per shard: the pinned properties,
         raised componentwise by committed refresh txn ids of the CURRENT
-        build epoch whose property advance was lost to a crash."""
+        build epoch whose property advance was lost to a crash.
+        ``sources`` overrides the membership the vector is read for
+        (attach/detach resume with the PRE-change membership)."""
+        sources = self.sources if sources is None else sources
         out = []
-        for i, t in enumerate(self.sources):
+        for i, t in enumerate(sources):
             key = self._SRC_KEY.format(i=i)
             if key not in snap.properties:
                 raise MatviewDefinitionError(
@@ -2350,13 +2545,14 @@ class IncrementalUnionAggView(IncrementalAggView):
             out = [max(a, b) for a, b in zip(out, vec)]
         return out
 
-    def _heal_cursor(self, snap, vec: list[int]) -> None:
+    def _heal_cursor(self, snap, vec: list[int], sources=None) -> None:
         """Persist txn-recovered pins before the ids age out of the
         snapshot at checkpoint roll — the union mirror of the join
         view's dim-pin healing."""
+        n = len(self.sources if sources is None else sources)
         stored = [
             int(snap.properties[self._SRC_KEY.format(i=i)])
-            for i in range(len(self.sources))
+            for i in range(n)
         ]
         if stored != vec:
             self.view.alter_properties(self._src_props(vec))
@@ -2384,7 +2580,15 @@ class IncrementalUnionAggView(IncrementalAggView):
             spark,
             versions[0],
             src,
-            {**self._src_props(versions), _UNION_EPOCH_KEY: str(epoch + 1)},
+            {
+                **self._src_props(versions),
+                _UNION_EPOCH_KEY: str(epoch + 1),
+                # a rebuild supersedes any half-finished membership
+                # change: the state and definition it publishes are
+                # self-consistent for self.sources as constructed
+                _ATTACH_PENDING_KEY: None,
+                _DETACH_PENDING_KEY: None,
+            },
         )
         return versions
 
@@ -2478,12 +2682,17 @@ class IncrementalUnionAggView(IncrementalAggView):
 
     # ------------------------------------------------- recompute path --
     def _apply_union_recompute(
-        self, spark, ch: DataFrame, to: list[int], txn_id: str
+        self, spark, ch: DataFrame, to: list[int], txn_id: str,
+        sources: list[TxLogTable] | None = None,
     ) -> None:
         """Affected-group recompute across EVERY shard: a group's rows
         may live in shards whose windows didn't move, so all shards are
         scanned — each independently stats-pruned to the affected keys'
-        bounds (sum recorded in ``last_recompute_files``)."""
+        bounds (sum recorded in ``last_recompute_files``). ``sources``
+        overrides the membership scanned (attach folds over old+new
+        before ``self.sources`` is committed; detach over the
+        remainder)."""
+        sources = self.sources if sources is None else sources
         affected = ch.select(*self.group_cols).distinct().persist()
         try:
             self._refuse_null_groups(affected, "change feed")
@@ -2491,10 +2700,10 @@ class IncrementalUnionAggView(IncrementalAggView):
             scanned = total = 0
             # the affected-key bounds depend only on the (persisted)
             # affected frame — compute the collect once, not per shard
-            bounds = self.sources[0]._source_key_bounds(
+            bounds = sources[0]._source_key_bounds(
                 affected, self.group_cols
             )
-            for t, v in zip(self.sources, to):
+            for t, v in zip(sources, to):
                 s, (c, n) = self._pruned_scan(
                     spark, t, v, affected, bounds=bounds
                 )
@@ -2510,3 +2719,297 @@ class IncrementalUnionAggView(IncrementalAggView):
             self._merge_fresh_state(spark, affected, fresh, txn_id)
         finally:
             affected.unpersist()
+
+    # ------------------------------------------- definition evolution --
+    def _alter_anchor(self, spark: SparkSession, snap):
+        """alter() anchor for the union view: every shard read at its
+        applied vector component (healed first), so the new aggregates'
+        backfill reflects exactly the rows the stored state does."""
+        vec = self._cursor_vec(snap)
+        self._heal_cursor(snap, vec)
+        src = None
+        for t, v in zip(self.sources, vec):
+            fr = t.read(spark, version=v)
+            src = fr if src is None else src.unionByName(fr)
+        return (
+            src,
+            {_CURSOR_KEY: str(vec[0]), **self._src_props(vec)},
+            vec,
+        )
+
+    # ------------------------------------------- membership evolution --
+    def _check_shard_shape(
+        self, spark, table: TxLogTable, v: int, anchor_table: TxLogTable,
+        anchor_v: int, snap,
+    ) -> None:
+        """Refuse attaching a shard whose schema does not support the
+        definition at the SAME types as the anchored membership — the
+        per-shard drift contract refresh() enforces on windows, applied
+        once to the whole incoming snapshot. Analysis-only (two empty-
+        frame probes); an unresolvable snapshot skips the probe and
+        lets the read below fail loudly instead."""
+        from pyspark.errors import AnalysisException
+
+        a = anchor_table.snapshot(anchor_v)
+        s = table.snapshot(v)
+        if a is None or s is None:
+            return
+        want = self._definition_shape(
+            spark, StructType.fromJson(json.loads(a.schema_json)), snap
+        )
+        try:
+            got = self._definition_shape(
+                spark, StructType.fromJson(json.loads(s.schema_json)), snap
+            )
+        except (AnalysisException, ValueError) as err:
+            raise MatviewSourceSchemaError(
+                f"view at {self.path}: the definition does not resolve "
+                f"against attaching shard {table.path} v{v}: {err}"
+            ) from err
+        if got != want:
+            diff = sorted(
+                k.removeprefix("_in_")
+                for k in {**want, **got}
+                if want.get(k) != got.get(k)
+            )
+            raise MatviewSourceSchemaError(
+                f"view at {self.path}: attaching shard {table.path} "
+                f"v{v} RETYPES definition input(s) {diff} relative to "
+                f"the anchored membership ({anchor_table.path} "
+                f"v{anchor_v}); align the shard's schema first"
+            )
+
+    def attach_shard(
+        self, spark: SparkSession, table: TxLogTable
+    ) -> list[int]:
+        """Extend the view's shard membership IN PLACE — the operation
+        a partitioned lake performs routinely (a new region / tenant /
+        year table joins an existing rollup) — without rebuilding the
+        state the existing shards already paid for.
+
+        The new shard's CURRENT snapshot is folded as one insert-only
+        window (additive deltas for count/sum/avg; monotone fold /
+        sketch union for min/max/approx_distinct — the same proof an
+        insert-only refresh window carries; a ``("sql", …)`` aggregate
+        recomputes its affected groups across old+new shards), then the
+        definition, the extended version vector, and a new epoch commit
+        atomically. Future ``refresh()`` calls maintain the shard from
+        its own CDF like any other.
+
+        Crash contract (single maintainer, like all view maintenance):
+        a ``matview.union.attach.pending`` property brackets the fold —
+        an interrupted attach refuses refresh()/read() with a typed
+        error until ``attach_shard`` is re-run WITH THE SAME TABLE
+        (the fold replays as a txn-id no-op and the commit completes)
+        or ``build()`` supersedes it; ``recover()`` takes the build
+        path. Returns the new version vector (the attached shard
+        last)."""
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        if snap.properties.get(_PENDING_KEY) == "true":
+            raise MatviewDefinitionError(
+                f"view at {self.path} has an interrupted rebuild "
+                "(matview.rebuild.pending); re-run build()"
+            )
+        if snap.properties.get(_DETACH_PENDING_KEY):
+            info = json.loads(snap.properties[_DETACH_PENDING_KEY])
+            raise MatviewDefinitionError(
+                f"view at {self.path} has an interrupted detach_shard "
+                f"of {info['path']}; complete it first (or build())"
+            )
+        pend = snap.properties.get(_ATTACH_PENDING_KEY)
+        pend = json.loads(pend) if pend else None
+        if pend is not None and pend["path"] != table.path:
+            raise MatviewDefinitionError(
+                f"view at {self.path} has an interrupted attach_shard "
+                f"of {pend['path']}; re-run attach_shard with that "
+                "table first (or build())"
+            )
+        old = [t for t in self.sources if t.path != table.path]
+        if pend is None and len(old) != len(self.sources):
+            raise ValueError(
+                f"{table.path} is already a source of this view"
+            )
+        stored = snap.properties.get(_DEF_KEY)
+        if stored != self._definition_json_for(old):
+            raise MatviewDefinitionError(
+                f"view at {self.path} was built from a different "
+                "definition than attach_shard's pre-attach membership "
+                f"(already attached? stored={stored}); construct the "
+                "view with the membership the state reflects"
+            )
+        vec = self._cursor_vec(snap, sources=old)
+        self._heal_cursor(snap, vec, sources=old)
+        if pend is not None:
+            v = int(pend["version"])
+        else:
+            v = table.version()
+            if v < 0:
+                raise FileNotFoundError(f"shard {table.path} is empty")
+        # drift contract BEFORE anything is written
+        self._check_shard_shape(spark, table, v, old[0], vec[0], snap)
+        if pend is None:
+            self.view.alter_properties(
+                {
+                    _ATTACH_PENDING_KEY: json.dumps(
+                        {
+                            "path": table.path,
+                            "version": v,
+                            "index": len(old),
+                        }
+                    )
+                }
+            )
+        txn = f"{self._txn_prefix(snap)}attach.{len(old)}.{v}"
+        try:
+            full = table.read(spark, version=v)
+        except (ValueError, FileNotFoundError) as e:
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: attaching shard {table.path} "
+                f"snapshot v{v} cannot be read ({e}); re-run "
+                "attach_shard when it is readable, or construct the "
+                "view with the full membership and build()"
+            ) from e
+        ch = self._filtered(full).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        if self._insert_only_foldable:
+            # the attach window is PURE INSERTS: min/max fold
+            # monotonically, sketches union — the insert-only proof
+            # holds by construction, no commit-log walk needed
+            self._apply_additive_delta(spark, ch, txn)
+        else:
+            self._apply_union_recompute(
+                spark, ch, [*vec, v], txn, sources=[*old, table]
+            )
+        epoch = int(snap.properties.get(_UNION_EPOCH_KEY, 0))
+        self.sources = [*old, table]
+        self.view.alter_properties(
+            {
+                _DEF_KEY: self._definition_json(),
+                **self._src_props([*vec, v]),
+                _CURSOR_KEY: str(vec[0]),
+                _UNION_EPOCH_KEY: str(epoch + 1),
+                _ATTACH_PENDING_KEY: None,
+            }
+        )
+        return [*vec, v]
+
+    def detach_shard(
+        self, spark: SparkSession, table: TxLogTable
+    ) -> list[int]:
+        """Remove a shard from the view's membership IN PLACE,
+        subtracting exactly the contribution the state holds for it —
+        the shard's snapshot AT ITS APPLIED VECTOR COMPONENT replayed
+        as one all-delete window (additive subtraction for
+        count/sum/avg; affected-group recompute from the REMAINING
+        shards otherwise, since a removed extreme may resurface a value
+        only another shard holds). The shard's applied snapshot must
+        still be readable (don't vacuum a shard past its pinned version
+        before detaching it); when it is not, construct the view with
+        the remaining membership and ``build()``.
+
+        Crash contract mirrors :meth:`attach_shard`
+        (``matview.union.detach.pending`` brackets the fold; re-run
+        with the same table to complete, or ``build()``). Detaching
+        below two shards is refused — rebuild the survivor as an
+        :class:`IncrementalAggView`. Returns the remaining version
+        vector."""
+        snap = self.view.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"view at {self.path} has no committed build; call build()"
+            )
+        if snap.properties.get(_PENDING_KEY) == "true":
+            raise MatviewDefinitionError(
+                f"view at {self.path} has an interrupted rebuild "
+                "(matview.rebuild.pending); re-run build()"
+            )
+        if snap.properties.get(_ATTACH_PENDING_KEY):
+            info = json.loads(snap.properties[_ATTACH_PENDING_KEY])
+            raise MatviewDefinitionError(
+                f"view at {self.path} has an interrupted attach_shard "
+                f"of {info['path']}; complete it first (or build())"
+            )
+        pend = snap.properties.get(_DETACH_PENDING_KEY)
+        pend = json.loads(pend) if pend else None
+        if pend is not None and pend["path"] != table.path:
+            raise MatviewDefinitionError(
+                f"view at {self.path} has an interrupted detach_shard "
+                f"of {pend['path']}; re-run detach_shard with that "
+                "table first (or build())"
+            )
+        paths = [t.path for t in self.sources]
+        if table.path in paths:
+            old = list(self.sources)
+        elif pend is not None:
+            # resume on an object already holding the post-detach list
+            old = list(self.sources)
+            old.insert(int(pend["index"]), table)
+        else:
+            raise ValueError(
+                f"{table.path} is not a source of this view"
+            )
+        if len(old) <= 2:
+            raise ValueError(
+                "detaching would leave a single-source view; construct "
+                "an IncrementalAggView over the remaining shard and "
+                "build() it instead"
+            )
+        stored = snap.properties.get(_DEF_KEY)
+        if stored != self._definition_json_for(old):
+            raise MatviewDefinitionError(
+                f"view at {self.path} was built from a different "
+                "definition than detach_shard's pre-detach membership "
+                f"(already detached? stored={stored})"
+            )
+        i = [t.path for t in old].index(table.path)
+        vec = self._cursor_vec(snap, sources=old)
+        self._heal_cursor(snap, vec, sources=old)
+        v = int(pend["version"]) if pend is not None else vec[i]
+        if pend is None:
+            self.view.alter_properties(
+                {
+                    _DETACH_PENDING_KEY: json.dumps(
+                        {"path": table.path, "version": v, "index": i}
+                    )
+                }
+            )
+        txn = f"{self._txn_prefix(snap)}detach.{i}.{v}"
+        try:
+            full = table.read(spark, version=v)
+        except (ValueError, FileNotFoundError) as e:
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: detaching shard {table.path}'s "
+                f"applied snapshot v{v} cannot be read ({e}) — its "
+                "contribution cannot be subtracted; construct the view "
+                "with the remaining shards and build()"
+            ) from e
+        ch = self._filtered(full).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        remaining = [t for t in old if t.path != table.path]
+        rvec = [x for j, x in enumerate(vec) if j != i]
+        if self.additive:
+            self._apply_additive_delta(spark, ch, txn)
+        else:
+            self._apply_union_recompute(
+                spark, ch, rvec, txn, sources=remaining
+            )
+        epoch = int(snap.properties.get(_UNION_EPOCH_KEY, 0))
+        self.sources = remaining
+        self.view.alter_properties(
+            {
+                _DEF_KEY: self._definition_json(),
+                **self._src_props(rvec),
+                _CURSOR_KEY: str(rvec[0]),
+                _UNION_EPOCH_KEY: str(epoch + 1),
+                _DETACH_PENDING_KEY: None,
+                # drop the now-stale trailing pin
+                self._SRC_KEY.format(i=len(old) - 1): None,
+            }
+        )
+        return rvec

@@ -6451,11 +6451,29 @@ class TxLogTable:
             for key, val in snap.properties.items():
                 if not key.startswith("matview.pin."):
                     continue
+                # a pin is a RETENTION FLOOR — silently treating a
+                # corrupted one as absent would let this vacuum strand
+                # the pinned view's snapshot with no signal; refuse and
+                # make the operator fix or remove the property
                 try:
                     pv = int(val)
                 except (TypeError, ValueError):
-                    continue
-                ps = self.snapshot(pv) if 0 <= pv <= snap.version else None
+                    raise ValueError(
+                        f"vacuum at {self.path}: pin property {key!r} "
+                        f"has unparseable value {val!r}; fix or remove "
+                        "it (alter_properties) before vacuuming — "
+                        "ignoring it would drop the view's retention "
+                        "floor"
+                    ) from None
+                if not 0 <= pv <= snap.version:
+                    raise ValueError(
+                        f"vacuum at {self.path}: pin property {key!r} "
+                        f"names version {pv}, outside this table's "
+                        f"history [0, {snap.version}]; fix or remove it "
+                        "before vacuuming — ignoring it would drop the "
+                        "view's retention floor"
+                    )
+                ps = self.snapshot(pv)
                 if ps is not None:
                     live |= set(ps.files) | set(ps.dvs.values())
                     live |= {

@@ -24,6 +24,15 @@ Semantics — deliberately snapshot-scoped, like Delta's
   the snapshot reader) applies unchanged.
 - names are session-scoped temp views: they shadow nothing in a real
   metastore and vanish with the session.
+- a registered name survives only until the underlying table's next
+  ``vacuum()`` past the frozen snapshot (or past the matview's backing
+  txlog snapshot): the temp view holds the snapshot's FILE LIST, and a
+  vacuum that reclaims those files fails the analyst's query at scan
+  time, not at registration. Re-register after vacuuming — or, for
+  long-lived names over a table with concurrent maintenance, record a
+  ``matview.pin.*`` retention floor on the table (the same mechanism
+  join views use; ``vacuum()`` honors it) so the frozen snapshot's
+  files outlive the registration.
 """
 
 from __future__ import annotations
@@ -36,7 +45,10 @@ from .sinks.matview import _NAME_RE
 
 
 def register_tables(
-    spark: SparkSession, tables: dict, at: dict | None = None
+    spark: SparkSession,
+    tables: dict,
+    at: dict | None = None,
+    refresh: bool = False,
 ) -> dict[str, object]:
     """Publish each object's current snapshot as a temp view under its
     key. Values may be :class:`~bigdataingestion_spark.sinks.txlog.
@@ -50,8 +62,22 @@ def register_tables(
     can record the read's provenance: txlog tables are read AT the
     resolved version so the number is exact under concurrent writers;
     a matview refreshed concurrently is re-read (bounded retries) until
-    frame and version agree, with ``None`` reported if it won't settle.
-    Call again to move every name to the tables' current snapshots.
+    frame and version agree, with ``None`` reported if it won't settle —
+    the published frame is still internally CONSISTENT (one snapshot of
+    the view's txlog), its version just cannot be attributed to either
+    side of the racing refresh. Call again to move every name to the
+    tables' current snapshots.
+
+    ``refresh=True`` brings every matview up to date BEFORE publishing:
+    each value exposing ``recover(spark)`` (all four matview kinds) is
+    recovered first — the full remediation ladder, so a stale cursor, a
+    moved dimension, or an unreadable window all heal rather than
+    publishing stale state (data-shaped errors, e.g. a NULL group key,
+    still propagate: they need an upstream fix, not a rebuild). Plain
+    txlog tables are unaffected — registration already resolves their
+    latest snapshot. Recovery runs during the validate-before-publish
+    phase: a view that cannot recover raises with the session
+    untouched.
 
     ``at`` (optional) maps a subset of the names to explicit versions —
     TIME TRAVEL for SQL readers: ``register_tables(spark, {"sales": t},
@@ -87,6 +113,13 @@ def register_tables(
     stray = sorted(set(at) - set(tables))
     if stray:
         raise ValueError(f"at= names not being registered: {stray}")
+    if refresh:
+        # before resolution, so the frames below see the healed state;
+        # still before ANY publish — a failing recovery leaves the
+        # session untouched like every other validation error
+        for t in tables.values():
+            if callable(getattr(t, "recover", None)):
+                t.recover(spark)
     # resolve EVERY frame before publishing ANY name: a bad at=
     # version, an empty table, or an unbuilt matview raises here with
     # the session untouched — publication below cannot fail partway

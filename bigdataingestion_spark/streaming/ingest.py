@@ -460,6 +460,7 @@ def stream_cdc_apply_ops(
     max_files_per_trigger: int = 1,
     app_id: str | None = None,
     views: list | None = None,
+    views_recover: bool = False,
 ) -> StreamingQuery:
     """Op-coded CDC apply (a Debezium/DMS-style I/U/D feed) on a txlog
     table: each micro-batch is ONE conditional MERGE commit —
@@ -490,7 +491,21 @@ def stream_cdc_apply_ops(
     once without any extra bookkeeping: a crash between the merge and a
     refresh makes the restarted batch's merge a txn-id no-op and the
     refresh simply catches up from its own recovered cursor, so a
-    refresh failure is safe to let fail the batch (Spark retries it)."""
+    refresh failure is safe to let fail the batch (Spark retries it).
+
+    ``views_recover=True`` makes the view maintenance SELF-HEALING:
+    each view advances via its ``recover()`` remediation ladder instead
+    of bare ``refresh()``, so conditions a plain refresh refuses with a
+    typed error — a dimension that moved under a join view, a source
+    schema break in the window, an unreadable/vacuumed window, an
+    interrupted rebuild — are remediated in-batch (cheapest rung first:
+    refresh → dimension fold → rebuild) rather than failing the batch
+    into a retry loop that hits the same wall forever. Exactly-once is
+    unaffected (every rung commits under the view's own txn
+    machinery). Data-shaped errors (a NULL group key) still fail the
+    batch: they need an upstream fix, not a rebuild. Default False —
+    an unattended rebuild inside a micro-batch is a cost decision the
+    operator should opt into."""
     from bigdataingestion_spark.sinks.merge_clauses import (
         when_matched_delete,
         when_matched_update,
@@ -538,7 +553,7 @@ def stream_cdc_apply_ops(
             spark, src, keys, clauses, txn_id=f"{scope}:{batch_id}"
         )
         for v in views or ():
-            v.refresh(spark)
+            v.recover(spark) if views_recover else v.refresh(spark)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -558,6 +573,7 @@ def stream_txlog_ingest(
     app_id: str | None = None,
     schema=None,
     views: list | None = None,
+    views_recover: bool = False,
 ) -> StreamingQuery:
     """File landing zone -> txlog table, exactly-once at the TABLE level.
 
@@ -601,9 +617,11 @@ def stream_txlog_ingest(
         # maintained aggregates over the ingested table (see
         # stream_cdc_apply_ops: the same exactly-once composition —
         # replayed appends no-op under the txn id, refreshes catch up
-        # from their own recovered cursor)
+        # from their own recovered cursor; views_recover walks each
+        # view's remediation ladder instead, so a moved dimension or
+        # broken window heals in-batch rather than failing every retry)
         for v in views or ():
-            v.refresh(spark)
+            v.recover(spark) if views_recover else v.refresh(spark)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -1,0 +1,760 @@
+"""Round-13 features:
+
+- union-view shard membership evolution (attach_shard / detach_shard),
+  including crash-between-fold-and-commit resume;
+- additive matview definition evolution (alter(add_aggs=...)) on all
+  four view kinds (typed refusal for top-k);
+- self-healing streaming view maintenance (views_recover=True walks the
+  recover() ladder per batch);
+- register_tables(refresh=True);
+- vacuum() refusing corrupted matview.pin.* properties;
+- the _select_batch created-token guard.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataingestion_spark.sinks.matview import (
+    _ATTACH_PENDING_KEY,
+    _DEF_KEY,
+    _DETACH_PENDING_KEY,
+    DimJoin,
+    IncrementalAggView,
+    IncrementalJoinAggView,
+    IncrementalTopKView,
+    IncrementalUnionAggView,
+    MatviewDefinitionError,
+    MatviewSourceSchemaError,
+)
+from bigdataingestion_spark.sinks.txlog import TxLogTable
+
+SCHEMA = "id long, grp string, val double"
+
+
+def _shard(spark, path, rows):
+    t = TxLogTable(str(path))
+    t.append(spark.createDataFrame(rows, SCHEMA))
+    t.alter_properties({"cdf.enabled": "true"})
+    return t
+
+
+def _mk_shards(spark, tmp_path, n=2):
+    return [
+        _shard(
+            spark,
+            tmp_path / f"s{i}",
+            [
+                (j, f"g{j % 3}", float(j))
+                for j in range(1, 31)
+                if j % n == i
+            ],
+        )
+        for i in range(n)
+    ]
+
+
+def _union_oracle(spark, shards, aggs):
+    u = None
+    for t in shards:
+        fr = t.read(spark)
+        u = fr if u is None else u.unionByName(fr)
+    agged = u.groupBy("grp").agg(*[e.alias(n) for n, e in aggs.items()])
+    return {
+        r["grp"]: tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c]
+            for c in aggs
+        )
+        for r in agged.collect()
+    }
+
+
+def _read_rows(spark, mv, cols):
+    return {
+        r["grp"]: tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c]
+            for c in cols
+        )
+        for r in mv.read(spark).collect()
+    }
+
+
+# ------------------------------------------------------ attach_shard --
+
+
+def test_attach_shard_additive_then_refresh(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    new = _shard(
+        spark,
+        tmp_path / "s_new",
+        [(100 + j, f"g{j % 3}", 1000.0 + j) for j in range(9)],
+    )
+    vec = mv.attach_shard(spark, new)
+    assert len(vec) == 3 and len(mv.sources) == 3
+    oracle = {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, mv.sources, oracle
+    )
+    # the attached shard is now maintained from its own CDF
+    new.append(
+        spark.createDataFrame([(200, "g0", 5.0), (201, "g1", 7.0)], SCHEMA)
+    )
+    shards[0].delete(spark, "id % 10 = 2")
+    mv.refresh(spark)
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, mv.sources, oracle
+    )
+
+
+def test_attach_shard_insert_only_fold_minmax(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    aggs = {"lo": ("min", "val"), "hi": ("max", "val")}
+    mv = IncrementalUnionAggView(
+        shards, str(tmp_path / "mv"), ["grp"], aggs, rebuild_ratio=None
+    )
+    mv.build(spark)
+    new = _shard(
+        spark, tmp_path / "s_new", [(500, "g0", -9.0), (501, "g2", 999.0)]
+    )
+    mv.attach_shard(spark, new)
+    # the attach itself must be ONE merge (the insert-only fold), not a
+    # recompute of anything beyond it
+    assert _read_rows(spark, mv, ["lo", "hi"]) == _union_oracle(
+        spark, mv.sources, {"lo": F.min("val"), "hi": F.max("val")}
+    )
+
+
+def test_attach_shard_sql_agg_recomputes(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    aggs = {"med": ("sql", "percentile(val, 0.5)")}
+    mv = IncrementalUnionAggView(
+        shards, str(tmp_path / "mv"), ["grp"], aggs, rebuild_ratio=None
+    )
+    mv.build(spark)
+    new = _shard(
+        spark,
+        tmp_path / "s_new",
+        [(600 + j, f"g{j % 3}", float(50 + j)) for j in range(6)],
+    )
+    mv.attach_shard(spark, new)
+    assert _read_rows(spark, mv, ["med"]) == _union_oracle(
+        spark, mv.sources, {"med": F.expr("percentile(val, 0.5)")}
+    )
+
+
+def test_attach_shard_refusals(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    with pytest.raises(ValueError, match="already a source"):
+        mv.attach_shard(spark, shards[0])
+    # schema-drift refusal: a shard that retypes a definition input
+    drift = TxLogTable(str(tmp_path / "s_drift"))
+    drift.append(
+        spark.createDataFrame(
+            [(1, "g0", "not-a-number")], "id long, grp string, val string"
+        )
+    )
+    drift.alter_properties({"cdf.enabled": "true"})
+    mv2 = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv2"),
+        ["grp"],
+        {"s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv2.build(spark)
+    with pytest.raises(MatviewSourceSchemaError, match="RETYPES"):
+        mv2.attach_shard(spark, drift)
+
+
+def test_attach_shard_crash_resume_exactly_once(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    new = _shard(
+        spark, tmp_path / "s_new", [(700, "g0", 3.0), (701, "g1", 4.0)]
+    )
+    # crash INJECTION: die on the membership-commit alter (the one
+    # carrying the new definition), after the fold merge committed
+    real_alter = mv.view.alter_properties
+
+    def dying_alter(props):
+        if _DEF_KEY in props:
+            raise RuntimeError("simulated crash before membership commit")
+        return real_alter(props)
+
+    mv.view.alter_properties = dying_alter
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mv.attach_shard(spark, new)
+    mv.view.alter_properties = real_alter
+    # the view refuses maintenance until the attach completes
+    fresh = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    with pytest.raises(MatviewDefinitionError, match="interrupted attach"):
+        fresh.refresh(spark)
+    with pytest.raises(MatviewDefinitionError, match="attach_shard"):
+        fresh.read(spark)
+    # re-running with the same table completes; the fold replays as a
+    # txn no-op (exactly ONE merge commit in the view's history)
+    merges_before = sum(
+        1 for h in fresh.view.history() if h["op"] == "merge"
+    )
+    fresh.attach_shard(spark, new)
+    merges_after = sum(
+        1 for h in fresh.view.history() if h["op"] == "merge"
+    )
+    assert merges_after == merges_before  # replayed, not re-applied
+    assert _read_rows(spark, fresh, ["n", "s"]) == _union_oracle(
+        spark, fresh.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+
+
+def test_attach_crash_recover_takes_build_path(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    new = _shard(spark, tmp_path / "s_new", [(800, "g2", 1.0)])
+    real_alter = mv.view.alter_properties
+    mv.view.alter_properties = lambda props: (_ for _ in ()).throw(
+        RuntimeError("crash")
+    ) if _DEF_KEY in props else real_alter(props)
+    with pytest.raises(RuntimeError):
+        mv.attach_shard(spark, new)
+    mv.view.alter_properties = real_alter
+    # recover() on an object constructed with the FULL membership
+    # supersedes the half-finished attach with a rebuild
+    full = IncrementalUnionAggView(
+        [*shards, new],
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    full.recover(spark)
+    assert _read_rows(spark, full, ["n"]) == _union_oracle(
+        spark, full.sources, {"n": F.count(F.lit(1))}
+    )
+    snap = full.view.snapshot()
+    assert _ATTACH_PENDING_KEY not in snap.properties
+
+
+# ------------------------------------------------------ detach_shard --
+
+
+def test_detach_shard_additive(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 3)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    # advance one shard so the applied vector is not all-build
+    shards[1].append(spark.createDataFrame([(900, "g0", 2.5)], SCHEMA))
+    mv.refresh(spark)
+    rvec = mv.detach_shard(spark, shards[1])
+    assert len(rvec) == 2 and len(mv.sources) == 2
+    oracle = {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, mv.sources, oracle
+    )
+    # still maintainable afterwards
+    mv.sources[0].delete(spark, "id % 7 = 3")
+    mv.refresh(spark)
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, mv.sources, oracle
+    )
+
+
+def test_detach_shard_minmax_recomputes_resurfaced_extreme(spark, tmp_path):
+    # the detached shard holds the global max of g0: subtraction alone
+    # cannot recover the runner-up — the recompute path must
+    shards = [
+        _shard(spark, tmp_path / "s0", [(1, "g0", 10.0), (2, "g1", 5.0)]),
+        _shard(spark, tmp_path / "s1", [(3, "g0", 99.0), (4, "g1", 1.0)]),
+        _shard(spark, tmp_path / "s2", [(5, "g0", 20.0), (6, "g1", 2.0)]),
+    ]
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"hi": ("max", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    mv.detach_shard(spark, shards[1])
+    got = _read_rows(spark, mv, ["hi"])
+    assert got["g0"] == (20.0,) and got["g1"] == (5.0,)
+
+
+def test_detach_shard_refusals(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    with pytest.raises(ValueError, match="single-source"):
+        mv.detach_shard(spark, shards[0])
+    stranger = _shard(spark, tmp_path / "s_x", [(1, "g0", 1.0)])
+    with pytest.raises(ValueError, match="not a source"):
+        mv.detach_shard(spark, stranger)
+
+
+def test_detach_shard_crash_resume(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 3)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    real_alter = mv.view.alter_properties
+
+    def dying_alter(props):
+        if _DEF_KEY in props:
+            raise RuntimeError("simulated crash")
+        return real_alter(props)
+
+    mv.view.alter_properties = dying_alter
+    with pytest.raises(RuntimeError):
+        mv.detach_shard(spark, shards[2])
+    mv.view.alter_properties = real_alter
+    fresh = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    with pytest.raises(MatviewDefinitionError, match="interrupted detach"):
+        fresh.refresh(spark)
+    fresh.detach_shard(spark, shards[2])
+    assert _read_rows(spark, fresh, ["n", "s"]) == _union_oracle(
+        spark, fresh.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+    snap = fresh.view.snapshot()
+    assert _DETACH_PENDING_KEY not in snap.properties
+    # the stale trailing pin property was dropped
+    assert "matview.union.src.2.version" not in snap.properties
+
+
+# ------------------------------------------------- alter(add_aggs=) --
+
+
+def test_alter_add_aggs_single_source(spark, tmp_path):
+    src = _shard(
+        spark,
+        tmp_path / "t",
+        [(j, f"g{j % 3}", float(j)) for j in range(1, 31)],
+    )
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(spark.createDataFrame([(100, "g0", 50.0)], SCHEMA))
+    mv.refresh(spark)
+    cur = mv.alter(
+        spark,
+        {"s": ("sum", "val"), "lo": ("min", "val"),
+         "med": ("sql", "percentile(val, 0.5)")},
+    )
+    assert cur == src.version()
+    # post-alter maintenance covers every new aggregate's path
+    src.append(spark.createDataFrame([(101, "g1", -5.0)], SCHEMA))
+    src.delete(spark, "id = 3")
+    mv.refresh(spark)
+    oracle = {
+        "n": F.count(F.lit(1)),
+        "s": F.sum("val"),
+        "lo": F.min("val"),
+        "med": F.expr("percentile(val, 0.5)"),
+    }
+    got = _read_rows(spark, mv, ["n", "s", "lo", "med"])
+    want = _union_oracle(spark, [src], oracle)
+    assert got == want
+
+
+def test_alter_refusals(spark, tmp_path):
+    src = _shard(spark, tmp_path / "t", [(1, "g0", 1.0)])
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    with pytest.raises(ValueError, match="collides"):
+        mv.alter(spark, {"n": ("sum", "val")})
+    with pytest.raises(ValueError, match="collides"):
+        mv.alter(spark, {"grp": ("sum", "val")})
+    with pytest.raises(ValueError, match="at least one"):
+        mv.alter(spark, {})
+    with pytest.raises(MatviewDefinitionError, match="resolve"):
+        mv.alter(spark, {"bad": ("sum", "no_such_column")})
+    # the failed alters left the view untouched and maintainable
+    mv.refresh(spark)
+    assert _read_rows(spark, mv, ["n"]) == {"g0": (1,)}
+
+
+def test_alter_topk_typed_refusal(spark, tmp_path):
+    src = _shard(spark, tmp_path / "t", [(1, "g0", 1.0), (2, "g0", 2.0)])
+    tk = IncrementalTopKView(
+        src,
+        str(tmp_path / "tk"),
+        ["grp"],
+        order_by="val",
+        payload=["id"],
+        k=1,
+        rebuild_ratio=None,
+    )
+    tk.build(spark)
+    with pytest.raises(MatviewDefinitionError, match="top-k"):
+        tk.alter(spark, {"s": ("sum", "val")})
+
+
+def test_alter_join_view_with_dim_column(spark, tmp_path):
+    fact = _shard(
+        spark,
+        tmp_path / "fact",
+        [(j, f"g{j % 2}", float(j)) for j in range(1, 21)],
+    )
+    dim = TxLogTable(str(tmp_path / "dim"))
+    dim.append(
+        spark.createDataFrame(
+            [("g0", 2.0), ("g1", 3.0)], "dgrp string, rate double"
+        )
+    )
+    mv = IncrementalJoinAggView(
+        fact,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        dims=[DimJoin(dim, on=[("grp", "dgrp")], select=["rate"])],
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    # the new aggregate references a CARRIED dim column
+    mv.alter(spark, {"weighted": ("sum", "val * rate")})
+    fact.append(spark.createDataFrame([(100, "g1", 10.0)], SCHEMA))
+    mv.refresh(spark)
+    want = {
+        r["grp"]: (r["n"], round(r["weighted"], 6))
+        for r in fact.read(spark)
+        .join(dim.read(spark), F.col("grp") == F.col("dgrp"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("val * rate")).alias("weighted"),
+        )
+        .collect()
+    }
+    got = {
+        r["grp"]: (r["n"], round(r["weighted"], 6))
+        for r in mv.read(spark).collect()
+    }
+    assert got == want
+
+
+def test_alter_union_view(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    shards[0].append(spark.createDataFrame([(300, "g2", 8.0)], SCHEMA))
+    mv.refresh(spark)
+    vec = mv.alter(spark, {"s": ("sum", "val")})
+    assert vec == [t.version() for t in shards]
+    shards[1].delete(spark, "id % 5 = 0")
+    mv.refresh(spark)
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, shards, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+
+
+def test_alter_crash_recover_rebuilds_with_new_definition(spark, tmp_path):
+    src = _shard(spark, tmp_path / "t", [(1, "g0", 1.0), (2, "g1", 2.0)])
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    real_alter = mv.view.alter_properties
+
+    def dying_alter(props):
+        if _DEF_KEY in props:
+            raise RuntimeError("simulated crash")
+        return real_alter(props)
+
+    mv.view.alter_properties = dying_alter
+    with pytest.raises(RuntimeError):
+        mv.alter(spark, {"s": ("sum", "val")})
+    mv.view.alter_properties = real_alter
+    # interrupted between overwrite and definition commit: pending flag
+    # refuses refresh; recover() rebuilds under the object's (post-
+    # alter) definition
+    with pytest.raises(MatviewDefinitionError, match="pending"):
+        mv.refresh(spark)
+    assert "s" in mv.aggs  # the object already carries the new aggs
+    mv.recover(spark)
+    assert _read_rows(spark, mv, ["n", "s"]) == {
+        "g0": (1, 1.0),
+        "g1": (1, 2.0),
+    }
+
+
+# ------------------------------------------- streaming views_recover --
+
+
+def test_stream_views_recover_heals_moved_dim(spark, tmp_path):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(20)],
+        "id bigint, cat bigint, amt double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    dim = TxLogTable(str(tmp_path / "dim"))
+    dim.append(
+        spark.createDataFrame(
+            [(c, f"C{c % 2}", 1.0) for c in range(4)],
+            "cat_id bigint, bucket string, rate double",
+        )
+    )
+    dim.alter_properties({"cdf.enabled": "true"})
+    target, ckpt = str(tmp_path / "fact"), str(tmp_path / "ckpt")
+    fact = TxLogTable(target)
+    fact.append(
+        spark.createDataFrame([], "id bigint, cat bigint, amt double")
+    )
+    fact.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalJoinAggView(
+        fact,
+        str(tmp_path / "mv"),
+        ["bucket"],
+        {"n": ("count", "1"), "s": ("sum", "amt")},
+        dims=[DimJoin(dim, on=[("cat", "cat_id")], select=["bucket"])],
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    q = stream_txlog_ingest(
+        spark, str(src), target, ckpt, max_files_per_trigger=1,
+        views=[mv], views_recover=True,
+    )
+    assert q.awaitTermination(180)
+
+    # out-of-band DIM MOVE between stream runs: a plain refresh would
+    # raise MatviewStaleDimensionError and fail every batch retry
+    dim.update(spark, "cat_id = 1", {"bucket": "'C9'"})
+    spark.createDataFrame(
+        [(100 + i, i % 4, float(i)) for i in range(8)],
+        "id bigint, cat bigint, amt double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    # control: without recover the batch fails into the dim wall.
+    # SAME checkpoint: its batch may have appended before the view
+    # refresh died — the healing run replays it as a txn no-op
+    q_fail = stream_txlog_ingest(
+        spark, str(src), target, ckpt, max_files_per_trigger=1,
+        views=[mv], views_recover=False,
+    )
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        q_fail.awaitTermination(180)
+
+    q2 = stream_txlog_ingest(
+        spark, str(src), target, ckpt, max_files_per_trigger=1,
+        views=[mv], views_recover=True,
+    )
+    assert q2.awaitTermination(180)
+    want = {
+        r["bucket"]: (r["n"], round(r["s"], 6))
+        for r in fact.read(spark)
+        .join(dim.read(spark), F.col("cat") == F.col("cat_id"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    got = {
+        r["bucket"]: (r["n"], round(r["s"], 6))
+        for r in mv.read(spark).collect()
+    }
+    assert got == want
+
+
+def test_stream_views_recover_survives_additive_schema_add(spark, tmp_path):
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, amt double"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    target, ckpt = str(tmp_path / "fact"), str(tmp_path / "ckpt")
+    fact = TxLogTable(target)
+    fact.append(spark.createDataFrame([], "id bigint, amt double"))
+    fact.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        fact,
+        str(tmp_path / "mv"),
+        ["id"],
+        {"s": ("sum", "amt")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    q = stream_txlog_ingest(
+        spark, str(src), target, ckpt, views=[mv], views_recover=True
+    )
+    assert q.awaitTermination(180)
+    # out-of-band ADDITIVE schema add on the view's source between
+    # stream runs — the r12 contract refreshes through it, recover()'s
+    # first rung suffices (no rebuild)
+    fact.append(
+        spark.createDataFrame(
+            [(100, 1.0, "x")], "id bigint, amt double, note string"
+        ),
+        merge_schema=True,
+    )
+    spark.createDataFrame(
+        [(200, 2.0)], "id bigint, amt double"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q2 = stream_txlog_ingest(
+        spark, str(src), target, ckpt, views=[mv], views_recover=True
+    )
+    assert q2.awaitTermination(180)
+    want = {
+        r["id"]: round(r["s"], 6)
+        for r in fact.read(spark)
+        .groupBy("id")
+        .agg(F.sum("amt").alias("s"))
+        .collect()
+    }
+    got = {r["id"]: round(r["s"], 6) for r in mv.read(spark).collect()}
+    assert got == want
+
+
+# ---------------------------------------------- register_tables refresh --
+
+
+def test_register_tables_refresh_recovers_before_publish(spark, tmp_path):
+    from bigdataingestion_spark.sql_registry import (
+        register_tables,
+        unregister_tables,
+    )
+
+    src = _shard(
+        spark, tmp_path / "t", [(j, f"g{j % 2}", float(j)) for j in range(8)]
+    )
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(spark.createDataFrame([(100, "g0", 1.0)], SCHEMA))
+    # stale without refresh
+    register_tables(spark, {"r13_stale": mv})
+    stale = {
+        r["grp"]: r["n"]
+        for r in spark.sql("SELECT grp, n FROM r13_stale").collect()
+    }
+    assert stale["g0"] == 4
+    # refresh=True recovers (here: plain refresh rung) before publish
+    versions = register_tables(spark, {"r13_fresh": mv}, refresh=True)
+    fresh = {
+        r["grp"]: r["n"]
+        for r in spark.sql("SELECT grp, n FROM r13_fresh").collect()
+    }
+    assert fresh["g0"] == 5
+    assert versions["r13_fresh"] == mv.view.version()
+    unregister_tables(spark, ["r13_stale", "r13_fresh"])
+
+
+# -------------------------------------------------- vacuum pin refusal --
+
+
+def test_vacuum_refuses_corrupted_pin(spark, tmp_path):
+    t = _shard(spark, tmp_path / "t", [(1, "g0", 1.0)])
+    t.alter_properties({"matview.pin.abc": "garbage"})
+    with pytest.raises(ValueError, match="unparseable"):
+        t.vacuum(retention_seconds=0)
+    t.alter_properties({"matview.pin.abc": "999"})
+    with pytest.raises(ValueError, match="outside this table's history"):
+        t.vacuum(retention_seconds=0)
+    t.alter_properties({"matview.pin.abc": None})
+    t.vacuum(retention_seconds=0)  # clean again
+
+
+# -------------------------------------------- _select_batch alias guard --
+
+
+def test_select_batch_stops_at_created_token_alias():
+    from bigdataingestion_spark.operators.vocab import _select_batch
+
+    rows = [
+        {"lhs": "a", "rhs": "b", "pair_freq": 100},   # creates "ab"
+        {"lhs": "c", "rhs": "d", "pair_freq": 90},    # disjoint, fine
+        {"lhs": "ab", "rhs": "e", "pair_freq": 80},   # ALIASES created "ab"
+        {"lhs": "f", "rhs": "g", "pair_freq": 70},
+    ]
+    out = _select_batch(rows, probe=64, min_freq=1, limit=16)
+    assert out == [("a", "b"), ("c", "d")]
