@@ -6853,86 +6853,473 @@ def txlog_sql_time_travel(spark, sf_dir):
     )
 
 
+
+@register(
+    "txlog_matview_attach_shard",
+    """
+    WITH base AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM base GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_attach_shard(spark, sf_dir):
+    """[EXT] Shard-membership evolution (r13,
+    IncrementalUnionAggView.attach_shard): a 2-shard union rollup
+    (orders by o_orderkey % 3, shard 2 not yet existing) is built and
+    refreshed through one window, then shard 2 JOINS THE VIEW IN PLACE
+    mid-history — its snapshot folds as one insert-only merge (no
+    rebuild: asserted zero overwrites), the definition/vector/epoch
+    commit atomically, and subsequent DML on ALL THREE shards (a price
+    update on shard 0, a delete on the attached shard 2) maintains
+    through the ordinary vector refresh. Final state must equal the
+    oracle's from-scratch aggregate of the evolved membership; sums are
+    integer cents so the cross-engine hash is exact."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalUnionAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    shards = []
+    for p in (0, 1):
+        t = _fresh_txlog()
+        t.append(orders.filter((k % 3 == p) & (k % 2 == 0)))
+        t.alter_properties({"cdf.enabled": "true"})
+        shards.append(t)
+    mv = IncrementalUnionAggView(
+        shards,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("count", "1"),
+            "sum_cents": (
+                "sum", "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ),
+        },
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    for p, t in enumerate(shards):
+        t.append(orders.filter((k % 3 == p) & (k % 2 == 1)))
+    mv.refresh(spark)
+    new = _fresh_txlog()
+    new.append(orders.filter(k % 3 == 2))
+    new.alter_properties({"cdf.enabled": "true"})
+    vec = mv.attach_shard(spark, new)
+    assert len(vec) == 3 and len(mv.sources) == 3
+    shards[0].update(
+        spark, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice * 1.1"}
+    )
+    new.delete(spark, "o_orderkey % 5 = 0")
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("overwrite") == 0, f"attach must not rebuild: {ops}"
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "txlog_matview_detach_shard",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    WHERE l_orderkey % 3 <> 1 AND l_orderkey % 7 <> 0
+    GROUP BY l_returnflag
+    """,
+)
+def txlog_matview_detach_shard(spark, sf_dir):
+    """[EXT] Shard-membership evolution, removal side (r13,
+    IncrementalUnionAggView.detach_shard): a 3-shard lineitem rollup
+    (by l_orderkey % 3) with a NON-additive aggregate (max) detaches
+    shard 1 in place — its contribution is subtracted via
+    affected-group recompute from the REMAINING shards (a detached
+    extreme must resurface the runner-up another shard holds; no
+    rebuild: asserted zero overwrites), the vector shrinks, the stale
+    trailing pin property is dropped, and subsequent deletes on both
+    survivors maintain through the ordinary refresh."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalUnionAggView
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    k = F.col("l_orderkey")
+    shards = []
+    for p in (0, 1, 2):
+        t = _fresh_txlog()
+        t.append(li.filter(k % 3 == p))
+        t.alter_properties({"cdf.enabled": "true"})
+        shards.append(t)
+    mv = IncrementalUnionAggView(
+        shards,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["l_returnflag"],
+        {
+            "n_items": ("count", "1"),
+            "sum_qty": ("sum", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    rvec = mv.detach_shard(spark, shards[1])
+    assert len(rvec) == 2 and len(mv.sources) == 2
+    snap = mv.view.snapshot()
+    assert "matview.union.src.2.version" not in snap.properties
+    for t in (shards[0], shards[2]):
+        t.delete(spark, "l_orderkey % 7 = 0")
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("overwrite") == 0, f"detach must not rebuild: {ops}"
+    return mv.read(spark).select(
+        "l_returnflag",
+        "n_items",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "max_qty",
+    )
+
+
+@register(
+    "txlog_matview_alter_aggs",
+    """
+    WITH base AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM base GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_alter_aggs(spark, sf_dir):
+    """[EXT] Additive matview definition evolution (r13,
+    IncrementalAggView.alter): a count-only rollup of orders refreshes
+    through one window, then ``alter(add_aggs=...)`` extends it with a
+    sum AND a max — backfilled in ONE source read at the view's cursor
+    (existing state is never recomputed; the cursor survives, asserted)
+    — after which a mixed append+delete window maintains every column:
+    the sum folds additively while the deleted max exercises the
+    affected-group recompute the new aggregate demands. Must equal the
+    oracle's from-scratch aggregate; cents keep the hash exact."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = _fresh_txlog()
+    src.append(orders.filter(k % 2 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {"n_orders": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(orders.filter((k % 2 == 1) & (k % 3 < 2)))
+    cur = mv.refresh(spark)
+    got = mv.alter(
+        spark,
+        {
+            "sum_cents": (
+                "sum", "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ),
+            "max_cents": (
+                "max", "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ),
+        },
+    )
+    assert got == cur, "alter must keep the cursor, not re-anchor"
+    src.append(orders.filter((k % 2 == 1) & (k % 3 == 2)))
+    src.delete(spark, "o_orderkey % 11 = 0")
+    mv.refresh(spark)
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )
+
+
+@register(
+    "stream_views_self_heal",
+    """
+    WITH dim AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    fact AS (
+      SELECT o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT seg AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM fact JOIN dim ON o_custkey = c_custkey
+    GROUP BY seg
+    """,
+)
+def stream_views_self_heal(spark, sf_dir):
+    """[EXT] Self-healing streamed view maintenance (r13,
+    streaming.ingest.stream_txlog_ingest ``views_recover=True`` +
+    the r12 recover() ladder): a file stream ingests order facts into
+    a txlog table whose join matview (customer segment rollup) is
+    maintained per batch. BETWEEN stream runs the dimension MOVES
+    (customers %10==0 re-segmented) — a plain refresh now raises the
+    typed stale-dimension error (asserted), which would fail every
+    batch retry forever; the next ``views_recover=True`` run heals it
+    in-batch via the incremental dimension fold (NO rebuild: asserted
+    zero overwrites) and keeps maintaining. Final view equals the
+    oracle's from-scratch join aggregate."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import (
+        DimJoin,
+        IncrementalJoinAggView,
+        MatviewStaleDimensionError,
+    )
+    from bigdataingestion_spark.sinks.txlog import TxLogTable
+    from bigdataingestion_spark.streaming.ingest import stream_txlog_ingest
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    fact_rows = orders.filter(k % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    work = _tempfile.mkdtemp(prefix="txlog-stream-")
+    land = _os.path.join(work, "land")
+    ckpt = _os.path.join(work, "ckpt")
+    fact_rows.filter(k % 2 == 0).coalesce(1).write.mode("append").parquet(
+        land
+    )
+    dim = TxLogTable(_os.path.join(work, "dim"))
+    dim.append(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    dim.alter_properties({"cdf.enabled": "true"})
+    fact = TxLogTable(_os.path.join(work, "fact"))
+    fact.append(fact_rows.limit(0))
+    fact.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalJoinAggView(
+        fact,
+        _os.path.join(work, "mv"),
+        ["c_mktsegment"],
+        {
+            "n_orders": ("count", "1"),
+            "sum_cents": (
+                "sum", "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ),
+        },
+        dims=[
+            DimJoin(
+                dim,
+                on=[("o_custkey", "c_custkey")],
+                select=["c_mktsegment"],
+            )
+        ],
+        rebuild_ratio=None,
+    )
+    mv.build(spark)  # empty anchor
+    q = stream_txlog_ingest(
+        spark, land, fact.path, ckpt, views=[mv], views_recover=True
+    )
+    assert q.awaitTermination(300)
+    # out-of-band dimension move between runs
+    dim.update(spark, "c_custkey % 10 = 0", {"c_mktsegment": "'MOVED'"})
+    broke = False
+    try:
+        mv.refresh(spark)
+    except MatviewStaleDimensionError:
+        broke = True
+    assert broke, "a plain refresh must refuse the moved dimension"
+    fact_rows.filter(k % 2 == 1).coalesce(1).write.mode("append").parquet(
+        land
+    )
+    q2 = stream_txlog_ingest(
+        spark, land, fact.path, ckpt, views=[mv], views_recover=True
+    )
+    assert q2.awaitTermination(300)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("overwrite") == 0, f"heal must not rebuild: {ops}"
+    return mv.read(spark).select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_orders",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "txlog_sql_register_refresh",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM part GROUP BY p_brand
+    """,
+)
+def txlog_sql_register_refresh(spark, sf_dir):
+    """[EXT] Registration-time freshness (r13, sql_registry.
+    register_tables ``refresh=True``): a brand rollup matview goes
+    STALE (its source takes an append after the build); registering it
+    with ``refresh=True`` recovers it BEFORE publishing, so the very
+    first ``spark.sql`` read over the name reflects the source's
+    current snapshot — no separate maintenance step between ingest and
+    analyst. Provenance versions are asserted exact against the healed
+    view; the oracle aggregates the full fixture."""
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+    from bigdataingestion_spark.sql_registry import register_tables
+
+    import os as _os
+    import tempfile as _tempfile
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                            "p_retailprice")
+    k = F.col("p_partkey")
+    src = _fresh_txlog()
+    src.append(part.filter(k % 2 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["p_brand"],
+        {
+            "n_parts": ("count", "1"),
+            "sum_cents": (
+                "sum", "CAST(round(p_retailprice * 100) AS BIGINT)"
+            ),
+        },
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(part.filter(k % 2 == 1))  # the view is now stale
+    versions = register_tables(
+        spark, {"bdi_r13_brand_rollup": mv}, refresh=True
+    )
+    assert versions["bdi_r13_brand_rollup"] == mv.view.version()
+    return spark.sql(
+        """
+        SELECT p_brand, n_parts, CAST(sum_cents AS LONG) AS sum_cents
+        FROM bdi_r13_brand_rollup
+        """
+    )
+
+
 # _GATE_FIRST rotates queries that still need driver evidence into that
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # Round-12 window, per the r11 verdict's recorded rotation plan.
+    # Round-13 window, per the r12 verdict's recorded rotation plan.
     # Standing policy: queries NEW this round lead (zero evidence
-    # first) — the 5 r12 additions (SQL registry + time travel, the
-    # schema-evolution contract, recover(), the pin-aware dim vacuum)
-    # — then the 18 remaining r9-cohort entries (the oldest delivered
-    # driver evidence), then the first 27 of the r10-window cohort. After a
-    # green r12 gate no query's delivered evidence is older than r10
-    # except the r10-window tail the r13 queue already names below.
-    # --- new this round (r12) ---
-    "txlog_sql_snapshot_query",
-    "txlog_sql_time_travel",
-    "txlog_matview_schema_add",
-    "txlog_matview_recover",
-    "txlog_matview_pinned_vacuum",
-    # --- the 18 remaining r9-cohort entries ---
-    "events_latest_state",
-    "events_range_pairs",
-    "events_hourly_gapfill",
-    "events_retention_cohorts",
-    "events_window_funnel",
-    "customer_cohort_ltv",
-    "docs_bigram_quality",
-    "txlog_backfill_replace",
-    "txlog_rename_migration",
-    "txlog_dv_point_delete",
-    "txlog_cdf_audit",
-    "txlog_generated_bucket",
-    "docs_boilerplate_ngrams",
-    "docs_length_profile",
-    "docs_pack_sequences",
-    "docs_pii_redacted",
-    "docs_temperature_sample",
-    "docs_tfidf_top_terms",
-    # --- first 28 of the r10-window cohort (oldest delivered) ---
-    "txlog_cdc_ops_final_state",
-    "txlog_auto_compact_invariance",
-    "docs_dup_span_profile",
-    "q17_small_quantity_revenue",
-    "txlog_nested_rename",
-    "txlog_update_recompute",
-    "corpus_token_frequency",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_near_clusters",
-    "doc_fingerprints",
-    "docs_chunked",
-    "docs_contamination",
-    "embedding_cosine_topk",
-    "embedding_cosine_topk_arrow",
-    "events_multires_rollup",
-    "events_value_percentiles",
-    "ingest_chunk_profile",
-    "ingest_config_union",
-    "ingest_distinct_years",
-    "ingest_months_below_limit",
-    "ingest_next_surrogate_key",
-    "ingest_watermark_next",
-    "ingest_watermark_filter_count",
-    "ingest_years_above_limit",
-    "minhash_signatures",
-    "multimodal_meta",
-    # Exactly 50 names (5 new r12 + 18 r9 cohort + 27 r10 cohort).
-    # r13 queue: any queries new in r13 lead, then the remaining 23
-    # r10-window entries (orders_status_pivot,
-    # orders_status_unpivot, q1_pricing_summary,
-    # q3_shipping_priority, q5_local_supplier_volume, simhash64,
-    # small_quantity_revenue, top_customers_by_spend,
-    # top_parts_by_revenue, customer_order_moving_avg,
-    # customer_order_timeline, customer_top_order,
-    # docs_repetition_stats, docs_source_mix_weights,
-    # docs_stratified_sample, docs_train_test_split,
-    # embedding_knn_vote, embedding_label_centroids,
-    # embedding_label_stats, embedding_near_dup_pairs,
-    # event_type_daily, lineitem_cube_stats, part_best_supplier),
-    # then the r11-window cohort (txlog_matview_join ..
-    # multimodal_features) as the then-oldest delivered evidence.
+    # first) — the 5 r13 additions (union shard attach/detach, additive
+    # definition evolution, self-healing streamed views, registration-
+    # time refresh) — then the 23 remaining r10-window entries (the
+    # oldest delivered driver evidence), then the first 22 of the
+    # r11-window cohort. After a green r13 gate no query's delivered
+    # evidence is older than r11 except the r11-window tail the r14
+    # queue already names below.
+    # --- new this round (r13) ---
+    "txlog_matview_attach_shard",
+    "txlog_matview_detach_shard",
+    "txlog_matview_alter_aggs",
+    "stream_views_self_heal",
+    "txlog_sql_register_refresh",
+    # --- the 23 remaining r10-window entries ---
+    "orders_status_pivot",
+    "orders_status_unpivot",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "simhash64",
+    "small_quantity_revenue",
+    "top_customers_by_spend",
+    "top_parts_by_revenue",
+    "customer_order_moving_avg",
+    "customer_order_timeline",
+    "customer_top_order",
+    "docs_repetition_stats",
+    "docs_source_mix_weights",
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "embedding_knn_vote",
+    "embedding_label_centroids",
+    "embedding_label_stats",
+    "embedding_near_dup_pairs",
+    "event_type_daily",
+    "lineitem_cube_stats",
+    "part_best_supplier",
+    # --- first 22 of the r11-window cohort (oldest delivered) ---
+    "txlog_matview_join",
+    "training_data_pipeline_dsir",
+    "txlog_matview_dim_change",
+    "txlog_matview_filtered",
+    "txlog_matview_topk",
+    "txlog_matview_median",
+    "txlog_matview_union",
+    "corpus_bpe_top_pairs",
+    "docs_bpe_token_frequency",
+    "docs_epoch_shuffle",
+    "docs_adaptive_quality",
+    "txlog_matview_additive",
+    "txlog_matview_minmax",
+    "docs_dsir_weights",
+    "docs_dsir_sample",
+    "q10_returned_items",
+    "q11_major_part_types",
+    "q13_customer_order_distribution",
+    "txlog_merge_conditional",
+    "txlog_identity_assign",
+    "embedding_semantic_dedup",
+    "embedding_semantic_dedup_incremental",
+    # Exactly 50 names (5 new r13 + 23 r10 tail + 22 r11 cohort).
+    # r14 queue: any queries new in r14 lead, then the remaining 28
+    # r11-window entries (docs_duplicate_spans, docs_span_dup_clusters,
+    # q14_promo_revenue, q16_part_supplier_counts, q18_large_orders,
+    # q19_disjunctive_revenue, q21_sole_late_supplier,
+    # q22_idle_customers, q6_forecast_revenue, q7_nation_volume,
+    # q8_market_share, q9_product_profit, similar_part_names,
+    # streaming_hourly_counts, user_funnel_set_ops,
+    # user_purchase_error_overlap, streaming_user_sessions,
+    # minhash_lsh_pairs, minhash_incremental_pairs,
+    # ngram_jaccard_pairs, simhash_hamming_pairs, asof_last_purchase,
+    # training_data_pipeline, text_quality_stats, lang_histogram,
+    # user_sessions, user_sessions_native, multimodal_features), then
+    # the r12-window cohort (txlog_sql_snapshot_query ..
+    # multimodal_meta) as the then-oldest delivered evidence.
 ]
 
 
