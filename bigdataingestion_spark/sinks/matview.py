@@ -51,6 +51,15 @@ whatever cadence the workload needs with :meth:`IncrementalAggView.build`
 The source table needs ``cdf.enabled=true`` BEFORE the DML whose changes
 a refresh must see (appends/overwrites synthesize change rows without
 it; row-level DML does not — ``read_cdf`` raises a clear error).
+
+Definitions evolve ADDITIVELY without a rebuild (r13):
+:meth:`IncrementalAggView.alter` extends any aggregate/join/union view
+with new aggregate columns, backfilled in one anchored source read
+while the cursor (and a join view's dimension pins) survive; top-k
+views refuse with a typed error. Union views additionally evolve their
+SHARD MEMBERSHIP in place — see
+:meth:`IncrementalUnionAggView.attach_shard` / ``detach_shard``. Every
+other definition change remains a refusal + ``build()``.
 """
 
 from __future__ import annotations
@@ -2445,6 +2454,13 @@ class IncrementalUnionAggView(IncrementalAggView):
     Shards must share a schema (``unionByName`` fails loudly) and every
     shard needs ``cdf.enabled=true`` before the DML a refresh must see.
     ``last_recompute_files`` sums (scanned, total) across shards.
+
+    Membership EVOLVES in place (r13): :meth:`attach_shard` folds a new
+    shard's snapshot as one insert-only window and extends the
+    vector/definition/epoch atomically; :meth:`detach_shard` subtracts
+    a shard's applied contribution (additive, or affected-group
+    recompute from the remainder). Both bracket the fold with a pending
+    property so a crash anywhere resumes exactly-once.
     """
 
     _SRC_KEY = "matview.union.src.{i}.version"
