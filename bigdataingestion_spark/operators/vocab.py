@@ -153,17 +153,22 @@ def _select_batch(
     an already-collected bounded list.
 
     Conditions 1–2 additionally assume each CREATED token string
-    (``lhs + rhs``) is FRESH — no pair in the window already uses it as
-    a symbol. If a created string aliased an existing symbol, that
-    symbol's pair counts could INCREASE mid-batch (created occurrences
-    pool with pre-existing ones), which the decrease-only cap argument
-    cannot bound. Genuine left-to-right BPE derivations cannot alias: a
-    symbol equal to ``lhs + rhs`` would have had to be produced by its
-    own (lhs, rhs)-boundary merge, which the current merge's operands
-    prove was never applied at this frequency tier — but the guard
-    below enforces it anyway (costs one set lookup per row): the scan
-    BREAKS at the first row whose lhs/rhs equals an already-created
-    string, exactly like the shared-symbol stop in condition 3."""
+    (``lhs + rhs``) is FRESH — it does not alias a symbol some OTHER
+    pair already uses. An aliased symbol's pair counts could INCREASE
+    mid-batch (created occurrences pool with pre-existing ones), which
+    the decrease-only cap argument cannot bound — e.g. selecting
+    ('a','b') while the window also holds ('ab','z'): after the merge,
+    ('ab','z')'s true count may exceed a later selection's. The guard:
+    a selected pair whose created string appears as ANY window symbol
+    ends the batch right after its own (still-valid: conditions 1–2
+    were checked against pre-batch counts the merge cannot have
+    touched) commitment — the same stop shape as condition 3, so
+    progress of ≥1 merge per pass is preserved. An alias to a symbol
+    OUTSIDE the probe window is not window-detectable; there the
+    derivation argument carries it: a symbol equal to ``lhs + rhs``
+    must itself have been produced by an (lhs, rhs)-boundary merge,
+    which would have consumed the adjacencies the current pair is
+    counted from."""
     if not rows:
         return []
     tailmax = rows[-1]["pair_freq"] if len(rows) == probe else 0
@@ -172,8 +177,8 @@ def _select_batch(
     for r in rows:  # sorted desc: first sighting is that symbol's max
         max_by_lhs.setdefault(r["lhs"], r["pair_freq"])
         max_by_rhs.setdefault(r["rhs"], r["pair_freq"])
+    window_syms = set(max_by_lhs) | set(max_by_rhs)
     used: set[str] = set()
-    created: set[str] = set()
     cap = tailmax
     out: list[tuple[str, str]] = []
     for r in rows:
@@ -184,13 +189,12 @@ def _select_batch(
             or f <= cap
             or a in used
             or b in used
-            or a in created
-            or b in created
         ):
             break
         out.append((a, b))
+        if a + b in window_syms:
+            break  # created token aliases a live symbol: stop the batch
         used.update((a, b))
-        created.add(a + b)
         cap = max(cap, max_by_rhs.get(a, 0), max_by_lhs.get(b, 0))
     return out
 

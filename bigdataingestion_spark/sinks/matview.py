@@ -804,7 +804,20 @@ class IncrementalAggView:
                 f"view at {self.path} has no committed build; call build()"
             )
         self._check_definition(snap)
-        src, cursor_props, ret = self._alter_anchor(spark, snap)
+        try:
+            src, cursor_props, ret = self._alter_anchor(spark, snap)
+        except (MatviewStaleDimensionError, MatviewDefinitionError):
+            raise  # their own remediation paths, not an unreadable anchor
+        except (ValueError, FileNotFoundError, AnalysisException) as e:
+            # AnalysisException covers a vacuumed anchor snapshot whose
+            # missing data files surface at read construction
+            # (PATH_NOT_FOUND)
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: the anchored source snapshot "
+                f"cannot be resolved ({e}); the view was NOT altered — "
+                "vacuum kept no readable snapshot at the cursor; "
+                "construct the extended view and build() it instead"
+            ) from e
         try:
             new_cols = self._filtered(src).groupBy(*self.group_cols).agg(
                 *self._agg_state_exprs(add_aggs)
@@ -822,7 +835,21 @@ class IncrementalAggView:
             new_cols, self.group_cols, "left"
         )
         self.view.alter_properties({_PENDING_KEY: "true"})
-        self.view.overwrite(merged)
+        try:
+            self.view.overwrite(merged)
+        except Exception as e:
+            # the overwrite commit is atomic, so nothing landed: unlock
+            # the view (it is fully valid under the OLD definition) and
+            # surface the typed error — the usual cause is the anchored
+            # snapshot's DATA files having been vacuumed, which only the
+            # job itself can discover
+            self.view.alter_properties({_PENDING_KEY: None})
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: alter()'s backfill read failed "
+                f"({e}); the view was NOT altered (pending cleared) — "
+                "if the anchored snapshot was vacuumed, construct the "
+                "extended view and build() it instead"
+            ) from e
         self.aggs = {**self.aggs, **add_aggs}
         self.view.alter_properties(
             {
@@ -3029,3 +3056,35 @@ class IncrementalUnionAggView(IncrementalAggView):
             }
         )
         return rvec
+
+    def recover(self, spark: SparkSession):
+        """Union-view remediation: a half-finished attach/detach is
+        RESUMED first — the pending property records the shard's path,
+        so the handle is reconstructable and the in-flight membership
+        change completes exactly-once (an unattended ``recover()`` —
+        e.g. a stream's ``views_recover=True`` batch hook — must never
+        silently discard a committed fold with a rebuild). Only when
+        the resume itself is impossible (unreadable pinned snapshot, a
+        definition that no longer matches the pre-change membership)
+        does it fall back to ``build()``, the documented supersede.
+        Everything else walks the base ladder."""
+        snap = self.view.snapshot()
+        props = snap.properties if snap is not None else {}
+        for key, resume in (
+            (_ATTACH_PENDING_KEY, self.attach_shard),
+            (_DETACH_PENDING_KEY, self.detach_shard),
+        ):
+            p = props.get(key)
+            if not p:
+                continue
+            info = json.loads(p)
+            try:
+                resume(spark, TxLogTable(info["path"]))
+                return self.refresh(spark)
+            except (
+                MatviewWindowUnreadableError,
+                MatviewDefinitionError,
+                FileNotFoundError,
+            ):
+                return self.build(spark)
+        return super().recover(spark)

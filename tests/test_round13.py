@@ -13,8 +13,6 @@
 
 from __future__ import annotations
 
-import json
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -238,7 +236,7 @@ def test_attach_shard_crash_resume_exactly_once(spark, tmp_path):
     )
 
 
-def test_attach_crash_recover_takes_build_path(spark, tmp_path):
+def test_attach_crash_recover_resumes_not_rebuilds(spark, tmp_path):
     shards = _mk_shards(spark, tmp_path, 2)
     mv = IncrementalUnionAggView(
         shards,
@@ -256,21 +254,88 @@ def test_attach_crash_recover_takes_build_path(spark, tmp_path):
     with pytest.raises(RuntimeError):
         mv.attach_shard(spark, new)
     mv.view.alter_properties = real_alter
-    # recover() on an object constructed with the FULL membership
-    # supersedes the half-finished attach with a rebuild
-    full = IncrementalUnionAggView(
-        [*shards, new],
+    # recover() on an object constructed with the PRE-attach membership
+    # (e.g. an unattended stream's views_recover hook) RESUMES the
+    # half-finished attach from the recorded pending path — it must not
+    # silently discard the committed fold with a rebuild
+    pre = IncrementalUnionAggView(
+        shards,
         str(tmp_path / "mv"),
         ["grp"],
         {"n": ("count", "1")},
         rebuild_ratio=None,
     )
-    full.recover(spark)
-    assert _read_rows(spark, full, ["n"]) == _union_oracle(
-        spark, full.sources, {"n": F.count(F.lit(1))}
+    pre.recover(spark)
+    assert [t.path for t in pre.sources] == [
+        t.path for t in [*shards, new]
+    ]
+    assert _read_rows(spark, pre, ["n"]) == _union_oracle(
+        spark, pre.sources, {"n": F.count(F.lit(1))}
     )
-    snap = full.view.snapshot()
+    snap = pre.view.snapshot()
     assert _ATTACH_PENDING_KEY not in snap.properties
+    ops = [h["op"] for h in pre.view.history()]
+    assert ops.count("overwrite") == 0, f"resume must not rebuild: {ops}"
+
+
+def test_detach_crash_recover_resumes(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 3)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    real_alter = mv.view.alter_properties
+    mv.view.alter_properties = lambda props: (_ for _ in ()).throw(
+        RuntimeError("crash")
+    ) if _DEF_KEY in props else real_alter(props)
+    with pytest.raises(RuntimeError):
+        mv.detach_shard(spark, shards[0])
+    mv.view.alter_properties = real_alter
+    pre = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    pre.recover(spark)
+    assert len(pre.sources) == 2
+    assert _read_rows(spark, pre, ["n", "s"]) == _union_oracle(
+        spark, pre.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+
+
+def test_alter_vacuumed_anchor_raises_typed_and_unlocks(spark, tmp_path):
+    from bigdataingestion_spark.sinks.matview import (
+        _PENDING_KEY,
+        MatviewWindowUnreadableError,
+    )
+
+    src = _shard(spark, tmp_path / "t", [(1, "g0", 1.0), (2, "g1", 2.0)])
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)  # cursor pins the v0 snapshot
+    src.overwrite(
+        spark.createDataFrame([(9, "g0", 9.0)], SCHEMA)
+    )  # v1 replaces v0's files
+    src.vacuum(retention_seconds=0)  # v0's data files are gone
+    with pytest.raises(MatviewWindowUnreadableError):
+        mv.alter(spark, {"s": ("sum", "val")})
+    # the failed alter left the view UNLOCKED and valid under the old
+    # definition
+    snap = mv.view.snapshot()
+    assert snap.properties.get(_PENDING_KEY) != "true"
+    assert "s" not in mv.aggs
+    mv.read(spark)
 
 
 # ------------------------------------------------------ detach_shard --
@@ -750,11 +815,25 @@ def test_vacuum_refuses_corrupted_pin(spark, tmp_path):
 def test_select_batch_stops_at_created_token_alias():
     from bigdataingestion_spark.operators.vocab import _select_batch
 
+    # selecting (a, b) creates token "ab", which the window uses as a
+    # SYMBOL — counts of pairs touching "ab" can INCREASE after the
+    # merge, so the batch must stop right after the (still-valid)
+    # creating pair, leaving the rest to the next recounted pass
     rows = [
         {"lhs": "a", "rhs": "b", "pair_freq": 100},   # creates "ab"
-        {"lhs": "c", "rhs": "d", "pair_freq": 90},    # disjoint, fine
-        {"lhs": "ab", "rhs": "e", "pair_freq": 80},   # ALIASES created "ab"
+        {"lhs": "c", "rhs": "d", "pair_freq": 90},
+        {"lhs": "ab", "rhs": "e", "pair_freq": 80},   # uses symbol "ab"
         {"lhs": "f", "rhs": "g", "pair_freq": 70},
     ]
     out = _select_batch(rows, probe=64, min_freq=1, limit=16)
-    assert out == [("a", "b"), ("c", "d")]
+    assert out == [("a", "b")]
+    # the mirror direction: a pair USING "ab" selected first, then the
+    # pair CREATING "ab" — commit both (pre-batch counts valid for
+    # each), but nothing after (pairs touching "ab" may have grown)
+    rows2 = [
+        {"lhs": "ab", "rhs": "e", "pair_freq": 100},
+        {"lhs": "a", "rhs": "b", "pair_freq": 90},    # creates "ab"
+        {"lhs": "q", "rhs": "r", "pair_freq": 85},    # must NOT commit
+    ]
+    out2 = _select_batch(rows2, probe=64, min_freq=1, limit=16)
+    assert out2 == [("ab", "e"), ("a", "b")]
