@@ -446,6 +446,139 @@ def test_detach_shard_crash_resume(spark, tmp_path):
     assert "matview.union.src.2.version" not in snap.properties
 
 
+def test_attach_shard_with_where_filter(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+        where="val >= 5",
+    )
+    mv.build(spark)
+    new = _shard(
+        spark,
+        tmp_path / "s_new",
+        [(100, "g0", 1.0), (101, "g1", 50.0), (102, "g2", 9.0)],
+    )
+    mv.attach_shard(spark, new)  # the fold must apply the view filter
+    u = None
+    for t in mv.sources:
+        fr = t.read(spark)
+        u = fr if u is None else u.unionByName(fr)
+    want = {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in u.filter("val >= 5")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    got = {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in mv.read(spark).collect()
+    }
+    assert got == want
+
+
+def test_attach_shard_with_additive_extra_column(spark, tmp_path):
+    # a shard carrying a column the definition never reads is ADDITIVE
+    # drift — attach accepts it, and later refreshes union by name
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    new = TxLogTable(str(tmp_path / "s_new"))
+    new.append(
+        spark.createDataFrame(
+            [(100, "g0", 2.0, "x")],
+            "id long, grp string, val double, note string",
+        )
+    )
+    new.alter_properties({"cdf.enabled": "true"})
+    mv.attach_shard(spark, new)
+    new.append(
+        spark.createDataFrame(
+            [(101, "g1", 3.0, "y")],
+            "id long, grp string, val double, note string",
+        )
+    )
+    mv.refresh(spark)
+    got = _read_rows(spark, mv, ["n", "s"])
+    u = None
+    for t in mv.sources:
+        fr = t.read(spark).select("grp", "val")
+        u = fr if u is None else u.unionByName(fr)
+    want = {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in u.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_detach_then_reattach_same_shard(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 3)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    mv.detach_shard(spark, shards[1])
+    # the shard moves on while detached, then rejoins at NEW content
+    shards[1].append(spark.createDataFrame([(900, "g0", 4.5)], SCHEMA))
+    mv.attach_shard(spark, shards[1])
+    mv.sources[0].delete(spark, "id % 6 = 0")
+    mv.refresh(spark)
+    oracle = {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, mv.sources, oracle
+    )
+
+
+def test_alter_with_where_filter(spark, tmp_path):
+    src = _shard(
+        spark,
+        tmp_path / "t",
+        [(j, f"g{j % 2}", float(j)) for j in range(1, 21)],
+    )
+    mv = IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+        where="val > 4",
+    )
+    mv.build(spark)
+    mv.alter(spark, {"s": ("sum", "val")})  # backfill must be filtered
+    src.append(spark.createDataFrame([(100, "g0", 2.0), (101, "g1", 8.0)],
+                                     SCHEMA))
+    mv.refresh(spark)
+    want = {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in src.read(spark)
+        .filter("val > 4")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    got = {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in mv.read(spark).collect()
+    }
+    assert got == want
+
+
 # ------------------------------------------------- alter(add_aggs=) --
 
 
