@@ -168,7 +168,10 @@ def _select_batch(
     derivation argument carries it: a symbol equal to ``lhs + rhs``
     must itself have been produced by an (lhs, rhs)-boundary merge,
     which would have consumed the adjacencies the current pair is
-    counted from."""
+    counted from. The same stop fires when a SECOND selection creates
+    a token an earlier one already did (two decompositions of one
+    token, e.g. ('a','bc') and ('ab','c') → 'abc'): their created
+    pairs pool, exceeding the single-creation cap bound."""
     if not rows:
         return []
     tailmax = rows[-1]["pair_freq"] if len(rows) == probe else 0
@@ -179,6 +182,7 @@ def _select_batch(
         max_by_rhs.setdefault(r["rhs"], r["pair_freq"])
     window_syms = set(max_by_lhs) | set(max_by_rhs)
     used: set[str] = set()
+    created: set[str] = set()
     cap = tailmax
     out: list[tuple[str, str]] = []
     for r in rows:
@@ -192,8 +196,15 @@ def _select_batch(
         ):
             break
         out.append((a, b))
-        if a + b in window_syms:
-            break  # created token aliases a live symbol: stop the batch
+        tok = a + b
+        if tok in window_syms or tok in created:
+            # the created token aliases a live window symbol, or a
+            # SECOND selection created the same token (two
+            # decompositions can POOL their created-pair counts past
+            # the single-creation cap bound) — stop the batch after
+            # this (still-valid) commitment
+            break
+        created.add(tok)
         used.update((a, b))
         cap = max(cap, max_by_rhs.get(a, 0), max_by_lhs.get(b, 0))
     return out

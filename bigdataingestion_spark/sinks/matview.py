@@ -834,20 +834,37 @@ class IncrementalAggView:
         merged = self.view.read(spark).join(
             new_cols, self.group_cols, "left"
         )
+        pre_v = self.view.version()
         self.view.alter_properties({_PENDING_KEY: "true"})
         try:
             self.view.overwrite(merged)
         except Exception as e:
-            # the overwrite commit is atomic, so nothing landed: unlock
-            # the view (it is fully valid under the OLD definition) and
-            # surface the typed error — the usual cause is the anchored
-            # snapshot's DATA files having been vacuumed, which only the
-            # job itself can discover
+            # exception TYPE cannot tell pre- from post-commit failure
+            # (overwrite runs auto-compaction AFTER its commit, and both
+            # sides surface Spark job errors) — ask the LOG instead:
+            # only when no overwrite landed past pre_v is the view
+            # provably still the old state, safe to unlock
+            landed = True  # unprovable → stay locked (pending contract)
+            try:
+                landed = any(
+                    e.get("op") == "overwrite"
+                    for e in self.view.commits_between(
+                        pre_v, self.view.version()
+                    )
+                )
+            except Exception:
+                pass
+            if landed:
+                # state replaced but definition not committed: the
+                # stuck-pending contract applies (recover()/build())
+                raise
             self.view.alter_properties({_PENDING_KEY: None})
             raise MatviewWindowUnreadableError(
-                f"view at {self.path}: alter()'s backfill read failed "
-                f"({e}); the view was NOT altered (pending cleared) — "
-                "if the anchored snapshot was vacuumed, construct the "
+                f"view at {self.path}: alter()'s backfill overwrite "
+                f"failed before committing ({e}); the view was NOT "
+                "altered (pending cleared) — a common cause is the "
+                "anchored snapshot's data files having been vacuumed, "
+                "which only the job itself discovers; construct the "
                 "extended view and build() it instead"
             ) from e
         self.aggs = {**self.aggs, **add_aggs}
@@ -2539,11 +2556,14 @@ class IncrementalUnionAggView(IncrementalAggView):
         ):
             p = snap.properties.get(key)
             if p:
-                info = json.loads(p)
+                try:
+                    shard = json.loads(p)["path"]
+                except (ValueError, KeyError, TypeError):
+                    shard = f"<corrupted pending record: {p!r}>"
                 raise MatviewDefinitionError(
                     f"view at {self.path} has an interrupted {what} of "
-                    f"{info['path']}; re-run {what} with that table to "
-                    "complete it (or build() to supersede it)"
+                    f"{shard}; re-run {what} with that table to "
+                    "complete it (or build() / recover() to supersede)"
                 )
         super()._check_definition(snap)
 
@@ -2843,10 +2863,11 @@ class IncrementalUnionAggView(IncrementalAggView):
         a ``matview.union.attach.pending`` property brackets the fold —
         an interrupted attach refuses refresh()/read() with a typed
         error until ``attach_shard`` is re-run WITH THE SAME TABLE
-        (the fold replays as a txn-id no-op and the commit completes)
-        or ``build()`` supersedes it; ``recover()`` takes the build
-        path. Returns the new version vector (the attached shard
-        last)."""
+        (the fold replays as a txn-id no-op and the commit completes).
+        ``recover()`` RESUMES the attach from the recorded path (it
+        never discards the committed fold), falling back to ``build()``
+        only when the resume itself is impossible. Returns the new
+        version vector (the attached shard last)."""
         snap = self.view.snapshot()
         if snap is None:
             raise FileNotFoundError(
@@ -2957,7 +2978,8 @@ class IncrementalUnionAggView(IncrementalAggView):
 
         Crash contract mirrors :meth:`attach_shard`
         (``matview.union.detach.pending`` brackets the fold; re-run
-        with the same table to complete, or ``build()``). Detaching
+        with the same table — or let ``recover()`` resume it — to
+        complete; ``build()`` supersedes). Detaching
         below two shards is refused — rebuild the survivor as an
         :class:`IncrementalAggView`. Returns the remaining version
         vector."""
@@ -3077,14 +3099,21 @@ class IncrementalUnionAggView(IncrementalAggView):
             p = props.get(key)
             if not p:
                 continue
-            info = json.loads(p)
             try:
+                # parse inside the guard: a corrupted pending property
+                # (truncated JSON, missing path) must route to the
+                # build() supersede, not wedge an unattended stream's
+                # recover hook with a raw JSONDecodeError every batch
+                info = json.loads(p)
                 resume(spark, TxLogTable(info["path"]))
                 return self.refresh(spark)
             except (
                 MatviewWindowUnreadableError,
                 MatviewDefinitionError,
                 FileNotFoundError,
+                ValueError,  # covers JSONDecodeError
+                KeyError,
+                TypeError,
             ):
                 return self.build(spark)
         return super().recover(spark)

@@ -756,6 +756,31 @@ def test_alter_crash_recover_rebuilds_with_new_definition(spark, tmp_path):
     }
 
 
+def test_recover_supersedes_corrupted_pending(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    # a corrupted pending record must neither wedge refresh with a raw
+    # JSON error nor wedge recover(): typed refusal, then build supersede
+    mv.view.alter_properties(
+        {_ATTACH_PENDING_KEY: "{truncated-not-json"}
+    )
+    with pytest.raises(MatviewDefinitionError, match="corrupted pending"):
+        mv.refresh(spark)
+    mv.recover(spark)
+    snap = mv.view.snapshot()
+    assert _ATTACH_PENDING_KEY not in snap.properties
+    assert _read_rows(spark, mv, ["n"]) == _union_oracle(
+        spark, mv.sources, {"n": F.count(F.lit(1))}
+    )
+
+
 # ------------------------------------------- streaming views_recover --
 
 
@@ -970,3 +995,12 @@ def test_select_batch_stops_at_created_token_alias():
     ]
     out2 = _select_batch(rows2, probe=64, min_freq=1, limit=16)
     assert out2 == [("ab", "e"), ("a", "b")]
+    # TWIN creation: two symbol-disjoint decompositions of one token —
+    # their created pairs POOL, so nothing after the second may commit
+    rows3 = [
+        {"lhs": "a", "rhs": "bc", "pair_freq": 100},  # creates "abc"
+        {"lhs": "ab", "rhs": "c", "pair_freq": 95},   # creates "abc" too
+        {"lhs": "q", "rhs": "r", "pair_freq": 60},    # must NOT commit
+    ]
+    out3 = _select_batch(rows3, probe=64, min_freq=1, limit=16)
+    assert out3 == [("a", "bc"), ("ab", "c")]
