@@ -756,6 +756,85 @@ def test_alter_crash_recover_rebuilds_with_new_definition(spark, tmp_path):
     }
 
 
+@pytest.mark.parametrize(
+    "seed,aggs",
+    [
+        (7, {"n": ("count", "1"), "s": ("sum", "val")}),      # additive
+        (23, {"n": ("count", "1"), "hi": ("max", "val")}),    # recompute
+    ],
+)
+def test_membership_evolution_randomized_sequence(spark, tmp_path, seed, aggs):
+    """Seeded random interleaving of DML / refresh / attach / detach —
+    after a final recover()+refresh the view must equal a from-scratch
+    aggregate of the CURRENT membership, for both the additive and the
+    recompute maintenance families."""
+    import random
+
+    rng = random.Random(seed)
+    base = tmp_path / f"seed{seed}"
+    base.mkdir()
+    next_id = [1000]
+
+    def rows(n, lo=0.0):
+        out = [
+            (next_id[0] + i, f"g{(next_id[0] + i) % 3}",
+             lo + float(next_id[0] + i) % 97)
+            for i in range(n)
+        ]
+        next_id[0] += n
+        return out
+
+    def mk(name, n):
+        t = TxLogTable(str(base / name))
+        t.append(spark.createDataFrame(rows(n), SCHEMA))
+        t.alter_properties({"cdf.enabled": "true"})
+        return t
+
+    members = [mk("s0", 12), mk("s1", 12)]
+    pool = [mk("p0", 6), mk("p1", 6)]
+    mv = IncrementalUnionAggView(
+        members, str(base / "mv"), ["grp"], aggs, rebuild_ratio=None
+    )
+    mv.build(spark)
+    for _ in range(8):
+        op = rng.choice(
+            ["append", "delete", "update", "refresh", "attach", "detach"]
+        )
+        if op == "append":
+            rng.choice(mv.sources).append(
+                spark.createDataFrame(rows(4), SCHEMA)
+            )
+        elif op == "delete":
+            rng.choice(mv.sources).delete(
+                spark, f"id % 5 = {rng.randrange(5)}"
+            )
+        elif op == "update":
+            rng.choice(mv.sources).update(
+                spark,
+                f"id % 4 = {rng.randrange(4)}",
+                {"val": "val + 1"},
+            )
+        elif op == "refresh":
+            mv.refresh(spark)
+        elif op == "attach" and pool:
+            mv.attach_shard(spark, pool.pop())
+        elif op == "detach" and len(mv.sources) > 2:
+            t = rng.choice(mv.sources)
+            mv.detach_shard(spark, t)
+            pool.append(t)
+    mv.recover(spark)
+    mv.refresh(spark)
+    exprs = {
+        k: (F.count(F.lit(1)) if fn == "count"
+            else F.sum(expr) if fn == "sum"
+            else F.max(expr))
+        for k, (fn, expr) in aggs.items()
+    }
+    assert _read_rows(spark, mv, list(aggs)) == _union_oracle(
+        spark, mv.sources, exprs
+    )
+
+
 def test_recover_supersedes_corrupted_pending(spark, tmp_path):
     shards = _mk_shards(spark, tmp_path, 2)
     mv = IncrementalUnionAggView(
