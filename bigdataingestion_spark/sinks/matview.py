@@ -2857,7 +2857,11 @@ class IncrementalUnionAggView(IncrementalAggView):
         recomputes its affected groups across old+new shards), then the
         definition, the extended version vector, and a new epoch commit
         atomically. Future ``refresh()`` calls maintain the shard from
-        its own CDF like any other.
+        its own CDF like any other. The refresh() cost contract applies
+        to membership too: when the incoming shard's bytes reach
+        ``rebuild_ratio`` × the existing membership's, the fold cannot
+        beat one clean rescan and attach falls back to ``build()`` on
+        the extended membership (``rebuild_ratio=None`` pins the fold).
 
         Crash contract (single maintainer, like all view maintenance):
         a ``matview.union.attach.pending`` property brackets the fold —
@@ -2915,6 +2919,22 @@ class IncrementalUnionAggView(IncrementalAggView):
                 raise FileNotFoundError(f"shard {table.path} is empty")
         # drift contract BEFORE anything is written
         self._check_shard_shape(spark, table, v, old[0], vec[0], snap)
+        if pend is None and self.rebuild_ratio is not None:
+            # cost-based fallback, the refresh() contract applied to
+            # membership: the fold reads the NEW shard and merges; the
+            # rebuild reads EVERYTHING. When the new shard's bytes
+            # reach rebuild_ratio × the existing membership's, the fold
+            # cannot beat one clean rescan — build() on the extended
+            # membership (it pins current versions and clears pendings
+            # itself). A RESUME never reroutes: its fold may already be
+            # committed, making completion strictly cheapest.
+            new_bytes = self._snapshot_bytes(table, v)
+            old_bytes = sum(
+                self._snapshot_bytes(t, pv) for t, pv in zip(old, vec)
+            )
+            if new_bytes >= self.rebuild_ratio * max(old_bytes, 1):
+                self.sources = [*old, table]
+                return self.build(spark)
         if pend is None:
             self.view.alter_properties(
                 {
@@ -2981,8 +3001,10 @@ class IncrementalUnionAggView(IncrementalAggView):
         with the same table — or let ``recover()`` resume it — to
         complete; ``build()`` supersedes). Detaching
         below two shards is refused — rebuild the survivor as an
-        :class:`IncrementalAggView`. Returns the remaining version
-        vector."""
+        :class:`IncrementalAggView`. The attach cost fallback mirrors
+        here: a shard as big as the remaining membership rebuilds from
+        the remainder instead of subtracting. Returns the remaining
+        version vector."""
         snap = self.view.snapshot()
         if snap is None:
             raise FileNotFoundError(
@@ -3035,6 +3057,21 @@ class IncrementalUnionAggView(IncrementalAggView):
         vec = self._cursor_vec(snap, sources=old)
         self._heal_cursor(snap, vec, sources=old)
         v = int(pend["version"]) if pend is not None else vec[i]
+        if pend is None and self.rebuild_ratio is not None:
+            # mirror of attach's cost fallback: subtracting a shard as
+            # big as the remaining membership cannot beat rescanning
+            # the remainder
+            det_bytes = self._snapshot_bytes(table, v)
+            rem_bytes = sum(
+                self._snapshot_bytes(t, pv)
+                for j, (t, pv) in enumerate(zip(old, vec))
+                if j != i
+            )
+            if det_bytes >= self.rebuild_ratio * max(rem_bytes, 1):
+                self.sources = [
+                    t for t in old if t.path != table.path
+                ]
+                return self.build(spark)
         if pend is None:
             self.view.alter_properties(
                 {

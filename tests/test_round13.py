@@ -338,6 +338,68 @@ def test_alter_vacuumed_anchor_raises_typed_and_unlocks(spark, tmp_path):
     mv.read(spark)
 
 
+def test_attach_cost_fallback_rebuilds_for_oversized_shard(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=1.0,  # the cost fallback is live
+    )
+    mv.build(spark)
+    # a shard far larger than the whole membership: the fold cannot
+    # beat one rescan — attach must route to build() (an overwrite),
+    # not a merge
+    big = _shard(
+        spark,
+        tmp_path / "s_big",
+        [(10_000 + j, f"g{j % 3}", float(j)) for j in range(2000)],
+    )
+    vec = mv.attach_shard(spark, big)
+    assert len(vec) == 3
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("merge") == 0, f"oversized attach must rebuild: {ops}"
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, mv.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+    # and the vector stays maintainable afterwards
+    big.delete(spark, "id % 2 = 0")
+    mv.refresh(spark)
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, mv.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+
+
+def test_detach_cost_fallback_rebuilds_from_remainder(spark, tmp_path):
+    small = [
+        _shard(spark, tmp_path / "s0", [(1, "g0", 1.0), (2, "g1", 2.0)]),
+        _shard(spark, tmp_path / "s1", [(3, "g0", 3.0)]),
+    ]
+    big = _shard(
+        spark,
+        tmp_path / "s_big",
+        [(100 + j, f"g{j % 3}", float(j)) for j in range(2000)],
+    )
+    mv = IncrementalUnionAggView(
+        [*small, big],
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=1.0,
+    )
+    mv.build(spark)
+    pre_merges = sum(1 for h in mv.view.history() if h["op"] == "merge")
+    mv.detach_shard(spark, big)
+    ops = [h["op"] for h in mv.view.history()]
+    assert sum(1 for o in ops if o == "merge") == pre_merges, (
+        f"oversized detach must rebuild from the remainder: {ops}"
+    )
+    assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
+        spark, mv.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+
+
 # ------------------------------------------------------ detach_shard --
 
 
