@@ -2639,11 +2639,27 @@ class IncrementalUnionAggView(IncrementalAggView):
         epoch = int(
             (prev.properties if prev else {}).get(_UNION_EPOCH_KEY, 0)
         )
+        # a rebuild with FEWER sources than the previous membership
+        # (detach's cost fallback, or a reconstructed smaller view)
+        # must drop the stale higher-index pins — a leftover
+        # matview.union.src.{i}.version would misreport the vector
+        # length to anything reading the pin properties
+        stale: dict = {}
+        for k in (prev.properties if prev else {}):
+            if not k.startswith("matview.union.src."):
+                continue
+            try:
+                idx = int(k.split(".")[3])
+            except (IndexError, ValueError):
+                continue
+            if idx >= len(self.sources):
+                stale[k] = None
         self._build_state(
             spark,
             versions[0],
             src,
             {
+                **stale,
                 **self._src_props(versions),
                 _UNION_EPOCH_KEY: str(epoch + 1),
                 # a rebuild supersedes any half-finished membership
@@ -2933,8 +2949,17 @@ class IncrementalUnionAggView(IncrementalAggView):
                 self._snapshot_bytes(t, pv) for t, pv in zip(old, vec)
             )
             if new_bytes >= self.rebuild_ratio * max(old_bytes, 1):
+                prev_sources = self.sources
                 self.sources = [*old, table]
-                return self.build(spark)
+                try:
+                    return self.build(spark)
+                except BaseException:
+                    # a failed rebuild committed nothing (its own
+                    # pending bracket covers the crash case) — restore
+                    # the handle so a retry of attach_shard doesn't
+                    # misread the shard as already attached
+                    self.sources = prev_sources
+                    raise
         if pend is None:
             self.view.alter_properties(
                 {
@@ -3068,10 +3093,15 @@ class IncrementalUnionAggView(IncrementalAggView):
                 if j != i
             )
             if det_bytes >= self.rebuild_ratio * max(rem_bytes, 1):
+                prev_sources = self.sources
                 self.sources = [
                     t for t in old if t.path != table.path
                 ]
-                return self.build(spark)
+                try:
+                    return self.build(spark)
+                except BaseException:
+                    self.sources = prev_sources
+                    raise
         if pend is None:
             self.view.alter_properties(
                 {

@@ -68,12 +68,17 @@ def main() -> int:
         new.alter_properties({"cdf.enabled": "true"})
         aggs = {"n_rows": ("count", "1"), "s_val": ("sum", "val")}
         mv = IncrementalUnionAggView(
-            shards, f"{work}/mv_attach", ["grp"], aggs
+            # rebuild_ratio=None PINS the fold: the point is to time
+            # attach's incremental path against the rebuild, and large
+            # CLI shard sizes would otherwise trip the cost fallback
+            # and silently time a rebuild against a rebuild
+            shards, f"{work}/mv_attach", ["grp"], aggs,
+            rebuild_ratio=None,
         )
         mv.build(spark)
         t0 = time.time()
         mv.attach_shard(spark, new)
-        out["attach_sec"] = round(time.time() - t0, 2)
+        out["attach_sec"] = max(round(time.time() - t0, 2), 0.01)
         rebuild = IncrementalUnionAggView(
             [*shards, new], f"{work}/mv_rebuild", ["grp"], aggs
         )
@@ -98,7 +103,7 @@ def main() -> int:
             spark,
             {"lo": ("min", "val"), "hi": ("max", "val")},
         )
-        out["alter_sec"] = round(time.time() - t0, 2)
+        out["alter_sec"] = max(round(time.time() - t0, 2), 0.01)
         full = wide | {"lo": ("min", "val"), "hi": ("max", "val")}
         mv3 = IncrementalAggView(src, f"{work}/mv_alter_rb", ["grp"], full)
         t0 = time.time()

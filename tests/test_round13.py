@@ -398,6 +398,52 @@ def test_detach_cost_fallback_rebuilds_from_remainder(spark, tmp_path):
     assert _read_rows(spark, mv, ["n", "s"]) == _union_oracle(
         spark, mv.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
     )
+    # the fallback rebuild must drop the stale trailing pin exactly
+    # like the fold path does — consumers read membership size off it
+    snap = mv.view.snapshot()
+    assert "matview.union.src.2.version" not in snap.properties
+
+
+def test_attach_fallback_build_failure_restores_handle(spark, tmp_path):
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1")},
+        rebuild_ratio=1.0,
+    )
+    mv.build(spark)
+    big = _shard(
+        spark,
+        tmp_path / "s_big",
+        [(10_000 + j, f"g{j % 3}", float(j)) for j in range(2000)],
+    )
+    # the fallback's rebuild fails transiently: the handle must roll
+    # back so a retry doesn't misread the shard as already attached
+    real_overwrite = mv.view.overwrite
+    mv.view.overwrite = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("transient")
+    )
+    with pytest.raises(RuntimeError, match="transient"):
+        mv.attach_shard(spark, big)
+    mv.view.overwrite = real_overwrite
+    # the handle rolled back to the pre-attach membership, so the
+    # interrupted-REBUILD remediation (recover -> build) reconstructs
+    # exactly the state the stored definition describes — without the
+    # rollback, recover() would rebuild WITH the never-attached shard
+    assert len(mv.sources) == 2
+    with pytest.raises(MatviewDefinitionError, match="interrupted rebuild"):
+        mv.refresh(spark)
+    mv.recover(spark)
+    assert _read_rows(spark, mv, ["n"]) == _union_oracle(
+        spark, mv.sources, {"n": F.count(F.lit(1))}
+    )
+    vec = mv.attach_shard(spark, big)  # retry succeeds
+    assert len(vec) == 3
+    assert _read_rows(spark, mv, ["n"]) == _union_oracle(
+        spark, mv.sources, {"n": F.count(F.lit(1))}
+    )
 
 
 # ------------------------------------------------------ detach_shard --
