@@ -157,6 +157,42 @@ def _timed_pass(spark, sf_dir: str, reps: int) -> tuple[dict, dict]:
     return timings, spread
 
 
+def _rotating_sample(spark, sf_dir: str) -> dict | None:
+    """N rotating NON-headline queries, timed single-shot (r13 verdict
+    item: the headline set has been fixed since r10 while the catalog
+    grew past 160 — the tail's performance was covered only by the
+    oracle sweep's implicit timing). The rotation index derives from
+    the number of committed BENCH_r*.json files, so each round samples
+    a different alphabetical window deterministically with no clock or
+    RNG. Reported SEPARATELY from the headline total so the trend line
+    stays comparable round-over-round; single-shot and informational
+    by design (SPARK_GRAFT_BENCH_SAMPLE=0 disables, or set a size)."""
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLE", "5"))
+    if k <= 0:
+        return None
+    qs = catalog.queries()
+    names = sorted(n for n in qs if n not in catalog.headline_queries())
+    if not names:
+        return None
+    rnd = len(list(Path(__file__).resolve().parent.glob("BENCH_r*.json")))
+    start = (rnd * k) % len(names)
+    chosen = [names[(start + i) % len(names)] for i in range(min(k, len(names)))]
+    out = {}
+    for n in chosen:
+        release_caches()
+        t0 = time.perf_counter()
+        qs[n](spark, sf_dir).collect()
+        out[n] = round(time.perf_counter() - t0, 3)
+    return {
+        "round_index": rnd,
+        "offset": start,
+        "queries": out,
+        "total_sec": round(sum(out.values()), 3),
+        "note": "single-shot non-headline rotation; informational, "
+                "separate from the headline trend",
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -242,6 +278,7 @@ def main() -> None:
         )
         if total2 < total:
             timings, spread, total, loadavg = timings2, spread2, total2, load2
+    sample = _rotating_sample(spark, sf_dir)
     retry["verdict"] = (
         "retried" if retry["attempted"] else (
             "clean"
@@ -278,6 +315,8 @@ def main() -> None:
                 # when the box loaded up mid-run and inflated the total —
                 # both attempts' totals; "value" above is the better pass
                 "end_load_recheck": retry,
+                # r14: rotating non-headline sample (see _rotating_sample)
+                "sample": sample,
             }
         )
     )

@@ -7239,87 +7239,228 @@ def txlog_sql_register_refresh(spark, sf_dir):
     )
 
 
+@register(
+    "txlog_matview_drop_aggs",
+    """
+    WITH base AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base GROUP BY o_orderstatus
+    """,
+)
+def txlog_matview_drop_aggs(spark, sf_dir):
+    """[EXT] Aggregate drop via alter(drop_aggs=...) (r14) — the cheap
+    half of non-additive definition evolution: a wide orders rollup
+    (count + sum + max + a ``("sql", percentile)``) refreshes through
+    one window, then DROPS the max and the percentile mid-history with
+    NO source read at all (the stored state is projected and
+    republished; the cursor survives, asserted). Dropping the only
+    "sql" aggregate makes the view additive again, proven by the
+    mixed append+delete window after the drop folding without an
+    overwrite (exactly one overwrite in history: the drop's republish).
+    Must equal a from-scratch build of the narrowed definition — the
+    oracle aggregates the final source state relationally."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    src = _fresh_txlog()
+    src.append(orders.filter(k % 2 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["o_orderstatus"],
+        {
+            "n_orders": ("count", "1"),
+            "sum_cents": ("sum", cents),
+            "max_cents": ("max", cents),
+            "med_cents": (
+                "sql", f"CAST(percentile({cents}, 0.5) AS BIGINT)"
+            ),
+        },
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(orders.filter((k % 2 == 1) & (k % 3 < 2)))
+    cur = mv.refresh(spark)
+    got = mv.alter(spark, drop_aggs=["max_cents", "med_cents"])
+    assert got == cur, "drop must keep the cursor, not re-anchor"
+    src.append(orders.filter((k % 2 == 1) & (k % 3 == 2)))
+    src.delete(spark, "o_orderkey % 13 = 0")
+    mv.refresh(spark)
+    ops = [h["op"] for h in mv.view.history()]
+    assert ops.count("overwrite") == 1, (
+        f"only the drop republishes; the post-drop window folds: {ops}"
+    )
+    return mv.read(spark).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "txlog_matview_lease",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def txlog_matview_lease(spark, sf_dir):
+    """[EXT] Maintenance-lease enforcement of the single-maintainer
+    contract (r14, ``lease_seconds``): a customer rollup is maintained
+    under a lease; a SECOND live maintainer handle is refused with the
+    typed :class:`MatviewLeaseHeldError` (asserted) instead of racing
+    the first one's commits; after the holder releases, the second
+    handle claims the lease and finishes the refresh. The final state
+    must equal the oracle's aggregate of the full fixture."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import (
+        IncrementalAggView,
+        MatviewLeaseHeldError,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    src = _fresh_txlog()
+    src.append(cust.filter(k % 2 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    path = _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv")
+    aggs = {
+        "n_cust": ("count", "1"),
+        "sum_cents": ("sum", "CAST(round(c_acctbal * 100) AS BIGINT)"),
+    }
+    holder = IncrementalAggView(
+        src, path, ["c_mktsegment"], aggs,
+        rebuild_ratio=None, lease_seconds=300.0,
+    )
+    holder.build(spark)
+    src.append(cust.filter(k % 4 == 1))
+    holder.refresh(spark)  # claims the lease
+    other = IncrementalAggView(
+        src, path, ["c_mktsegment"], aggs,
+        rebuild_ratio=None, lease_seconds=300.0,
+    )
+    src.append(cust.filter(k % 4 == 3))
+    try:
+        other.refresh(spark)
+        raise AssertionError(
+            "second live maintainer must get the typed lease refusal"
+        )
+    except MatviewLeaseHeldError:
+        pass
+    holder.release_lease()
+    other.refresh(spark)  # claims the freed lease and advances
+    return other.read(spark).select(
+        "c_mktsegment",
+        "n_cust",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
 # _GATE_FIRST rotates queries that still need driver evidence into that
 # window; everything else follows in registration order and rotates into
 # the window on later rounds once these have green driver rows.
 _GATE_FIRST = [
-    # Round-13 window, per the r12 verdict's recorded rotation plan.
+    # Round-14 window, per the r13 verdict's recorded rotation plan.
     # Standing policy: queries NEW this round lead (zero evidence
-    # first) — the 5 r13 additions (union shard attach/detach, additive
-    # definition evolution, self-healing streamed views, registration-
-    # time refresh) — then the 23 remaining r10-window entries (the
-    # oldest delivered driver evidence), then the first 22 of the
-    # r11-window cohort. After a green r13 gate no query's delivered
-    # evidence is older than r11 except the r11-window tail the r14
+    # first) — the 2 r14 additions (aggregate drop via
+    # alter(drop_aggs=...), maintenance-lease enforcement) — then the
+    # 28 remaining r11-window entries (the oldest delivered driver
+    # evidence after the green r13 gate), then the first 20 of the
+    # r12-window cohort. After a green r14 gate no query's delivered
+    # evidence is older than r12 except the r12-window tail the r15
     # queue already names below.
-    # --- new this round (r13) ---
-    "txlog_matview_attach_shard",
-    "txlog_matview_detach_shard",
-    "txlog_matview_alter_aggs",
-    "stream_views_self_heal",
-    "txlog_sql_register_refresh",
-    # --- the 23 remaining r10-window entries ---
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "simhash64",
-    "small_quantity_revenue",
-    "top_customers_by_spend",
-    "top_parts_by_revenue",
-    "customer_order_moving_avg",
-    "customer_order_timeline",
-    "customer_top_order",
-    "docs_repetition_stats",
-    "docs_source_mix_weights",
-    "docs_stratified_sample",
-    "docs_train_test_split",
-    "embedding_knn_vote",
-    "embedding_label_centroids",
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "event_type_daily",
-    "lineitem_cube_stats",
-    "part_best_supplier",
-    # --- first 22 of the r11-window cohort (oldest delivered) ---
-    "txlog_matview_join",
-    "training_data_pipeline_dsir",
-    "txlog_matview_dim_change",
-    "txlog_matview_filtered",
-    "txlog_matview_topk",
-    "txlog_matview_median",
-    "txlog_matview_union",
-    "corpus_bpe_top_pairs",
-    "docs_bpe_token_frequency",
-    "docs_epoch_shuffle",
-    "docs_adaptive_quality",
-    "txlog_matview_additive",
-    "txlog_matview_minmax",
-    "docs_dsir_weights",
-    "docs_dsir_sample",
-    "q10_returned_items",
-    "q11_major_part_types",
-    "q13_customer_order_distribution",
-    "txlog_merge_conditional",
-    "txlog_identity_assign",
-    "embedding_semantic_dedup",
-    "embedding_semantic_dedup_incremental",
-    # Exactly 50 names (5 new r13 + 23 r10 tail + 22 r11 cohort).
-    # r14 queue: any queries new in r14 lead, then the remaining 28
-    # r11-window entries (docs_duplicate_spans, docs_span_dup_clusters,
-    # q14_promo_revenue, q16_part_supplier_counts, q18_large_orders,
-    # q19_disjunctive_revenue, q21_sole_late_supplier,
-    # q22_idle_customers, q6_forecast_revenue, q7_nation_volume,
-    # q8_market_share, q9_product_profit, similar_part_names,
-    # streaming_hourly_counts, user_funnel_set_ops,
-    # user_purchase_error_overlap, streaming_user_sessions,
-    # minhash_lsh_pairs, minhash_incremental_pairs,
-    # ngram_jaccard_pairs, simhash_hamming_pairs, asof_last_purchase,
-    # training_data_pipeline, text_quality_stats, lang_histogram,
-    # user_sessions, user_sessions_native, multimodal_features), then
-    # the r12-window cohort (txlog_sql_snapshot_query ..
-    # multimodal_meta) as the then-oldest delivered evidence.
+    # --- new this round (r14) ---
+    "txlog_matview_drop_aggs",
+    "txlog_matview_lease",
+    # --- the 28 remaining r11-window entries ---
+    "docs_duplicate_spans",
+    "docs_span_dup_clusters",
+    "q14_promo_revenue",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_customers",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "similar_part_names",
+    "streaming_hourly_counts",
+    "user_funnel_set_ops",
+    "user_purchase_error_overlap",
+    "streaming_user_sessions",
+    "minhash_lsh_pairs",
+    "minhash_incremental_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "asof_last_purchase",
+    "training_data_pipeline",
+    "text_quality_stats",
+    "lang_histogram",
+    "user_sessions",
+    "user_sessions_native",
+    "multimodal_features",
+    # --- first 20 of the r12-window cohort (oldest delivered) ---
+    "txlog_sql_snapshot_query",
+    "txlog_sql_time_travel",
+    "txlog_matview_schema_add",
+    "txlog_matview_recover",
+    "txlog_matview_pinned_vacuum",
+    "events_latest_state",
+    "events_range_pairs",
+    "events_hourly_gapfill",
+    "events_retention_cohorts",
+    "events_window_funnel",
+    "customer_cohort_ltv",
+    "docs_bigram_quality",
+    "txlog_backfill_replace",
+    "txlog_rename_migration",
+    "txlog_dv_point_delete",
+    "txlog_cdf_audit",
+    "txlog_generated_bucket",
+    "docs_boilerplate_ngrams",
+    "docs_length_profile",
+    "docs_pack_sequences",
+    # Exactly 50 names (2 new r14 + 28 r11 tail + 20 r12 cohort).
+    # r15 queue: any queries new in r15 lead, then the remaining 30
+    # r12-window entries in their r12 order (docs_pii_redacted,
+    # docs_temperature_sample, docs_tfidf_top_terms,
+    # txlog_cdc_ops_final_state, txlog_auto_compact_invariance,
+    # docs_dup_span_profile, q17_small_quantity_revenue,
+    # txlog_nested_rename, txlog_update_recompute,
+    # corpus_token_frequency, dedup_exact_groups,
+    # dedup_exact_survivors, dedup_near_clusters, doc_fingerprints,
+    # docs_chunked, docs_contamination, embedding_cosine_topk,
+    # embedding_cosine_topk_arrow, events_multires_rollup,
+    # events_value_percentiles, ingest_chunk_profile,
+    # ingest_config_union, ingest_distinct_years,
+    # ingest_months_below_limit, ingest_next_surrogate_key,
+    # ingest_watermark_next, ingest_watermark_filter_count,
+    # ingest_years_above_limit, minhash_signatures, multimodal_meta),
+    # then the r13-window cohort (txlog_matview_attach_shard ..
+    # part_best_supplier) as the then-oldest delivered evidence.
 ]
 
 

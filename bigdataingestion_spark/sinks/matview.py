@@ -69,6 +69,7 @@ import json
 import os
 import re
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,6 +99,25 @@ _PENDING_KEY = "matview.rebuild.pending"
 _TXN_PREFIX = "matview.cursor."
 _DIMS_TXN_PREFIX = "matview.dims."
 _DIM_EPOCH_KEY = "matview.dims.epoch"
+_LEASE_KEY = "matview.lease"
+
+
+class MatviewLeaseHeldError(RuntimeError):
+    """Another LIVE maintainer holds this view's maintenance lease.
+
+    The single-maintainer contract is otherwise trusted, not enforced:
+    two concurrent maintainers interleaving property commits and
+    overwrites on one view are out of contract and can corrupt state.
+    Opting into ``lease_seconds`` makes the contract CHECKABLE — every
+    maintenance entry point claims/renews a ``matview.lease`` property
+    (holder id + wall-clock expiry) through a CAS commit before
+    writing, so a second live maintainer gets this typed refusal
+    instead of a race. An EXPIRED lease is claimable by anyone (the
+    holder is presumed dead) — ``recover()`` breaking a dead
+    maintainer's lease is the same claim path. Advisory caveat,
+    documented honestly: a maintainer that STALLS past its own expiry
+    and then resumes mid-operation is not fenced at commit time; size
+    ``lease_seconds`` above the longest expected maintenance pause."""
 
 
 class MatviewDefinitionError(ValueError):
@@ -231,8 +251,11 @@ class IncrementalAggView:
         aggs: dict[str, tuple[str, str]],
         rebuild_ratio: float | None = 1.0,
         where: str | None = None,
+        lease_seconds: float | None = None,
     ):
-        self._init_common(source, path, group_cols, rebuild_ratio, where)
+        self._init_common(
+            source, path, group_cols, rebuild_ratio, where, lease_seconds
+        )
         if not aggs:
             raise ValueError("aggs must declare at least one aggregate")
         lowered = {g.lower() for g in group_cols}
@@ -255,12 +278,17 @@ class IncrementalAggView:
         group_cols: list[str],
         rebuild_ratio: float | None,
         where: str | None,
+        lease_seconds: float | None = None,
     ) -> None:
         """Field validation/assignment every view kind shares (the top-k
         subclass has no ``aggs`` dict, so it calls this directly)."""
         if rebuild_ratio is not None and rebuild_ratio <= 0:
             raise ValueError("rebuild_ratio must be positive (or None to "
                              "always refresh incrementally)")
+        if lease_seconds is not None and lease_seconds <= 0:
+            raise ValueError("lease_seconds must be positive (or None to "
+                             "leave the single-maintainer contract "
+                             "unenforced)")
         if not group_cols:
             raise ValueError("group_cols must name at least one column")
         for g in group_cols:
@@ -286,11 +314,96 @@ class IncrementalAggView:
         self.group_cols = list(group_cols)
         self.rebuild_ratio = rebuild_ratio
         self.where = where
+        self.lease_seconds = lease_seconds
+        # per-HANDLE identity: two handles in one process are two
+        # maintainers for lease purposes (matches the contract's unit)
+        self._lease_id = uuid.uuid4().hex
         self.view = TxLogTable(path)
         # (files scanned, files in snapshot) of the last recompute-path
         # refresh — introspection for prune measurements, never read by
         # the maintenance logic itself
         self.last_recompute_files: tuple[int, int] | None = None
+
+    # ----------------------------------------------- maintenance lease --
+    def _acquire_lease(self) -> None:
+        """Claim or renew the maintenance lease (no-op without
+        ``lease_seconds``). Acquisition is a CAS commit — read the
+        snapshot, check the stored lease, conditionally write at that
+        exact version — so two live maintainers racing for a free or
+        expired lease serialize on the commit log and the loser gets
+        either the winner's unexpired lease (typed refusal) or a
+        bounded retry. Renewal skips the commit while more than half
+        the validity remains, so a steady maintainer pays one metadata
+        commit per ~lease_seconds/2, not per operation."""
+        if self.lease_seconds is None:
+            return
+        for _ in range(8):
+            snap = self.view.snapshot()
+            if snap is None:
+                return  # first build() publishes the view; nothing to lease
+            now = time.time()
+            cur = snap.properties.get(_LEASE_KEY)
+            if cur:
+                try:
+                    info = json.loads(cur)
+                    holder = info.get("holder")
+                    expires = float(info.get("expires", 0.0))
+                except (ValueError, TypeError):
+                    holder, expires = None, 0.0  # corrupt: claimable
+                if holder == self._lease_id:
+                    if expires - now > self.lease_seconds / 2:
+                        return  # comfortably ours: no commit churn
+                elif expires > now:
+                    raise MatviewLeaseHeldError(
+                        f"view at {self.path}: maintenance lease held "
+                        f"by {holder} for another {expires - now:.1f}s "
+                        "— a second live maintainer is out of contract; "
+                        "wait for expiry or stop the other maintainer"
+                    )
+                # expired or corrupt: claimable (the holder is presumed
+                # dead — recover() breaking a dead maintainer's lease is
+                # exactly this path)
+            try:
+                self.view.alter_properties(
+                    {
+                        _LEASE_KEY: json.dumps(
+                            {
+                                "holder": self._lease_id,
+                                "expires": now + self.lease_seconds,
+                            }
+                        )
+                    },
+                    expected_version=snap.version,
+                )
+                return
+            except ConcurrentWriteError:
+                continue  # raced another writer: re-read, re-check
+        raise MatviewLeaseHeldError(
+            f"view at {self.path}: could not acquire the maintenance "
+            "lease after repeated commit races"
+        )
+
+    def release_lease(self) -> None:
+        """Drop the lease if this handle holds it — end-of-maintenance
+        courtesy so a successor need not wait out the expiry. Never
+        required for correctness (expiry reclaims abandoned leases)."""
+        snap = self.view.snapshot()
+        if snap is None:
+            return
+        cur = snap.properties.get(_LEASE_KEY)
+        if not cur:
+            return
+        try:
+            if json.loads(cur).get("holder") != self._lease_id:
+                return
+        except (ValueError, TypeError):
+            return
+        try:
+            self.view.alter_properties(
+                {_LEASE_KEY: None}, expected_version=snap.version
+            )
+        except ConcurrentWriteError:
+            pass  # someone else moved the table; expiry will reclaim
 
     # ------------------------------------------------------ definition --
     def _definition_json(self) -> str:
@@ -535,11 +648,14 @@ class IncrementalAggView:
             c = F.col(g).isNull()
             cond = c if cond is None else (cond | c)
         if grouped.filter(cond).limit(1).collect():
-            raise ValueError(
-                f"NULL group key in {what}: the refresh MERGE joins on "
-                f"{self.group_cols} and cannot maintain NULL-keyed "
-                "groups; COALESCE the key upstream"
-            )
+            raise ValueError(self._null_group_msg(what))
+
+    def _null_group_msg(self, what: str) -> str:
+        return (
+            f"NULL group key in {what}: the refresh MERGE joins on "
+            f"{self.group_cols} and cannot maintain NULL-keyed "
+            "groups; COALESCE the key upstream"
+        )
 
     # --------------------------------------------------------- actions --
     def build(self, spark: SparkSession) -> int:
@@ -572,6 +688,7 @@ class IncrementalAggView:
         publish it with the cursor pinned at ``to`` (plus any extra
         ``pin_props`` a subclass records — the join view's dimension
         versions)."""
+        self._acquire_lease()
         src = self._filtered(src)
         state = self._compute_state(src).persist()
         try:
@@ -745,28 +862,51 @@ class IncrementalAggView:
             return self.build(spark)
 
     # ------------------------------------------- definition evolution --
-    def alter(self, spark: SparkSession, add_aggs: dict):
-        """ADDITIVE definition evolution: extend the view with new
-        aggregate columns over existing source columns, WITHOUT a full
-        rebuild and without disturbing the cursor. The new aggregates'
-        state is backfilled in ONE source read at the version the
-        stored state already reflects (the cursor; for a join view the
-        fact at the cursor enriched at the PINNED dimension versions;
-        for a union view every shard at its vector component), then
-        joined onto the existing state and published with the updated
-        definition — existing aggregates are never recomputed, so a
-        wide state pays only the new columns' aggregation.
+    def alter(
+        self,
+        spark: SparkSession,
+        add_aggs: dict | None = None,
+        drop_aggs=None,
+    ):
+        """Definition evolution without a rebuild and without
+        disturbing the cursor — ADD aggregate columns, DROP existing
+        ones, or both in one commit.
 
-        ``add_aggs`` has the constructor's ``{out: (fn, expr)}`` shape
-        and may use every supported fn (a new ``("sql", …)`` aggregate
-        simply makes future refreshes route to recompute, exactly as if
-        declared at construction). NON-additive edits — renaming,
-        retyping, or removing an existing aggregate, or touching
-        ``group_cols``/``where`` — are refused (name collisions raise
-        here; anything else is a different definition: define a new
-        view or ``build()`` one). A new aggregate that does not resolve
-        against the anchored source schema raises
+        **Add** (``add_aggs``, the constructor's ``{out: (fn, expr)}``
+        shape): the new aggregates' state is backfilled in ONE source
+        read at the version the stored state already reflects (the
+        cursor; for a join view the fact at the cursor enriched at the
+        PINNED dimension versions; for a union view every shard at its
+        vector component), then joined onto the existing state —
+        existing aggregates are never recomputed. Every supported fn
+        works (a new ``("sql", …)`` aggregate simply routes future
+        refreshes to recompute, exactly as if declared at
+        construction). A new aggregate that does not resolve against
+        the anchored source schema raises
         :class:`MatviewDefinitionError` before anything is written.
+
+        **Drop** (``drop_aggs``, a list of existing aggregate output
+        names): NO source read at all — the stored state is projected
+        without the dropped aggregates' state columns and republished
+        with the narrowed definition. Refused: unknown names (which
+        covers group columns — they are not aggregates), and dropping
+        every aggregate (a view needs at least one; drop the view
+        instead). Dropping the last ``("sql", …)`` aggregate makes the
+        view additive again — future refreshes fold.
+
+        NON-additive edits beyond these — renaming or retyping an
+        aggregate (including drop+re-add of the same name in one call),
+        or touching ``group_cols``/``where`` — are refused; a changed
+        aggregate is a different definition: build a new view.
+
+        Cost note (measured, SCALE.md): the republish is ONE overwrite
+        of the whole state — O(state rows), not O(changed columns) —
+        because parquet files are immutable and columnar within a file;
+        patching a column in place is not a thing the format offers.
+        What alter() saves vs build() is the SOURCE read and the
+        existing aggregates' recomputation (drop-only saves the source
+        read entirely), which at lake scale is the dominant term; the
+        O(state) overwrite is the floor.
 
         Crash contract: the state overwrite rides the same
         ``matview.rebuild.pending`` flag a rebuild uses — an alter()
@@ -777,9 +917,30 @@ class IncrementalAggView:
         cursor; a version vector for union views)."""
         from pyspark.errors import AnalysisException
 
-        if not add_aggs:
-            raise ValueError("add_aggs must declare at least one "
-                             "aggregate")
+        add_aggs = dict(add_aggs or {})
+        drops = list(drop_aggs or [])
+        if not add_aggs and not drops:
+            raise ValueError("alter() needs add_aggs and/or drop_aggs")
+        if len(set(drops)) != len(drops):
+            raise ValueError(f"duplicate names in drop_aggs: {drops}")
+        for d in drops:
+            if d not in self.aggs:
+                raise ValueError(
+                    f"cannot drop {d!r}: not an aggregate of this view "
+                    f"(aggregates: {sorted(self.aggs)}; group columns "
+                    "are not droppable)"
+                )
+        remaining = {
+            k: v for k, v in self.aggs.items() if k not in set(drops)
+        }
+        if not remaining and not add_aggs:
+            raise ValueError(
+                "dropping every aggregate leaves an empty definition; "
+                "drop the view instead"
+            )
+        # collisions check against the PRE-drop aggregates on purpose:
+        # drop+re-add of one name in one call is a rename/retype in
+        # disguise — a different definition, refused
         taken = {g.lower() for g in self.group_cols} | {
             a.lower() for a in self.aggs
         }
@@ -804,36 +965,50 @@ class IncrementalAggView:
                 f"view at {self.path} has no committed build; call build()"
             )
         self._check_definition(snap)
-        try:
-            src, cursor_props, ret = self._alter_anchor(spark, snap)
-        except (MatviewStaleDimensionError, MatviewDefinitionError):
-            raise  # their own remediation paths, not an unreadable anchor
-        except (ValueError, FileNotFoundError, AnalysisException) as e:
-            # AnalysisException covers a vacuumed anchor snapshot whose
-            # missing data files surface at read construction
-            # (PATH_NOT_FOUND)
-            raise MatviewWindowUnreadableError(
-                f"view at {self.path}: the anchored source snapshot "
-                f"cannot be resolved ({e}); the view was NOT altered — "
-                "vacuum kept no readable snapshot at the cursor; "
-                "construct the extended view and build() it instead"
-            ) from e
-        try:
-            new_cols = self._filtered(src).groupBy(*self.group_cols).agg(
-                *self._agg_state_exprs(add_aggs)
+        self._acquire_lease()
+        if add_aggs:
+            try:
+                src, cursor_props, ret = self._alter_anchor(spark, snap)
+            except (MatviewStaleDimensionError, MatviewDefinitionError):
+                raise  # their own remediation paths, not an unreadable anchor
+            except (ValueError, FileNotFoundError, AnalysisException) as e:
+                # AnalysisException covers a vacuumed anchor snapshot whose
+                # missing data files surface at read construction
+                # (PATH_NOT_FOUND)
+                raise MatviewWindowUnreadableError(
+                    f"view at {self.path}: the anchored source snapshot "
+                    f"cannot be resolved ({e}); the view was NOT altered — "
+                    "vacuum kept no readable snapshot at the cursor; "
+                    "construct the extended view and build() it instead"
+                ) from e
+            try:
+                new_cols = self._filtered(src).groupBy(*self.group_cols).agg(
+                    *self._agg_state_exprs(add_aggs)
+                )
+                new_cols.schema  # analysis only — no job
+            except AnalysisException as e:
+                raise MatviewDefinitionError(
+                    f"view at {self.path}: new aggregate(s) "
+                    f"{sorted(add_aggs)} do not resolve against the "
+                    f"anchored source schema: {e}"
+                ) from e
+            # groups match EXACTLY (the stored state is the aggregate of
+            # the same filtered read) — left join so a group is never
+            # dropped
+            merged = self.view.read(spark).join(
+                new_cols, self.group_cols, "left"
             )
-            new_cols.schema  # analysis only — no job
-        except AnalysisException as e:
-            raise MatviewDefinitionError(
-                f"view at {self.path}: new aggregate(s) "
-                f"{sorted(add_aggs)} do not resolve against the "
-                f"anchored source schema: {e}"
-            ) from e
-        # groups match EXACTLY (the stored state is the aggregate of the
-        # same filtered read) — left join so a group is never dropped
-        merged = self.view.read(spark).join(
-            new_cols, self.group_cols, "left"
-        )
+        else:
+            # drop-only: NO source read — the state projection below is
+            # the whole data path
+            cursor_props, ret = self._alter_cursor_props(snap)
+            merged = self.view.read(spark)
+        if drops:
+            merged = merged.drop(
+                *self._agg_state_cols(
+                    {k: self.aggs[k] for k in drops}
+                )
+            )
         pre_v = self.view.version()
         self.view.alter_properties({_PENDING_KEY: "true"})
         try:
@@ -867,7 +1042,7 @@ class IncrementalAggView:
                 "which only the job itself discovers; construct the "
                 "extended view and build() it instead"
             ) from e
-        self.aggs = {**self.aggs, **add_aggs}
+        self.aggs = {**remaining, **add_aggs}
         self.view.alter_properties(
             {
                 _DEF_KEY: self._definition_json(),
@@ -876,6 +1051,14 @@ class IncrementalAggView:
             }
         )
         return ret
+
+    def _alter_cursor_props(self, snap):
+        """The cursor properties alter()'s final commit re-asserts and
+        its return value, WITHOUT touching the source — the drop-only
+        path's replacement for :meth:`_alter_anchor` (the union view
+        overrides this with its version vector)."""
+        cur = self._cursor(snap)
+        return {_CURSOR_KEY: str(cur)}, cur
 
     def _alter_anchor(self, spark: SparkSession, snap):
         """The source frame alter() backfills from, the cursor
@@ -892,6 +1075,7 @@ class IncrementalAggView:
         """Refresh tail after the existence/definition checks — takes
         the already-resolved view snapshot so subclasses (and the hooks
         below) never replay the view's commit log a second time."""
+        self._acquire_lease()
         frm = self._cursor(snap)
         to = self.source.version()
         if to <= frm:
@@ -924,10 +1108,18 @@ class IncrementalAggView:
             # proof — it knows its own commit-entry layout) they fold
             # monotonically (greatest/least), so a streaming-append
             # source keeps even min/max views source-read-free
-            self._apply_additive(spark, ch, to)
+            self._apply_additive(
+                spark, ch, to, props_update={_CURSOR_KEY: str(to)}
+            )
         else:
-            self._apply_recompute(spark, ch, to, snap)
-        self.view.alter_properties({_CURSOR_KEY: str(to)})
+            self._apply_recompute(
+                spark, ch, to, snap,
+                props_update={_CURSOR_KEY: str(to)},
+            )
+        # the cursor advance RODE the fold/recompute commit (one commit
+        # per refresh, no lost-property crash window); the txn-id raise
+        # in _cursor() remains as the backstop for histories written
+        # before this fusion
         return to
 
     def _window_changes(
@@ -940,15 +1132,25 @@ class IncrementalAggView:
         return self._filtered(self.source.read_cdf(spark, frm, to))
 
     # -------------------------------------------------- additive path --
-    def _apply_additive(self, spark, ch: DataFrame, to: int) -> None:
-        self._apply_additive_delta(spark, ch, f"{_TXN_PREFIX}{to}")
+    def _apply_additive(
+        self, spark, ch: DataFrame, to: int,
+        props_update: dict | None = None,
+    ) -> None:
+        self._apply_additive_delta(
+            spark, ch, f"{_TXN_PREFIX}{to}", props_update=props_update
+        )
 
     def _apply_additive_delta(
-        self, spark, ch: DataFrame, txn_id: str
+        self, spark, ch: DataFrame, txn_id: str,
+        props_update: dict | None = None,
     ) -> None:
         """Additive fold of a change frame under an explicit txn id —
         the single-source path stamps ``matview.cursor.<to>``, the union
-        view a version VECTOR."""
+        view a version VECTOR. ``props_update`` rides the fold's MERGE
+        commit atomically (the caller's post-fold property advance —
+        cursor, membership, pending clear — lands WITH the data, so no
+        crash window separates them and no extra metadata commit is
+        paid); an empty fold still commits it, metadata-only."""
         # routing invariant: "sql" aggregates have no incremental form,
         # so a window must never reach the fold when one is declared
         assert self._insert_only_foldable, "sql aggregates never fold"
@@ -1046,7 +1248,24 @@ class IncrementalAggView:
                 moved = moved | (F.col(c) != 0)
         deltas = deltas.filter(moved).persist()
         try:
-            self._refuse_null_groups(deltas, "change feed")
+            # ONE fused probe job replaces three scheduler round trips:
+            # the merge's key-bounds agg also carries per-key null
+            # counts (the NULL-group refusal) and a row count (empty-
+            # window early exit), and materializes the persisted deltas
+            # every later merge job reads from cache
+            bounds, row = self.view._source_key_bounds(
+                deltas,
+                list(self.group_cols),
+                extra_aggs=[F.count(F.lit(1)).alias("_mv_nrows")],
+            )
+            if any(bounds[g]["nulls"] for g in self.group_cols):
+                raise ValueError(self._null_group_msg("change feed"))
+            if not row["_mv_nrows"]:
+                # nothing moved: no merge, but the caller's property
+                # advance must still land
+                if props_update is not None:
+                    self.view.alter_properties(props_update)
+                return
             self.view.merge(
                 spark,
                 deltas,
@@ -1063,22 +1282,36 @@ class IncrementalAggView:
                     ),
                 ],
                 txn_id=txn_id,
+                # deltas is a groupBy on exactly the merge keys: unique
+                # by construction, so the cardinality guard and the
+                # finding pass's distinct shuffle are provably safe to
+                # skip, and the bounds job above is not repeated
+                source_keys_unique=True,
+                source_key_bounds=bounds,
+                properties_update=props_update,
             )
         finally:
             deltas.unpersist()
 
     # ------------------------------------------------- recompute path --
     def _apply_recompute(
-        self, spark, ch: DataFrame, to: int, view_snap=None
+        self, spark, ch: DataFrame, to: int, view_snap=None,
+        props_update: dict | None = None,
     ) -> None:
         # (view_snap unused here: the single-table recompute needs only
         # the SOURCE snapshot; the join subclass reads its dim pins from
         # it)
         # persisted: the affected-key list feeds the semi-join, the
-        # vanished anti-join, AND the NULL-key probe
+        # vanished anti-join, AND the bounds/NULL-key probe
         affected = ch.select(*self.group_cols).distinct().persist()
         try:
-            self._refuse_null_groups(affected, "change feed")
+            # one fused job: the pruned scan's key bounds double as the
+            # NULL-group probe (per-key null counts ride the bounds agg)
+            bounds = self.source._source_key_bounds(
+                affected, list(self.group_cols)
+            )
+            if any(bounds[g]["nulls"] for g in self.group_cols):
+                raise ValueError(self._null_group_msg("change feed"))
             # the semi-join is the EXACT filter, but without help it
             # still scans every source file first; the log-held per-file
             # min/max stats (the same machinery MERGE's finding pass
@@ -1086,7 +1319,7 @@ class IncrementalAggView:
             # the scan — on a key-clustered layout a narrow change
             # window reads O(affected-span) files, not the table
             scan, self.last_recompute_files = self._pruned_scan(
-                spark, self.source, to, affected
+                spark, self.source, to, affected, bounds=bounds
             )
             fresh = self._compute_state(
                 self._filtered(scan).join(
@@ -1094,7 +1327,8 @@ class IncrementalAggView:
                 )
             )
             self._merge_fresh_state(
-                spark, affected, fresh, f"{_TXN_PREFIX}{to}"
+                spark, affected, fresh, f"{_TXN_PREFIX}{to}",
+                bounds=bounds, props_update=props_update,
             )
         finally:
             affected.unpersist()
@@ -1131,14 +1365,21 @@ class IncrementalAggView:
         return scan, (len(cand), len(snap.files))
 
     def _merge_fresh_state(
-        self, spark, affected: DataFrame, fresh: DataFrame, txn_id: str
+        self, spark, affected: DataFrame, fresh: DataFrame, txn_id: str,
+        bounds: dict | None = None, props_update: dict | None = None,
     ) -> None:
         """Recompute-path merge tail: replace the affected groups' state
         with ``fresh``, delete groups the recompute proved vanished.
         ``txn_id`` carries the exactly-once identity: fact-cursor
         refreshes use ``matview.cursor.<to>``, dimension refreshes
         ``matview.dims.<version-vector>`` — distinct spaces, so a dim
-        merge can never be deduplicated against a fact merge."""
+        merge can never be deduplicated against a fact merge.
+        ``bounds`` (the affected keys' bounds the pruned scan already
+        collected — a conservative superset of the merge source's) and
+        the keys-unique proof (fresh is a groupBy on the keys; vanished
+        is disjoint from it) skip the merge's own probe jobs;
+        ``props_update`` rides the commit (see
+        :meth:`_apply_additive_delta`)."""
         vanished = affected.join(fresh, self.group_cols, "left_anti")
         src = fresh.withColumn("_vanish", F.lit(0)).unionByName(
             vanished.withColumn("_vanish", F.lit(1)),
@@ -1163,6 +1404,9 @@ class IncrementalAggView:
                 ),
             ],
             txn_id=txn_id,
+            source_keys_unique=True,
+            source_key_bounds=bounds,
+            properties_update=props_update,
         )
 
     # ----------------------------------------------------------- read --
@@ -1295,9 +1539,11 @@ class IncrementalJoinAggView(IncrementalAggView):
         rebuild_ratio: float | None = 1.0,
         where: str | None = None,
         register_pins: bool = False,
+        lease_seconds: float | None = None,
     ):
         super().__init__(
-            source, path, group_cols, aggs, rebuild_ratio, where
+            source, path, group_cols, aggs, rebuild_ratio, where,
+            lease_seconds,
         )
         if not dims:
             raise ValueError(
@@ -1785,6 +2031,7 @@ class IncrementalJoinAggView(IncrementalAggView):
                 f"view at {self.path} has no committed build; call build()"
             )
         self._check_definition(snap)
+        self._acquire_lease()
         # crash-recovered: property pins raised by committed dim-merge
         # txn ids (see _pinned_dim_versions) — a replay after a lost
         # pin advance windows from the state the MERGE left, never from
@@ -1940,13 +2187,18 @@ class IncrementalJoinAggView(IncrementalAggView):
             txn = self._dims_txn_prefix(snap) + "-".join(
                 str(v) for v in current
             )
-            self._recompute_groups(spark, affected, cursor, current, txn)
+            # the re-pin rides the fold commit (no crash window between
+            # the dim recompute and the pin advance; txn-id pin recovery
+            # remains the backstop for pre-fusion histories)
+            self._recompute_groups(
+                spark, affected, cursor, current, txn,
+                props_update=self._dim_props(current),
+            )
         finally:
             if affected is not None:
                 affected.unpersist()
             for _, keys in changed:
                 keys.unpersist()
-        self.view.alter_properties(self._dim_props(current))
         if self.register_pins:
             # advance the vacuum floors only NOW — after the fold and
             # the re-pin committed — so any failure above leaves the
@@ -1989,7 +2241,8 @@ class IncrementalJoinAggView(IncrementalAggView):
 
     # ------------------------------------------------- recompute path --
     def _apply_recompute(
-        self, spark, ch: DataFrame, to: int, view_snap=None
+        self, spark, ch: DataFrame, to: int, view_snap=None,
+        props_update: dict | None = None,
     ) -> None:
         """Affected-group recompute with the fact scan pruned THROUGH the
         dimensions: project the affected groups onto each connected
@@ -2004,7 +2257,8 @@ class IncrementalJoinAggView(IncrementalAggView):
         try:
             self._refuse_null_groups(affected, "change feed")
             self._recompute_groups(
-                spark, affected, to, versions, f"{_TXN_PREFIX}{to}"
+                spark, affected, to, versions, f"{_TXN_PREFIX}{to}",
+                props_update=props_update,
             )
         finally:
             affected.unpersist()
@@ -2016,6 +2270,7 @@ class IncrementalJoinAggView(IncrementalAggView):
         to: int,
         versions: list[int],
         txn_id: str,
+        props_update: dict | None = None,
     ) -> None:
         """Re-derive ``affected`` groups from the fact snapshot at
         version ``to`` enriched with the dims at ``versions``, pruning
@@ -2046,7 +2301,9 @@ class IncrementalJoinAggView(IncrementalAggView):
                 affected, self.group_cols, "left_semi"
             )
         )
-        self._merge_fresh_state(spark, affected, fresh, txn_id)
+        self._merge_fresh_state(
+            spark, affected, fresh, txn_id, props_update=props_update
+        )
 
     # -------------------------------------------------- prune plumbing --
     @staticmethod
@@ -2201,8 +2458,11 @@ class IncrementalTopKView(IncrementalAggView):
         order_name: str = "order_value",
         rebuild_ratio: float | None = 1.0,
         where: str | None = None,
+        lease_seconds: float | None = None,
     ):
-        self._init_common(source, path, group_cols, rebuild_ratio, where)
+        self._init_common(
+            source, path, group_cols, rebuild_ratio, where, lease_seconds
+        )
         if not isinstance(k, int) or k < 1:
             raise ValueError(f"k must be a positive int, got {k!r}")
         if not payload:
@@ -2288,15 +2548,20 @@ class IncrementalTopKView(IncrementalAggView):
         # through the insert-only fold.)
         return False
 
-    def alter(self, spark: SparkSession, add_aggs: dict):
+    def alter(
+        self,
+        spark: SparkSession,
+        add_aggs: dict | None = None,
+        drop_aggs=None,
+    ):
         """Typed refusal: a top-k view stores RANKED ROWS, not
-        aggregate state — there is no aggregate surface to extend.
-        Changing ``k``/``order_by``/``payload`` is a different
+        aggregate state — there is no aggregate surface to extend or
+        shrink. Changing ``k``/``order_by``/``payload`` is a different
         definition; construct the new view and ``build()`` it."""
         raise MatviewDefinitionError(
             f"view at {self.path}: top-k views have no aggregate "
-            "surface alter() could extend; a changed ranking/payload "
-            "is a new definition — build() a new view"
+            "surface alter() could extend or drop; a changed "
+            "ranking/payload is a new definition — build() a new view"
         )
 
     # ----------------------------------------------------- state shape --
@@ -2335,7 +2600,8 @@ class IncrementalTopKView(IncrementalAggView):
 
     # ------------------------------------------------ insert-only fold --
     def _apply_additive_delta(
-        self, spark, ch: DataFrame, txn_id: str
+        self, spark, ch: DataFrame, txn_id: str,
+        props_update: dict | None = None,
     ) -> None:
         """Reached only under the txlog's insert-only window proof
         (``additive`` is False): re-rank stored rows ∪ inserted rows
@@ -2359,7 +2625,8 @@ class IncrementalTopKView(IncrementalAggView):
                 stored.drop("_mv_rank").unionByName(delta)
             )
             self._merge_fresh_state(
-                spark, affected, fresh, txn_id, stored=stored
+                spark, affected, fresh, txn_id, stored=stored,
+                props_update=props_update,
             )
         finally:
             if stored is not None:
@@ -2389,6 +2656,8 @@ class IncrementalTopKView(IncrementalAggView):
         fresh: DataFrame,
         txn_id: str,
         stored: DataFrame | None = None,
+        bounds: dict | None = None,
+        props_update: dict | None = None,
     ) -> None:
         """Replace the affected groups' ranked rows. Keyed on
         (group, rank): rank r gets the row now holding it, ranks past a
@@ -2438,6 +2707,13 @@ class IncrementalTopKView(IncrementalAggView):
                     ),
                 ],
                 txn_id=txn_id,
+                # changed ranks (unique per group by _rank) ∪ vanished
+                # ranks (disjoint from changed by anti-join) — unique on
+                # (group, rank) by construction. `bounds` covers only
+                # the group columns, not _mv_rank, so the merge computes
+                # its own full-key bounds.
+                source_keys_unique=True,
+                properties_update=props_update,
             )
         finally:
             if own:
@@ -2517,6 +2793,7 @@ class IncrementalUnionAggView(IncrementalAggView):
         aggs: dict[str, tuple[str, str]],
         rebuild_ratio: float | None = 1.0,
         where: str | None = None,
+        lease_seconds: float | None = None,
     ):
         if len(sources) < 2:
             raise ValueError(
@@ -2527,7 +2804,8 @@ class IncrementalUnionAggView(IncrementalAggView):
         if len(set(paths)) != len(paths):
             raise ValueError(f"duplicate source paths: {paths}")
         super().__init__(
-            sources[0], path, group_cols, aggs, rebuild_ratio, where
+            sources[0], path, group_cols, aggs, rebuild_ratio, where,
+            lease_seconds,
         )
         self.sources = list(sources)
 
@@ -2681,6 +2959,7 @@ class IncrementalUnionAggView(IncrementalAggView):
                 f"view at {self.path} has no committed build; call build()"
             )
         self._check_definition(snap)
+        self._acquire_lease()
         frm = self._cursor_vec(snap)
         self._heal_cursor(snap, frm)
         to = [t.version() for t in self.sources]
@@ -2729,16 +3008,21 @@ class IncrementalUnionAggView(IncrementalAggView):
                 "build() to re-anchor it from the current snapshots"
             ) from e
         txn = self._txn_prefix(snap) + "-".join(str(v) for v in to)
+        # the vector advance rides the fold commit (one commit per
+        # refresh; the txn-id vector recovery in _cursor_vec remains the
+        # backstop for pre-fusion histories)
+        props = self._src_props(to)
         # proof evaluated lazily: an additive view never pays the
         # per-shard commit-log walk (mirrors the single-source routing)
         if self.additive or (
             self._insert_only_foldable
             and all(t.window_is_insert_only(f, c) for t, f, c in moved)
         ):
-            self._apply_additive_delta(spark, ch, txn)
+            self._apply_additive_delta(spark, ch, txn, props_update=props)
         else:
-            self._apply_union_recompute(spark, ch, to, txn)
-        self.view.alter_properties(self._src_props(to))
+            self._apply_union_recompute(
+                spark, ch, to, txn, props_update=props
+            )
         return to
 
     # ------------------------------------------------- refresh costing --
@@ -2763,6 +3047,7 @@ class IncrementalUnionAggView(IncrementalAggView):
     def _apply_union_recompute(
         self, spark, ch: DataFrame, to: list[int], txn_id: str,
         sources: list[TxLogTable] | None = None,
+        props_update: dict | None = None,
     ) -> None:
         """Affected-group recompute across EVERY shard: a group's rows
         may live in shards whose windows didn't move, so all shards are
@@ -2774,14 +3059,17 @@ class IncrementalUnionAggView(IncrementalAggView):
         sources = self.sources if sources is None else sources
         affected = ch.select(*self.group_cols).distinct().persist()
         try:
-            self._refuse_null_groups(affected, "change feed")
             scan = None
             scanned = total = 0
-            # the affected-key bounds depend only on the (persisted)
-            # affected frame — compute the collect once, not per shard
+            # ONE fused probe job: the affected-key bounds (computed
+            # once, reused by every shard's prune AND the merge tail)
+            # double as the NULL-group refusal via their per-key null
+            # counts
             bounds = sources[0]._source_key_bounds(
-                affected, self.group_cols
+                affected, list(self.group_cols)
             )
+            if any(bounds[g]["nulls"] for g in self.group_cols):
+                raise ValueError(self._null_group_msg("change feed"))
             for t, v in zip(sources, to):
                 s, (c, n) = self._pruned_scan(
                     spark, t, v, affected, bounds=bounds
@@ -2795,11 +3083,20 @@ class IncrementalUnionAggView(IncrementalAggView):
                     affected, self.group_cols, "left_semi"
                 )
             )
-            self._merge_fresh_state(spark, affected, fresh, txn_id)
+            self._merge_fresh_state(
+                spark, affected, fresh, txn_id,
+                bounds=bounds, props_update=props_update,
+            )
         finally:
             affected.unpersist()
 
     # ------------------------------------------- definition evolution --
+    def _alter_cursor_props(self, snap):
+        """Drop-only alter() for the union view: re-assert the healed
+        version vector, return it."""
+        vec = self._cursor_vec(snap)
+        return {_CURSOR_KEY: str(vec[0]), **self._src_props(vec)}, vec
+
     def _alter_anchor(self, spark: SparkSession, snap):
         """alter() anchor for the union view: every shard read at its
         applied vector component (healed first), so the new aggregates'
@@ -2893,6 +3190,7 @@ class IncrementalUnionAggView(IncrementalAggView):
             raise FileNotFoundError(
                 f"view at {self.path} has no committed build; call build()"
             )
+        self._acquire_lease()
         if snap.properties.get(_PENDING_KEY) == "true":
             raise MatviewDefinitionError(
                 f"view at {self.path} has an interrupted rebuild "
@@ -2918,6 +3216,14 @@ class IncrementalUnionAggView(IncrementalAggView):
                 f"{table.path} is already a source of this view"
             )
         stored = snap.properties.get(_DEF_KEY)
+        if pend is None and stored == self._definition_json_for(
+            [*old, table]
+        ):
+            # a previous attach of this shard COMPLETED (the fold commit
+            # carries the membership atomically, so there is no partial
+            # post-fold state) — idempotent success, echo the vector
+            self.sources = [*old, table]
+            return self._cursor_vec(snap, sources=self.sources)
         if stored != self._definition_json_for(old):
             raise MatviewDefinitionError(
                 f"view at {self.path} was built from a different "
@@ -2960,6 +3266,21 @@ class IncrementalUnionAggView(IncrementalAggView):
                     # misread the shard as already attached
                     self.sources = prev_sources
                     raise
+        # construct the shard read BEFORE the pending marker lands: a
+        # metadata-detectable unreadable snapshot (vacuumed, missing log)
+        # must refuse with the view UNTOUCHED — wedging refresh()/read()
+        # behind the pending contract for a failure that never wrote
+        # anything would force a needless resume/build. The pending
+        # bracket below still covers failures only the fold JOB discovers.
+        try:
+            full = table.read(spark, version=v)
+        except (ValueError, FileNotFoundError) as e:
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: attaching shard {table.path} "
+                f"snapshot v{v} cannot be read ({e}); the view was NOT "
+                "touched — re-run attach_shard when it is readable, or "
+                "construct the view with the full membership and build()"
+            ) from e
         if pend is None:
             self.view.alter_properties(
                 {
@@ -2973,38 +3294,38 @@ class IncrementalUnionAggView(IncrementalAggView):
                 }
             )
         txn = f"{self._txn_prefix(snap)}attach.{len(old)}.{v}"
-        try:
-            full = table.read(spark, version=v)
-        except (ValueError, FileNotFoundError) as e:
-            raise MatviewWindowUnreadableError(
-                f"view at {self.path}: attaching shard {table.path} "
-                f"snapshot v{v} cannot be read ({e}); re-run "
-                "attach_shard when it is readable, or construct the "
-                "view with the full membership and build()"
-            ) from e
         ch = self._filtered(full).withColumn(
             "_change_type", F.lit("insert")
         )
+        # the membership commit (definition, extended vector, epoch
+        # bump, pending clear) rides the fold commit ATOMICALLY: the
+        # attach protocol has exactly two commits (pending, fold) and
+        # NO window in which the fold landed but the membership didn't
+        epoch = int(snap.properties.get(_UNION_EPOCH_KEY, 0))
+        props = {
+            _DEF_KEY: self._definition_json_for([*old, table]),
+            **self._src_props([*vec, v]),
+            _CURSOR_KEY: str(vec[0]),
+            _UNION_EPOCH_KEY: str(epoch + 1),
+            _ATTACH_PENDING_KEY: None,
+        }
         if self._insert_only_foldable:
             # the attach window is PURE INSERTS: min/max fold
             # monotonically, sketches union — the insert-only proof
             # holds by construction, no commit-log walk needed
-            self._apply_additive_delta(spark, ch, txn)
+            self._apply_additive_delta(spark, ch, txn, props_update=props)
         else:
             self._apply_union_recompute(
-                spark, ch, [*vec, v], txn, sources=[*old, table]
+                spark, ch, [*vec, v], txn, sources=[*old, table],
+                props_update=props,
             )
-        epoch = int(snap.properties.get(_UNION_EPOCH_KEY, 0))
+        if self.view.snapshot().properties.get(_ATTACH_PENDING_KEY):
+            # pre-fusion history: the interrupted fold had already
+            # committed WITHOUT the membership rider (r13 protocol), so
+            # the replay above was a txn no-op and the membership still
+            # needs its own commit — the old completion path
+            self.view.alter_properties(props)
         self.sources = [*old, table]
-        self.view.alter_properties(
-            {
-                _DEF_KEY: self._definition_json(),
-                **self._src_props([*vec, v]),
-                _CURSOR_KEY: str(vec[0]),
-                _UNION_EPOCH_KEY: str(epoch + 1),
-                _ATTACH_PENDING_KEY: None,
-            }
-        )
         return [*vec, v]
 
     def detach_shard(
@@ -3035,6 +3356,7 @@ class IncrementalUnionAggView(IncrementalAggView):
             raise FileNotFoundError(
                 f"view at {self.path} has no committed build; call build()"
             )
+        self._acquire_lease()
         if snap.properties.get(_PENDING_KEY) == "true":
             raise MatviewDefinitionError(
                 f"view at {self.path} has an interrupted rebuild "
@@ -3072,6 +3394,13 @@ class IncrementalUnionAggView(IncrementalAggView):
                 "build() it instead"
             )
         stored = snap.properties.get(_DEF_KEY)
+        if pend is None and stored == self._definition_json_for(
+            [t for t in old if t.path != table.path]
+        ):
+            # a previous detach of this shard COMPLETED (atomic fold
+            # commit) — idempotent success, echo the remaining vector
+            self.sources = [t for t in old if t.path != table.path]
+            return self._cursor_vec(snap, sources=self.sources)
         if stored != self._definition_json_for(old):
             raise MatviewDefinitionError(
                 f"view at {self.path} was built from a different "
@@ -3102,6 +3431,18 @@ class IncrementalUnionAggView(IncrementalAggView):
                 except BaseException:
                     self.sources = prev_sources
                     raise
+        # read construction BEFORE the pending marker, mirroring attach:
+        # an unreadable applied snapshot refuses with the view untouched
+        try:
+            full = table.read(spark, version=v)
+        except (ValueError, FileNotFoundError) as e:
+            raise MatviewWindowUnreadableError(
+                f"view at {self.path}: detaching shard {table.path}'s "
+                f"applied snapshot v{v} cannot be read ({e}) — its "
+                "contribution cannot be subtracted; the view was NOT "
+                "touched; construct the view with the remaining shards "
+                "and build()"
+            ) from e
         if pend is None:
             self.view.alter_properties(
                 {
@@ -3111,39 +3452,35 @@ class IncrementalUnionAggView(IncrementalAggView):
                 }
             )
         txn = f"{self._txn_prefix(snap)}detach.{i}.{v}"
-        try:
-            full = table.read(spark, version=v)
-        except (ValueError, FileNotFoundError) as e:
-            raise MatviewWindowUnreadableError(
-                f"view at {self.path}: detaching shard {table.path}'s "
-                f"applied snapshot v{v} cannot be read ({e}) — its "
-                "contribution cannot be subtracted; construct the view "
-                "with the remaining shards and build()"
-            ) from e
         ch = self._filtered(full).withColumn(
             "_change_type", F.lit("delete")
         )
         remaining = [t for t in old if t.path != table.path]
         rvec = [x for j, x in enumerate(vec) if j != i]
+        # membership commit rides the fold commit atomically (see
+        # attach_shard) — two commits total, no partial post-fold state
+        epoch = int(snap.properties.get(_UNION_EPOCH_KEY, 0))
+        props = {
+            _DEF_KEY: self._definition_json_for(remaining),
+            **self._src_props(rvec),
+            _CURSOR_KEY: str(rvec[0]),
+            _UNION_EPOCH_KEY: str(epoch + 1),
+            _DETACH_PENDING_KEY: None,
+            # drop the now-stale trailing pin
+            self._SRC_KEY.format(i=len(old) - 1): None,
+        }
         if self.additive:
-            self._apply_additive_delta(spark, ch, txn)
+            self._apply_additive_delta(spark, ch, txn, props_update=props)
         else:
             self._apply_union_recompute(
-                spark, ch, rvec, txn, sources=remaining
+                spark, ch, rvec, txn, sources=remaining,
+                props_update=props,
             )
-        epoch = int(snap.properties.get(_UNION_EPOCH_KEY, 0))
+        if self.view.snapshot().properties.get(_DETACH_PENDING_KEY):
+            # pre-fusion history: fold committed without the rider (r13
+            # protocol); complete with the old membership commit
+            self.view.alter_properties(props)
         self.sources = remaining
-        self.view.alter_properties(
-            {
-                _DEF_KEY: self._definition_json(),
-                **self._src_props(rvec),
-                _CURSOR_KEY: str(rvec[0]),
-                _UNION_EPOCH_KEY: str(epoch + 1),
-                _DETACH_PENDING_KEY: None,
-                # drop the now-stale trailing pin
-                self._SRC_KEY.format(i=len(old) - 1): None,
-            }
-        )
         return rvec
 
     def recover(self, spark: SparkSession):
@@ -3173,7 +3510,6 @@ class IncrementalUnionAggView(IncrementalAggView):
                 # recover hook with a raw JSONDecodeError every batch
                 info = json.loads(p)
                 resume(spark, TxLogTable(info["path"]))
-                return self.refresh(spark)
             except (
                 MatviewWindowUnreadableError,
                 MatviewDefinitionError,
@@ -3183,4 +3519,35 @@ class IncrementalUnionAggView(IncrementalAggView):
                 TypeError,
             ):
                 return self.build(spark)
+            # the post-resume refresh stays OUTSIDE the guard: a
+            # data-shaped error it raises (NULL group key) needs an
+            # upstream fix — routing it into build() would burn a full
+            # recompute only to fail with the same error, every batch
+            # under a stream's views_recover hook
+            return self.refresh(spark)
+        # membership ADOPTION: a completed attach/detach this handle
+        # never saw leaves no pending to resume (the membership commit
+        # rides the fold atomically) — the handle is merely STALE. When
+        # the stored definition differs from ours ONLY in the shard
+        # list, adopt it and refresh; falling through to the base
+        # ladder's build() would re-anchor on the stale list and
+        # silently DISCARD the committed membership change.
+        stored = props.get(_DEF_KEY)
+        if stored is not None and stored != self._definition_json():
+            try:
+                d = json.loads(stored)
+            except ValueError:
+                d = None
+            if (
+                isinstance(d, dict)
+                and isinstance(d.get("sources"), list)
+                and all(isinstance(p, str) for p in d["sources"])
+                and json.dumps(
+                    {**d, "sources": [t.path for t in self.sources]},
+                    sort_keys=True,
+                )
+                == self._definition_json()
+            ):
+                self.sources = [TxLogTable(p) for p in d["sources"]]
+                return self.refresh(spark)
         return super().recover(spark)

@@ -2638,7 +2638,9 @@ class TxLogTable:
         )
         return target
 
-    def alter_properties(self, updates: dict) -> int:
+    def alter_properties(
+        self, updates: dict, expected_version: int | None = None
+    ) -> int:
         """ALTER TABLE SET/UNSET TBLPROPERTIES: a metadata-only commit
         merging ``updates`` into the table's log-carried property map
         (a ``None`` value unsets the key). Properties bind to the TABLE —
@@ -2657,7 +2659,13 @@ class TxLogTable:
 
         Unknown keys are stored verbatim (Delta does the same). A
         concurrent property change conflicts with in-flight ops — their
-        validation ran under the old properties."""
+        validation ran under the old properties.
+
+        ``expected_version`` turns the commit into a CAS: the change
+        lands only if the table is still at that version (the log's
+        put-if-absent makes the version file the atomicity point), else
+        :class:`ConcurrentWriteError` — the primitive a lease/claim
+        protocol needs (read, check, conditionally write)."""
         normalized: dict = {}
         for k, v in updates.items():
             if v is None:
@@ -2693,6 +2701,13 @@ class TxLogTable:
                 continue
             normalized[k] = str(v)
         snap = self.snapshot()
+        if expected_version is not None and (
+            snap.version if snap else -1
+        ) != expected_version:
+            raise ConcurrentWriteError(
+                f"{self.path}: expected version {expected_version}, "
+                f"now at {snap.version if snap else -1}"
+            )
         self._check_writer_features(snap)
         props = dict(snap.properties) if snap else {}
         for k, v in normalized.items():
@@ -3470,11 +3485,20 @@ class TxLogTable:
         self._maybe_auto_compact(df.sparkSession)
         return v
 
-    def _source_key_bounds(self, source: DataFrame, keys: list[str]) -> dict:
+    def _source_key_bounds(
+        self, source: DataFrame, keys: list[str], extra_aggs: list | None = None
+    ):
         """Per-key min/max/null-count bounds of a MERGE source — one tiny
         agg job — in the same normalized value space as the log-held file
         stats. Feeds both data skipping (``_stats_candidates``) and the
-        commit-time read-set conflict check."""
+        commit-time read-set conflict check.
+
+        ``extra_aggs`` lets a caller FUSE its own aggregate probes (a
+        NULL-key check, a row count) into the same job instead of paying
+        a second scheduler round trip — the return becomes
+        ``(bounds, row)`` so the caller reads its extras off the single
+        collected row; without it the return is just ``bounds``
+        (existing call sites unchanged)."""
         aggs = []
         for k in keys:
             aggs += [
@@ -3482,7 +3506,7 @@ class TxLogTable:
                 F.max(k).alias(f"_mx_{k}"),
                 F.sum(F.col(k).isNull().cast("long")).alias(f"_nl_{k}"),
             ]
-        row = source.agg(*aggs).collect()[0]
+        row = source.agg(*aggs, *(extra_aggs or [])).collect()[0]
         # PySpark materializes TimestampType (LTZ) values via the DRIVER
         # OS's local timezone as NAIVE datetimes, while the footer stats
         # normalize to naive UTC — on a non-UTC driver the two sides would
@@ -3513,7 +3537,7 @@ class TxLogTable:
                 "max": mx[1] if mx else None,
                 "nulls": row[f"_nl_{k}"] or 0,
             }
-        return src
+        return (src, row) if extra_aggs is not None else src
 
     def _stats_candidates(
         self,
@@ -3899,6 +3923,9 @@ class TxLogTable:
         clauses: list,
         schema_evolution: bool = False,
         txn_id: str | None = None,
+        source_keys_unique: bool = False,
+        source_key_bounds: dict | None = None,
+        properties_update: dict | None = None,
     ) -> int:
         """Conditional MERGE (Delta's full ``MergeBuilder`` surface):
         arbitrary ordered WHEN MATCHED UPDATE/DELETE, WHEN NOT MATCHED
@@ -3949,7 +3976,30 @@ class TxLogTable:
         expressions but UPDATE SET * / INSERT * map only the
         intersection. CDF materializes update pre/post images, deletes
         and inserts per clause class. One atomic commit; a replayed
-        ``txn_id`` is a no-op."""
+        ``txn_id`` is a no-op.
+
+        Small-batch fast-path hints (the matview fold uses all three —
+        they shave whole scheduler round trips off a merge whose source
+        is tiny but whose fixed job count would otherwise dominate):
+
+        - ``source_keys_unique=True``: the caller GUARANTEES at most one
+          source row per key combination (e.g. the source is a groupBy
+          on exactly ``keys``), so the cardinality-guard job and the
+          finding pass's distinct shuffle are skipped. A false promise
+          voids the ambiguous-merge protection — only pass it for
+          frames whose plan proves it.
+        - ``source_key_bounds``: precomputed :meth:`_source_key_bounds`
+          output (callers fuse the bounds agg with their own probes via
+          its ``extra_aggs`` hook), skipping the bounds job here.
+        - ``properties_update``: table-property changes (``None`` value
+          = unset) committed ATOMICALLY with the merge entry — a
+          caller's post-merge ``alter_properties`` folded into the same
+          commit, eliminating both the extra metadata commit and the
+          crash window between them. When the merge turns out to be a
+          no-op (nothing matched, nothing to insert) the properties
+          still land, via a metadata-only commit; on a replayed
+          ``txn_id`` they are assumed to have ridden the original
+          commit."""
         from bigdataingestion_spark.sinks.merge_clauses import (
             CARRY,
             MergeCardinalityError,
@@ -4012,7 +4062,11 @@ class TxLogTable:
         session_tz = spark.conf.get("spark.sql.session.timeZone")
         try:
             # ---- candidate files: keys ∪ by-source predicates ----------
-            src_bounds = self._source_key_bounds(source, keys)
+            src_bounds = (
+                source_key_bounds
+                if source_key_bounds is not None
+                else self._source_key_bounds(source, keys)
+            )
             key_cands = self._stats_candidates(
                 snap, src_bounds, keys, null_safe=False
             )
@@ -4050,9 +4104,10 @@ class TxLogTable:
                 )
             for name, expr in plan.target_markers():
                 tgt = tgt.withColumn(name, expr)
-            skeys = (
-                source.select(*keys).distinct().withColumn(km, F.lit(True))
-            )
+            skeys = source.select(*keys)
+            if not source_keys_unique:
+                skeys = skeys.distinct()
+            skeys = skeys.withColumn(km, F.lit(True))
             # cardinality guard BEFORE resolution: >1 source row per
             # matched target key makes update/delete ambiguous — and
             # with BY SOURCE clauses present the guard must run even
@@ -4061,7 +4116,7 @@ class TxLogTable:
             # silently DUPLICATE them (insert-only merges are exempt:
             # carry rows are never re-staged there, and Delta inserts
             # duplicate source keys by design)
-            if plan.matched or plan.by_source:
+            if (plan.matched or plan.by_source) and not source_keys_unique:
                 nsrc = self._fresh_col("_n", [*keys, *source.columns])
                 dup_keys = (
                     source.groupBy(*keys)
@@ -4107,7 +4162,11 @@ class TxLogTable:
             candidates_touched = [f for f in snap.files if f in cand_hit]
 
             if not candidates_touched and not plan.inserts:
-                return snap.version  # nothing matches, nothing to insert
+                # nothing matches, nothing to insert — but a rider
+                # property update must still land (metadata-only commit)
+                if properties_update is not None:
+                    return self.alter_properties(properties_update)
+                return snap.version
 
             # ---- join + clause resolution ------------------------------
             if candidates_touched:
@@ -4139,30 +4198,32 @@ class TxLogTable:
             # refine touched: only files holding a row a clause FIRED for
             # are rewritten; candidate files whose rows all resolved to
             # CARRY keep carrying by reference (their rows must then NOT
-            # be re-staged)
-            modified_t = (
-                action.isin(
-                    sorted(plan.update_codes() | plan.delete_codes())
+            # be re-staged). ONE job over the persisted join yields both
+            # the per-action row counts AND the per-action file sets
+            # (r14: this and the touched-file distinct used to be two
+            # scheduler round trips; rows with update/delete action
+            # codes always carry a target side, so their collect_set of
+            # target files IS the old modified_t distinct, and
+            # collect_set skips the NULL t-file of insert rows) —
+            # O(actions × files) driver traffic, same as Delta's commit
+            # metrics.
+            nrow = self._fresh_col("_n", [ac])
+            fset = self._fresh_col("_fs", [ac, nrow])
+            act_rows = (
+                joined.groupBy(ac)
+                .agg(
+                    F.count(F.lit(1)).alias(nrow),
+                    F.collect_set(F.col(f"t.{fc}")).alias(fset),
                 )
-                & F.col(f"t.{t_mark}").isNotNull()
-            )
-            touched_uris = [
-                r[0]
-                for r in joined.filter(modified_t)
-                .select(F.col(f"t.{fc}"))
-                .distinct()
                 .collect()
-            ]
+            )
+            counts = {r[0]: r[1] for r in act_rows}
+            mod_codes = plan.update_codes() | plan.delete_codes()
+            touched_uris = sorted(
+                {u for r in act_rows if r[0] in mod_codes for u in r[2]}
+            )
             hit_rel = {self._rel_from_uri(u) for u in touched_uris}
             touched = [f for f in snap.files if f in hit_rel]
-
-            nrow = self._fresh_col("_n", [ac])
-            counts = {
-                r[0]: r[1]
-                for r in joined.groupBy(ac)
-                .agg(F.count(F.lit(1)).alias(nrow))
-                .collect()
-            }
             rows_updated = sum(
                 counts.get(c, 0) for c in plan.update_codes()
             )
@@ -4173,7 +4234,11 @@ class TxLogTable:
                 counts.get(c, 0) for c in plan.insert_codes()
             )
             if not touched and rows_inserted == 0:
-                return snap.version  # every candidate row resolved CARRY
+                # every candidate row resolved CARRY; rider properties
+                # still land (see above)
+                if properties_update is not None:
+                    return self.alter_properties(properties_update)
+                return snap.version
 
             in_touched = F.col(f"t.{t_mark}").isNull()
             if touched_uris:
@@ -4272,6 +4337,20 @@ class TxLogTable:
                 bad |= set(chk(rest, cur))
             return [f for f in added if f in bad]
 
+        final_props = id_props
+        if properties_update is not None:
+            # rider property changes commit atomically with the merge
+            # entry (identity hwm advances compose underneath)
+            final_props = (
+                dict(id_props)
+                if id_props is not None
+                else dict(snap.properties)
+            )
+            for k, pv in properties_update.items():
+                if pv is None:
+                    final_props.pop(k, None)
+                else:
+                    final_props[k] = str(pv)
         v = self._commit_reconciled(
             files,
             touched,
@@ -4283,7 +4362,7 @@ class TxLogTable:
             read_check=read_check,
             precomputed_stats=fstats,
             cdf=cdf_map,
-            properties=id_props,
+            properties=final_props,
             metrics={
                 "clauses": [
                     f"{cl.category}:{cl.action}" for cl in plan.clauses

@@ -6,17 +6,20 @@ here the attaching PROCESS genuinely dies (os._exit) at each of the two
 interesting points of the attach protocol —
 
 1. AFTER the pending property, BEFORE any fold commit;
-2. AFTER the fold merge committed, BEFORE the membership commit;
+2. AFTER the fold commit (which carries the membership rider, so the
+   attach is already COMPLETE — there is no partial post-fold state);
 
 — and a separate session (the parent) recovers. Invariants:
 
-- ``recover()`` RESUMES the attach from the recorded pending path
-  (never a rebuild: zero ``overwrite`` commits after the build);
-- the fold lands exactly once (death #2's committed merge replays as a
-  txn no-op — exactly one merge commit for the attach in the final
-  history);
-- the final state equals the from-scratch aggregate of the full
-  membership, and normal refresh works afterwards.
+- death #1: ``recover()`` RESUMES the attach from the recorded pending
+  path (never a rebuild: zero ``overwrite`` commits after the build);
+- death #2: the pending is already cleared (the fold commit cleared it
+  atomically) and ``recover()`` on a stale pre-attach handle ADOPTS
+  the stored membership instead of rebuilding;
+- either way the fold lands exactly once (exactly one merge commit in
+  the final history), the final state equals the from-scratch
+  aggregate of the full membership, and normal refresh works
+  afterwards.
 """
 
 from __future__ import annotations
@@ -63,15 +66,14 @@ if stage == "kill_before_fold":
         os._exit(18)  # pending is set; nothing folded yet
 
     mv.view.merge = dying_merge
-elif stage == "kill_before_commit":
-    real_alter = mv.view.alter_properties
+elif stage == "kill_after_fold":
+    real_merge = mv.view.merge
 
-    def dying_alter(props):
-        if mvmod._DEF_KEY in props:
-            os._exit(17)  # the fold merge is already committed
-        return real_alter(props)
+    def dying_merge(*a, **k):
+        real_merge(*a, **k)
+        os._exit(17)  # fold + membership rider committed atomically
 
-    mv.view.alter_properties = dying_alter
+    mv.view.merge = dying_merge
 mv.attach_shard(spark, new)
 os._exit(0)
 """
@@ -80,7 +82,7 @@ SCHEMA = "id long, grp string, val double"
 
 
 @pytest.mark.parametrize(
-    "stage,rc", [("kill_before_fold", 18), ("kill_before_commit", 17)]
+    "stage,rc", [("kill_before_fold", 18), ("kill_after_fold", 17)]
 )
 def test_attach_process_death_then_recover(spark, tmp_path, stage, rc):
     from bigdataingestion_spark.sinks.matview import (
@@ -145,7 +147,6 @@ def test_attach_process_death_then_recover(spark, tmp_path, stage, rc):
     )
     assert proc.returncode == rc, f"attacher must die at {stage}"
 
-    # the crashed attach left a pending marker that refuses maintenance
     fresh = IncrementalUnionAggView(
         shards,
         view_path,
@@ -154,12 +155,24 @@ def test_attach_process_death_then_recover(spark, tmp_path, stage, rc):
         rebuild_ratio=None,
     )
     snap = fresh.view.snapshot()
-    assert _ATTACH_PENDING_KEY in snap.properties
-    with pytest.raises(MatviewDefinitionError, match="interrupted attach"):
-        fresh.refresh(spark)
+    if stage == "kill_before_fold":
+        # pending marker left behind; maintenance refuses until resumed
+        assert _ATTACH_PENDING_KEY in snap.properties
+        with pytest.raises(
+            MatviewDefinitionError, match="interrupted attach"
+        ):
+            fresh.refresh(spark)
+    else:
+        # the fold commit carried the membership rider: the attach is
+        # COMPLETE, pending cleared atomically — the stale handle just
+        # sees a definition mismatch
+        assert _ATTACH_PENDING_KEY not in snap.properties
+        with pytest.raises(MatviewDefinitionError):
+            fresh.refresh(spark)
 
-    # recover() in a DIFFERENT process/session resumes from the
-    # recorded path — never a rebuild, fold landed exactly once
+    # recover() in a DIFFERENT process/session resumes (death #1) or
+    # adopts the committed membership (death #2) — never a rebuild,
+    # fold landed exactly once
     fresh.recover(spark)
     assert [t.path for t in fresh.sources] == [
         t.path for t in [*shards, new]

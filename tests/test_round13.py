@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -183,7 +185,9 @@ def test_attach_shard_refusals(spark, tmp_path):
         mv2.attach_shard(spark, drift)
 
 
-def test_attach_shard_crash_resume_exactly_once(spark, tmp_path):
+def test_attach_shard_crash_before_fold_resume_exactly_once(
+    spark, tmp_path
+):
     shards = _mk_shards(spark, tmp_path, 2)
     mv = IncrementalUnionAggView(
         shards,
@@ -196,19 +200,18 @@ def test_attach_shard_crash_resume_exactly_once(spark, tmp_path):
     new = _shard(
         spark, tmp_path / "s_new", [(700, "g0", 3.0), (701, "g1", 4.0)]
     )
-    # crash INJECTION: die on the membership-commit alter (the one
-    # carrying the new definition), after the fold merge committed
-    real_alter = mv.view.alter_properties
+    # crash INJECTION: die inside the fold, before its commit — the
+    # pending marker is set, nothing folded (the membership rider would
+    # have cleared the pending atomically with the fold)
+    real_merge = mv.view.merge
 
-    def dying_alter(props):
-        if _DEF_KEY in props:
-            raise RuntimeError("simulated crash before membership commit")
-        return real_alter(props)
+    def dying_merge(*a, **k):
+        raise RuntimeError("simulated crash before fold commit")
 
-    mv.view.alter_properties = dying_alter
+    mv.view.merge = dying_merge
     with pytest.raises(RuntimeError, match="simulated crash"):
         mv.attach_shard(spark, new)
-    mv.view.alter_properties = real_alter
+    mv.view.merge = real_merge
     # the view refuses maintenance until the attach completes
     fresh = IncrementalUnionAggView(
         shards,
@@ -221,18 +224,71 @@ def test_attach_shard_crash_resume_exactly_once(spark, tmp_path):
         fresh.refresh(spark)
     with pytest.raises(MatviewDefinitionError, match="attach_shard"):
         fresh.read(spark)
-    # re-running with the same table completes; the fold replays as a
-    # txn no-op (exactly ONE merge commit in the view's history)
-    merges_before = sum(
-        1 for h in fresh.view.history() if h["op"] == "merge"
-    )
+    # re-running with the same table completes the attach — exactly ONE
+    # merge commit lands (the fold + membership, atomically)
     fresh.attach_shard(spark, new)
-    merges_after = sum(
-        1 for h in fresh.view.history() if h["op"] == "merge"
-    )
-    assert merges_after == merges_before  # replayed, not re-applied
+    merges = sum(1 for h in fresh.view.history() if h["op"] == "merge")
+    assert merges == 1, "fold must land exactly once"
+    snap = fresh.view.snapshot()
+    assert _ATTACH_PENDING_KEY not in snap.properties
     assert _read_rows(spark, fresh, ["n", "s"]) == _union_oracle(
         spark, fresh.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+
+
+def test_attach_shard_crash_after_fold_is_already_complete(
+    spark, tmp_path
+):
+    """The membership rider makes the fold commit the COMPLETION: a
+    crash after it leaves no partial state — no pending, definition
+    already extended — and re-running attach_shard is an idempotent
+    no-op (no second merge)."""
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    new = _shard(
+        spark, tmp_path / "s_new", [(700, "g0", 3.0), (701, "g1", 4.0)]
+    )
+    real_merge = mv.view.merge
+
+    def dying_merge(*a, **k):
+        real_merge(*a, **k)
+        raise RuntimeError("simulated crash after fold commit")
+
+    mv.view.merge = dying_merge
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mv.attach_shard(spark, new)
+    mv.view.merge = real_merge
+    snap = mv.view.snapshot()
+    assert _ATTACH_PENDING_KEY not in snap.properties, (
+        "fold commit must clear the pending atomically"
+    )
+    assert json.loads(snap.properties[_DEF_KEY])["sources"] == [
+        t.path for t in [*shards, new]
+    ]
+    # re-run with the PRE-attach handle: idempotent success, no new fold
+    pre = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    vec = pre.attach_shard(spark, new)
+    assert len(vec) == 3
+    assert [t.path for t in pre.sources] == [
+        t.path for t in [*shards, new]
+    ]
+    merges = sum(1 for h in pre.view.history() if h["op"] == "merge")
+    assert merges == 1, "idempotent re-run must not fold again"
+    assert _read_rows(spark, pre, ["n", "s"]) == _union_oracle(
+        spark, pre.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
     )
 
 
@@ -247,17 +303,16 @@ def test_attach_crash_recover_resumes_not_rebuilds(spark, tmp_path):
     )
     mv.build(spark)
     new = _shard(spark, tmp_path / "s_new", [(800, "g2", 1.0)])
-    real_alter = mv.view.alter_properties
-    mv.view.alter_properties = lambda props: (_ for _ in ()).throw(
+    # crash before the fold commit: pending recorded, nothing folded
+    mv.view.merge = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("crash")
-    ) if _DEF_KEY in props else real_alter(props)
+    )
     with pytest.raises(RuntimeError):
         mv.attach_shard(spark, new)
-    mv.view.alter_properties = real_alter
     # recover() on an object constructed with the PRE-attach membership
     # (e.g. an unattended stream's views_recover hook) RESUMES the
     # half-finished attach from the recorded pending path — it must not
-    # silently discard the committed fold with a rebuild
+    # silently discard the in-flight membership change with a rebuild
     pre = IncrementalUnionAggView(
         shards,
         str(tmp_path / "mv"),
@@ -278,6 +333,43 @@ def test_attach_crash_recover_resumes_not_rebuilds(spark, tmp_path):
     assert ops.count("overwrite") == 0, f"resume must not rebuild: {ops}"
 
 
+def test_attach_complete_stale_handle_recover_adopts(spark, tmp_path):
+    """After a COMPLETED attach (atomic fold+membership commit), a
+    handle still holding the pre-attach membership is merely stale:
+    recover() must ADOPT the stored membership — never rebuild over it,
+    which would discard the attached shard."""
+    shards = _mk_shards(spark, tmp_path, 2)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    new = _shard(spark, tmp_path / "s_new", [(800, "g2", 1.0)])
+    mv.attach_shard(spark, new)
+    # stale handle: pre-attach membership, view already evolved
+    pre = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    with pytest.raises(MatviewDefinitionError):
+        pre.refresh(spark)
+    pre.recover(spark)
+    assert [t.path for t in pre.sources] == [
+        t.path for t in [*shards, new]
+    ]
+    ops = [h["op"] for h in pre.view.history()]
+    assert ops.count("overwrite") == 0, f"adoption, not rebuild: {ops}"
+    assert _read_rows(spark, pre, ["n", "s"]) == _union_oracle(
+        spark, pre.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
+
+
 def test_detach_crash_recover_resumes(spark, tmp_path):
     shards = _mk_shards(spark, tmp_path, 3)
     mv = IncrementalUnionAggView(
@@ -288,13 +380,12 @@ def test_detach_crash_recover_resumes(spark, tmp_path):
         rebuild_ratio=None,
     )
     mv.build(spark)
-    real_alter = mv.view.alter_properties
-    mv.view.alter_properties = lambda props: (_ for _ in ()).throw(
+    # crash before the subtraction fold commits: pending recorded
+    mv.view.merge = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("crash")
-    ) if _DEF_KEY in props else real_alter(props)
+    )
     with pytest.raises(RuntimeError):
         mv.detach_shard(spark, shards[0])
-    mv.view.alter_properties = real_alter
     pre = IncrementalUnionAggView(
         shards,
         str(tmp_path / "mv"),
@@ -524,17 +615,15 @@ def test_detach_shard_crash_resume(spark, tmp_path):
         rebuild_ratio=None,
     )
     mv.build(spark)
-    real_alter = mv.view.alter_properties
-
-    def dying_alter(props):
-        if _DEF_KEY in props:
-            raise RuntimeError("simulated crash")
-        return real_alter(props)
-
-    mv.view.alter_properties = dying_alter
+    # crash before the subtraction fold commits (the membership rider
+    # would have completed the detach atomically with the fold)
+    real_merge = mv.view.merge
+    mv.view.merge = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash")
+    )
     with pytest.raises(RuntimeError):
         mv.detach_shard(spark, shards[2])
-    mv.view.alter_properties = real_alter
+    mv.view.merge = real_merge
     fresh = IncrementalUnionAggView(
         shards,
         str(tmp_path / "mv"),
@@ -552,6 +641,50 @@ def test_detach_shard_crash_resume(spark, tmp_path):
     assert _DETACH_PENDING_KEY not in snap.properties
     # the stale trailing pin property was dropped
     assert "matview.union.src.2.version" not in snap.properties
+
+
+def test_detach_shard_crash_after_fold_is_already_complete(
+    spark, tmp_path
+):
+    """Detach mirror of the attach atomicity: a crash after the fold
+    commit leaves the detach COMPLETE; re-running with the pre-detach
+    handle is an idempotent no-op."""
+    shards = _mk_shards(spark, tmp_path, 3)
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    real_merge = mv.view.merge
+
+    def dying_merge(*a, **k):
+        real_merge(*a, **k)
+        raise RuntimeError("simulated crash after fold commit")
+
+    mv.view.merge = dying_merge
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mv.detach_shard(spark, shards[2])
+    mv.view.merge = real_merge
+    snap = mv.view.snapshot()
+    assert _DETACH_PENDING_KEY not in snap.properties
+    pre = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    rvec = pre.detach_shard(spark, shards[2])
+    assert len(rvec) == 2
+    assert [t.path for t in pre.sources] == [t.path for t in shards[:2]]
+    merges = sum(1 for h in pre.view.history() if h["op"] == "merge")
+    assert merges == 1, "idempotent re-run must not fold again"
+    assert _read_rows(spark, pre, ["n", "s"]) == _union_oracle(
+        spark, pre.sources, {"n": F.count(F.lit(1)), "s": F.sum("val")}
+    )
 
 
 def test_attach_shard_with_where_filter(spark, tmp_path):
