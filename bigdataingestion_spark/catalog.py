@@ -7312,6 +7312,65 @@ def txlog_matview_drop_aggs(spark, sf_dir):
 
 
 @register(
+    "txlog_matview_rename_aggs",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_orderkey % 7 <> 0
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM base GROUP BY l_returnflag
+    """,
+)
+def txlog_matview_rename_aggs(spark, sf_dir):
+    """[EXT] Aggregate rename via alter(rename_aggs=...) (r14): a
+    lineitem rollup refreshes through one window, then renames its sum
+    column with NO source read (pure state-column relabel; cursor
+    survives, asserted), after which a delete window keeps folding
+    additively under the new name. Values must be bit-identical to the
+    oracle's aggregate under the new output name."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdataingestion_spark.sinks.matview import IncrementalAggView
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    k = F.col("l_orderkey")
+    src = _fresh_txlog()
+    src.append(li.filter(k % 2 == 0))
+    src.alter_properties({"cdf.enabled": "true"})
+    mv = IncrementalAggView(
+        src,
+        _os.path.join(_tempfile.mkdtemp(prefix="txlog-mv-"), "mv"),
+        ["l_returnflag"],
+        {
+            "n_items": ("count", "1"),
+            "sum_cents": (
+                "sum", "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            ),
+        },
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    src.append(li.filter(k % 2 == 1))
+    cur = mv.refresh(spark)
+    got = mv.alter(spark, rename_aggs={"sum_cents": "revenue_cents"})
+    assert got == cur, "rename must keep the cursor, not re-anchor"
+    src.delete(spark, "l_orderkey % 7 = 0")
+    mv.refresh(spark)
+    return mv.read(spark).select(
+        "l_returnflag",
+        "n_items",
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@register(
     "txlog_matview_lease",
     """
     SELECT c_mktsegment,
@@ -7383,15 +7442,18 @@ def txlog_matview_lease(spark, sf_dir):
 _GATE_FIRST = [
     # Round-14 window, per the r13 verdict's recorded rotation plan.
     # Standing policy: queries NEW this round lead (zero evidence
-    # first) — the 2 r14 additions (aggregate drop via
-    # alter(drop_aggs=...), maintenance-lease enforcement) — then the
-    # 28 remaining r11-window entries (the oldest delivered driver
-    # evidence after the green r13 gate), then the first 20 of the
-    # r12-window cohort. After a green r14 gate no query's delivered
-    # evidence is older than r12 except the r12-window tail the r15
-    # queue already names below.
+    # first) — the 3 r14 additions (aggregate drop and rename via
+    # alter(), maintenance-lease enforcement) — then the 28 remaining
+    # r11-window entries (the oldest delivered driver evidence after
+    # the green r13 gate), then the first 19 of the r12-window cohort
+    # (the recorded plan said 20; a third new query displaced the
+    # last, docs_pack_sequences, to the r15 queue head — new-first is
+    # the standing policy). After a green r14 gate no query's
+    # delivered evidence is older than r12 except the r12-window tail
+    # the r15 queue already names below.
     # --- new this round (r14) ---
     "txlog_matview_drop_aggs",
+    "txlog_matview_rename_aggs",
     "txlog_matview_lease",
     # --- the 28 remaining r11-window entries ---
     "docs_duplicate_spans",
@@ -7442,11 +7504,11 @@ _GATE_FIRST = [
     "txlog_generated_bucket",
     "docs_boilerplate_ngrams",
     "docs_length_profile",
-    "docs_pack_sequences",
-    # Exactly 50 names (2 new r14 + 28 r11 tail + 20 r12 cohort).
-    # r15 queue: any queries new in r15 lead, then the remaining 30
-    # r12-window entries in their r12 order (docs_pii_redacted,
-    # docs_temperature_sample, docs_tfidf_top_terms,
+    # Exactly 50 names (3 new r14 + 28 r11 tail + 19 r12 cohort).
+    # r15 queue: any queries new in r15 lead, then the remaining 31
+    # r12-window entries in their r12 order (docs_pack_sequences,
+    # docs_pii_redacted,
+    # docs_temperature_sample, docs_tfidf_top_terms,  # (r12 order cont.)
     # txlog_cdc_ops_final_state, txlog_auto_compact_invariance,
     # docs_dup_span_profile, q17_small_quantity_revenue,
     # txlog_nested_rename, txlog_update_recompute,

@@ -52,14 +52,22 @@ The source table needs ``cdf.enabled=true`` BEFORE the DML whose changes
 a refresh must see (appends/overwrites synthesize change rows without
 it; row-level DML does not — ``read_cdf`` raises a clear error).
 
-Definitions evolve ADDITIVELY without a rebuild (r13):
+Definitions evolve without a rebuild (r13 add, r14 drop):
 :meth:`IncrementalAggView.alter` extends any aggregate/join/union view
 with new aggregate columns, backfilled in one anchored source read
-while the cursor (and a join view's dimension pins) survive; top-k
-views refuse with a typed error. Union views additionally evolve their
-SHARD MEMBERSHIP in place — see
-:meth:`IncrementalUnionAggView.attach_shard` / ``detach_shard``. Every
-other definition change remains a refusal + ``build()``.
+while the cursor (and a join view's dimension pins) survive, and drops
+existing ones with NO source read (the state is projected and
+republished); top-k views refuse with a typed error. Union views
+additionally evolve their SHARD MEMBERSHIP in place — see
+:meth:`IncrementalUnionAggView.attach_shard` / ``detach_shard``.
+Renames/retypes and group/filter changes remain a refusal +
+``build()``.
+
+The single-maintainer contract each view assumes is ENFORCEABLE (r14):
+constructing a view with ``lease_seconds`` makes every maintenance
+entry point CAS-claim a ``matview.lease`` property first — a second
+live maintainer gets :class:`MatviewLeaseHeldError` instead of a race,
+and an expired lease (dead holder) is claimable by anyone.
 """
 
 from __future__ import annotations
@@ -867,10 +875,11 @@ class IncrementalAggView:
         spark: SparkSession,
         add_aggs: dict | None = None,
         drop_aggs=None,
+        rename_aggs: dict | None = None,
     ):
         """Definition evolution without a rebuild and without
         disturbing the cursor — ADD aggregate columns, DROP existing
-        ones, or both in one commit.
+        ones, RENAME them, or any combination in one commit.
 
         **Add** (``add_aggs``, the constructor's ``{out: (fn, expr)}``
         shape): the new aggregates' state is backfilled in ONE source
@@ -894,10 +903,16 @@ class IncrementalAggView:
         instead). Dropping the last ``("sql", …)`` aggregate makes the
         view additive again — future refreshes fold.
 
-        NON-additive edits beyond these — renaming or retyping an
-        aggregate (including drop+re-add of the same name in one call),
-        or touching ``group_cols``/``where`` — are refused; a changed
-        aggregate is a different definition: build a new view.
+        **Rename** (``rename_aggs``, ``{old: new}``): also NO source
+        read — the state columns relabel 1:1 (the ``(fn, expr)`` is
+        untouched). The new name must be brand-new: renaming onto ANY
+        pre-alter name (an existing aggregate, one being dropped in the
+        same call, a swap) changes that name's meaning and is refused.
+
+        NON-additive edits beyond these — retyping an aggregate
+        (including drop+re-add or rename-onto of the same name in one
+        call), or touching ``group_cols``/``where`` — are refused; a
+        changed aggregate is a different definition: build a new view.
 
         Cost note (measured, SCALE.md): the republish is ONE overwrite
         of the whole state — O(state rows), not O(changed columns) —
@@ -919,8 +934,10 @@ class IncrementalAggView:
 
         add_aggs = dict(add_aggs or {})
         drops = list(drop_aggs or [])
-        if not add_aggs and not drops:
-            raise ValueError("alter() needs add_aggs and/or drop_aggs")
+        if not add_aggs and not drops and not rename_aggs:
+            raise ValueError(
+                "alter() needs add_aggs, drop_aggs and/or rename_aggs"
+            )
         if len(set(drops)) != len(drops):
             raise ValueError(f"duplicate names in drop_aggs: {drops}")
         for d in drops:
@@ -944,6 +961,31 @@ class IncrementalAggView:
         taken = {g.lower() for g in self.group_cols} | {
             a.lower() for a in self.aggs
         }
+        renames = dict(rename_aggs or {})
+        for old, new in renames.items():
+            if old not in self.aggs:
+                raise ValueError(
+                    f"cannot rename {old!r}: not an aggregate of this "
+                    f"view (aggregates: {sorted(self.aggs)})"
+                )
+            if old in set(drops):
+                raise ValueError(
+                    f"cannot both drop and rename {old!r} in one alter()"
+                )
+            if not _NAME_RE.match(new):
+                raise ValueError(f"aggregate output name {new!r} is not "
+                                 "a plain SQL identifier")
+            if new.lower() in taken:
+                # includes every PRE-alter name: renaming onto a name
+                # that existed (even one being dropped, or a swap) is a
+                # change of that name's MEANING — a different
+                # definition, refused like any rename-in-disguise
+                raise ValueError(
+                    f"rename target {new!r} collides with an existing "
+                    "aggregate or group column — a reused name is a "
+                    "different definition (build a new view)"
+                )
+            taken.add(new.lower())
         for out, (fn, expr) in add_aggs.items():
             if not _NAME_RE.match(out):
                 raise ValueError(f"aggregate output name {out!r} is not "
@@ -999,8 +1041,8 @@ class IncrementalAggView:
                 new_cols, self.group_cols, "left"
             )
         else:
-            # drop-only: NO source read — the state projection below is
-            # the whole data path
+            # drop/rename-only: NO source read — the state projection
+            # below is the whole data path
             cursor_props, ret = self._alter_cursor_props(snap)
             merged = self.view.read(spark)
         if drops:
@@ -1009,6 +1051,14 @@ class IncrementalAggView:
                     {k: self.aggs[k] for k in drops}
                 )
             )
+        for old, new in renames.items():
+            # a rename is a pure state-column relabel: the (fn, expr)
+            # is untouched, so the per-kind state columns map 1:1
+            for oc, nc in zip(
+                self._agg_state_cols({old: self.aggs[old]}),
+                self._agg_state_cols({new: self.aggs[old]}),
+            ):
+                merged = merged.withColumnRenamed(oc, nc)
         pre_v = self.view.version()
         self.view.alter_properties({_PENDING_KEY: "true"})
         try:
@@ -1042,7 +1092,10 @@ class IncrementalAggView:
                 "which only the job itself discovers; construct the "
                 "extended view and build() it instead"
             ) from e
-        self.aggs = {**remaining, **add_aggs}
+        self.aggs = {
+            **{renames.get(k, k): v for k, v in remaining.items()},
+            **add_aggs,
+        }
         self.view.alter_properties(
             {
                 _DEF_KEY: self._definition_json(),
@@ -2553,6 +2606,7 @@ class IncrementalTopKView(IncrementalAggView):
         spark: SparkSession,
         add_aggs: dict | None = None,
         drop_aggs=None,
+        rename_aggs: dict | None = None,
     ):
         """Typed refusal: a top-k view stores RANKED ROWS, not
         aggregate state — there is no aggregate surface to extend or

@@ -162,7 +162,7 @@ def test_drop_aggs_refusals(spark, tmp_path):
         mv.alter(
             spark, add_aggs={"hi": ("min", "val")}, drop_aggs=["hi"]
         )
-    with pytest.raises(ValueError, match="add_aggs and/or drop_aggs"):
+    with pytest.raises(ValueError, match="rename_aggs"):
         mv.alter(spark)
     # nothing above wrote anything
     assert set(mv.aggs) == {"n", "s", "hi", "sd"}
@@ -313,6 +313,136 @@ def test_drop_aggs_union_view(spark, tmp_path):
         .collect()
     }
     assert _read(spark, mv, ["n", "s"]) == want
+
+
+def test_rename_aggs_no_source_read_values_preserved(spark, tmp_path):
+    src = _src(
+        spark,
+        tmp_path / "t",
+        [(i, f"g{i % 2}", float(i)) for i in range(1, 9)],
+    )
+    mv = _wide(src, tmp_path / "mv")
+    mv.build(spark)
+    src.append(spark.createDataFrame([(20, "g0", 20.0)], SCHEMA))
+    cur = mv.refresh(spark)
+    before = _read(spark, mv, ["n", "s", "hi"])
+
+    real_read = src.read
+    src.read = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("rename-only alter must not read the source")
+    )
+    try:
+        got = mv.alter(
+            spark, rename_aggs={"s": "total_val", "hi": "max_val"}
+        )
+    finally:
+        src.read = real_read
+    assert got == cur, "rename must keep the cursor"
+    assert set(mv.aggs) == {"n", "total_val", "max_val", "sd"}
+    assert _read(spark, mv, ["n", "total_val", "max_val"]) == before
+    # maintenance continues under the new names (recompute: sql agg)
+    src.delete(spark, "id = 3")
+    mv.refresh(spark)
+    want = {
+        r["grp"]: (r["n"], round(r["s"], 6), round(r["hi"], 6))
+        for r in src.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("s"),
+            F.max("val").alias("hi"),
+        )
+        .collect()
+    }
+    assert _read(spark, mv, ["n", "total_val", "max_val"]) == want
+
+
+def test_rename_aggs_refusals(spark, tmp_path):
+    src = _src(spark, tmp_path / "t", [(1, "g0", 1.0)])
+    mv = _wide(src, tmp_path / "mv")
+    mv.build(spark)
+    with pytest.raises(ValueError, match="not an aggregate"):
+        mv.alter(spark, rename_aggs={"nope": "x"})
+    with pytest.raises(ValueError, match="collides"):
+        mv.alter(spark, rename_aggs={"s": "hi"})  # existing name
+    with pytest.raises(ValueError, match="collides"):
+        mv.alter(spark, rename_aggs={"s": "grp"})  # group column
+    with pytest.raises(ValueError, match="collides"):
+        mv.alter(spark, rename_aggs={"s": "hi", "hi": "s"})  # swap
+    with pytest.raises(ValueError, match="collides"):
+        # rename onto a name being dropped: a change of meaning
+        mv.alter(spark, drop_aggs=["hi"], rename_aggs={"s": "hi"})
+    with pytest.raises(ValueError, match="drop and rename"):
+        mv.alter(spark, drop_aggs=["s"], rename_aggs={"s": "x"})
+    with pytest.raises(ValueError, match="identifier"):
+        mv.alter(spark, rename_aggs={"s": "bad name"})
+    assert set(mv.aggs) == {"n", "s", "hi", "sd"}
+    mv.read(spark)
+
+
+def test_alter_add_drop_rename_in_one_commit(spark, tmp_path):
+    src = _src(
+        spark,
+        tmp_path / "t",
+        [(i, f"g{i % 2}", float(i)) for i in range(1, 10)],
+    )
+    mv = _wide(src, tmp_path / "mv")
+    mv.build(spark)
+    mv.alter(
+        spark,
+        add_aggs={"lo": ("min", "val")},
+        drop_aggs=["sd"],
+        rename_aggs={"hi": "peak"},
+    )
+    assert set(mv.aggs) == {"n", "s", "peak", "lo"}
+    src.append(spark.createDataFrame([(50, "g1", 0.5)], SCHEMA))
+    mv.refresh(spark)
+    want = {
+        r["grp"]: (r["n"], round(r["peak"], 6), round(r["lo"], 6))
+        for r in src.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("val").alias("peak"),
+            F.min("val").alias("lo"),
+        )
+        .collect()
+    }
+    assert _read(spark, mv, ["n", "peak", "lo"]) == want
+
+
+def test_rename_aggs_union_view(spark, tmp_path):
+    shards = [
+        _src(
+            spark,
+            tmp_path / f"s{i}",
+            [(i * 100 + j, f"g{j % 2}", float(j)) for j in range(1, 6)],
+        )
+        for i in range(2)
+    ]
+    mv = IncrementalUnionAggView(
+        shards,
+        str(tmp_path / "mv"),
+        ["grp"],
+        {"n": ("count", "1"), "s": ("sum", "val")},
+        rebuild_ratio=None,
+    )
+    mv.build(spark)
+    vec = mv.alter(spark, rename_aggs={"s": "total"})
+    assert vec == [t.version() for t in shards]
+    shards[0].append(spark.createDataFrame([(900, "g0", 9.0)], SCHEMA))
+    mv.refresh(spark)
+    u = None
+    for t in mv.sources:
+        fr = t.read(spark)
+        u = fr if u is None else u.unionByName(fr)
+    want = {
+        r["grp"]: (r["n"], round(r["total"], 6))
+        for r in u.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("total"))
+        .collect()
+    }
+    assert _read(spark, mv, ["n", "total"]) == want
 
 
 def test_drop_aggs_topk_refusal(spark, tmp_path):
