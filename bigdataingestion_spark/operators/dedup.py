@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 # tracked so bench/test harnesses can release them between queries
 from bigdataingestion_spark.caching import cache_tracked as _cache
 from bigdataingestion_spark.caching import release_caches  # noqa: F401  (re-export)
-from bigdataingestion_spark.operators.text import normalize_text
+from bigdataingestion_spark.operators.text import normalize_text, ordered_pairs
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -125,6 +125,11 @@ def shingle_table(
     )
 
 
+# shared i<j pair expansion over sorted id arrays (one copy for the whole
+# operator layer; text.duplicate_spans uses the same grouped-pairs shape)
+_ordered_pairs = ordered_pairs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -143,38 +148,61 @@ def ngram_jaccard_pairs(
     i.e. Jaccard is computed over the filtered shingle sets — the standard
     near-dup trick (ubiquitous shingles carry no similarity signal anyway).
     ``max_shingle_df=None`` disables the cap (exact verification on inputs
-    known to be cold).
+    known to be cold) and switches pair generation to a streaming self-join,
+    since only the cap bounds the per-shingle pair-array materialization.
 
-    Plan shape: one explode, one count() window keyed on shingle (the df
-    filter; its shuffle leaves the data hash-partitioned by shingle, which
-    the self-join immediately reuses), one self-join on the shingle key, one
-    pair-count aggregate, then two joins against the post-filter per-doc
-    size table (sizes must be re-counted after the cap, so the cheaper
-    carry-array-size-through-the-explode trick no longer applies; the pair
-    table these joins touch is candidates-only, orders of magnitude smaller
-    than the shingle table).
+    Plan shape (capped path, r14): ONE shuffle groups the exploded shingles
+    into per-shingle sorted id lists (hash aggregate — no sort, unlike the
+    count()-window formulation this replaced, and the groups ARE the DF
+    filter: ``size <= cap``), pairs explode directly from each group's
+    ordered id list (no self-join, no second pass over the shingle table),
+    then one pair-count aggregate and two joins against the per-doc size
+    table (itself one explode+aggregate over the cached groups, cached —
+    the r13 plan recomputed it once per join side).
     """
     sh = shingle_table(df, text_col, id_col, n, with_count=False)
-    if max_shingle_df is not None:
-        hot = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(hot))
-            .filter(F.col("_df") <= F.lit(max_shingle_df))
-            .drop("_df")
+    if max_shingle_df is None:
+        # uncapped: a hot shingle's pair ARRAY would be unbounded; keep the
+        # streaming self-join (quadratic rows, but never materialized per
+        # group). Window df-count is skipped entirely — no cap to compute.
+        sh = _cache(sh)
+        sizes = _cache(
+            sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
         )
-    # consumed three times (sizes + both self-join sides): materialize once
-    # instead of re-running the explode (+ df window) per consumer;
-    # release_caches() frees it once the caller has materialized the result
-    sh = _cache(sh)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # grouped path: per-shingle id lists are bounded by the cap, so the
+        # per-group pair array is <= cap^2/2 structs (~8 MB at the default
+        # 1000) — safe to materialize, and it removes the window sort AND
+        # the self-join in one move
+        groups = _cache(
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+            .filter(F.size("_ids") <= F.lit(max_shingle_df))
+        )
+        sizes = _cache(
+            groups.select(F.explode("_ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        inter = (
+            groups.filter(F.size("_ids") >= 2)
+            .select(
+                F.explode(
+                    _ordered_pairs("_ids", "x AS id_a, y AS id_b")
+                ).alias("_p")
+            )
+            .select("_p.id_a", "_p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
@@ -288,7 +316,13 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
-    buckets = _banded_buckets(sig, num_hashes, bands, id_col)
+    # cache barrier: the bucket table feeds BOTH self-join sides — without
+    # it Catalyst plans the whole signature subtree (explode + md5 + 16-way
+    # min aggregate) once per side, doubling the dominant cost (r13 plan:
+    # two identical Exchange+HashAggregate+Generate subtrees). Pairs stay a
+    # streaming join (never a per-bucket pair array) so a degenerate hot
+    # bucket costs rows, not executor memory.
+    buckets = _cache(_banded_buckets(sig, num_hashes, bands, id_col))
 
     a = buckets.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
@@ -346,23 +380,32 @@ def lsh_then_exact(
     (``max_shingle_df``), so the two agree value-for-value on every pair
     both return. Columns: (id_a, id_b, jaccard).
     """
-    cand = minhash_lsh_pairs(df, num_hashes, bands, text_col, id_col, n).select(
-        "id_a", "id_b"
+    # cache barrier: cand feeds three consumers (both cand_ids projections
+    # and the final pair join) — uncached, the LSH bucket join + aggregate
+    # would re-run once per consumer
+    cand = _cache(
+        minhash_lsh_pairs(df, num_hashes, bands, text_col, id_col, n).select(
+            "id_a", "id_b"
+        )
     )
     sh = shingle_table(df, text_col, id_col, n, with_count=False)
     if max_shingle_df is not None:
-        hot = Window.partitionBy("shingle")
+        # DF cap via one hash aggregate (group -> filter -> re-explode), not
+        # a count() window: same kept (id, shingle) pairs without the
+        # per-partition sort a window requires
         sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(hot))
-            .filter(F.col("_df") <= F.lit(max_shingle_df))
-            .drop("_df")
+            sh.groupBy("shingle")
+            .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+            .filter(F.size("_ids") <= F.lit(max_shingle_df))
+            .select("shingle", F.explode("_ids").alias(id_col))
         )
     # verification is candidate-bounded: keep shingle sets only for docs
-    # appearing in some candidate pair (at scale: a tiny fraction)
+    # appearing in some candidate pair (at scale: a tiny fraction); cached —
+    # the two per-side joins below would otherwise each rebuild the sets
     cand_ids = cand.select(F.col("id_a").alias(id_col)).unionByName(
         cand.select(F.col("id_b").alias(id_col))
     )
-    sets = (
+    sets = _cache(
         sh.join(cand_ids.distinct(), on=id_col, how="left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("_set"))
@@ -524,7 +567,12 @@ def connected_components(
     allocation can't reap pinned executors — on a production cluster pass a
     durable dir.
     """
-    sym = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    # cache barrier: the symmetric union below consumes ``pairs`` TWICE —
+    # uncached, the whole upstream pair pipeline (for dedup_near_clusters:
+    # the full Jaccard/LSH candidate generation) is planned and executed
+    # once per union branch when ``edges`` first materializes (r14 plan
+    # audit). One tracked cache of the narrow (a, b) projection halves it.
+    sym = _cache(pairs.select(F.col(left).alias("a"), F.col(right).alias("b")))
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
         _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731

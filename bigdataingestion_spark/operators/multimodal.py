@@ -90,11 +90,20 @@ def extract_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFram
         # package (the driver may run from any cwd/sys.path)
         import base64
 
+        import numpy as np
+
         def fake_feature(payload: bytes) -> list[float]:
-            acc = [0] * dim
-            for i, byte in enumerate(payload):
-                acc[i % dim] = (acc[i % dim] + byte) % 997
-            return [float(v) / 997.0 for v in acc]
+            # vectorized equivalent of the per-byte rolling loop
+            # (guide §4: whole-buffer NumPy instead of Python bytecode per
+            # byte): modular addition is associative, so the rolling
+            # ``acc[i % dim] = (acc[i % dim] + byte) % 997`` IS the strided
+            # sum mod 997. np.sum over uint8 promotes to platform int —
+            # exact for any realistic payload length.
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            return [
+                float(int(arr[j::dim].sum()) % 997) / 997.0
+                for j in range(dim)
+            ]
 
         for pdf in batches:
             payloads = pdf["payload"]

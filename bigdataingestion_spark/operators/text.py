@@ -651,6 +651,20 @@ def weighted_sample(
     )
 
 
+def ordered_pairs(arr_col: str, fields: str) -> Column:
+    """All i<j element pairs of a SORTED array column as one flat struct
+    array: element i pairs with every later element via slice. ``fields``
+    maps array elements to pair-struct fields, e.g. ``"x AS id_a, y AS id_b"``
+    (``x`` = earlier element, ``y`` = later element). Per-group pair arrays
+    are quadratic in group size — callers must bound group size first
+    (DF cap / bucket semantics) before materializing pairs this way."""
+    return F.expr(
+        f"flatten(transform({arr_col}, (x, i) -> "
+        f"transform(slice({arr_col}, i + 2, size({arr_col}) - i - 1), "
+        f"y -> struct({fields}))))"
+    )
+
+
 def span_hashes(
     df: DataFrame,
     span_len: int = 40,
@@ -663,21 +677,26 @@ def span_hashes(
     math, shared by :func:`duplicate_spans` and the catalog's
     duplication-profile query (like ``_SPAN_CTES`` on the oracle side),
     so the two can never silently diverge. A span repeated inside one
-    document counts once."""
+    document counts once — enforced with a per-document ``array_distinct``
+    BEFORE the explode (narrow, no shuffle) rather than a global
+    ``.distinct()`` (a full extra exchange of the span table; r14 plan
+    audit), and md5 then runs once per distinct span instead of once per
+    occurrence."""
     return (
         df.filter(F.length(text_col) >= span_len)
         .select(
             F.col(id_col),
             F.explode(
-                F.expr(
-                    f"transform(sequence(0, length({text_col}) - {span_len},"
-                    f" {stride}), p -> substring({text_col}, p + 1,"
-                    f" {span_len}))"
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, length({text_col}) - {span_len},"
+                        f" {stride}), p -> substring({text_col}, p + 1,"
+                        f" {span_len}))"
+                    )
                 )
             ).alias("_span"),
         )
         .select(F.col(id_col), F.md5(F.col("_span")).alias("_h"))
-        .distinct()
     )
 
 
@@ -699,30 +718,33 @@ def duplicate_spans(
     verbatim paragraph pasted into an otherwise-unrelated document —
     the contamination shape shingle-set similarity dilutes away.
 
-    Scale shape: the shuffle key is the 16-byte md5 of the span, never
-    the span text (same policy as ``dedup.dedup_exact``), so shuffle
-    width is flat in span length; the pair join runs per span-group
-    only. Spans shared by more than ``max_docs_per_span`` documents are
-    boilerplate (headers, licenses) — pairing them is quadratic noise,
-    so they are excluded, exactly the super-common-substring carve-out
-    of the paper; lower the cap at larger corpus scales or feed those
-    spans to ``boilerplate_ngrams`` instead.
+    Scale shape (r14 grouped rewrite; the same move as
+    ``dedup.ngram_jaccard_pairs``): ONE shuffle groups the exploded span
+    hashes into per-span sorted id lists — the shuffle key is the 16-byte
+    md5 of the span, never the span text — and the group size IS both the
+    ``>= 2`` co-occurrence test and the ``max_docs_per_span`` boilerplate
+    carve-out (headers/licenses pair quadratically; excluding them is
+    exactly the super-common-substring carve-out of the paper). Pairs then
+    explode directly from each group's ordered id list (bounded by the cap:
+    <= cap^2/2 structs per group) into the final pair-count aggregate. No
+    keep-list join, no self-join, no global distinct — the r13 shape
+    computed the span subtree three times and shuffled it four times.
 
     Returns ``(id_a, id_b, n_spans)`` with ``id_a < id_b``.
     """
     spans = span_hashes(df, span_len, stride, text_col, id_col)
-    keep = (
+    groups = (
         spans.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs_per_span))
-        .select("_h")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(
+            (F.size("_ids") >= 2) & (F.size("_ids") <= max_docs_per_span)
+        )
     )
-    hits = spans.join(keep, "_h")
-    a = hits.select(F.col("_h"), F.col(id_col).alias("id_a"))
-    b = hits.select(F.col("_h"), F.col(id_col).alias("id_b"))
     return (
-        a.join(b, "_h")
-        .filter(F.col("id_a") < F.col("id_b"))
+        groups.select(
+            F.explode(ordered_pairs("_ids", "x AS id_a, y AS id_b")).alias("_p")
+        )
+        .select("_p.id_a", "_p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_spans"))
     )

@@ -60,6 +60,7 @@ from bigdataingestion_spark.sources.base import Source
 from bigdataingestion_spark.sources.querygen import TableAddress, resolve_table
 
 WATERMARK_LAG_HOURS = 80  # reference ING:350
+_UNSET = object()  # sentinel: None is a legitimate precomputed load date
 DB_SETTINGS_GROUP = "dcx_postgresql_db_settings"
 TABLE_SETTINGS_GROUP = "dcx_postgresql_table_settings"
 WATERMARK_SETTINGS_GROUP = "dcx_postgresql_watermark_settings"
@@ -124,22 +125,31 @@ class Orchestrator:
         path: str,
         previous: str | None,
         insert_allowed: bool,
+        precomputed_load_date=_UNSET,
     ) -> str | None:
-        """New watermark = MAX(COALESCE(wm)) − 80h (ING:345-361) then MERGE."""
-        src = (
-            self.writer.read_back(self.spark, task, path).drop(
-                "_ingest_year", "_ingest_month"  # partitioned-write layout cols
+        """New watermark = MAX(COALESCE(wm)) − 80h (ING:345-361) then MERGE.
+
+        ``precomputed_load_date``: the caller already computed the lagged max
+        in its fused volume-gate aggregate (one job instead of two); honored
+        only when not re-reading written files (``reread_written`` recomputes
+        from the written path — parity mode keeps its own read)."""
+        if precomputed_load_date is not _UNSET and not self.reread_written:
+            load_date = precomputed_load_date
+        else:
+            src = (
+                self.writer.read_back(self.spark, task, path).drop(
+                    "_ingest_year", "_ingest_month"  # partitioned-write layout cols
+                )
+                if self.reread_written
+                else staged
             )
-            if self.reread_written
-            else staged
-        )
-        row = src.agg(
-            (
-                F.max(watermark_expr(watermark_cols))
-                - F.expr(f"INTERVAL {WATERMARK_LAG_HOURS} HOURS")
-            ).alias("loadDate")
-        ).first()
-        load_date = row["loadDate"] if row else None
+            row = src.agg(
+                (
+                    F.max(watermark_expr(watermark_cols))
+                    - F.expr(f"INTERVAL {WATERMARK_LAG_HOURS} HOURS")
+                ).alias("loadDate")
+            ).first()
+            load_date = row["loadDate"] if row else None
         if load_date is None:
             load_date = previous  # reference fallback (ING:357-360)
         if load_date is None and not insert_allowed:
@@ -154,10 +164,17 @@ class Orchestrator:
         return str(load_date) if load_date is not None else None
 
     def _write_chunked(
-        self, staged: DataFrame, watermark_cols: list[str], task: str, path: str
+        self,
+        staged: DataFrame,
+        watermark_cols: list[str],
+        task: str,
+        path: str,
+        n_partitions: int | None = None,
     ) -> int:
         """Big-volume chunked load. Returns number of chunks/partitions
-        written."""
+        written. ``n_partitions``: distinct (year, month) count already
+        computed by the caller's fused volume-gate aggregate — passing it
+        skips the post-write counting job on the partitioned path."""
         wm = watermark_expr(watermark_cols)
         if self.write_strategy == "partitioned":
             # ONE write job: derive the date-part columns once and let the
@@ -168,13 +185,16 @@ class Orchestrator:
             # appends (documented deviation, SURVEY §2.9). The full chunk
             # profile is NOT computed here (the write does its own
             # partitioning); the reported count is a cheap distinct over the
-            # month partitions.
+            # month partitions, fused into the volume-gate aggregate when
+            # the caller provides it.
             out = staged.withColumn("_ingest_year", F.year(wm)).withColumn(
                 "_ingest_month", F.month(wm)
             )
             self.writer.write_partitioned(
                 out, task, path, ["_ingest_year", "_ingest_month"]
             )
+            if n_partitions is not None:
+                return n_partitions
             n = out.select("_ingest_year", "_ingest_month").distinct().count()
             return n
         profile = profile_chunks(staged, watermark_cols)
@@ -210,7 +230,33 @@ class Orchestrator:
 
         staged = staged.cache()
         try:
-            count = staged.count()
+            # fused volume-gate aggregate (one job, one pass that also
+            # materializes the cache): row count + the lagged watermark max
+            # the state MERGE needs + the distinct (year, month) partition
+            # count the partitioned write reports. The r13 shape ran these
+            # as three separate jobs (count, post-write distinct-count, max
+            # aggregate) over the same cached increment.
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            if watermark_cols:
+                wm = watermark_expr(watermark_cols)
+                aggs.append(
+                    (
+                        F.max(wm)
+                        - F.expr(f"INTERVAL {WATERMARK_LAG_HOURS} HOURS")
+                    ).alias("_load_date")
+                )
+                aggs.append(
+                    F.countDistinct(
+                        F.struct(F.year(wm).alias("y"), F.month(wm).alias("m"))
+                    ).alias("_n_parts")
+                )
+            stats = staged.agg(*aggs).first()
+            count = stats["_n"]
+            pre_load_date = (
+                stats["_load_date"]
+                if watermark_cols and not self.reread_written
+                else _UNSET
+            )
             self.audit.add(f"Data Load Count From Source - {count}", count)
             if count == 0:
                 self.audit.add(f"No Records to load for {addr.table}")
@@ -236,15 +282,24 @@ class Orchestrator:
                     new_wm = self._update_state(
                         system_type, addr, staged, watermark_cols, task, path,
                         previous=last, insert_allowed=False,
+                        precomputed_load_date=pre_load_date,
                     )
                 return IngestionResult(
                     addr.table, path, count, "small-overwrite", new_watermark=new_wm
                 )
             if watermark_cols:
-                n = self._write_chunked(staged, watermark_cols, task, path)
+                n = self._write_chunked(
+                    staged, watermark_cols, task, path,
+                    n_partitions=(
+                        int(stats["_n_parts"])
+                        if self.write_strategy == "partitioned"
+                        else None
+                    ),
+                )
                 new_wm = self._update_state(
                     system_type, addr, staged, watermark_cols, task, path,
                     previous=last, insert_allowed=True,
+                    precomputed_load_date=pre_load_date,
                 )
                 return IngestionResult(
                     addr.table, path, count, "chunked", chunks=n, new_watermark=new_wm

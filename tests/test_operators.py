@@ -239,6 +239,73 @@ def test_multimodal_features_deterministic(docs):
         assert len(out1[k].feature) == 8
 
 
+def test_multimodal_vectorized_feature_matches_scalar_reference(spark):
+    # r14: extract_features' batch path vectorizes the rolling byte
+    # accumulator with NumPy strided sums; it must stay bit-identical to
+    # the scalar reference implementation on empty, short (< dim), and
+    # long payloads including bytes that exercise the mod-997 wraparound.
+    payloads = [
+        b"",
+        b"\x01",
+        b"abcdefg",  # len 7 < dim 8
+        bytes(range(256)) * 40,  # long, every byte value
+        b"\xff" * 10_007,  # hot single value, odd length
+    ]
+    df = spark.createDataFrame(
+        [(i, p, "text") for i, p in enumerate(payloads)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    import numpy as np
+
+    got = {
+        r.media_id: r.feature
+        for r in multimodal.extract_features(df, fake=True).collect()
+    }
+    for i, p in enumerate(payloads):
+        # FEATURE_SCHEMA carries float32; compare at that precision
+        want = [float(np.float32(x)) for x in multimodal._fake_feature(p)]
+        assert got[i] == want, f"payload {i}"
+
+
+def test_duplicate_spans_grouped_path_matches_bruteforce(spark):
+    # r14: duplicate_spans became a single grouped pass (sorted id lists
+    # -> ordered-pairs explode); assert pair counts against a brute-force
+    # python reference on a fixture with shared spans, a capped
+    # boilerplate span, and intra-doc repeats (which must count once).
+    import itertools as it
+
+    para = "x" * 25 + "shared paragraph pasted verbatim here!" + "y" * 25
+    docs_rows = [
+        (1, para + " unique tail one"),
+        (2, "prefix " + para),
+        (3, para + para),  # repeats the span inside one doc
+        (4, "entirely unrelated text " * 5),
+    ]
+    df = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+    span_len, stride = 40, 10
+
+    def spans_of(s):
+        return {
+            s[p : p + span_len]
+            for p in range(0, len(s) - span_len + 1, stride)
+        } if len(s) >= span_len else set()
+
+    ref_sets = {i: spans_of(t) for i, t in docs_rows}
+    # span -> docs, capped at 64 (not hit here), pairs from co-occurrence
+    want = {}
+    for a, b in it.combinations(sorted(ref_sets), 2):
+        n = len(ref_sets[a] & ref_sets[b])
+        if n:
+            want[(a, b)] = n
+    got = {
+        (r.id_a, r.id_b): r.n_spans
+        for r in text.duplicate_spans(
+            df, span_len=span_len, stride=stride
+        ).collect()
+    }
+    assert got == want
+
+
 def test_frame_sample_slices_payloads(docs):
     media = multimodal.documents_as_media(
         docs.filter(F.col("doc_id") == 1).select("doc_id", "text")
