@@ -2715,10 +2715,14 @@ def docs_dsir_weights(spark, sf_dir):
     corpus). The shuffle carries (id, bucket) ints — grams hash before
     the exchange — and both models broadcast at <=10k rows; docs with
     empty normalized text carry weight 0 rather than vanishing
-    (operators.selection.dsir_importance_weights)."""
+    (operators.selection.dsir_weights_in_corpus — the target IS a slice
+    of the corpus, so the corpus featurizes ONCE and the target model
+    derives from the cached features by a semi-join on the 'en' ids;
+    r14 plan audit showed the r13 shape re-exploding the en slice's
+    text a second time for value-identical models)."""
     docs = _t(spark, sf_dir, "documents")
-    return selection.dsir_importance_weights(
-        docs, docs.filter(F.col("lang") == "en")
+    return selection.dsir_weights_in_corpus(
+        docs, F.col("lang") == "en"
     )
 
 
@@ -2740,10 +2744,11 @@ def docs_dsir_sample(spark, sf_dir):
     step — with the Gumbel noise derived from md5(doc_id) so the chosen
     training set is seedless, engine-portable, and reproducible at
     100 TB. Executes as TakeOrderedAndProject (per-partition heaps),
-    never a global sort (operators.selection.dsir_resample)."""
+    never a global sort (operators.selection.dsir_resample_in_corpus —
+    one corpus featurization, see docs_dsir_weights)."""
     docs = _t(spark, sf_dir, "documents")
-    return selection.dsir_resample(
-        docs, docs.filter(F.col("lang") == "en"), k=100
+    return selection.dsir_resample_in_corpus(
+        docs, F.col("lang") == "en", k=100
     )
 
 

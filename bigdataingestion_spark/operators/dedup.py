@@ -704,21 +704,27 @@ def simhash_hamming_pairs(
         (b * width, (b + 1) * width if b < n_bands - 1 else 64)
         for b in range(n_bands)
     ]
-    banded = sig.select(
-        F.col(id_col),
-        "simhash_hi",
-        "simhash_lo",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _band_key(s, e).alias("band_key")
-                    )
-                    for b, (s, e) in enumerate(bounds)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "simhash_hi", "simhash_lo", "bk.band", "bk.band_key")
+    # cache barrier: the banded table feeds BOTH self-join sides — without
+    # it the whole simhash subtree (explode + 64-way signed bit sums) is
+    # planned and executed once per side (same fix as minhash_lsh_pairs,
+    # r14 plan audit)
+    banded = _cache(
+        sig.select(
+            F.col(id_col),
+            "simhash_hi",
+            "simhash_lo",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), _band_key(s, e).alias("band_key")
+                        )
+                        for b, (s, e) in enumerate(bounds)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_col, "simhash_hi", "simhash_lo", "bk.band", "bk.band_key")
+    )
     a = banded.select(
         F.col("band"), F.col("band_key"),
         F.col(id_col).alias("id_a"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdataingestion_spark.caching import cache_tracked as _cache
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition tiny (single-split) inputs so vector math uses all cores;
@@ -245,7 +247,13 @@ def kmeans_lite_centroids(
                 lambda s: s["c"],
             ).alias("cv")
         )
-    return centroids
+    # tracked cache: the returned frame is n_cells ROWS but its lineage is
+    # the whole training chain (seed top-k + per-iteration assign/mean
+    # passes over the corpus). Every consumer replans that chain — ivf/
+    # semantic-dedup call sites use the centroids 2-3 times (assign the
+    # corpus, assign the batch/query, build LUTs), which re-trained the
+    # quantizer once PER USE before this barrier (r14 plan audit).
+    return _cache(centroids)
 
 
 def ivf_topk(
@@ -264,7 +272,9 @@ def ivf_topk(
     centroids = kmeans_lite_centroids(
         df, n_cells, lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col
     )
-    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    # cache barrier: assigned feeds the query-cell probe AND the member
+    # semi-join — uncached, the full assign aggregate runs once per use
+    assigned = _cache(ivf_assign(df, centroids, vec_col, id_col))
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     q_cell = assigned.filter(F.col(id_col) == query_id).select("cell_id")
     cell_members = df.join(assigned, id_col).join(
@@ -457,40 +467,62 @@ def pq_encode(
     encode = narrow per-row O(m*k*sub_dim) math with no shuffle. Training
     cost is m independent kmeans-lite runs — on a real corpus, train on a
     sample and encode the full corpus with the broadcast codebooks.
+
+    Encode shape (r14): ONE pass over the corpus — each row posexplodes
+    into its m subvectors, the m codebooks union into one broadcast frame
+    keyed by subspace, and the winner per (id, subspace) is a max() over
+    ``struct(sim, -cell_id)`` whose map-side combine collapses the k
+    candidate rows per subvector BEFORE the exchange (the same move as
+    ``ivf_assign``, where it measured ~8x over the row_number window this
+    replaces; ties break to the smallest cell_id identically). The r13
+    shape scanned the corpus m times and paid m window shuffle+sorts of
+    N·k rows each.
     """
     from functools import reduce
-
-    from pyspark.sql.window import Window
 
     if codebooks is None:
         codebooks = pq_codebooks(
             df, m=m, sub_dim=sub_dim, codes_per_space=codes_per_space,
             lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
         )
-    outs = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
-        )
-        cents = codebooks[s]
-        sims = sub.crossJoin(F.broadcast(cents)).select(
-            F.col(id_col),
-            F.col("cell_id"),
-            cosine(F.col(vec_col), F.col("cv")).alias("_sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cell_id"))
-        outs.append(
-            sims.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                F.col(id_col),
+    cb = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            c.select(
                 F.lit(s).cast("int").alias("subspace"),
-                F.col("cell_id").cast("int").alias("code"),
-                F.round("_sim", 6).alias("sim"),
+                F.col("cell_id"),
+                F.col("cv"),
             )
+            for s, c in enumerate(codebooks)
+        ],
+    )
+    subs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+                    for s in range(m)
+                ]
+            )
+        ).alias("subspace", "_sv"),
+    )
+    cand = F.struct(  # max() orders by (sim, -cell_id): ties -> min cell
+        cosine(F.col("_sv"), F.col("cv")).alias("s"),
+        (-F.col("cell_id")).alias("nc"),
+    )
+    return (
+        subs.join(F.broadcast(cb), "subspace")
+        .select(F.col(id_col), F.col("subspace"), cand.alias("_m"))
+        .groupBy(id_col, "subspace")
+        .agg(F.max("_m").alias("_best"))
+        .select(
+            F.col(id_col),
+            F.col("subspace").cast("int").alias("subspace"),
+            (-F.col("_best.nc")).cast("int").alias("code"),
+            F.round(F.col("_best.s"), 6).alias("sim"),
         )
-    return reduce(lambda a, b: a.unionAll(b), outs)
+    )
 
 
 def pq_topk(
@@ -595,7 +627,10 @@ def semantic_dedup(
     on ``id`` to materialize the dropped set.
     """
     cents = kmeans_lite_centroids(df, n_cells, lloyd_iters, vec_col, id_col)
-    assigned = ivf_assign(df, cents, vec_col, id_col)
+    # cache barrier: assigned feeds both self-join sides (via vecs) AND the
+    # survivor anti-join base — uncached, the assign aggregate (and the
+    # training chain under it) is planned and executed once per consumer
+    assigned = _cache(ivf_assign(df, cents, vec_col, id_col))
     vecs = df.select(id_col, vec_col).join(assigned, id_col)
     dropped = (
         pairwise_cosine_blocked(
@@ -697,9 +732,13 @@ def semantic_dedup_incremental(
         a_corpus = ivf_assign(
             existing.select(id_col, vec_col), cents, vec_col, id_col
         )
-    a_new = batch.select(id_col, vec_col).join(
-        ivf_assign(batch.select(id_col, vec_col), cents, vec_col, id_col),
-        id_col,
+    # cache barrier: a_new feeds the touched-cell probe, BOTH pair-join
+    # sides, and the admitted-set return — four consumers of one assign
+    a_new = _cache(
+        batch.select(id_col, vec_col).join(
+            ivf_assign(batch.select(id_col, vec_col), cents, vec_col, id_col),
+            id_col,
+        )
     )
     # corpus side pruned to cells the batch actually landed in: vectors
     # in untouched cells can never pair with a batch vector (pairs

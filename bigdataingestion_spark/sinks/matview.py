@@ -936,7 +936,8 @@ class IncrementalAggView:
         drops = list(drop_aggs or [])
         if not add_aggs and not drops and not rename_aggs:
             raise ValueError(
-                "alter() needs add_aggs, drop_aggs and/or rename_aggs"
+                "alter() needs at least one of add_aggs, drop_aggs or "
+                "rename_aggs"
             )
         if len(set(drops)) != len(drops):
             raise ValueError(f"duplicate names in drop_aggs: {drops}")

@@ -71,9 +71,12 @@ def main() -> int:
         qs = dict(list(qs.items())[:50])
     oracles = entrymod.oracle_sql()
     failures = []
+    from bigdataingestion_spark.caching import release_caches
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        release_caches()  # free tracked operator caches between queries
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
