@@ -428,18 +428,85 @@ def pq_codebooks(
 ) -> list[DataFrame]:
     """Train the m independent per-subspace codebooks (see ``pq_encode``);
     returns one (cell_id, cv) frame per subspace. Split out so encode and
-    ADC search share ONE training pass."""
-    return [
-        kmeans_lite_centroids(
-            df.select(
-                F.col(id_col),
-                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
-            ),
-            codes_per_space,
-            lloyd_iters=lloyd_iters,
-            vec_col=vec_col,
-            id_col=id_col,
+    ADC search share ONE training pass.
+
+    Training shape (r14): all m subspaces train in ONE corpus pass per
+    Lloyd iteration instead of m independent ``kmeans_lite_centroids``
+    runs. The md5-ranked seed ids are slice-INDEPENDENT (the rank is a
+    pure function of the id), so one seed top-k serves every subspace;
+    assignment is the same posexplode + broadcast-codebook + max-struct
+    move as ``pq_encode`` (winner per (id, subspace); ties to the
+    smallest cell_id; the subvector rides the struct but can never be
+    consulted — (sim, -cell_id) is already unique per subspace); means
+    recompute per (subspace, cell, pos) in one aggregate. Value-identical
+    to the per-subspace runs: same seeds, same winners, same
+    ``round(avg, 6)`` centroid components — pinned by the
+    embedding_pq_codes/_topk oracle hashes."""
+    from pyspark.sql.window import Window
+
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim) for s in range(m)]
+    )
+    seeds = (
+        df.select(
+            F.col(id_col),
+            slices.alias("_subs"),
+            F.md5(F.col(id_col).cast("string")).alias("_mk"),
         )
+        .orderBy("_mk", id_col)
+        .limit(codes_per_space)
+    )
+    w = Window.orderBy("_mk", F.col(id_col))
+    cents = (
+        seeds.withColumn("_rk", F.row_number().over(w))
+        .select(
+            (F.col("_rk") - 1).alias("cell_id"),
+            F.posexplode("_subs").alias("subspace", "_sv"),
+        )
+        .select(
+            "subspace",
+            "cell_id",
+            F.transform("_sv", lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    for _ in range(lloyd_iters):
+        subs = df.select(
+            F.col(id_col), F.posexplode(slices).alias("subspace", "_sv")
+        )
+        cand = F.struct(
+            cosine(F.col("_sv"), F.col("cv")).alias("s"),
+            (-F.col("cell_id")).alias("nc"),
+            F.col("_sv").alias("v"),
+        )
+        best = (
+            subs.join(F.broadcast(cents), "subspace")
+            .select(F.col(id_col), F.col("subspace"), cand.alias("_m"))
+            .groupBy(id_col, "subspace")
+            .agg(F.max("_m").alias("_b"))
+            .select(
+                "subspace",
+                (-F.col("_b.nc")).alias("cell_id"),
+                F.col("_b.v").alias("_sv"),
+            )
+        )
+        comp = best.select(
+            "subspace", "cell_id", F.posexplode("_sv").alias("pos", "v")
+        )
+        avgs = comp.groupBy("subspace", "cell_id", "pos").agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+        )
+        cents = avgs.groupBy("subspace", "cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    # one tracked cache for the combined trained frame; the per-subspace
+    # views below are filters over it (pq_encode's union and pq_topk's
+    # LUTs both re-consume the codebooks — training runs ONCE)
+    cents = _cache(cents)
+    return [
+        cents.filter(F.col("subspace") == s).select("cell_id", "cv")
         for s in range(m)
     ]
 
