@@ -298,6 +298,18 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "spread": spread,
+                # self-certification of the scaling contract (r14 verdict
+                # item 3): the resolved core count ($SPARK_GRAFT_CPUS ->
+                # local[cpus]) and the context's actual parallelism, so a
+                # low/high-core comparison can verify the env var was
+                # honored from the JSON line alone. Note: at sf0.1 every
+                # headliner is sub-2.5 s and dominated by per-job
+                # scheduling/broadcast-build/codegen fixed cost, so
+                # low-vs-high core ratios near 1.0 are expected and are
+                # NOT evidence the core count was ignored.
+                "cpus": int(cpus),
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 # tri-state: true = verified vs baseline, false = diverged,
                 # null = no baseline for this sf_dir (NOT evidence of parity)
                 "plans_unchanged": plans_unchanged,

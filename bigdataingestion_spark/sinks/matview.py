@@ -1355,8 +1355,13 @@ class IncrementalAggView:
         # (view_snap unused here: the single-table recompute needs only
         # the SOURCE snapshot; the join subclass reads its dim pins from
         # it)
-        # persisted: the affected-key list feeds the semi-join, the
-        # vanished anti-join, AND the bounds/NULL-key probe
+        # persisted: the affected-key list feeds the semi-join and the
+        # merge source's left join — the bounds probe below materializes
+        # the cache FIRST, so the two concurrent references inside the
+        # merge's resolution job read it instead of re-running the CDF
+        # scan + distinct (measured r15: a lazy cache under one AQE
+        # collect gets its leaf stages submitted concurrently and
+        # recomputed per reference)
         affected = ch.select(*self.group_cols).distinct().persist()
         try:
             # one fused job: the pruned scan's key bounds double as the
@@ -1434,11 +1439,18 @@ class IncrementalAggView:
         is disjoint from it) skip the merge's own probe jobs;
         ``props_update`` rides the commit (see
         :meth:`_apply_additive_delta`)."""
-        vanished = affected.join(fresh, self.group_cols, "left_anti")
-        src = fresh.withColumn("_vanish", F.lit(0)).unionByName(
-            vanished.withColumn("_vanish", F.lit(1)),
-            allowMissingColumns=True,
-        )
+        # ONE left join replaces the anti-join + union: a group missing
+        # from `fresh` (all its rows gone) null-extends and flags
+        # _vanish=1, a surviving group carries its state with _vanish=0
+        # — row-identical to the old union, but `fresh`'s whole agg
+        # subtree (the pruned scan + groupBy) is consumed ONCE instead
+        # of twice (the anti-join branch re-ran it), and both sides are
+        # already partitioned by the group keys so no new exchange
+        src = affected.join(
+            fresh.withColumn("_vanish", F.lit(0)),
+            self.group_cols,
+            "left",
+        ).withColumn("_vanish", F.coalesce(F.col("_vanish"), F.lit(1)))
         state_cols = self._state_cols()
         self.view.merge(
             spark,

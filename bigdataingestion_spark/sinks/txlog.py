@@ -4055,9 +4055,21 @@ class TxLogTable:
             qprefix += "_x"
         plan.marker_prefix = qprefix
 
-        ours = not source.storageLevel.useMemory and not source.storageLevel.useDisk
-        if ours:
+        # With precomputed bounds AND the keys-unique promise, the
+        # source may end up with exactly ONE consumer (the one-pass
+        # resolution join below) — persisting it would be pure overhead
+        # plus an exchange-reuse barrier — so the persist decision is
+        # DEFERRED until the pass shape is known. Every other entry
+        # shape persists up front, exactly as before (the bounds job
+        # then materializes the cache for the later consumers).
+        ours = False
+        defer_persist = source_keys_unique and source_key_bounds is not None
+        if not defer_persist and (
+            not source.storageLevel.useMemory
+            and not source.storageLevel.useDisk
+        ):
             source = source.persist()
+            ours = True
         joined = None
         session_tz = spark.conf.get("spark.sql.session.timeZone")
         try:
@@ -4069,10 +4081,6 @@ class TxLogTable:
             )
             key_cands = self._stats_candidates(
                 snap, src_bounds, keys, null_safe=False
-            )
-            key_cands = self._bloom_candidates(
-                spark, snap, source, keys, key_cands, src_bounds,
-                null_safe=False,
             )
             bysrc_cands: set[str] = set()
             for cond in plan.by_source_predicates():
@@ -4089,9 +4097,44 @@ class TxLogTable:
                 bysrc_cands |= set(cands)
             scan_set = set(key_cands) | bysrc_cands
             scan_files = [f for f in snap.files if f in scan_set]
+            # the bloom probe (a collect over the source per indexed key
+            # column) can only NARROW an already-one-split scan — below
+            # the one-pass bound it cannot pay for its own job, so probe
+            # only when the stats-pruned candidate set is still wide
+            if not self._merge_one_pass_ok(scan_files):
+                key_cands = self._bloom_candidates(
+                    spark, snap, source, keys, key_cands, src_bounds,
+                    null_safe=False,
+                )
+                scan_set = set(key_cands) | bysrc_cands
+                scan_files = [f for f in snap.files if f in scan_set]
             stat_skipped = len(snap.files) - len(scan_files)
 
-            # ---- ONE finding scan: key hits + by-source hits ----------
+            # ---- finding scan, or the adaptive one-pass fusion ---------
+            # The finding scan exists to keep the full-outer resolution
+            # join off candidate files that hold no key hit. When the
+            # WHOLE pruned candidate set is at most ~one scan split
+            # (_MERGE_ONE_PASS_MAX_BYTES), it cannot shrink any real
+            # work — it IS a full extra scheduler round trip (scan +
+            # join + distinct + collect) over the very files the
+            # resolution join reads next — so resolve directly against
+            # the candidates and let the per-action file sets (collected
+            # WITH the row counts below) refine the touched set; rows of
+            # files where no clause fires resolve CARRY and are filtered
+            # before staging, exactly as in the two-pass shape. The
+            # switch is adaptive on DATA bytes, not cluster size: a
+            # 100 TB table whose stats/bloom pruning leaves a few files
+            # takes the same fast path, a wide candidate set keeps the
+            # two-pass shape.
+            one_pass = self._merge_one_pass_ok(scan_files)
+            if defer_persist and not one_pass and (
+                not source.storageLevel.useMemory
+                and not source.storageLevel.useDisk
+            ):
+                # two-pass after all: the finding join AND the
+                # resolution join both consume the source — persist now
+                source = source.persist()
+                ours = True
             fc = self._fresh_col("_file", [*target_cols, t_mark, s_mark])
             km = self._fresh_col("_km", [*target_cols, fc])
             if scan_files:
@@ -4138,28 +4181,36 @@ class TxLogTable:
                         "or tighten the keys"
                     )
 
-            bq_cols = [
-                f"{qprefix}_{code}"
-                for code, cl in plan.by_source
-                if cl.condition is not None
-            ]
             uncond_bysrc = any(
                 cl.condition is None for _, cl in plan.by_source
             )
-            qual = F.coalesce(F.col(km), F.lit(False))
-            if uncond_bysrc:
-                qual = qual | F.lit(True)
-            for c in bq_cols:
-                qual = qual | F.col(c)
-            hit_files = (
-                tgt.join(skeys, on=keys, how="left")
-                .filter(qual)
-                .select(fc)
-                .distinct()
-                .collect()
-            )
-            cand_hit = {self._rel_from_uri(r[0]) for r in hit_files}
-            candidates_touched = [f for f in snap.files if f in cand_hit]
+            if one_pass:
+                # fused path: the resolution join reads every candidate
+                # file; the per-action collect_set below IS the finding
+                # pass (touched = files a clause actually fired for)
+                candidates_touched = scan_files
+            else:
+                bq_cols = [
+                    f"{qprefix}_{code}"
+                    for code, cl in plan.by_source
+                    if cl.condition is not None
+                ]
+                qual = F.coalesce(F.col(km), F.lit(False))
+                if uncond_bysrc:
+                    qual = qual | F.lit(True)
+                for c in bq_cols:
+                    qual = qual | F.col(c)
+                hit_files = (
+                    tgt.join(skeys, on=keys, how="left")
+                    .filter(qual)
+                    .select(fc)
+                    .distinct()
+                    .collect()
+                )
+                cand_hit = {self._rel_from_uri(r[0]) for r in hit_files}
+                candidates_touched = [
+                    f for f in snap.files if f in cand_hit
+                ]
 
             if not candidates_touched and not plan.inserts:
                 # nothing matches, nothing to insert — but a rider
@@ -4169,16 +4220,20 @@ class TxLogTable:
                 return snap.version
 
             # ---- join + clause resolution ------------------------------
-            if candidates_touched:
+            if one_pass:
+                hit = tgt  # same read, markers already attached
+            elif candidates_touched:
                 hit = self._read_files(
                     spark, snap, candidates_touched, with_file_col=fc
                 )
+                for name, expr in plan.target_markers():
+                    hit = hit.withColumn(name, expr)
             else:
                 hit = self._read_snapshot(spark, snap).limit(0).withColumn(
                     fc, F.lit(None).cast("string")
                 )
-            for name, expr in plan.target_markers():
-                hit = hit.withColumn(name, expr)
+                for name, expr in plan.target_markers():
+                    hit = hit.withColumn(name, expr)
             src = source
             for name, expr in plan.source_markers():
                 src = src.withColumn(name, expr)
@@ -4706,6 +4761,27 @@ class TxLogTable:
     _BLOOM_DRIVER_PROBE_MAX = 256  # more bloom-bearing candidates than
     # this -> probe as a Spark job (sidecars read where they live); a
     # driver loop over 100k sidecars would serialize metadata I/O
+
+    # MERGE resolves in one pass (no separate finding scan) when the
+    # stats/bloom-pruned candidate set is at most ~one scan split: the
+    # finding pass can only pay for itself by shrinking the resolution
+    # join's input, and below a split there is nothing to shrink — it
+    # is a pure extra scheduler round trip over the same bytes. The
+    # bound is on candidate DATA bytes (not cluster size), so it stays
+    # correct at any scale: a 100 TB table pruned to a few files takes
+    # the fast path, a wide candidate set keeps the two-pass shape.
+    _MERGE_ONE_PASS_MAX_BYTES = 128 * 1024 * 1024
+
+    def _merge_one_pass_ok(self, scan_files: list[str]) -> bool:
+        total = 0
+        for f in scan_files:
+            try:
+                total += os.path.getsize(os.path.join(self.path, f))
+            except OSError:
+                return False  # unknown size: stay conservative
+            if total > self._MERGE_ONE_PASS_MAX_BYTES:
+                return False
+        return True
 
     def _bloom_columns(self, snap: "Snapshot | None") -> list[str]:
         prop = (snap.properties.get("bloom.columns") if snap else None) or ""
