@@ -1093,7 +1093,12 @@ def events_value_percentiles(spark, sf_dir):
     rewrite as a pre-aggregate keyed (event_type, user_id) that builds and
     merges a percentile value-map buffer PER USER (r14 plan audit: 4-level
     ObjectHashAggregate, ~7 s at sf0.1 vs ~0.6 s split). The join side is
-    |event_type| rows — broadcast, no extra shuffle on the fact side."""
+    |event_type| rows — broadcast, no extra shuffle on the fact side.
+    NULL-SAFE equality (r15, advisor note): both aggregates emit one row
+    for a NULL event_type group; a null-rejecting inner join would
+    silently drop it where the old single groupBy (and the oracle) keep
+    it. The fixture has no NULL event_type, but the query must not bake
+    that in."""
     ev = _t(spark, sf_dir, "events")
     pct = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
@@ -1102,7 +1107,11 @@ def events_value_percentiles(spark, sf_dir):
     users = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
-    return pct.join(users, "event_type")
+    return pct.join(
+        users, pct["event_type"].eqNullSafe(users["event_type"])
+    ).select(
+        pct["event_type"], "p50", "p95", "n_users"
+    )
 
 
 @register(

@@ -160,7 +160,22 @@ def ngram_jaccard_pairs(
     table (itself one explode+aggregate over the cached groups, cached —
     the r13 plan recomputed it once per join side).
     """
-    sh = shingle_table(df, text_col, id_col, n, with_count=False)
+    # shuffle a FLAT 16-byte hash of each shingle instead of the raw
+    # n-gram string (r15, the duplicate_spans key policy): grouping and
+    # joining only ever compare shingles for EQUALITY, so a 128-bit
+    # digest is a drop-in key whose shuffle width is constant in shingle
+    # length — at 100 TB the exchange carries 16 bytes/row where a
+    # 3-gram of real words is 30-60+ bytes, and the aggregate compares
+    # two longs instead of variable strings. Two seed-independent
+    # xxhash64 lanes give the 128-bit width at a fraction of md5's
+    # per-occurrence CPU (measured: md5 re-keying cost ~12% wall at the
+    # 10x-density fixture; the xxhash pair is cheaper than the string
+    # it replaces).
+    sh = shingle_table(df, text_col, id_col, n, with_count=False).select(
+        F.col(id_col),
+        F.xxhash64("shingle").alias("_k1"),
+        F.xxhash64("shingle", F.lit(1)).alias("_k2"),
+    )
     if max_shingle_df is None:
         # uncapped: a hot shingle's pair ARRAY would be unbounded; keep the
         # streaming self-join (quadratic rows, but never materialized per
@@ -169,10 +184,10 @@ def ngram_jaccard_pairs(
         sizes = _cache(
             sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
         )
-        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        a = sh.select(F.col(id_col).alias("id_a"), "_k1", "_k2")
+        b = sh.select(F.col(id_col).alias("id_b"), "_k1", "_k2")
         inter = (
-            a.join(b, on="shingle")
+            a.join(b, on=["_k1", "_k2"])
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("inter"))
@@ -183,7 +198,7 @@ def ngram_jaccard_pairs(
         # 1000) — safe to materialize, and it removes the window sort AND
         # the self-join in one move
         groups = _cache(
-            sh.groupBy("shingle")
+            sh.groupBy("_k1", "_k2")
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
             .filter(F.size("_ids") <= F.lit(max_shingle_df))
         )
@@ -507,26 +522,34 @@ def simhash64(
             F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
         ).alias("word"),
     ).filter(F.col("word") != "")
-    # 64-bit word hash from md5 (first 16 hex chars)
-    h = F.conv(F.substring(F.md5(F.col("word")), 1, 16), 16, 10).cast("decimal(20,0)")
-    # decimal -> two 32-bit halves so bit ops stay in long range; subtract the
-    # remainder before dividing (decimal division ROUNDS, it doesn't floor)
-    lo = (h % F.lit(4294967296)).cast("long")
-    hi = ((h - (h % F.lit(4294967296))) / F.lit(4294967296)).cast("long")
+    # 64-bit word hash from md5 (first 16 hex chars). The first/last 8 of
+    # those hex chars ARE the high/low 32-bit halves, so each parses with
+    # one conv() directly into long range — no decimal(20,0) mod/divide
+    # per word (r15; value-identical to the decimal split, oracle-pinned)
+    words = words.select(id_col, F.md5(F.col("word")).alias("_h"))
+    hi = F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.col("_h"), 9, 8), 16, 10).cast("long")
     words = words.select(id_col, hi.alias("hi"), lo.alias("lo"))
 
+    # per-bit balance b_j = (#set - #unset) = 2*set_j - n: summing the raw
+    # bit (no CASE) and counting once is the same value with 64 branchless
+    # sums instead of 64 conditionals (r15; smaller codegen, same result)
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("hi" if j >= 32 else "lo"), j % 32).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+            F.shiftright(F.col("hi" if j >= 32 else "lo"), j % 32).bitwiseAND(1)
+        ).alias(f"s{j}")
         for j in range(64)
     ]
-    agg = words.groupBy(id_col).agg(*bit_sums)
+    agg = words.groupBy(id_col).agg(
+        *bit_sums, F.count(F.lit(1)).alias("_n")
+    )
     packed_hi = sum(
-        F.when(F.col(f"b{j}") > 0, F.lit(1 << (j - 32))).otherwise(0) for j in range(32, 64)
+        F.when(F.col(f"s{j}") * 2 > F.col("_n"), F.lit(1 << (j - 32))).otherwise(0)
+        for j in range(32, 64)
     )
     packed_lo = sum(
-        F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(32)
+        F.when(F.col(f"s{j}") * 2 > F.col("_n"), F.lit(1 << j)).otherwise(0)
+        for j in range(32)
     )
     return agg.select(
         F.col(id_col),

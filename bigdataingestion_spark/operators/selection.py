@@ -176,10 +176,51 @@ def dsir_weights_in_corpus(
     feats = _cache(
         hashed_ngram_counts(raw, text_col, id_col, n_max, buckets)
     )
-    t_feats = feats.join(
-        raw.filter(is_target).select(id_col), id_col, "left_semi"
+    # ONE model job fits BOTH unigram models (r15): the target is a
+    # slice of the corpus, so its per-bucket totals ride the raw
+    # model's aggregate as a conditional sum over the flagged ids —
+    # one collect instead of two (the old shape re-aggregated the
+    # cached features a second time behind a semi-join), per-bucket
+    # values identical by construction.
+    flagged = feats.join(
+        raw.filter(is_target)
+        .select(id_col)
+        .withColumn("_t", F.lit(1)),
+        id_col,
+        "left",
     )
-    return _weights_from_features(raw, feats, t_feats, id_col, buckets)
+    rows = (
+        flagged.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("_n"),
+            F.sum(F.when(F.col("_t") == 1, F.col("cnt"))).alias("_nt"),
+        )
+        .collect()
+    )
+    spark = raw.sparkSession
+    total_r = sum(int(r["_n"]) for r in rows)
+    total_t = sum(int(r["_nt"]) for r in rows if r["_nt"] is not None)
+    denom_r = float(total_r + buckets)
+    denom_t = float(total_t + buckets)
+    lp_raw = spark.createDataFrame(
+        [
+            (int(r["bucket"]), math.log((int(r["_n"]) + 1) / denom_r))
+            for r in rows
+        ],
+        "bucket bigint, _lp double",
+    )
+    lp_tgt = spark.createDataFrame(
+        [
+            (int(r["bucket"]), math.log((int(r["_nt"]) + 1) / denom_t))
+            for r in rows
+            if r["_nt"] is not None
+        ],
+        "bucket bigint, _lp double",
+    )
+    return _score_with_models(
+        raw, feats, lp_raw, -math.log(denom_r),
+        lp_tgt, -math.log(denom_t), id_col,
+    )
 
 
 def _weights_from_features(
@@ -194,6 +235,23 @@ def _weights_from_features(
     :func:`dsir_importance_weights` for the contract)."""
     lp_raw, def_raw = _bucket_log_probs(feats, buckets)
     lp_tgt, def_tgt = _bucket_log_probs(t_feats, buckets)
+    return _score_with_models(
+        raw, feats, lp_raw, def_raw, lp_tgt, def_tgt, id_col
+    )
+
+
+def _score_with_models(
+    raw: DataFrame,
+    feats: DataFrame,
+    lp_raw: DataFrame,
+    def_raw: float,
+    lp_tgt: DataFrame,
+    def_tgt: float,
+    id_col: str,
+) -> DataFrame:
+    """Scoring tail over ALREADY-FITTED models (local ≤ buckets-row
+    frames): broadcast both onto the per-document features, sum per
+    document, keep zero-feature documents at weight 0.0."""
     scored = (
         feats
         # every feature bucket exists in lp_raw by construction; target

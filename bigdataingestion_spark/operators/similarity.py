@@ -337,20 +337,34 @@ def knn_classify(
     label of its k nearest neighbors by cosine (self excluded, ties broken
     by neighbor id then smaller label — fully deterministic).
 
-    ``queries`` (id + vector) is broadcast — the standard shape is few
-    queries against a huge corpus, so the corpus never shuffles: one narrow
-    scan computes all similarities, and only (qid, id, label, cos) rows
-    enter the per-query top-k window. Ranking runs on the UNROUNDED cosine
-    so both engines order identically down to the last bit.
-    """
-    from pyspark.sql.window import Window
+    ``queries`` (id + vector) is broadcast — so the corpus never
+    shuffles vectors: one narrow scan computes all similarities, and only
+    (qid, id, label, cos) rows enter the top-k machinery. Ranking runs on
+    the UNROUNDED cosine so both engines order identically down to the
+    last bit.
 
+    Top-k shape (r15): a per-query ``row_number`` window shuffled all
+    N·Q similarity rows into |queries| partitions — a skew/straggler
+    hazard that grows with the corpus. Instead, a SALTED two-level
+    aggregate: level 1 keeps the best k per (qid, salt) — the salt
+    count tracks the corpus scan's split count, so per-group state is
+    bounded by ~one split's rows regardless of N — and level 2 merges
+    the ≤ salt·k survivors per query. The plan is hash aggregates with
+    map-side partial combine; no Window, no full sort of N·Q rows. The
+    winning label then falls out of one ``min(struct(-votes, label))``
+    aggregate (the ivf/pq max-struct primitive), not a second window.
+    Tie-breaks are IDENTICAL to the window shape: neighbors by
+    (cos desc, id asc) via ascending struct sort on (-cos, id); votes
+    by (votes desc, label asc) via min-struct on (-votes, label).
+    """
+    corpus = _spread(df)
+    # data-adaptive salt: ~rows-per-scan-split bounds level-1 group state
+    n_salt = max(1, corpus.rdd.getNumPartitions())
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
     )
     sims = (
-        _spread(df)
-        .crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("qid"))
         .select(
             "qid",
@@ -359,14 +373,40 @@ def knn_classify(
             cosine(F.col(vec_col), F.col("_qv")).alias("_cos"),
         )
     )
-    wk = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.col(id_col))
-    topk = sims.withColumn("_rn", F.row_number().over(wk)).filter(F.col("_rn") <= k)
-    votes = topk.groupBy("qid", label_col).agg(F.count(F.lit(1)).alias("votes"))
-    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.col(label_col))
-    return (
-        votes.withColumn("_rv", F.row_number().over(wv))
-        .filter(F.col("_rv") == 1)
-        .select("qid", F.col(label_col).alias("knn_label"), "votes")
+    cand = F.struct(
+        (-F.col("_cos")).alias("_nc"),
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lb"),
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).alias("_salt")
+    lvl1 = sims.groupBy("qid", salt).agg(
+        F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("_tk")
+    )
+    merged = lvl1.groupBy("qid").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_tk"))), 1, k
+        ).alias("_tk")
+    )
+    # the vote is a mode over ≤ k labels already sitting in one array —
+    # pure array expressions (O(k²) per row, k tiny), not an explode +
+    # two more aggregate exchanges; min(struct(-votes, label)) keeps the
+    # (votes desc, label asc) tie-break bit-identical to the window shape
+    labels = F.transform(F.col("_tk"), lambda c: c["_lb"])
+    best = F.array_min(
+        F.transform(
+            F.array_distinct(labels),
+            lambda lb: F.struct(
+                (
+                    -F.size(F.filter(labels, lambda x: x == lb))
+                ).alias("_nv"),
+                lb.alias("_lb"),
+            ),
+        )
+    )
+    return merged.select(
+        "qid",
+        best["_lb"].alias("knn_label"),
+        (-best["_nv"]).cast("long").alias("votes"),
     )
 
 
@@ -417,7 +457,7 @@ def quantize_int8(
     )
 
 
-def pq_codebooks(
+def _pq_codebooks_combined(
     df: DataFrame,
     m: int = 4,
     sub_dim: int = 16,
@@ -425,10 +465,12 @@ def pq_codebooks(
     lloyd_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> list[DataFrame]:
-    """Train the m independent per-subspace codebooks (see ``pq_encode``);
-    returns one (cell_id, cv) frame per subspace. Split out so encode and
-    ADC search share ONE training pass.
+) -> DataFrame:
+    """The m per-subspace codebooks as ONE combined (subspace, cell_id,
+    cv) frame — the form training produces and encode/ADC consume
+    (advisor note, r15: ``pq_codebooks``' list-of-frames wrapper made
+    ``pq_encode`` re-union m filtered views of this very frame; internal
+    consumers now take it directly).
 
     Training shape (r14): all m subspaces train in ONE corpus pass per
     Lloyd iteration instead of m independent ``kmeans_lite_centroids``
@@ -501,10 +543,27 @@ def pq_codebooks(
                 lambda s: s["c"],
             ).alias("cv")
         )
-    # one tracked cache for the combined trained frame; the per-subspace
-    # views below are filters over it (pq_encode's union and pq_topk's
-    # LUTs both re-consume the codebooks — training runs ONCE)
-    cents = _cache(cents)
+    # one tracked cache for the combined trained frame: pq_encode's
+    # broadcast and pq_topk's LUT both re-consume it — training runs ONCE
+    return _cache(cents)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    codes_per_space: int = 4,
+    lloyd_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[DataFrame]:
+    """Public per-subspace view of :func:`_pq_codebooks_combined`:
+    one (cell_id, cv) frame per subspace (kept for API compatibility;
+    each is a filter over the single cached combined frame)."""
+    cents = _pq_codebooks_combined(
+        df, m=m, sub_dim=sub_dim, codes_per_space=codes_per_space,
+        lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
+    )
     return [
         cents.filter(F.col("subspace") == s).select("cell_id", "cv")
         for s in range(m)
@@ -519,7 +578,7 @@ def pq_encode(
     lloyd_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    codebooks: list[DataFrame] | None = None,
+    codebooks: list[DataFrame] | DataFrame | None = None,
 ) -> DataFrame:
     """Product quantization: split each vector into ``m`` contiguous
     ``sub_dim``-wide subvectors and learn an independent k-means-lite
@@ -548,21 +607,34 @@ def pq_encode(
     from functools import reduce
 
     if codebooks is None:
-        codebooks = pq_codebooks(
+        # the combined (subspace, cell_id, cv) frame directly — no
+        # per-subspace filter views re-unioned back together (r15)
+        cb = _pq_codebooks_combined(
             df, m=m, sub_dim=sub_dim, codes_per_space=codes_per_space,
             lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
+        ).select(
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("cell_id"),
+            F.col("cv"),
         )
-    cb = reduce(
-        lambda a, b: a.unionAll(b),
-        [
-            c.select(
-                F.lit(s).cast("int").alias("subspace"),
-                F.col("cell_id"),
-                F.col("cv"),
-            )
-            for s, c in enumerate(codebooks)
-        ],
-    )
+    elif isinstance(codebooks, DataFrame):
+        cb = codebooks.select(
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("cell_id"),
+            F.col("cv"),
+        )
+    else:
+        cb = reduce(
+            lambda a, b: a.unionAll(b),
+            [
+                c.select(
+                    F.lit(s).cast("int").alias("subspace"),
+                    F.col("cell_id"),
+                    F.col("cv"),
+                )
+                for s, c in enumerate(codebooks)
+            ],
+        )
     subs = df.select(
         F.col(id_col),
         F.posexplode(
@@ -616,16 +688,14 @@ def pq_topk(
     (at most last-ulp) summation-order noise of the m-term sum can never
     reorder results across engines.
     """
-    from functools import reduce
-
-    books = pq_codebooks(
+    cbc = _pq_codebooks_combined(
         df, m=m, sub_dim=sub_dim, codes_per_space=codes_per_space,
         lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
     )
     codes = pq_encode(
         df, m=m, sub_dim=sub_dim, codes_per_space=codes_per_space,
         lloyd_iters=lloyd_iters, vec_col=vec_col, id_col=id_col,
-        codebooks=books,
+        codebooks=cbc,
     ).select(id_col, "subspace", "code")
     qrow = (
         df.filter(F.col(id_col) == query_id)
@@ -636,18 +706,24 @@ def pq_topk(
         raise ValueError(f"pq_topk: query_id {query_id!r} not found in {id_col}")
     qv = list(qrow[0])
     qnorm = sum(x * x for x in qv) ** 0.5
-    luts = []
-    for s in range(m):
-        qs = F.array(*[F.lit(x) for x in qv[s * sub_dim:(s + 1) * sub_dim]])
-        luts.append(
-            books[s].select(
-                F.lit(s).cast("int").alias("subspace"),
-                F.col("cell_id").cast("int").alias("code"),
-                dot(qs, F.col("cv")).alias("dotp"),
-                dot(F.col("cv"), F.col("cv")).alias("n2"),
+    # ONE scan of the cached combined codebook builds every subspace's
+    # LUT row: the query's m subvector literals sit in an array indexed
+    # by the row's own subspace (r15 — was m filtered views + union)
+    qsubs = F.array(
+        *[
+            F.array(
+                *[F.lit(x) for x in qv[s * sub_dim:(s + 1) * sub_dim]]
             )
-        )
-    lut = reduce(lambda a, b: a.unionAll(b), luts)
+            for s in range(m)
+        ]
+    )
+    qs = F.element_at(qsubs, F.col("subspace").cast("int") + 1)
+    lut = cbc.select(
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("cell_id").cast("int").alias("code"),
+        dot(qs, F.col("cv")).alias("dotp"),
+        dot(F.col("cv"), F.col("cv")).alias("n2"),
+    )
     scored = (
         codes.join(F.broadcast(lut), ["subspace", "code"])
         .groupBy(id_col)

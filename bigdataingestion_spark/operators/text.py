@@ -657,7 +657,17 @@ def ordered_pairs(arr_col: str, fields: str) -> Column:
     maps array elements to pair-struct fields, e.g. ``"x AS id_a, y AS id_b"``
     (``x`` = earlier element, ``y`` = later element). Per-group pair arrays
     are quadratic in group size — callers must bound group size first
-    (DF cap / bucket semantics) before materializing pairs this way."""
+    (DF cap / bucket semantics) before materializing pairs this way.
+
+    CONTRACT (advisor note, r15): the array MUST be sorted ascending and
+    duplicate-free — i<j then means "strictly ordered pair", which is what
+    every caller's oracle encodes (``dedup.word_shingles`` builds its lists
+    with ``sort_array(collect_set(...))`` and ``span_hashes`` groups
+    ``array_distinct`` output, so both guarantee it today). ``fields`` is
+    interpolated RAW into a SQL lambda; it is an internal helper, not a
+    user-input surface — pass only literal field mappings like the example,
+    never caller-supplied strings (a malformed value fails with an opaque
+    parse error deep inside the flatten/transform expression)."""
     return F.expr(
         f"flatten(transform({arr_col}, (x, i) -> "
         f"transform(slice({arr_col}, i + 2, size({arr_col}) - i - 1), "

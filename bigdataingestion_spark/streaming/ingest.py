@@ -27,6 +27,38 @@ from pyspark.sql.streaming import StreamingQuery
 WATERMARK_LAG = "80 hours"  # reference ING:350 (DATEADD(hour,-80,...))
 
 
+def state_scaled_shuffle(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the cluster's
+    ``defaultParallelism`` around a STATEFUL stream's ``start()``.
+
+    A stateful operator creates (and per micro-batch loads, commits and
+    snapshots) one state store per shuffle partition, and the count is
+    PINNED into the checkpoint at first start — so it must track the
+    cluster actually running the query, not the session's batch
+    shuffle-partition setting (a constant tuned for neither a laptop
+    nor a 1000-core cluster). ``defaultParallelism`` is the context's
+    own core/executor-slot count: on ``local[8]`` this means 8 state
+    stores instead of the 32-partition batch default (4x less per-batch
+    store fixed cost), on a big cluster it scales the store count up
+    with the executors. Restoring the session value after ``start()``
+    is safe: StreamExecution clones the session (and thus the conf)
+    synchronously when the query starts."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(
+            key, str(spark.sparkContext.defaultParallelism)
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _scope()
+
 
 def path_txn_scope(path: str) -> str:
     """12-hex txn scope from a path's ABSOLUTE form — the one shared rule
@@ -161,13 +193,14 @@ def stream_windowed_counts(
             F.col("cnt"),
         )
     )
-    return (
-        stream.writeStream.format("memory")
-        .queryName(queryName)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_scaled_shuffle(spark):
+        return (
+            stream.writeStream.format("memory")
+            .queryName(queryName)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def incremental_batch_stream(
@@ -204,14 +237,15 @@ def stream_dedup_to_lake(
     deduped = stream.withWatermark(ts_col, WATERMARK_LAG).dropDuplicatesWithinWatermark(
         id_cols
     )
-    return (
-        deduped.writeStream.format(fmt)
-        .option("path", target_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_scaled_shuffle(spark):
+        return (
+            deduped.writeStream.format(fmt)
+            .option("path", target_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def stream_session_windows(
@@ -253,13 +287,14 @@ def stream_session_windows(
             F.col("n_events"),
         )
     )
-    return (
-        sessions.writeStream.format("memory")
-        .queryName(queryName)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_scaled_shuffle(spark):
+        return (
+            sessions.writeStream.format("memory")
+            .queryName(queryName)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def stream_stream_join(
@@ -318,14 +353,15 @@ def stream_stream_join(
         F.col("left_ts").alias(f"{left_type}_ts"),
         F.col("right_ts").alias(f"{right_type}_ts"),
     )
-    return (
-        joined.writeStream.format("memory")
-        .queryName(queryName)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_scaled_shuffle(spark):
+        return (
+            joined.writeStream.format("memory")
+            .queryName(queryName)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def stream_static_enrich(

@@ -92,8 +92,11 @@ def streaming_sessionize(
             .queryName(queryName)
             .outputMode("update")
         )
-    return (
-        writer.option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from bigdataingestion_spark.streaming.ingest import state_scaled_shuffle
+
+    with state_scaled_shuffle(spark):
+        return (
+            writer.option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -3,8 +3,13 @@
 Usage:
     python scripts/dump_plans.py OUTDIR SUFFIX SF_DIR query [query ...]
 
-Writes ``OUTDIR/<query>_<SUFFIX>.txt`` for each query. Run with
-``PYTHONPATH`` pointing at an older checkout to capture "before" plans.
+Writes ``OUTDIR/<query>_<SUFFIX>.txt`` for each query. To capture
+"before" plans from an older checkout, set ``BDI_REPO`` to that checkout
+(it is inserted at ``sys.path[0]``, ahead of everything — a bare
+``PYTHONPATH`` would be shadowed by this repo's own root):
+
+    git archive HEAD | tar -x -C /tmp/repo_head
+    BDI_REPO=/tmp/repo_head python scripts/dump_plans.py out before <sf> q...
 """
 
 from __future__ import annotations
